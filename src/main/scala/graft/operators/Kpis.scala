@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's KPI family (reference: `data_transformer.py:113-143`,
+  * `KPIs()` + the per-date mean; output schemas `README.md:114-129`).
+  *
+  * Input contract: a "facts" frame with a grouping key, a `price` column
+  * (double) and a nullable boolean `sentiment` column (null = the LLM
+  * batch that carried the row failed — `data_transformer.py:100-109`).
+  *
+  * Semantics preserved exactly:
+  *  - positive_reviews / negative_reviews count `true` / `false` and skip
+  *    nulls in BOTH (Polars bool-sum semantics, `data_transformer.py:115-117`);
+  *  - likeness_score = positive / (negative if negative>0 else 1), double
+  *    (`data_transformer.py:118-124`);
+  *  - normalized_likeness_score = global min-max, degenerate -> 0.0
+  *    (`utils/tools.py:67-94`).
+  *
+  * Divergence (an optimization, same results): the reference aggregates
+  * the same grouping twice and joins the halves back together
+  * (`data_transformer.py:113-127`, J2). We fuse everything into ONE
+  * `groupBy.agg` — one shuffle instead of two plus a join. At 100 TB the
+  * single hash aggregate (partial + final) is the plan you want; the join
+  * formulation would shuffle the facts twice.
+  */
+object Kpis {
+
+  /** positive = sum over rows where sentiment IS TRUE; nulls hit neither. */
+  private def positive: Column = sum(when(col("sentiment"), 1).otherwise(0)).as("positive_reviews")
+  private def negative: Column = sum(when(!col("sentiment"), 1).otherwise(0)).as("negative_reviews")
+
+  private def withScores(grouped: DataFrame): DataFrame = {
+    val scored = grouped.withColumn(
+      "likeness_score",
+      col("positive_reviews").cast("double") /
+        when(col("negative_reviews") > 0, col("negative_reviews")).otherwise(lit(1)))
+    MinMax.normalize(scored, "likeness_score", "normalized_likeness_score")
+  }
+
+  /** user_kpis: {id, average_spent, positive_reviews, negative_reviews,
+    * likeness_score, normalized_likeness_score} (`README.md:115-121`). */
+  def userKpis(facts: DataFrame, userCol: String = "id", priceCol: String = "price"): DataFrame =
+    withScores(
+      facts
+        .groupBy(col(userCol).as("id"))
+        .agg(avg(col(priceCol)).as("average_spent"), positive, negative))
+
+  /** shop_kpis: same shape keyed by shop_id with average_profit. */
+  def shopKpis(facts: DataFrame, shopCol: String = "shop_id", priceCol: String = "price"): DataFrame =
+    withScores(
+      facts
+        .groupBy(col(shopCol).as("shop_id"))
+        .agg(avg(col(priceCol)).as("average_profit"), positive, negative))
+
+  /** date_kpis: {date, average_profit_per_day} (`data_transformer.py:140-143`
+    * groups the raw string date column; we format the timestamp to the same
+    * yyyy-MM-dd string shape). */
+  def dateKpis(facts: DataFrame, dateCol: String = "date", priceCol: String = "price"): DataFrame =
+    facts
+      .groupBy(col(dateCol).as("date"))
+      .agg(avg(col(priceCol)).as("average_profit_per_day"))
+}

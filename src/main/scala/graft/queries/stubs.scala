@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+// Placeholder modules — filled in milestone by milestone (SURVEY.md §7.2).
+private[queries] trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+object RelationalQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
+object EnrichQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
+object DedupQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
+object SimilarityQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
+object TextQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
+object EventQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
