@@ -35,7 +35,13 @@ def cmp(name, spark_df, duck_df):
         except Exception as e:
             return f"COMPARE-ERR col={c}: {e}"
         if not ok:
-            mism = (~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))).idxmax()
+            # reuse the same mask that made ok False — a string-equality
+            # recompute can be all-False for float columns and point at row 0
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                bad = ~((av.isna() & bv.isna()) | (av == bv))
+            else:
+                bad = ~(av.astype(str).fillna('\0') == bv.astype(str).fillna('\0'))
+            mism = bad.idxmax()
             return (f"VALUES col={c} first-mismatch row={mism}: "
                     f"spark={a[c][mism]!r} duck={b[c][mism]!r} | sparkrow={a.iloc[mism].to_dict()}")
     return None

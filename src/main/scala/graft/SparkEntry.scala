@@ -30,12 +30,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KpiQueries.shopKpis(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_._1).toMap
+  /** One entry per implemented operator from SURVEY.md §2. Two modules
+    * silently shadowing each other's query names would make a query's
+    * oracle come from a different module than its Spark side — fail fast
+    * instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.flatMap(_._1).toMap
+    require(merged.size == modules.map(_._1.size).sum,
+      s"duplicate query names across modules: ${modules.flatMap(_._1.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.flatMap(_._2).toMap
+  def oracleSql: Map[String, String] = {
+    val merged = modules.flatMap(_._2).toMap
+    require(merged.size == modules.map(_._2.size).sum,
+      "duplicate oracle names across modules")
+    merged
+  }
 }

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *  - normalized_likeness_score = global min-max, degenerate -> 0.0
   *    (`utils/tools.py:67-94`).
   *
+  * Fixture divergence (deliberate, mirrored in the oracle): the harness
+  * shop-KPI query feeds `profit` = price*(1-discount) as the averaged
+  * column, while the reference's `generateShopKpis` averages raw `price`
+  * for `average_profit` (`data_transformer.py:130-133`). The operator
+  * itself is column-parameterized (`priceCol`), so both semantics are one
+  * call away; the harness picks the discounted form because the testdata
+  * carries a discount column the reference's records lack.
+  *
   * Divergence (an optimization, same results): the reference aggregates
   * the same grouping twice and joins the halves back together
   * (`data_transformer.py:113-127`, J2). We fuse everything into ONE
@@ -36,6 +44,12 @@ object Kpis {
       "likeness_score",
       col("positive_reviews").cast("double") /
         when(col("negative_reviews") > 0, col("negative_reviews")).otherwise(lit(1)))
+      // MinMax.normalize references its input twice (the min/max aggregate
+      // and the crossJoin branch). Without caching, the whole upstream
+      // scan→join→groupBy chain appears in the plan twice; the post-agg
+      // frame is tiny (|group keys| rows), so pin it and both branches
+      // read memory instead of re-running the shuffle.
+      .cache()
     MinMax.normalize(scored, "likeness_score", "normalized_likeness_score")
   }
 
@@ -45,14 +59,14 @@ object Kpis {
     withScores(
       facts
         .groupBy(col(userCol).as("id"))
-        .agg(avg(col(priceCol)).as("average_spent"), positive, negative))
+        .agg(StableAgg.savg(col(priceCol)).as("average_spent"), positive, negative))
 
   /** shop_kpis: same shape keyed by shop_id with average_profit. */
   def shopKpis(facts: DataFrame, shopCol: String = "shop_id", priceCol: String = "price"): DataFrame =
     withScores(
       facts
         .groupBy(col(shopCol).as("shop_id"))
-        .agg(avg(col(priceCol)).as("average_profit"), positive, negative))
+        .agg(StableAgg.savg(col(priceCol)).as("average_profit"), positive, negative))
 
   /** date_kpis: {date, average_profit_per_day} (`data_transformer.py:140-143`
     * groups the raw string date column; we format the timestamp to the same
@@ -60,5 +74,5 @@ object Kpis {
   def dateKpis(facts: DataFrame, dateCol: String = "date", priceCol: String = "price"): DataFrame =
     facts
       .groupBy(col(dateCol).as("date"))
-      .agg(avg(col(priceCol)).as("average_profit_per_day"))
+      .agg(StableAgg.savg(col(priceCol)).as("average_profit_per_day"))
 }

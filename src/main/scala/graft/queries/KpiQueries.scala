@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Kpis, MinMax}
+import graft.operators.{Kpis, MinMax, StableAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,14 +75,14 @@ object KpiQueries extends QueryModule {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Rnd.r(sum(col("l_quantity")), 2).as("sum_qty"),
-        Rnd.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Rnd.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        Rnd.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
+        Rnd.r(StableAgg.ssum(col("l_quantity")), 2).as("sum_qty"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
           .as("sum_charge"),
-        Rnd.r(avg(col("l_quantity")), 6).as("avg_qty"),
-        Rnd.r(avg(col("l_extendedprice")), 6).as("avg_price"),
-        Rnd.r(avg(col("l_discount")), 6).as("avg_disc"),
+        Rnd.r(StableAgg.savg(col("l_quantity")), 6).as("avg_qty"),
+        Rnd.r(StableAgg.savg(col("l_extendedprice")), 6).as("avg_price"),
+        Rnd.r(StableAgg.savg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -97,21 +97,21 @@ object KpiQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_user_kpis" ->
       s"""WITH facts AS (${Facts.factsSql}),
-         |agg AS (SELECT id, AVG(price) AS avg_raw,
+         |agg AS (SELECT id, ${StableAgg.savgSql("price")} AS avg_raw,
          |  CAST(SUM(CASE WHEN sentiment THEN 1 ELSE 0 END) AS BIGINT) AS positive_reviews,
          |  CAST(SUM(CASE WHEN NOT sentiment THEN 1 ELSE 0 END) AS BIGINT) AS negative_reviews
          |  FROM facts GROUP BY id),
          |${kpiTail("id", "average_spent")}""".stripMargin,
     "q_shop_kpis" ->
       s"""WITH facts AS (${Facts.factsSql}),
-         |agg AS (SELECT shop_id, AVG(profit) AS avg_raw,
+         |agg AS (SELECT shop_id, ${StableAgg.savgSql("profit")} AS avg_raw,
          |  CAST(SUM(CASE WHEN sentiment THEN 1 ELSE 0 END) AS BIGINT) AS positive_reviews,
          |  CAST(SUM(CASE WHEN NOT sentiment THEN 1 ELSE 0 END) AS BIGINT) AS negative_reviews
          |  FROM facts GROUP BY shop_id),
          |${kpiTail("shop_id", "average_profit")}""".stripMargin,
     "q_date_kpis" ->
       s"""WITH facts AS (${Facts.factsSql})
-         |SELECT date, ${Rnd.sql("AVG(price)", 6)} AS average_profit_per_day
+         |SELECT date, ${Rnd.sql(StableAgg.savgSql("price"), 6)} AS average_profit_per_day
          |FROM facts GROUP BY date ORDER BY date""".stripMargin,
     "q_minmax_norm" ->
       s"""WITH mm AS (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer)
@@ -129,13 +129,13 @@ object KpiQueries extends QueryModule {
          |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${Rnd.sql("SUM(l_quantity)", 2)} AS sum_qty,
-         |  ${Rnd.sql("SUM(l_extendedprice)", 2)} AS sum_base_price,
-         |  ${Rnd.sql("SUM(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
-         |  ${Rnd.sql("SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 2)} AS sum_charge,
-         |  ${Rnd.sql("AVG(l_quantity)", 6)} AS avg_qty,
-         |  ${Rnd.sql("AVG(l_extendedprice)", 6)} AS avg_price,
-         |  ${Rnd.sql("AVG(l_discount)", 6)} AS avg_disc,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_quantity"), 2)} AS sum_qty,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice"), 2)} AS sum_base_price,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice * (1.0 - l_discount)"), 2)} AS sum_disc_price,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"), 2)} AS sum_charge,
+         |  ${Rnd.sql(StableAgg.savgSql("l_quantity"), 6)} AS avg_qty,
+         |  ${Rnd.sql(StableAgg.savgSql("l_extendedprice"), 6)} AS avg_price,
+         |  ${Rnd.sql(StableAgg.savgSql("l_discount"), 6)} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
