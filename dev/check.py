@@ -31,7 +31,10 @@ def cmp(name, spark_df, duck_df):
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = ((av.isna() & bv.isna()) | (av == bv)).all()
             else:
-                ok = av.astype(str).fillna('\0').equals(bv.astype(str).fillna('\0'))
+                # fillna BEFORE astype: Spark-side nulls arrive as None,
+                # DuckDB-side as NaN — stringifying first would compare
+                # 'None' vs 'nan' and flag equal nulls as a mismatch
+                ok = av.fillna('\0').astype(str).equals(bv.fillna('\0').astype(str))
         except Exception as e:
             return f"COMPARE-ERR col={c}: {e}"
         if not ok:
@@ -40,7 +43,7 @@ def cmp(name, spark_df, duck_df):
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 bad = ~((av.isna() & bv.isna()) | (av == bv))
             else:
-                bad = ~(av.astype(str).fillna('\0') == bv.astype(str).fillna('\0'))
+                bad = ~(av.fillna('\0').astype(str) == bv.fillna('\0').astype(str))
             mism = bad.idxmax()
             return (f"VALUES col={c} first-mismatch row={mism}: "
                     f"spark={a[c][mism]!r} duck={b[c][mism]!r} | sparkrow={a.iloc[mism].to_dict()}")

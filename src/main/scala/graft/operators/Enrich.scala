@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+/** §2.9 — the reference's centerpiece: a batch-at-a-time enrichment
+  * operator with bounded concurrency, retry, and per-batch failure
+  * semantics (`data_transformer.py:91-110`, `enricher.go:89-163`).
+  *
+  * Shape (all knobs mirror the reference):
+  *  - rows are grouped into fixed-size batches of [[EnrichConfig.batchSize]]
+  *    (25 — `config.yaml:22`, `tools.py:30-48`) keyed by a *global* batch
+  *    id derived from the dense `item_id` (P2), so batch membership is
+  *    deterministic and independent of physical partitioning;
+  *  - batches are scored in waves of [[EnrichConfig.inflight]] concurrent
+  *    calls (4 — `data_transformer.py:91` asyncio.gather,
+  *    `enricher.go:144-162` goroutine waves) with a per-batch timeout
+  *    (60 s — `data_transformer.py:50`, `enricher.go:20`);
+  *  - a failing batch is retried up to [[EnrichConfig.retries]] times
+  *    (3 ×, `enricher.go:89-121`), then handled per [[FailureMode]]:
+  *    [[FailureMode.NullFill]] emits every row of the batch with null
+  *    outputs (the Python ETL, `data_transformer.py:100-109`);
+  *    [[FailureMode.Drop]] emits nothing, so the downstream inner join
+  *    drops the batch (the Go client, `loader.go:30-62` / J3).
+  *
+  * Scale design: the input is shuffled once on `batch_id` and sorted
+  * within partitions, so each task streams its contiguous batches without
+  * materializing the partition; concurrency is per-task (the reference's
+  * per-process HTTP window), and total parallelism = tasks × inflight.
+  * No driver-side loop, no collect.
+  *
+  * The scorer is pluggable. Production would put an HTTP client per
+  * partition behind [[Scorer]]; the harness uses deterministic scorers
+  * whose "model" reads a precomputed `signal` column, so a DuckDB oracle
+  * can mirror the whole operator exactly (SURVEY.md §7.4).
+  */
+trait Scorer extends Serializable {
+  /** Fields appended per item (item_id stays the join key). */
+  def outputFields: Seq[StructField]
+  /** Score one batch (≤ batchSize rows, sorted by item_id). Returns one
+    * value-sequence per input row, aligned with [[outputFields]], keyed
+    * by the row's item_id. A Failure marks the WHOLE batch failed. */
+  def score(batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]]
+}
+
+sealed trait FailureMode
+object FailureMode {
+  /** Python ETL semantics: whole failed batch emitted with null outputs. */
+  case object NullFill extends FailureMode
+  /** Go client semantics: failed batch dropped (inner-join drop, J3). */
+  case object Drop extends FailureMode
+}
+
+final case class EnrichConfig(
+    batchSize: Int = 25,
+    inflight: Int = 4,
+    retries: Int = 3,
+    timeout: Duration = Duration("60s"),
+    onFailure: FailureMode = FailureMode.NullFill)
+
+object Enrich {
+
+  /** Batch id of a 1-based dense item id: floor((item_id-1)/batchSize). */
+  def batchId(itemId: org.apache.spark.sql.Column, batchSize: Int): org.apache.spark.sql.Column =
+    floor((itemId - 1) / batchSize).cast("long")
+
+  /** Run the enrichment over `items` (must carry a dense `item_id` long
+    * column). Returns the analysis frame: (item_id, scorer outputs) — the
+    * reference's `analysis_df` (`data_transformer.py:148`). Merge it back
+    * with [[merge]] / [[mergeDrop]].
+    */
+  def enrich(items: DataFrame, scorer: Scorer, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
+    val outSchema = StructType(
+      StructField("item_id", LongType, nullable = false) +: scorer.outputFields)
+    val spark = items.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val withBatch = items.withColumn("__batch_id", batchId(col("item_id"), cfg.batchSize))
+    val batchIdIdx = withBatch.schema.fieldIndex("__batch_id")
+    val itemIdIdx = withBatch.schema.fieldIndex("item_id")
+
+    val scored = withBatch
+      .repartition(n, col("__batch_id"))
+      .sortWithinPartitions(col("__batch_id"), col("item_id"))
+      .mapPartitions { rows =>
+        val batches = chunkByBatch(rows, batchIdIdx)
+        // Waves of `inflight` concurrent batch calls, like the
+        // reference's asyncio.gather / goroutine waves. Each task gets
+        // its own bounded pool so executor threads are never starved.
+        // Daemon threads: a short-circuited downstream (limit) may never
+        // exhaust the iterator, and a live non-daemon pool would then
+        // block JVM shutdown.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          cfg.inflight,
+          (r: Runnable) => { val t = new Thread(r, "graft-enrich"); t.setDaemon(true); t })
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val out = batches.grouped(cfg.inflight).flatMap { wave =>
+          val futs = wave.map { batch =>
+            Future(scoreWithRetry(batch, itemIdIdx, scorer, cfg))
+          }
+          futs.flatMap(f => Await.result(f, cfg.timeout))
+        }
+        // Close the pool when the (lazy) iterator is exhausted.
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
+          def next(): Row = out.next()
+        }
+      }(Encoders.row(outSchema))
+    scored.toDF()
+  }
+
+  /** J1 — the ETL merge: facts ⟕ analysis on item_id; rows from failed
+    * (null-filled) batches keep null outputs (`data_transformer.py:150`). */
+  def merge(items: DataFrame, analysis: DataFrame): DataFrame =
+    items.join(analysis, Seq("item_id"), "left")
+
+  /** J3 — the Go merge: inner join, unreviewed rows dropped
+    * (`loader.go:30-62`). */
+  def mergeDrop(items: DataFrame, analysis: DataFrame): DataFrame =
+    items.join(analysis, Seq("item_id"), "inner")
+
+  /** Chunk a sorted row iterator into per-batch-id groups without
+    * materializing the partition. */
+  private def chunkByBatch(rows: Iterator[Row], batchIdIdx: Int): Iterator[Seq[Row]] =
+    new Iterator[Seq[Row]] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[Row] = {
+        val bid = it.head.getLong(batchIdIdx)
+        val buf = scala.collection.mutable.ArrayBuffer[Row]()
+        while (it.hasNext && it.head.getLong(batchIdIdx) == bid) buf += it.next()
+        buf.toSeq
+      }
+    }
+
+  private def scoreWithRetry(
+      batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
+    val nulls = scorer.outputFields.map(_ => null)
+    var attempt = 1
+    var result: Try[Seq[(Long, Seq[Any])]] = scorer.score(batch, attempt)
+    while (result.isFailure && attempt < cfg.retries) {
+      attempt += 1
+      result = scorer.score(batch, attempt)
+    }
+    result match {
+      case Success(scoredItems) =>
+        // Key strictly by the echoed item_id (the reference's id
+        // contract; its buggy positional fallback is NOT reproduced —
+        // SURVEY.md §2.9 "id contract").
+        scoredItems.map { case (id, values) => Row.fromSeq(id +: values) }
+      case Failure(_) => cfg.onFailure match {
+        case FailureMode.NullFill =>
+          batch.map(r => Row.fromSeq(r.getLong(itemIdIdx) +: nulls))
+        case FailureMode.Drop => Seq.empty
+      }
+    }
+  }
+}

@@ -46,6 +46,42 @@ object Facts {
         sentiment(l("l_orderkey"), l("l_partkey")).as("sentiment"))
   }
 
+  /** Facts decorated with a dense 1-based `item_id` (P2) and the raw
+    * boolean `signal` the harness scorer echoes — the input frame for the
+    * real enrichment operator (§2.9). The sentiment rule here carries NO
+    * null injection: failed-batch nulls are produced by the operator
+    * itself, keyed on the batch id. Ordered by the four-column unique key
+    * of lineitem so the id assignment is total and oracle-mirrorable
+    * with ROW_NUMBER().
+    */
+  def itemFacts(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("id"),
+        l("l_suppkey").as("shop_id"),
+        l("l_extendedprice").as("price"),
+        (l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("profit"),
+        date_format(l("l_shipdate"), "yyyy-MM-dd").as("date"),
+        (pmod(l("l_partkey"), lit(2)) === 0).as("signal"),
+        l("l_orderkey"), l("l_partkey"), l("l_suppkey"), l("l_linenumber"))
+    graft.operators.DenseId.withDenseId(
+      joined,
+      Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+      "item_id")
+  }
+
+  /** Oracle mirror of [[itemFacts]] (ROW_NUMBER over the same unique key). */
+  val itemFactsSql: String =
+    s"""SELECT o.o_custkey AS id, l.l_suppkey AS shop_id,
+       |  l.l_extendedprice AS price,
+       |  l.l_extendedprice * (1.0 - l.l_discount) AS profit,
+       |  strftime(l.l_shipdate, '%Y-%m-%d') AS date,
+       |  (l.l_partkey % 2 = 0) AS signal,
+       |  ROW_NUMBER() OVER (ORDER BY l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber) AS item_id
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   /** Oracle mirror of [[facts]]. */
   val factsSql: String =
     s"""SELECT o.o_custkey AS id, l.l_suppkey AS shop_id,

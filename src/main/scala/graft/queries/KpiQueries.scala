@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object KpiQueries extends QueryModule {
 
-  private def kpiTail(keyCol: String, avgOut: String): String =
+  private[queries] def kpiTail(keyCol: String, avgOut: String): String =
     s"""sc AS (SELECT *, CAST(positive_reviews AS DOUBLE) /
        |  (CASE WHEN negative_reviews > 0 THEN negative_reviews ELSE 1 END) AS lk FROM agg),
        |mm AS (SELECT MIN(lk) AS mn, MAX(lk) AS mx FROM sc)
@@ -26,7 +26,7 @@ object KpiQueries extends QueryModule {
        |FROM sc, mm ORDER BY $keyCol""".stripMargin
 
   /** Shared Spark-side tail: round the float columns, fix column order, sort. */
-  private def finish(df: DataFrame, key: String, avgOut: String): DataFrame =
+  private[queries] def finish(df: DataFrame, key: String, avgOut: String): DataFrame =
     df.select(
         col(key),
         Rnd.r(col(avgOut), 6).as(avgOut),

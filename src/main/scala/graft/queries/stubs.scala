@@ -8,14 +8,6 @@ private[queries] trait QueryModule {
   def oracles: Map[String, String]
 }
 
-object RelationalQueries extends QueryModule {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
-}
-object EnrichQueries extends QueryModule {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
-}
 object DedupQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   val oracles: Map[String, String] = Map()
