@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators._
+import graft.queries.{ReviewScorer, SentimentScorer}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The enrichment operator's semantics on literal frames (SURVEY.md §2.9,
+  * §5.2): batch unity of failure, null-fill vs drop, short tail batches,
+  * retry recovery, id-multiset preservation, J1 vs J3 merge. */
+class EnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n items, item_id 1..n, signal = even id. */
+  private def items(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, i % 2 == 0)).toDF("item_id", "signal")
+
+  private def sentiments(df: DataFrame): Map[Long, Option[Boolean]] =
+    df.collect().map { r =>
+      r.getAs[Long]("item_id") ->
+        (if (r.isNullAt(r.fieldIndex("sentiment"))) None else Some(r.getAs[Boolean]("sentiment")))
+    }.toMap
+
+  test("happy path: every item scored with the signal value") {
+    val out = Enrich.enrich(items(10),
+      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    val s = sentiments(out)
+    assert(s.size == 10)
+    assert((1 to 10).forall(i => s(i.toLong).contains(i % 2 == 0)))
+  }
+
+  test("null-fill: a failed batch emits ALL its rows with null output (batch unity)") {
+    // batchSize 5, failEvery 2 → batches 1 and 3 (ids 6-10, 16-20) fail
+    val out = Enrich.enrich(items(20),
+      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    val s = sentiments(out)
+    assert(s.size == 20)
+    val nullIds = s.collect { case (id, None) => id }.toSet
+    assert(nullIds == ((6L to 10L) ++ (16L to 20L)).toSet)
+  }
+
+  test("drop: a failed batch emits nothing (Go semantics, J3)") {
+    val out = Enrich.enrich(items(20),
+      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      EnrichConfig(batchSize = 5, onFailure = FailureMode.Drop))
+    val s = sentiments(out)
+    assert(s.keySet == ((1L to 5L) ++ (11L to 15L)).toSet)
+    assert(s.values.forall(_.isDefined))
+  }
+
+  test("short tail batch (n % batchSize != 0) is scored, not rejected (tools.py:30-48)") {
+    val out = Enrich.enrich(items(7),
+      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    assert(sentiments(out).size == 7)
+  }
+
+  test("short tail batch still fails as a unit") {
+    // 7 items, batch 5 → tail = batch id 1; failEvery 2 → tail fails
+    val out = Enrich.enrich(items(7),
+      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    val s = sentiments(out)
+    assert(s.collect { case (id, None) => id }.toSet == Set(6L, 7L))
+  }
+
+  test("retry: first-attempt failures recover within 3 attempts") {
+    // flakyEvery=1, flakyMod=0 → EVERY batch fails attempt 1
+    val out = Enrich.enrich(items(10),
+      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 1, flakyMod = 0),
+      EnrichConfig(batchSize = 5, retries = 3))
+    assert(sentiments(out).values.forall(_.isDefined))
+  }
+
+  test("retry exhaustion: retries=1 means one attempt, flaky batches null-fill") {
+    val out = Enrich.enrich(items(10),
+      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 1, flakyMod = 0),
+      EnrichConfig(batchSize = 5, retries = 1))
+    assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
+  test("id multiset preserved under null-fill across many batches") {
+    val n = 137 // deliberately not a multiple of the batch size
+    val out = Enrich.enrich(items(n),
+      SentimentScorer("signal", batchSize = 25, failEvery = 3, flakyEvery = 0),
+      EnrichConfig(batchSize = 25))
+    assert(out.collect().map(_.getAs[Long]("item_id")).sorted.toSeq == (1L to n.toLong))
+  }
+
+  test("J1 merge keeps unscored rows (left), J3 mergeDrop drops them (inner)") {
+    val base = items(10)
+    val analysis = Enrich.enrich(base,
+      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      EnrichConfig(batchSize = 5, onFailure = FailureMode.Drop))
+    assert(Enrich.merge(base, analysis).count() == 10)
+    assert(Enrich.mergeDrop(base, analysis).count() == 5)
+  }
+
+  test("Go-shaped review scorer emits classification + review strings") {
+    val out = Enrich.enrich(items(5),
+      ReviewScorer("signal", batchSize = 5, failEvery = 0),
+      EnrichConfig(batchSize = 5))
+    val rows = out.collect().map(r => r.getAs[Long]("item_id") ->
+      (r.getAs[String]("classification"), r.getAs[String]("review"))).toMap
+    assert(rows(2L) == (("positive", "review : positive item 2")))
+    assert(rows(3L) == (("negative", "review : negative item 3")))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Enrich, EnrichConfig, MinMax, StableAgg}
+import graft.queries.{Rnd, SentimentScorer}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property tests (SURVEY.md §5.3) as raw ScalaCheck Properties (sbt runs
+  * these natively; the scalatest bridge is not in the offline cache).
+  * Spark-backed properties keep sample counts small — each case is a job.
+  */
+object MinMaxProps extends Properties("MinMax") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val values = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+
+  property("output ∈ [0,1], or all-0.0 when degenerate") = Prop.forAll(values) { vs =>
+    val out = MinMax.normalize(vs.toDF("v"), "v", "n")
+      .collect().map(_.getAs[Double]("n"))
+    if (vs.max == vs.min) out.forall(_ == 0.0)
+    else out.forall(n => n >= 0.0 && n <= 1.0) && out.contains(0.0) && out.contains(1.0)
+  }
+}
+
+object EnrichProps extends Properties("Enrich") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sizes = Gen.chooseNum(1, 120)
+
+  property("batching preserves the id multiset under null-fill") =
+    Prop.forAll(sizes) { n =>
+      val items = (1 to n).map(i => (i.toLong, i % 2 == 0)).toDF("item_id", "signal")
+      val out = Enrich.enrich(items,
+        SentimentScorer("signal", batchSize = 7, failEvery = 3, flakyEvery = 0),
+        EnrichConfig(batchSize = 7))
+      out.collect().map(_.getAs[Long]("item_id")).sorted.toSeq == (1L to n.toLong)
+    }
+
+  property("drop mode removes exactly the failed batches' ids") =
+    Prop.forAll(sizes) { n =>
+      val items = (1 to n).map(i => (i.toLong, true)).toDF("item_id", "signal")
+      val out = Enrich.enrich(items,
+        SentimentScorer("signal", batchSize = 7, failEvery = 3, flakyEvery = 0),
+        EnrichConfig(batchSize = 7, onFailure = graft.operators.FailureMode.Drop))
+      val surviving = out.collect().map(_.getAs[Long]("item_id")).toSet
+      val expected = (1L to n.toLong).filterNot(id => ((id - 1) / 7) % 3 == 2).toSet
+      surviving == expected
+    }
+}
+
+object RndProps extends Properties("Rnd") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  property("floor-based rounding matches the reference formula bit-for-bit") =
+    Prop.forAll(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0, 6)) { (x: Double, d: Int) =>
+      val p = math.pow(10.0, d)
+      val expected = math.floor(x * p + 0.5) / p
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val got = Seq(x).toDF("x").select(Rnd.r(org.apache.spark.sql.functions.col("x"), d)).head.getDouble(0)
+      got == expected || (got.isNaN && expected.isNaN)
+    }
+
+  property("StableAgg.ssum is exact and order-independent") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))) { vs =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      def sumOf(xs: List[Double]): Double =
+        xs.toDF("v").agg(StableAgg.ssum(org.apache.spark.sql.functions.col("v"))).head.getDouble(0)
+      sumOf(vs) == sumOf(vs.reverse)
+    }
+}
