@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EnrichQueries, EventQueries, KpiQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EnrichQueries, EventQueries, IngestQueries, KpiQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (KpiQueries.queries, KpiQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (IngestQueries.queries, IngestQueries.oracles),
       (EnrichQueries.queries, EnrichQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Enrich, FileAccounting, StableAgg}
+import graft.sinks.Sinks
+import graft.sources.Bronze
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion + sink operators on the oracled path (S1-S3, P3, K2, K4,
+  * A6). The JSON round-trip proves the bronze read: parquet → chunked
+  * JSON files (K4) → ordered listing with sentinel skip (S1/P3) →
+  * declared-schema multi-file read (S2/S3) → aggregate. The oracle runs
+  * on the ORIGINAL parquet, so any loss or corruption in the round-trip
+  * (or a sentinel leak) shows up as a mismatch.
+  */
+object IngestQueries extends QueryModule {
+
+  /** Write docs as chunked JSON plus a POISON sentinel file whose row
+    * would corrupt the counts if the sentinel filter ever broke. */
+  def bronzeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_bronze_${java.util.UUID.randomUUID()}"
+    Sinks.chunkedWrite(docs, tmp, maxRecordsPerFile = 100)
+    // P3 fixture: a sentinel whose content is a VALID row — only the
+    // listing filter keeps it out of the result (data_extractor.py:40).
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "poison.emptyFolderPlaceholder"))
+    out.write("""{"doc_id":-1,"text":"poison","lang":"xx","source":"poison","n_chars":6}""".getBytes("UTF-8"))
+    out.close()
+    val files = Bronze.listFiles(spark, tmp)
+    Bronze.readJson(spark, Bronze.documentSchema, files)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** K2 — keyed upsert: per-supplier revenue replaces the account
+    * balance; suppliers without lineitem rows keep it. */
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("key"), col("s_acctbal").as("value"))
+    val updates = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(StableAgg.ssum(col("l_extendedprice")).as("value"))
+    Sinks.upsertByKey(existing, updates, Seq("key"))
+      .select(col("key"), Rnd.r(col("value"), 4).as("value"))
+      .orderBy("key")
+  }
+
+  /** A6 — per-file consumption over the documents "files" (the `source`
+    * column: 20 files × 25 rows), processed = the row's enrichment batch
+    * did not perma-fail (Drop world): src9/src19 stay unconsumed. */
+  def fileAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val failed = pmod(Enrich.batchId(col("doc_id") + 1, 25), lit(10)) === 9
+    FileAccounting.consumption(docs, col("source"), !failed)
+      .select(col("file"), col("rows").as("n_rows"), col("processed"), col("consumed"))
+      .orderBy("file")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bronze_roundtrip" -> bronzeRoundtrip,
+    "q_upsert" -> upsert,
+    "q_file_accounting" -> fileAccounting)
+
+  val oracles: Map[String, String] = Map(
+    "q_bronze_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_upsert" ->
+      s"""WITH u AS (SELECT l_suppkey AS key, ${StableAgg.ssumSql("l_extendedprice")} AS value
+         |  FROM lineitem GROUP BY 1)
+         |SELECT key, ${Rnd.sql("value", 4)} AS value FROM (
+         |  SELECT s_suppkey AS key, s_acctbal AS value FROM supplier
+         |  WHERE s_suppkey NOT IN (SELECT key FROM u)
+         |  UNION ALL SELECT key, value FROM u)
+         |ORDER BY key""".stripMargin,
+    "q_file_accounting" ->
+      """SELECT source AS file, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN NOT (CAST(FLOOR(doc_id / 25.0) AS BIGINT) % 10 = 9) THEN 1 ELSE 0 END) AS BIGINT) AS processed,
+        |  COUNT(*) = SUM(CASE WHEN NOT (CAST(FLOOR(doc_id / 25.0) AS BIGINT) % 10 = 9) THEN 1 ELSE 0 END) AS consumed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.UUID
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Sink layer (SURVEY.md §2.2): gold JSON snapshot (K1), keyed upsert
+  * (K2), parallel multi-table load (K3), chunked writes (K4), archive
+  * move (K5), unique-name uploads (K6).
+  */
+object Sinks {
+
+  /** K1 — gold snapshot: one JSON file `final_data_<ts>.json`
+    * (`data_loader.py:22-35`). The single-file shape is the reference's
+    * contract; `coalesce(1)` honors it and is the right call only
+    * because gold KPI tables are small post-aggregation frames. Large
+    * frames should use [[chunkedWrite]].
+    */
+  def goldSnapshot(df: DataFrame, goldDir: String, timestamp: String): String = {
+    val out = s"$goldDir/final_data_$timestamp"
+    df.coalesce(1).write.mode("errorifexists").json(out)
+    out
+  }
+
+  /** K2 — keyed upsert, batch shape: rows of `updates` replace same-key
+    * rows of `existing`; unmatched update keys are inserted
+    * (`data_loader.py:54-60` upsert on_conflict=key). In production this
+    * is a `foreachBatch` + MERGE INTO; the batch formulation is the
+    * MERGE's relational algebra: updates ∪ (existing ⟂ updates).
+    * One shuffle on the key for the anti join; `updates` is typically a
+    * small KPI frame → Catalyst broadcasts it.
+    */
+  def upsertByKey(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(existing.join(updates, keys, "left_anti"))
+
+  /** K3 — parallel multi-table load (`data_loader.py:63-66` runs 3
+    * upserts in threads): independent write jobs submitted concurrently;
+    * Spark's scheduler runs them in parallel (FIFO across jobs). */
+  def loadAll(tables: Map[String, DataFrame], dir: String, timeout: Duration = Duration("10min")): Unit = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = tables.map { case (name, df) =>
+      Future(df.write.mode("overwrite").parquet(s"$dir/$name"))
+    }
+    Await.result(Future.sequence(futs), timeout)
+  }
+
+  /** K4 — 50k-row chunked JSON write (`loader.go:92-113`, chunk size at
+    * `loader.go:111`): `maxRecordsPerFile` splits inside each task with
+    * no extra shuffle (vs `repartition(ceil(n/50k))`, which would). */
+  def chunkedWrite(df: DataFrame, dir: String, maxRecordsPerFile: Int = 50000): Unit =
+    df.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile).json(dir)
+
+  /** K5 — move-after-processing archive (`data_loader.py:38-51`,
+    * `loader.go:116-154`): rename each consumed file into the archive
+    * dir, keep failures in place for retry. Returns (moved, failed). */
+  def archive(spark: SparkSession, files: Seq[String], archiveDir: String): (Seq[String], Seq[String]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(archiveDir)
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    val results = files.map { f =>
+      val src = new Path(f)
+      f -> scala.util.Try(fs.rename(src, new Path(dst, src.getName))).getOrElse(false)
+    }
+    (results.collect { case (f, true) => f }, results.collect { case (f, false) => f })
+  }
+
+  /** K6 — unique upload name `{iso_ts}_{uuid}` (`collector.py:89-99`,
+    * F2+F3). Pass a fixed `now` for deterministic tests. */
+  def uniqueName(now: java.time.Instant = java.time.Instant.now()): String =
+    s"${now.toString.replace(":", "-")}_${UUID.randomUUID()}"
+}
