@@ -34,8 +34,12 @@ object Facts {
     * sides shuffle once on the same key, and AQE handles skew.
     */
   def facts(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = Tables.lineitem(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
+    // P8 — validate the scan schemas up front (tools.py:97-115): a
+    // missing column fails here with the full list, not mid-plan.
+    val l = graft.operators.Validate.requireColumns(Tables.lineitem(spark, sfDir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"))
+    val o = graft.operators.Validate.requireColumns(Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(
         o("o_custkey").as("id"),

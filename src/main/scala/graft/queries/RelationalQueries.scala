@@ -1,9 +1,11 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.DenseId
+import graft.functions.Prompts
+import graft.operators.{DenseId, PoolAssign}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Small relational operators from SURVEY.md §2 that are not part of the
   * KPI or enrichment families: dense row indexing (P2), limits (P9/O2),
@@ -23,12 +25,82 @@ object RelationalQueries extends QueryModule {
       .orderBy("item_id")
   }
 
+  /** J4/F4/F5 — collector key decoration: every order row draws a user
+    * from the customer pool and a shop from the supplier pool by
+    * seeded-permutation modulo (seeds 42 / 24 as in the reference). */
+  def poolAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val records = DenseId.withDenseId(
+      Tables.orders(spark, sfDir).select("o_orderkey"), Seq(col("o_orderkey")), "row_idx")
+    val users = PoolAssign.assign(records, col("row_idx"),
+      Tables.customer(spark, sfDir), "c_custkey", "user_key", a = 7919L, b = 42L)
+    PoolAssign.assign(users, col("row_idx"),
+      Tables.supplier(spark, sfDir), "s_suppkey", "shop_key", a = 104729L, b = 24L)
+      .select("row_idx", "o_orderkey", "user_key", "shop_key")
+      .orderBy("row_idx")
+  }
+
+  /** F1 — batch prompt fold over the documents, batches of 25. */
+  def promptFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.documents(spark, sfDir)
+      .select((col("doc_id") + 1).as("item_id"), col("text"))
+    Prompts.fold(items, col("item_id"),
+      format_string("id : %d , review : %s", col("item_id"), col("text")), 25)
+      .orderBy("batch_id")
+  }
+
+  /** F6 — to_json/from_json round-trip: any loss or format drift breaks
+    * the oracle compare against the raw columns. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    Tables.orders(spark, sfDir)
+      .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))).as("j"))
+      .select(from_json(col("j"), schema).as("p"))
+      .select(col("p.o_orderkey"), col("p.o_orderstatus"), col("p.o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P9/O2 — top-N: orderBy+limit compiles to TakeOrderedAndProject
+    * (per-partition heap + driver merge of N rows — no global sort). */
+  def limitTopN(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_item_index" -> itemIndex)
+    "q_item_index" -> itemIndex,
+    "q_pool_assign" -> poolAssign,
+    "q_prompt_fold" -> promptFold,
+    "q_json_roundtrip" -> jsonRoundtrip,
+    "q_limit_topn" -> limitTopN)
 
   val oracles: Map[String, String] = Map(
     "q_item_index" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
         |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber) AS item_id
-        |FROM lineitem ORDER BY item_id""".stripMargin)
+        |FROM lineitem ORDER BY item_id""".stripMargin,
+    "q_pool_assign" ->
+      """WITH r AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_idx FROM orders),
+        |cu AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pool_idx FROM customer),
+        |su AS (SELECT s_suppkey, ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS pool_idx FROM supplier)
+        |SELECT r.row_idx, r.o_orderkey, cu.c_custkey AS user_key, su.s_suppkey AS shop_key
+        |FROM r
+        |JOIN cu ON cu.pool_idx =
+        |  (((r.row_idx - 1) % (SELECT COUNT(*) FROM customer)) * 7919 + 42) % (SELECT COUNT(*) FROM customer)
+        |JOIN su ON su.pool_idx =
+        |  (((r.row_idx - 1) % (SELECT COUNT(*) FROM supplier)) * 104729 + 24) % (SELECT COUNT(*) FROM supplier)
+        |ORDER BY row_idx""".stripMargin,
+    "q_prompt_fold" ->
+      """SELECT CAST(FLOOR(doc_id / 25.0) AS BIGINT) AS batch_id,
+        |  STRING_AGG('id : ' || CAST(doc_id + 1 AS VARCHAR) || ' , review : ' || text,
+        |             chr(10) ORDER BY doc_id) AS prompt
+        |FROM documents GROUP BY 1 ORDER BY batch_id""".stripMargin,
+    "q_json_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q_limit_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 }
