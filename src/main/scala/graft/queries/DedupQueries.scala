@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, StableAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup family over the harness tables (the testdata plants real
+  * duplicates: ~14k repeated (l_orderkey, l_linenumber) pairs in
+  * lineitem and near-duplicate documents at Jaccard ≈ 0.98).
+  *
+  * q_dedup_minhash is the full banded-LSH pipeline: shingle → 8 MinHash
+  * functions → 4 bands of 2 → bucket self-join → exact Jaccard ≥ 0.6 on
+  * candidates only. The DuckDB oracle replays the identical algorithm,
+  * so bucketing, hashing, and verification are all value-checked.
+  */
+object DedupQueries extends QueryModule {
+
+  private val K = 8
+  private val BandWidth = 2
+  private val Threshold = 0.6
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactByKey(
+      Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_linenumber"),
+      Seq(
+        min(col("l_partkey")).as("min_partkey"),
+        min(col("l_suppkey")).as("min_suppkey"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice")), 2).as("total_price")))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingles(
+      Tables.documents(spark, sfDir), col("doc_id"), col("text"), n = 3)
+      // reused by the signature AND both sides of the verify join —
+      // pin the (small: |docs|·|positions| rows) frame once
+      .cache()
+    val cands = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignature(sh, K), K, BandWidth))
+    Dedup.jaccardVerify(cands, sh, Threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash)
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id AS id,
+      |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |     range(1, 4000) t(i)
+      |WHERE i + 2 <= len(toks)""".stripMargin
+
+  private val minhashSql = {
+    val mins = (0 until K).map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
+    s"SELECT id, $mins FROM sh GROUP BY id"
+  }
+
+  private val bandsSql = (0 until K / BandWidth).map { bx =>
+    val v = (bx * BandWidth until (bx + 1) * BandWidth).map(i => s"m$i").mkString(" || ")
+    s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val simhashBitsSql = (0 until 16).map(j =>
+    s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+    .mkString(", ")
+  private val simhashConcatSql = (0 until 16).map(j =>
+    s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_partkey, MIN(l_suppkey) AS min_suppkey,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice"), 2)} AS total_price
+         |FROM lineitem GROUP BY l_orderkey, l_linenumber
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS ($minhashSql),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.id = c.id_a
+         |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT DISTINCT id, tok FROM
+         |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+         |h AS (SELECT id, md5(tok) AS h FROM t),
+         |s AS (SELECT id, $simhashBitsSql FROM h GROUP BY id)
+         |SELECT id AS doc_id, $simhashConcatSql AS simhash FROM s ORDER BY doc_id""".stripMargin)
+}
