@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Numeric design: floats are quantized per element to `bigint`
+  * (`floor(x·10⁶ + 0.5)` — no double sits exactly on a half-way point of
+  * the 10⁻⁶ grid, so every engine rounds identically). Dot products and
+  * squared norms are then EXACT integer sums: order-independent,
+  * overflow-safe (|q| ≤ ~10⁶ ⇒ 64-dim dot ≤ ~10¹⁴ ≪ 2⁶³), and
+  * bit-identical across engines; the final cosine is a few IEEE ops on
+  * identical inputs. That puts brute-force AND bucketed ANN on the
+  * DuckDB-oracled path with exact hash compares.
+  *
+  * Scale design: [[bruteTopK]] broadcasts the (small) query set and
+  * keeps the corpus partitioned — the per-query window never sees more
+  * than one query's rows per partition group. The 100 TB path is
+  * [[lshSignature]]: 8 deterministic hyperplane signs bucket the corpus
+  * (one narrow shuffle on an 8-char key), and scoring happens only
+  * inside buckets — the ANN analog of the dedup band join, never
+  * all-pairs. Production would draw seeded Gaussian planes once and
+  * broadcast them; the harness uses an arithmetic ±1 pattern so the
+  * oracle stays self-contained.
+  */
+object Similarity {
+
+  /** Per-element quantization: array<float> → array<long>. */
+  def quantize(vec: Column, scale: Double = 1e6): Column =
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Euclidean norm of a quantized vector (double). */
+  def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))
+
+  /** Prepare a frame: (id, q, norm) from (idCol, vecCol). */
+  def prep(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    df.select(idCol.as("id"), quantize(vecCol).as("q"))
+      .withColumn("norm", normQ(col("q")))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * The baseline — exact, O(|Q|·|C|); keep |Q| small and broadcast. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(queries.as("qs")), col("qs.id") =!= col("c.id"))
+      .select(
+        col("qs.id").as("query_id"),
+        col("c.id").as("neighbor_id"),
+        (dotQ(col("qs.q"), col("c.q")).cast("double") / (col("qs.norm") * col("c.norm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** 8-plane hyperplane-sign signature of a quantized vector: plane p's
+    * component i weight is ±1 by the arithmetic rule
+    * `(p·73 + i·151) mod 7 < 3`; bit p = (weighted sum ≥ 0). */
+  def lshSignature(qvec: Column, planes: Int = 8): Column =
+    concat((0 until planes).map { p =>
+      val weighted = transform(qvec,
+        (x, i) => when(((lit(p * 73) + i * 151) % 7) < 3, x).otherwise(-x))
+      when(aggregate(weighted, lit(0L), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b). */
+  def lshPairs(prepped: DataFrame, planes: Int = 8): DataFrame = {
+    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes))
+    sig.as("a")
+      .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        (dotQ(col("a.q"), col("b.q")).cast("double") / (col("a.norm") * col("b.norm"))).as("cos"))
+  }
+}

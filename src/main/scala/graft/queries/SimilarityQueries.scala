@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.parquet` (64-dim float vectors).
+  * The oracle rebuilds the identical quantized-integer arithmetic via an
+  * unnest/range formulation, so cosine values hash-match exactly.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val K = 5
+
+  private def prepped(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.prep(Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"))
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def simTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = prepped(spark, sfDir)
+    Similarity.bruteTopK(all, all.filter(col("id") < 10), K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Bucketed ANN: all same-signature pairs with their cosine. */
+  def simLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshPairs(prepped(spark, sfDir))
+      .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> simTopK,
+    "q_sim_lsh" -> simLsh)
+
+  private val qvSql =
+    """SELECT vec_id, i,
+      |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |FROM embeddings, range(1, 9999) t(i) WHERE i <= len(embedding)""".stripMargin
+
+  private val nrmSql = "SELECT vec_id, SUM(q*q) AS nn FROM qv GROUP BY vec_id"
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |cosv AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM cosv)
+         |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_sim_lsh" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |bits AS (SELECT vec_id, p,
+         |    SUM(CASE WHEN ((p*73 + (i-1)*151) % 7) < 3 THEN q ELSE -q END) AS s
+         |  FROM qv, range(0, 8) pp(p) GROUP BY vec_id, p),
+         |sig AS (SELECT vec_id,
+         |    STRING_AGG(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         |  FROM bits GROUP BY vec_id),
+         |pairs AS (SELECT a.vec_id AS x, b.vec_id AS y
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |pd AS (SELECT p.x, p.y, SUM(qa.q * qb.q) AS dp
+         |  FROM pairs p
+         |  JOIN qv qa ON qa.vec_id = p.x
+         |  JOIN qv qb ON qb.vec_id = p.y AND qb.i = qa.i
+         |  GROUP BY p.x, p.y)
+         |SELECT x AS vec_a, y AS vec_b,
+         |  ${Rnd.sql("CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))", 6)} AS cos
+         |FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}
