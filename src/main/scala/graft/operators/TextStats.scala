@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting
+  * (whitespace + regex sub-token), quality scoring from cheap ratios,
+  * stopword-profile language identification, and content fingerprints.
+  *
+  * Everything is per-row map work over built-in (codegen'd) expressions —
+  * no UDFs, no shuffles except where a query aggregates. All ratios are
+  * quotients of integers, so their doubles are engine-identical and the
+  * whole family sits on the exact-hash oracle path.
+  */
+object TextStats {
+
+  /** Whitespace token array (single-space contract of the corpus). */
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** "BPE-ish" sub-token count: alpha runs, digit runs, or single
+    * non-alphanumeric marks — the usual pre-tokenizer shape. */
+  def regexTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality components + composite score:
+    *  - len_score: length capped at `lenCap` chars, scaled to [0,1]
+    *  - distinct_ratio: lexical diversity (|distinct| / |tokens|)
+    *  - stop_ratio: stopword fraction (natural-text prior)
+    * score = mean of the three (∈ [0,1]).
+    */
+  def withQuality(df: DataFrame, textCol: Column, stopwords: Seq[String], lenCap: Int = 200): DataFrame = {
+    val toks = tokens(textCol)
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("re_tokens", regexTokenCount(textCol))
+      .withColumn("len_score", least(length(textCol).cast("double") / lenCap, lit(1.0)))
+      .withColumn("distinct_ratio", size(array_distinct(toks)).cast("double") / nTok)
+      .withColumn("stop_ratio",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok)
+      .withColumn("quality",
+        (col("len_score") + col("distinct_ratio") + col("stop_ratio")) / 3.0)
+  }
+
+  /** Stopword-profile language ID: count marker-token hits per language,
+    * predict the argmax with an alphabetical tie-break. (The real thing
+    * uses char-n-gram profiles — same operator shape: per-language score
+    * columns + a deterministic argmax.) Returns the input plus one
+    * `hits_<lang>` column per profile and `predicted_lang`. */
+  def withLangId(df: DataFrame, textCol: Column, profiles: Map[String, Seq[String]]): DataFrame = {
+    val langs = profiles.keys.toSeq.sorted
+    val toks = tokens(textCol)
+    val withHits = langs.foldLeft(df) { (acc, lang) =>
+      val marker = array(profiles(lang).map(lit): _*)
+      acc.withColumn(s"hits_$lang",
+        size(filter(toks, t => array_contains(marker, t))))
+    }
+    val best = greatest(langs.map(l => col(s"hits_$l")): _*)
+    val predicted = langs.tail.foldLeft(when(col(s"hits_${langs.head}") === best, langs.head)) {
+      (acc, l) => acc.when(col(s"hits_$l") === best, l)
+    }
+    withHits.withColumn("predicted_lang", predicted)
+  }
+
+  /** Content fingerprints: md5 hex plus a positional polynomial hash
+    * (Σ ascii(ch_i)·i over 1-based positions — order-sensitive, exact
+    * integer arithmetic, trivially portable). */
+  def withFingerprints(df: DataFrame, textCol: Column): DataFrame = {
+    val chars = filter(split(textCol, ""), c => c =!= "")
+    df.withColumn("fp_md5", md5(textCol.cast("binary")))
+      .withColumn("fp_poly",
+        aggregate(
+          zip_with(chars, sequence(lit(1), length(textCol)), (c, i) => ascii(c) * i.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family over `documents` (token counts, quality ratios,
+  * language-ID heuristic, fingerprints), each mirrored exactly in
+  * DuckDB. The corpus shares one vocabulary across its `lang` labels, so
+  * the language-ID profiles are drawn from that vocabulary — the gate
+  * verifies the OPERATOR (deterministic profile scoring + argmax), not
+  * classifier accuracy.
+  */
+object TextQueries extends QueryModule {
+
+  private val Stopwords = Seq("a", "the")
+  private val Profiles = Map(
+    "de" -> Seq("data", "batch"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("query", "row"),
+    "fr" -> Seq("table", "column"),
+    "zh" -> Seq("spark", "join"))
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = TextStats.withFingerprints(
+      TextStats.withQuality(Tables.documents(spark, sfDir), col("text"), Stopwords),
+      col("text"))
+    df.select(
+      col("doc_id"), col("n_tokens"), col("re_tokens"),
+      col("len_score"), col("distinct_ratio"), col("stop_ratio"),
+      Rnd.r(col("quality"), 6).as("quality"),
+      col("fp_md5"), col("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.withLangId(Tables.documents(spark, sfDir), col("text"), Profiles)
+      .select(col("doc_id") +: col("lang") +:
+        Profiles.keys.toSeq.sorted.map(l => col(s"hits_$l")) :+ col("predicted_lang"): _*)
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> textStats,
+    "q_text_langid" -> textLangId)
+
+  private val toksSql = "string_split(lower(text), ' ')"
+  private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  private val langHitsSql = Profiles.keys.toSeq.sorted.map { l =>
+    s"len(list_filter($toksSql, t -> t IN (${stopListSql(Profiles(l))}))) AS hits_$l"
+  }.mkString(",\n  ")
+
+  private val langCaseSql = {
+    val langs = Profiles.keys.toSeq.sorted
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val whens = langs.map(l => s"WHEN hits_$l = $best THEN '$l'").mkString(" ")
+    s"CASE $whens END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+         |  least(length(text) / 200.0, 1.0) AS len_score,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) AS distinct_ratio,
+         |  CAST(len(list_filter($toksSql, t -> t IN (${stopListSql(Stopwords)}))) AS DOUBLE)
+         |    / len($toksSql) AS stop_ratio,
+         |  ${Rnd.sql(
+            s"(least(length(text) / 200.0, 1.0) " +
+              s"+ CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) " +
+              s"+ CAST(len(list_filter($toksSql, t -> t IN (${stopListSql(Stopwords)}))) AS DOUBLE) / len($toksSql)) / 3.0", 6)} AS quality,
+         |  md5(text) AS fp_md5,
+         |  CAST(SUM(ascii(substr(text, i, 1)) * i) AS BIGINT) AS fp_poly
+         |FROM documents, range(1, 5000) r(i)
+         |WHERE i <= length(text)
+         |GROUP BY doc_id, text
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  $langHitsSql,
+         |  $langCaseSql AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -8,10 +8,6 @@ private[queries] trait QueryModule {
   def oracles: Map[String, String]
 }
 
-object TextQueries extends QueryModule {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
-}
 object EventQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   val oracles: Map[String, String] = Map()

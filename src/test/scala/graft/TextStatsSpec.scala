@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality components: token counts, diversity, stopword ratio") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val r = TextStats.withQuality(df, col("text"), Seq("the", "on")).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Double]("distinct_ratio") == 5.0 / 6) // "the" twice
+    assert(r.getAs[Double]("stop_ratio") == 3.0 / 6)     // the, on, the
+  }
+
+  test("regex sub-tokens split words, numbers, and punctuation marks") {
+    val df = Seq((1L, "hello, world 42!")).toDF("id", "text")
+    val r = df.select(TextStats.regexTokenCount(col("text")).as("n")).head()
+    assert(r.getAs[Int]("n") == 5) // hello , world 42 !
+  }
+
+  test("language ID: argmax of profile hits with alphabetical tie-break") {
+    val profiles = Map("en" -> Seq("the"), "fr" -> Seq("le"))
+    val df = Seq(
+      (1L, "the dog"), (2L, "le chien"),
+      (3L, "nothing matches here")) // 0-0 tie → 'en' (alphabetical)
+      .toDF("id", "text")
+    val out = TextStats.withLangId(df, col("text"), profiles)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "en"))
+  }
+
+  test("fingerprints: md5 is content hash, poly hash is position-sensitive") {
+    val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "text")
+    val out = TextStats.withFingerprints(df, col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[String]("fp_md5"), r.getAs[Long]("fp_poly"))).toMap
+    // same chars, different order → same char multiset but different hashes
+    assert(out(1L)._1 != out(2L)._1)
+    assert(out(1L)._2 == 97 * 1 + 98 * 2)
+    assert(out(2L)._2 == 98 * 1 + 97 * 2)
+  }
+}
