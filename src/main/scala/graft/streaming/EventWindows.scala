@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.operators.StableAgg
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** T3 (event-time form) — tumbling daily KPIs over the events stream,
+  * plus a mapGroupsWithState example for custom per-key state.
+  *
+  * The reference's "per-day aggregation" groups a STRING date column in
+  * batch (`data_transformer.py:140-143`); the streaming extension is
+  * event-time `window(ts, '1 day')` + a watermark bounding state. Both
+  * forms share this one aggregation so batch results (oracled by DuckDB)
+  * verify the streaming plan's arithmetic.
+  *
+  * Scale: windowed hash agg with partial aggregation; watermark caps
+  * state at (#days in flight × #types). The props JSON is parsed with a
+  * declared schema (F6) — no inference, codegen'd path.
+  */
+object EventWindows {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** Shared daily-KPI aggregation; works on a batch frame or a stream
+    * (with the watermark applied by the caller for streams). */
+  def dailyKpis(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        StableAgg.ssum(col("value")).as("total_value"),
+        sum(col("k")).cast("long").as("sum_k"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("total_value"), col("sum_k"))
+
+  /** Streaming variant: 1-day watermark, append mode — a window emits
+    * once the watermark passes its end; later-than-watermark events are
+    * dropped (late-data contract). */
+  def streamingDailyKpis(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame =
+    dailyKpis(events.withWatermark("ts", watermarkDelay))
+
+  /** Custom keyed state via mapGroupsWithState: running event count per
+    * user across micro-batches (the KeyValueGroupedDataset state API the
+    * collector's accumulation loop would use for per-key state). */
+  def runningCountPerUser(events: Dataset[(Long, String)]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+  }
+
+  def outputModeAppend: OutputMode = OutputMode.Append()
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.EventWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Event-time streaming semantics on a memory source: append-mode
+  * windows close when the watermark passes, too-late events are dropped,
+  * and mapGroupsWithState carries per-key state across micro-batches. */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("T3 streaming: watermarked daily windows emit on close and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double, String)]
+    val events = in.toDF().toDF("ts", "event_type", "value", "props")
+    val q = EventWindows.streamingDailyKpis(events)
+      .writeStream.format("memory").queryName("daily_kpis")
+      .outputMode(EventWindows.outputModeAppend).start()
+    try {
+      // day 1 data — window still open, nothing emitted
+      in.addData((ts("2024-01-01 10:00:00"), "click", 1.0, """{"k": 5}"""),
+        (ts("2024-01-01 11:00:00"), "click", 2.0, """{"k": 7}"""))
+      q.processAllAvailable()
+      assert(spark.table("daily_kpis").count() == 0)
+      // day 3 data pushes the watermark past day 1's window end → emit
+      in.addData((ts("2024-01-03 09:00:00"), "view", 3.0, """{"k": 1}"""))
+      q.processAllAvailable()
+      val rows = spark.table("daily_kpis").collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"), r.getAs[Long]("sum_k")))
+      assert(rows.toSet == Set(("2024-01-01", "click", 2L, 3.0, 12L)))
+      // a day-1 event arriving after the watermark is dropped
+      in.addData((ts("2024-01-01 23:00:00"), "click", 100.0, """{"k": 9}"""))
+      q.processAllAvailable()
+      assert(spark.table("daily_kpis").collect().length == 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: running per-user counts survive across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventWindows.runningCountPerUser(in.toDS())
+      .writeStream.format("memory").queryName("running_counts")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, "a"), (1L, "b"), (2L, "c"))
+      q.processAllAvailable()
+      in.addData((1L, "d"))
+      q.processAllAvailable()
+      val last = spark.table("running_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // final state: user 1 → 3 events, user 2 → 1
+      assert(last.contains((1L, 3L)) && last.contains((2L, 1L)))
+    } finally q.stop()
+  }
+}
