@@ -20,6 +20,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: initialize the JVM/codegen/parquet-reader/shuffle/noop-sink
+    // paths once so the first timed query isn't charged for JIT (the
+    // first query otherwise absorbs ~5 s of warm-up and per-query numbers
+    // become ordering artifacts).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(10000)
+        .groupBy("l_returnflag").agg(sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

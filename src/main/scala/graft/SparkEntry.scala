@@ -26,11 +26,13 @@ object SparkEntry {
       (MediaQueries.queries, MediaQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the whole reference spine: scan → join → sentiment → fused KPI
-    * aggregation → min-max normalization (SURVEY.md §3.1).
+    * Runs the whole reference spine END TO END, including the real
+    * enrichment operator: scan → FK join → dense item ids → batch-25
+    * scoring with null-fill → left-join merge → fused KPI aggregation →
+    * min-max normalization (SURVEY.md §3.1).
     */
   def entry(spark: SparkSession): DataFrame =
-    KpiQueries.shopKpis(spark, "/root/testdata/sf0.001")
+    EnrichQueries.enrichKpis(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. Two modules
     * silently shadowing each other's query names would make a query's

@@ -68,7 +68,9 @@ object Similarity {
 
   /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b). */
   def lshPairs(prepped: DataFrame, planes: Int = 8): DataFrame = {
-    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes))
+    // both sides of the bucket self-join — pin so quantization + the
+    // 8-plane signature compute once per row, not twice
+    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes)).cache()
     sig.as("a")
       .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(

@@ -35,8 +35,10 @@ object DedupQueries extends QueryModule {
       // reused by the signature AND both sides of the verify join —
       // pin the (small: |docs|·|positions| rows) frame once
       .cache()
-    val cands = Dedup.candidatePairs(
-      Dedup.lshBands(Dedup.minhashSignature(sh, K), K, BandWidth))
+    // the signature frame (|docs| rows) feeds BOTH sides of the bucket
+    // self-join — pin it so the minhash aggregate runs once, not twice
+    val sig = Dedup.minhashSignature(sh, K).cache()
+    val cands = Dedup.candidatePairs(Dedup.lshBands(sig, K, BandWidth))
     Dedup.jaccardVerify(cands, sh, Threshold)
       .orderBy("id_a", "id_b")
   }
