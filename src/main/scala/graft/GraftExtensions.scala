@@ -1,0 +1,35 @@
+package graft
+
+import graft.expressions.QuantizedDot
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native expressions.
+  *
+  * Declarative route (production):
+  *   `spark.sql.extensions=graft.GraftExtensions`
+  * Imperative route (defensive, idempotent — for sessions the harness
+  * does not build, e.g. a driver-owned session): `GraftFunctions.ensure`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.quantizedDot)
+}
+
+object GraftFunctions {
+  val quantizedDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantized_dot"),
+    new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"quantized_dot expects 2 arguments, got ${children.size}")
+      QuantizedDot(children.head, children(1))
+    })
+
+  /** Register on an existing session (no-op if already present). */
+  def ensure(spark: SparkSession): Unit = {
+    val (ident, info, builder) = quantizedDot
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

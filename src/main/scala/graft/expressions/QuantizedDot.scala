@@ -1,0 +1,71 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `quantized_dot(array<bigint>, array<bigint>) -> bigint` — the exact
+  * integer dot product at the heart of the similarity operators, as a
+  * native codegen'd Catalyst expression.
+  *
+  * The built-in spelling `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`
+  * is semantically identical but materializes the zipped intermediate
+  * array and evaluates two lambda closures per element inside
+  * higher-order-function machinery. This expression compiles to a tight
+  * primitive loop over the two `ArrayData` buffers — no allocation, no
+  * closure dispatch — which is the difference that matters when scoring
+  * 10⁹ vector pairs. Preference order per the engine's design rules:
+  * compose built-ins < native Expression (this) < UDF (never).
+  *
+  * Null contract: null if either array is null (BinaryExpression's
+  * null-safe eval); null ELEMENTS are treated as 0 contribution is NOT
+  * supported — inputs come from [[graft.operators.Similarity.quantize]],
+  * which never emits null elements. Lengths may differ (zip semantics:
+  * the shorter length wins), matching `zip_with`+`aggregate` on the
+  * common prefix.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot"
+
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]); check the input types directly.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"quantized_dot requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

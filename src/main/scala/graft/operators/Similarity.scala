@@ -31,17 +31,27 @@ object Similarity {
   def quantize(vec: Column, scale: Double = 1e6): Column =
     transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors, via the native
+    * codegen'd [[graft.expressions.QuantizedDot]] (registered by
+    * [[graft.GraftFunctions]]): a tight primitive loop instead of the
+    * higher-order-function spelling below. */
   def dotQ(a: Column, b: Column): Column =
+    call_function("quantized_dot", a, b)
+
+  /** Built-in spelling of the same dot product (zip + fold) — kept as
+    * the reference semantics the native expression must match. */
+  def dotQBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Euclidean norm of a quantized vector (double). */
   def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))
 
   /** Prepare a frame: (id, q, norm) from (idCol, vecCol). */
-  def prep(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+  def prep(df: DataFrame, idCol: Column, vecCol: Column): DataFrame = {
+    graft.GraftFunctions.ensure(df.sparkSession)
     df.select(idCol.as("id"), quantize(vecCol).as("q"))
       .withColumn("norm", normQ(col("q")))
+  }
 
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * The baseline — exact, O(|Q|·|C|); keep |Q| small and broadcast. */

@@ -19,8 +19,48 @@ object EventQueries extends QueryModule {
         Rnd.r(col("total_value"), 2).as("total_value"), col("sum_k"))
       .orderBy("day", "event_type")
 
+  /** Sessionization: per-user sessions split on a 30-minute inactivity
+    * gap, via lag + running sum windows PARTITIONED BY user — bounded
+    * per-key state, fully parallel (never a whole-frame window). The
+    * streaming analog is flatMapGroupsWithState; this is the batch
+    * formulation over event time in exact integer micros. */
+  def eventSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        Rnd.r(StableAgg.ssum(col("value")), 2).as("total_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Rollup: revenue totals at (flag, status), per-flag, and grand-total
+    * grain in ONE pass (partial-aggregated, no extra scans); grouping
+    * nulls are coalesced to '(all)' in both engines. */
+  def eventRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n_rows"), col("revenue"))
+      .orderBy("returnflag", "linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_event_window" -> eventWindow)
+    "q_event_window" -> eventWindow,
+    "q_event_sessions" -> eventSessions,
+    "q_rollup" -> eventRollup)
 
   val oracles: Map[String, String] = Map(
     "q_event_window" ->
@@ -28,5 +68,29 @@ object EventQueries extends QueryModule {
          |  COUNT(*) AS n_events,
          |  ${Rnd.sql(StableAgg.ssumSql("value"), 2)} AS total_value,
          |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
-         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_event_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT user_id, ts, value,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > ${30L * 60 * 1000000} THEN 1 ELSE 0 END AS new_sess,
+         |    event_id
+         |  FROM e),
+         |s AS (SELECT user_id, ts, value,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM f)
+         |SELECT user_id, session_no,
+         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  COUNT(*) AS n_events,
+         |  ${Rnd.sql(StableAgg.ssumSql("value"), 2)} AS total_value
+         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n_rows,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice"), 2)} AS revenue
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin)
 }
