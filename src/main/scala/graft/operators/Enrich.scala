@@ -100,9 +100,21 @@ object Enrich {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         val out = batches.grouped(cfg.inflight).flatMap { wave =>
           val futs = wave.map { batch =>
-            Future(scoreWithRetry(batch, itemIdIdx, scorer, cfg))
+            batch -> Future(scoreWithRetry(batch, itemIdIdx, scorer, cfg))
           }
-          futs.flatMap(f => Await.result(f, cfg.timeout))
+          // Per-attempt timeouts belong to the scorer (the reference
+          // passes 60 s to its HTTP client, which raises → caught →
+          // retried → null-fill). This Await is the operator-level
+          // BACKSTOP for a scorer that hangs instead of raising: the
+          // batch degrades to its failure mode — a hung model call must
+          // never fail the Spark task.
+          val backstop = cfg.timeout * cfg.retries.toLong + Duration("5s")
+          futs.flatMap { case (batch, f) =>
+            try Await.result(f, backstop)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              failureRows(batch, itemIdIdx, scorer, cfg)
+            }
+          }
         }
         // Close the pool when the (lazy) iterator is exhausted.
         new Iterator[Row] {
@@ -139,12 +151,11 @@ object Enrich {
 
   private def scoreWithRetry(
       batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
-    val nulls = scorer.outputFields.map(_ => null)
     var attempt = 1
-    var result: Try[Seq[(Long, Seq[Any])]] = scorer.score(batch, attempt)
+    var result: Try[Seq[(Long, Seq[Any])]] = Try(scorer.score(batch, attempt)).flatten
     while (result.isFailure && attempt < cfg.retries) {
       attempt += 1
-      result = scorer.score(batch, attempt)
+      result = Try(scorer.score(batch, attempt)).flatten
     }
     result match {
       case Success(scoredItems) =>
@@ -152,11 +163,18 @@ object Enrich {
         // contract; its buggy positional fallback is NOT reproduced —
         // SURVEY.md §2.9 "id contract").
         scoredItems.map { case (id, values) => Row.fromSeq(id +: values) }
-      case Failure(_) => cfg.onFailure match {
-        case FailureMode.NullFill =>
-          batch.map(r => Row.fromSeq(r.getLong(itemIdIdx) +: nulls))
-        case FailureMode.Drop => Seq.empty
-      }
+      case Failure(_) => failureRows(batch, itemIdIdx, scorer, cfg)
     }
   }
+
+  /** The per-batch failure contract: whole-batch null-fill
+    * (`data_transformer.py:100-109`) or drop (`enricher.go:118-121`). */
+  private def failureRows(
+      batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] =
+    cfg.onFailure match {
+      case FailureMode.NullFill =>
+        val nulls = scorer.outputFields.map(_ => null)
+        batch.map(r => Row.fromSeq(r.getLong(itemIdIdx) +: nulls))
+      case FailureMode.Drop => Seq.empty
+    }
 }

@@ -99,6 +99,19 @@ class EnrichSpec extends AnyFunSuite {
     assert(Enrich.mergeDrop(base, analysis).count() == 5)
   }
 
+  test("a hung scorer degrades to the failure mode — it must not fail the task") {
+    val out = Enrich.enrich(items(5), HangingScorer,
+      EnrichConfig(batchSize = 5, retries = 1,
+        timeout = scala.concurrent.duration.Duration("200ms")))
+    // backstop fires (~retries*timeout+5s) and null-fills the batch
+    assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
+  test("a scorer that THROWS (instead of returning Failure) is caught and null-filled") {
+    val out = Enrich.enrich(items(5), ThrowingScorer, EnrichConfig(batchSize = 5))
+    assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
   test("Go-shaped review scorer emits classification + review strings") {
     val out = Enrich.enrich(items(5),
       ReviewScorer("signal", batchSize = 5, failEvery = 0),
@@ -108,4 +121,21 @@ class EnrichSpec extends AnyFunSuite {
     assert(rows(2L) == (("positive", "review : positive item 2")))
     assert(rows(3L) == (("negative", "review : negative item 3")))
   }
+}
+
+/** Simulates a model call that hangs instead of raising. */
+object HangingScorer extends Scorer {
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
+    Thread.sleep(60000); scala.util.Success(Seq.empty)
+  }
+}
+
+/** Simulates a scorer that throws instead of returning Failure. */
+object ThrowingScorer extends Scorer {
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] =
+    throw new IllegalStateException("model client blew up")
 }
