@@ -31,9 +31,22 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
 
+  /** Embedding-cosine near-dup (the dedup family's vector member):
+    * LSH-bucketed candidate pairs thresholded on exact quantized cosine.
+    * The filter runs on the raw cosine (bit-identical across engines);
+    * only the output is rounded. */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshPairs(prepped(spark, sfDir))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+
+  private val NearDupThreshold = 0.25
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
-    "q_sim_lsh" -> simLsh)
+    "q_sim_lsh" -> simLsh,
+    "q_dedup_embed" -> dedupEmbed)
 
   private val qvSql =
     """SELECT vec_id, i,
@@ -76,5 +89,27 @@ object SimilarityQueries extends QueryModule {
          |SELECT x AS vec_a, y AS vec_b,
          |  ${Rnd.sql("CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))", 6)} AS cos
          |FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |bits AS (SELECT vec_id, p,
+         |    SUM(CASE WHEN ((p*73 + (i-1)*151) % 7) < 3 THEN q ELSE -q END) AS s
+         |  FROM qv, range(0, 8) pp(p) GROUP BY vec_id, p),
+         |sig AS (SELECT vec_id,
+         |    STRING_AGG(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         |  FROM bits GROUP BY vec_id),
+         |pairs AS (SELECT a.vec_id AS x, b.vec_id AS y
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |pd AS (SELECT p.x, p.y, SUM(qa.q * qb.q) AS dp
+         |  FROM pairs p
+         |  JOIN qv qa ON qa.vec_id = p.x
+         |  JOIN qv qb ON qb.vec_id = p.y AND qb.i = qa.i
+         |  GROUP BY p.x, p.y),
+         |cosv AS (SELECT x, y,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y)
+         |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
+         |FROM cosv WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin)
 }
