@@ -70,12 +70,26 @@ object RelationalQueries extends QueryModule {
       .limit(100)
       .select("o_orderkey", "o_totalprice")
 
+  /** HLL distinct-count rollup — the sketch path for cardinalities at
+    * 100 TB (fixed-size state, one pass, mergeable partials; exact
+    * distinct would shuffle every key). No DuckDB oracle: sketch
+    * estimates are engine-specific, so the driver records a rows-only
+    * check; the accuracy contract is asserted in RelationalSpec. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_item_index" -> itemIndex,
     "q_pool_assign" -> poolAssign,
     "q_prompt_fold" -> promptFold,
     "q_json_roundtrip" -> jsonRoundtrip,
-    "q_limit_topn" -> limitTopN)
+    "q_limit_topn" -> limitTopN,
+    "q_approx_distinct" -> approxDistinct)
 
   val oracles: Map[String, String] = Map(
     "q_item_index" ->

@@ -47,6 +47,19 @@ class RelationalSpec extends AnyFunSuite {
     Validate.requireSchema(df, Map("id" -> LongType, "name" -> StringType))
   }
 
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val df = (1 to 20000).map(i => (i % 7, i % 3000)).toDF("g", "k")
+    val out = df.groupBy("g")
+      .agg(approx_count_distinct(col("k"), 0.02).as("approx"),
+        countDistinct(col("k")).as("exact"))
+      .collect()
+    out.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("F1: prompt fold renders lines in id order within each batch") {
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b"), (4L, "d")).toDF("item_id", "review")
     val out = Prompts.fold(df, col("item_id"),
