@@ -68,6 +68,18 @@ object Sinks {
     (results.collect { case (f, true) => f }, results.collect { case (f, false) => f })
   }
 
+  /** Bucketed table write: pre-shuffles ONCE at write time so every
+    * later equi-join/aggregation on `key` is co-located — the 100 TB
+    * answer to a fact table joined on the same key by every query
+    * (bucket-pruned scans, no per-query Exchange). Requires a catalog
+    * table (bucket metadata lives there), hence `saveAsTable`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K6 — unique upload name `{iso_ts}_{uuid}` (`collector.py:89-99`,
     * F2+F3). Pass a fixed `now` for deterministic tests. */
   def uniqueName(now: java.time.Instant = java.time.Instant.now()): String =

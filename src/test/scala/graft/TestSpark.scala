@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // static conf; a temp dir keeps bucketed-table tests out of the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
