@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.EnrichConfig
+import graft.queries.SentimentScorer
+import graft.streaming.EtlPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The whole reference loop end to end: bronze product JSON in, silver
+  * enriched records + gold KPI table out, with batch-25 null-fill
+  * semantics visible in the results. */
+class EtlPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def productJson(i: Int): String = {
+    val desc = if (i % 3 == 0) "very fast gadget" else if (i % 3 == 1) "slow widget" else "plain thing"
+    s"""{"product_name":"p$i","price":${10.0 + i},"quantity":1,"category":"c","description":"$desc",""" +
+      s""""availability":true,"discount_percentage":0.0,"date":"2024-01-0${i % 9 + 1}",""" +
+      s""""id":"user_${i % 4}","shop_id":"shop_${i % 3}"}"""
+  }
+
+  test("bronze → enrich → silver + gold KPI upsert, with batch-unit null-fill") {
+    val base = Files.createTempDirectory("graft_etl_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    // 60 rows → 12 batches of 5; failEvery=4 → batch ids 3,7,11 null-fill
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 40).map(productJson).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(bronze, "d2.json"),
+      (40 until 60).map(productJson).mkString("\n").getBytes)
+
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver", s"$base/gold",
+      s"$base/ckpt",
+      SentimentScorer("signal", batchSize = 5, failEvery = 4, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    q.awaitTermination(120000)
+
+    val silver = spark.read.json(s"$base/silver/batch_0")
+    assert(silver.count() == 60)
+    // every row has a dense item_id; failed batches are null-sentiment
+    import org.apache.spark.sql.functions._
+    val ids = silver.select("item_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 60L))
+    val nullIds = silver.filter(col("sentiment").isNull)
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds == ((16L to 20L) ++ (36L to 40L) ++ (56L to 60L)).toSet)
+
+    val gold = spark.read.parquet(s"$base/gold/user_kpis")
+    assert(gold.count() == 4) // user_0..user_3
+    val cols = gold.columns.toSet
+    assert(Set("id", "average_spent", "positive_reviews", "negative_reviews",
+      "likeness_score", "normalized_likeness_score").subsetOf(cols))
+  }
+}
