@@ -83,13 +83,24 @@ object RelationalQueries extends QueryModule {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Salted two-phase aggregation over the (skew-prone) supplier key;
+    * the oracle runs the UNSALTED aggregate — results must hash-match,
+    * proving the technique semantics-preserving. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Salt.saltedSumCountAvg(
+      Tables.lineitem(spark, sfDir), col("l_suppkey"), col("l_extendedprice"))
+      .select(col("key").as("l_suppkey"), col("n_rows"),
+        Rnd.r(col("total"), 2).as("total"), Rnd.r(col("mean"), 6).as("mean"))
+      .orderBy("l_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_item_index" -> itemIndex,
     "q_pool_assign" -> poolAssign,
     "q_prompt_fold" -> promptFold,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_limit_topn" -> limitTopN,
-    "q_approx_distinct" -> approxDistinct)
+    "q_approx_distinct" -> approxDistinct,
+    "q_salted_agg" -> saltedAgg)
 
   val oracles: Map[String, String] = Map(
     "q_item_index" ->
@@ -116,5 +127,10 @@ object RelationalQueries extends QueryModule {
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
     "q_limit_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_salted_agg" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_rows,
+         |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("l_extendedprice"), 2)} AS total,
+         |  ${Rnd.sql(graft.operators.StableAgg.savgSql("l_extendedprice"), 6)} AS mean
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
 }
