@@ -86,13 +86,34 @@ object KpiQueries extends QueryModule {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Star join: facts against the three small dimensions, every dim
+    * BROADCAST so the big side never shuffles for a join — the only
+    * exchange in the plan is the final aggregation's. This is the
+    * canonical 100 TB dim-join shape (a sort-merge join here would
+    * shuffle the fact table three times). */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"), n("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Rnd.r(StableAgg.ssum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"))
+      .orderBy("region", "nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_user_kpis" -> userKpis,
     "q_shop_kpis" -> shopKpis,
     "q_date_kpis" -> dateKpis,
     "q_minmax_norm" -> minmaxNorm,
     "q_conditional" -> conditionalCols,
-    "q1_agg" -> q1Agg)
+    "q1_agg" -> q1Agg,
+    "q_region_revenue" -> regionRevenue)
 
   val oracles: Map[String, String] = Map(
     "q_user_kpis" ->
@@ -138,5 +159,14 @@ object KpiQueries extends QueryModule {
          |  ${Rnd.sql(StableAgg.savgSql("l_discount"), 6)} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_region_revenue" ->
+      s"""SELECT r.r_name AS region, n.n_name AS nation,
+         |  COUNT(*) AS n_items,
+         |  ${Rnd.sql(StableAgg.ssumSql("l.l_extendedprice * (1.0 - l.l_discount)"), 2)} AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name ORDER BY region, nation""".stripMargin)
 }
