@@ -93,6 +93,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al.): hash every
+    * positional shingle, take the MIN hash of each sliding window of
+    * `w` consecutive positions, and keep the distinct minima — a
+    * guaranteed-coverage sub-sample of the shingle set, the standard
+    * scale trick for document fingerprint indexes. The window is
+    * PARTITIONED BY document (bounded, parallel — never whole-frame).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: Column, textCol: Column, n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(textCol), " ")
+    val positioned = df
+      .select(idCol.as("id"),
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("shingles"))
+      .select(col("id"), posexplode(col("shingles")).as(Seq("pos", "shingle")))
+      .withColumn("h", md5(col("shingle").cast("binary")))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    positioned
+      .withColumn("fp", min(col("h")).over(win))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Streaming exact dedup: state-backed duplicate drop bounded by the
+    * event-time watermark (the streaming member of the family). */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** 16-bit SimHash over distinct lower-cased tokens: bit j is 1 iff the
     * sum over tokens of ±1 (md5 hex digit j ≥ 8 → +1) is positive.
     * Near-identical token sets land on identical signatures. */

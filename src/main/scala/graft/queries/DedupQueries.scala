@@ -48,10 +48,18 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Winnowed fingerprints: window w=4 over 3-gram shingle hashes. */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.winnowFingerprints(
+      Tables.documents(spark, sfDir), col("doc_id"), col("text"), n = 3, w = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "fp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
-    "q_dedup_simhash" -> dedupSimhash)
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_winnow" -> dedupWinnow)
 
   private val shinglesSql =
     """SELECT DISTINCT doc_id AS id,
@@ -105,5 +113,17 @@ object DedupQueries extends QueryModule {
          |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
          |h AS (SELECT id, md5(tok) AS h FROM t),
          |s AS (SELECT id, $simhashBitsSql FROM h GROUP BY id)
-         |SELECT id AS doc_id, $simhashConcatSql AS simhash FROM s ORDER BY doc_id""".stripMargin)
+         |SELECT id AS doc_id, $simhashConcatSql AS simhash FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_winnow" ->
+      """WITH pos AS (
+        |  SELECT doc_id AS id, i - 1 AS pos,
+        |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |       range(1, 4000) t(i)
+        |  WHERE i + 2 <= len(toks)),
+        |w AS (SELECT id,
+        |    MIN(h) OVER (PARTITION BY id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM pos)
+        |SELECT DISTINCT id AS doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
 }

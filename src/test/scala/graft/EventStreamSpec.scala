@@ -42,6 +42,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys within the watermark are dropped across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val deduped = graft.operators.Dedup.streamingDedup(
+      in.toDF().toDF("ts", "event_id"), "ts", Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 2L),
+        (ts("2024-01-01 10:00:02"), 1L)) // dup in same batch
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:05:00"), 2L), (ts("2024-01-01 10:05:01"), 3L)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
