@@ -16,15 +16,20 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("| query | exchanges | broadcast joins | sort-merge joins | parquet scans | codegen spans |")
+    println("| query | shuffle exchanges | broadcast joins | sort-merge joins | parquet scans | codegen spans |")
     println("|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
-        println(s"| $name | ${n("Exchange")} | ${n("BroadcastHashJoin")} | " +
+        // "Exchange" alone would also count BroadcastExchange (the
+        // broadcast DISTRIBUTION, not a shuffle) — match shuffle forms
+        val shuffles = n("Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
+        println(s"| $name | $shuffles | ${n("BroadcastHashJoin")} | " +
           s"${n("SortMergeJoin")} | ${n("Scan parquet")} | ${n("\\*\\(")} |")
-      } catch { case e: Throwable => println(s"| $name | ERROR ${e.getMessage.take(40)} |") }
+      } catch { case e: Throwable =>
+        println(s"| $name | ERROR ${e.getMessage.take(40)} | - | - | - | - |")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

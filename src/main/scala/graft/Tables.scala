@@ -23,14 +23,17 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark only
     * reads as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
-    * (set by every session builder here). Convert to a micros timestamp —
-    * the same truncation DuckDB applies natively. */
+    * (set by every session builder here). Convert with INTEGRAL `div`:
+    * `/` would promote to double and round-trip through a 53-bit
+    * mantissa, landing 1 µs off exact truncation for ~12% of realistic
+    * epoch-nanos values — DuckDB truncates exactly, so the oracle would
+    * flake at any value near a window/session boundary. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")

@@ -19,18 +19,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * 10⁹ vector pairs. Preference order per the engine's design rules:
   * compose built-ins < native Expression (this) < UDF (never).
   *
-  * Null contract: null if either array is null (BinaryExpression's
-  * null-safe eval); null ELEMENTS are treated as 0 contribution is NOT
-  * supported — inputs come from [[graft.operators.Similarity.quantize]],
-  * which never emits null elements. Lengths may differ (zip semantics:
-  * the shorter length wins), matching `zip_with`+`aggregate` on the
-  * common prefix.
+  * Null contract matches the built-in spelling exactly: null if either
+  * ARRAY is null (BinaryExpression's null-safe eval) and null if any
+  * ELEMENT in the zipped prefix is null (`x*y` is null → the fold is
+  * null). Lengths may differ (zip semantics: the shorter length wins).
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
+
+  // BinaryExpression would infer nullability from the inputs — but this
+  // expression introduces null on null ELEMENTS even when both arrays
+  // are non-nullable, so it must declare itself nullable outright.
+  override def nullable: Boolean = true
 
   // ExpectsInputTypes is unusable outside org.apache.spark.sql
   // (AbstractDataType is private[sql]); check the input types directly.
@@ -48,7 +51,11 @@ case class QuantizedDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -56,13 +63,18 @@ case class QuantizedDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long ${ev.value}Acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += $a.getLong($i) * $b.getLong($i);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
-         |${ev.value} = ${ev.value}Acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.concurrent.duration.Duration
-import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.util.{Failure, Success, Try}
 
 /** §2.9 — the reference's centerpiece: a batch-at-a-time enrichment
@@ -42,10 +41,11 @@ import scala.util.{Failure, Success, Try}
 trait Scorer extends Serializable {
   /** Fields appended per item (item_id stays the join key). */
   def outputFields: Seq[StructField]
-  /** Score one batch (≤ batchSize rows, sorted by item_id). Returns one
-    * value-sequence per input row, aligned with [[outputFields]], keyed
-    * by the row's item_id. A Failure marks the WHOLE batch failed. */
-  def score(batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]]
+  /** Score one batch (≤ batchSize rows, sorted by item_id) identified by
+    * its global `batchId`. Returns one value-sequence per input row,
+    * aligned with [[outputFields]], keyed by the row's item_id. A
+    * Failure marks the WHOLE batch failed. */
+  def score(batchId: Long, batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]]
 }
 
 sealed trait FailureMode
@@ -97,22 +97,30 @@ object Enrich {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           cfg.inflight,
           (r: Runnable) => { val t = new Thread(r, "graft-enrich"); t.setDaemon(true); t })
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        // Per-attempt timeouts belong to the scorer (the reference
+        // passes 60 s to its HTTP client, which raises → caught →
+        // retried → null-fill). The get() below is the operator-level
+        // BACKSTOP for a scorer that hangs instead of raising: the batch
+        // degrades to its failure mode — a hung model call must never
+        // fail the Spark task — and cancel(true) interrupts the worker
+        // so an interrupt-responsive scorer frees its pool thread
+        // instead of silently shrinking the in-flight window.
+        val backstop = cfg.timeout * (cfg.retries + 1).toLong + Duration("5s")
         val out = batches.grouped(cfg.inflight).flatMap { wave =>
-          val futs = wave.map { batch =>
-            batch -> Future(scoreWithRetry(batch, itemIdIdx, scorer, cfg))
+          val futs = wave.map { case (bid, batch) =>
+            (batch, pool.submit(new java.util.concurrent.Callable[Seq[Row]] {
+              def call(): Seq[Row] = scoreWithRetry(bid, batch, itemIdIdx, scorer, cfg)
+            }))
           }
-          // Per-attempt timeouts belong to the scorer (the reference
-          // passes 60 s to its HTTP client, which raises → caught →
-          // retried → null-fill). This Await is the operator-level
-          // BACKSTOP for a scorer that hangs instead of raising: the
-          // batch degrades to its failure mode — a hung model call must
-          // never fail the Spark task.
-          val backstop = cfg.timeout * cfg.retries.toLong + Duration("5s")
           futs.flatMap { case (batch, f) =>
-            try Await.result(f, backstop)
-            catch { case _: java.util.concurrent.TimeoutException =>
-              failureRows(batch, itemIdIdx, scorer, cfg)
+            try f.get(backstop.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                f.cancel(true)
+                failureRows(batch, itemIdIdx, scorer, cfg)
+              case _: java.util.concurrent.ExecutionException =>
+                // scoreWithRetry wraps scorer calls in Try — defensive only
+                failureRows(batch, itemIdIdx, scorer, cfg)
             }
           }
         }
@@ -137,25 +145,31 @@ object Enrich {
 
   /** Chunk a sorted row iterator into per-batch-id groups without
     * materializing the partition. */
-  private def chunkByBatch(rows: Iterator[Row], batchIdIdx: Int): Iterator[Seq[Row]] =
-    new Iterator[Seq[Row]] {
+  private def chunkByBatch(rows: Iterator[Row], batchIdIdx: Int): Iterator[(Long, Seq[Row])] =
+    new Iterator[(Long, Seq[Row])] {
       private val it = rows.buffered
       def hasNext: Boolean = it.hasNext
-      def next(): Seq[Row] = {
+      def next(): (Long, Seq[Row]) = {
         val bid = it.head.getLong(batchIdIdx)
         val buf = scala.collection.mutable.ArrayBuffer[Row]()
         while (it.hasNext && it.head.getLong(batchIdIdx) == bid) buf += it.next()
-        buf.toSeq
+        (bid, buf.toSeq)
       }
     }
 
   private def scoreWithRetry(
-      batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
+      bid: Long, batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
+    // attempts = 1 initial + cfg.retries retries (the reference's
+    // shape: enricher.go retries up to 3× AFTER the first call). An
+    // interrupt (backstop cancel) aborts the loop immediately.
+    def interrupted(r: Try[_]): Boolean =
+      Thread.currentThread().isInterrupted ||
+        r.failed.toOption.exists(_.isInstanceOf[InterruptedException])
     var attempt = 1
-    var result: Try[Seq[(Long, Seq[Any])]] = Try(scorer.score(batch, attempt)).flatten
-    while (result.isFailure && attempt < cfg.retries) {
+    var result: Try[Seq[(Long, Seq[Any])]] = Try(scorer.score(bid, batch, attempt)).flatten
+    while (result.isFailure && attempt <= cfg.retries && !interrupted(result)) {
       attempt += 1
-      result = Try(scorer.score(batch, attempt)).flatten
+      result = Try(scorer.score(bid, batch, attempt)).flatten
     }
     result match {
       case Success(scoredItems) =>

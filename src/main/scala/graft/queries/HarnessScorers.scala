@@ -12,7 +12,8 @@ import scala.util.{Failure, Success, Try}
   *
   * The "model" reads a precomputed boolean `signal` column from its input
   * rows — the SQL mirror of the signal is therefore the SQL mirror of a
-  * successful score. Failure injection is keyed on the global batch id:
+  * successful score. Failure injection is keyed on the global batch id
+  * the operator passes in:
   *  - `bid % failEvery == failEvery-1` → fails EVERY attempt
   *    (perma-failure → null-fill / drop, `data_transformer.py:100-109`);
   *  - `bid % flakyEvery == flakyMod` → fails the first attempt only, so
@@ -20,9 +21,6 @@ import scala.util.{Failure, Success, Try}
   *    surfaces as a correctness mismatch, not just a test failure.
   */
 private object ScorerRules {
-  def batchIdOf(batch: Seq[Row], batchSize: Int): Long =
-    (batch.head.getAs[Long]("item_id") - 1) / batchSize
-
   def shouldPermaFail(bid: Long, failEvery: Int): Boolean =
     failEvery > 0 && bid % failEvery == failEvery - 1
 
@@ -34,14 +32,12 @@ private object ScorerRules {
   * (`models_schema.py:5-13`). */
 final case class SentimentScorer(
     signalCol: String,
-    batchSize: Int = 25,
     failEvery: Int = 10,
     flakyEvery: Int = 7,
     flakyMod: Int = 3) extends Scorer {
   import ScorerRules._
   val outputFields: Seq[StructField] = Seq(StructField("sentiment", BooleanType, nullable = true))
-  def score(batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] = {
-    val bid = batchIdOf(batch, batchSize)
+  def score(bid: Long, batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] =
     if (shouldPermaFail(bid, failEvery))
       Failure(new RuntimeException(s"batch $bid permanently failed"))
     else if (shouldFlake(bid, attempt, flakyEvery, flakyMod))
@@ -49,7 +45,6 @@ final case class SentimentScorer(
     else
       Success(batch.map(r =>
         (r.getAs[Long]("item_id"), Seq[Any](r.getAs[Boolean](signalCol)))))
-  }
 }
 
 /** Go-shaped review scorer: {item_id, classification, review}
@@ -58,14 +53,12 @@ final case class SentimentScorer(
   * signal; review = "review : <classification> item <item_id>". */
 final case class ReviewScorer(
     signalCol: String,
-    batchSize: Int = 25,
     failEvery: Int = 10) extends Scorer {
   import ScorerRules._
   val outputFields: Seq[StructField] = Seq(
     StructField("classification", StringType, nullable = true),
     StructField("review", StringType, nullable = true))
-  def score(batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] = {
-    val bid = batchIdOf(batch, batchSize)
+  def score(bid: Long, batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] =
     if (shouldPermaFail(bid, failEvery))
       Failure(new RuntimeException(s"batch $bid permanently failed"))
     else
@@ -74,5 +67,4 @@ final case class ReviewScorer(
         val cls = if (r.getAs[Boolean](signalCol)) "positive" else "negative"
         (id, Seq[Any](cls, s"review : $cls item $id"))
       })
-  }
 }

@@ -54,18 +54,22 @@ object EtlPipeline {
           Sinks.chunkedWrite(enriched, s"$silverDir/batch_$batchId")
           // K2 gold: upsert this batch's user KPIs into the keyed table
           val kpis = Kpis.userKpis(enriched)
-          val goldPath = s"$goldDir/user_kpis"
+          val goldPath = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis")
+          val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // existence via the Hadoop FS (java.io would always say "no"
+          // on hdfs/s3a and silently drop the upsert contract)
           val merged =
-            if (new java.io.File(goldPath).exists())
-              Sinks.upsertByKey(spark.read.parquet(goldPath), kpis, Seq("id"))
+            if (fs.exists(goldPath))
+              Sinks.upsertByKey(spark.read.parquet(goldPath.toString), kpis, Seq("id"))
             else kpis
           // write via temp + move: the upsert reads the table it replaces
-          val tmp = s"$goldPath.tmp_$batchId"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = new org.apache.hadoop.fs.Path(goldPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(goldPath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(goldPath))
+          val tmp = new org.apache.hadoop.fs.Path(s"$goldPath.tmp_$batchId")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(goldPath, true)
+          fs.rename(tmp, goldPath)
+          // free this batch's operator caches (KPI scoring pins one) —
+          // a long-running stream must not accumulate one per batch
+          spark.catalog.clearCache()
         }
     }
 }

@@ -24,7 +24,7 @@ class EnrichSpec extends AnyFunSuite {
 
   test("happy path: every item scored with the signal value") {
     val out = Enrich.enrich(items(10),
-      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
       EnrichConfig(batchSize = 5))
     val s = sentiments(out)
     assert(s.size == 10)
@@ -34,7 +34,7 @@ class EnrichSpec extends AnyFunSuite {
   test("null-fill: a failed batch emits ALL its rows with null output (batch unity)") {
     // batchSize 5, failEvery 2 → batches 1 and 3 (ids 6-10, 16-20) fail
     val out = Enrich.enrich(items(20),
-      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 2, flakyEvery = 0),
       EnrichConfig(batchSize = 5))
     val s = sentiments(out)
     assert(s.size == 20)
@@ -44,7 +44,7 @@ class EnrichSpec extends AnyFunSuite {
 
   test("drop: a failed batch emits nothing (Go semantics, J3)") {
     val out = Enrich.enrich(items(20),
-      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 2, flakyEvery = 0),
       EnrichConfig(batchSize = 5, onFailure = FailureMode.Drop))
     val s = sentiments(out)
     assert(s.keySet == ((1L to 5L) ++ (11L to 15L)).toSet)
@@ -53,7 +53,7 @@ class EnrichSpec extends AnyFunSuite {
 
   test("short tail batch (n % batchSize != 0) is scored, not rejected (tools.py:30-48)") {
     val out = Enrich.enrich(items(7),
-      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
       EnrichConfig(batchSize = 5))
     assert(sentiments(out).size == 7)
   }
@@ -61,7 +61,7 @@ class EnrichSpec extends AnyFunSuite {
   test("short tail batch still fails as a unit") {
     // 7 items, batch 5 → tail = batch id 1; failEvery 2 → tail fails
     val out = Enrich.enrich(items(7),
-      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 2, flakyEvery = 0),
       EnrichConfig(batchSize = 5))
     val s = sentiments(out)
     assert(s.collect { case (id, None) => id }.toSet == Set(6L, 7L))
@@ -70,22 +70,30 @@ class EnrichSpec extends AnyFunSuite {
   test("retry: first-attempt failures recover within 3 attempts") {
     // flakyEvery=1, flakyMod=0 → EVERY batch fails attempt 1
     val out = Enrich.enrich(items(10),
-      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 1, flakyMod = 0),
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 1, flakyMod = 0),
       EnrichConfig(batchSize = 5, retries = 3))
     assert(sentiments(out).values.forall(_.isDefined))
   }
 
-  test("retry exhaustion: retries=1 means one attempt, flaky batches null-fill") {
+  test("retry exhaustion: retries=0 means one attempt only, flaky batches null-fill") {
     val out = Enrich.enrich(items(10),
-      SentimentScorer("signal", batchSize = 5, failEvery = 0, flakyEvery = 1, flakyMod = 0),
-      EnrichConfig(batchSize = 5, retries = 1))
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 1, flakyMod = 0),
+      EnrichConfig(batchSize = 5, retries = 0))
     assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
+  test("retries=1 means ONE retry after the initial attempt (reference shape)") {
+    // first-attempt-only failures must recover with a single retry
+    val out = Enrich.enrich(items(10),
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 1, flakyMod = 0),
+      EnrichConfig(batchSize = 5, retries = 1))
+    assert(sentiments(out).values.forall(_.isDefined))
   }
 
   test("id multiset preserved under null-fill across many batches") {
     val n = 137 // deliberately not a multiple of the batch size
     val out = Enrich.enrich(items(n),
-      SentimentScorer("signal", batchSize = 25, failEvery = 3, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 3, flakyEvery = 0),
       EnrichConfig(batchSize = 25))
     assert(out.collect().map(_.getAs[Long]("item_id")).sorted.toSeq == (1L to n.toLong))
   }
@@ -93,7 +101,7 @@ class EnrichSpec extends AnyFunSuite {
   test("J1 merge keeps unscored rows (left), J3 mergeDrop drops them (inner)") {
     val base = items(10)
     val analysis = Enrich.enrich(base,
-      SentimentScorer("signal", batchSize = 5, failEvery = 2, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 2, flakyEvery = 0),
       EnrichConfig(batchSize = 5, onFailure = FailureMode.Drop))
     assert(Enrich.merge(base, analysis).count() == 10)
     assert(Enrich.mergeDrop(base, analysis).count() == 5)
@@ -114,7 +122,7 @@ class EnrichSpec extends AnyFunSuite {
 
   test("Go-shaped review scorer emits classification + review strings") {
     val out = Enrich.enrich(items(5),
-      ReviewScorer("signal", batchSize = 5, failEvery = 0),
+      ReviewScorer("signal", failEvery = 0),
       EnrichConfig(batchSize = 5))
     val rows = out.collect().map(r => r.getAs[Long]("item_id") ->
       (r.getAs[String]("classification"), r.getAs[String]("review"))).toMap
@@ -127,7 +135,7 @@ class EnrichSpec extends AnyFunSuite {
 object HangingScorer extends Scorer {
   val outputFields = Seq(org.apache.spark.sql.types.StructField(
     "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
-  def score(batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
     Thread.sleep(60000); scala.util.Success(Seq.empty)
   }
 }
@@ -136,6 +144,6 @@ object HangingScorer extends Scorer {
 object ThrowingScorer extends Scorer {
   val outputFields = Seq(org.apache.spark.sql.types.StructField(
     "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
-  def score(batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] =
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] =
     throw new IllegalStateException("model client blew up")
 }

@@ -32,7 +32,7 @@ class EtlPipelineSpec extends AnyFunSuite {
 
     val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver", s"$base/gold",
       s"$base/ckpt",
-      SentimentScorer("signal", batchSize = 5, failEvery = 4, flakyEvery = 0),
+      SentimentScorer("signal", failEvery = 4, flakyEvery = 0),
       EnrichConfig(batchSize = 5))
     q.awaitTermination(120000)
 

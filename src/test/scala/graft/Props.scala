@@ -38,7 +38,7 @@ object EnrichProps extends Properties("Enrich") {
     Prop.forAll(sizes) { n =>
       val items = (1 to n).map(i => (i.toLong, i % 2 == 0)).toDF("item_id", "signal")
       val out = Enrich.enrich(items,
-        SentimentScorer("signal", batchSize = 7, failEvery = 3, flakyEvery = 0),
+        SentimentScorer("signal", failEvery = 3, flakyEvery = 0),
         EnrichConfig(batchSize = 7))
       out.collect().map(_.getAs[Long]("item_id")).sorted.toSeq == (1L to n.toLong)
     }
@@ -47,7 +47,7 @@ object EnrichProps extends Properties("Enrich") {
     Prop.forAll(sizes) { n =>
       val items = (1 to n).map(i => (i.toLong, true)).toDF("item_id", "signal")
       val out = Enrich.enrich(items,
-        SentimentScorer("signal", batchSize = 7, failEvery = 3, flakyEvery = 0),
+        SentimentScorer("signal", failEvery = 3, flakyEvery = 0),
         EnrichConfig(batchSize = 7, onFailure = graft.operators.FailureMode.Drop))
       val surviving = out.collect().map(_.getAs[Long]("item_id")).toSet
       val expected = (1L to n.toLong).filterNot(id => ((id - 1) / 7) % 3 == 2).toSet

@@ -36,6 +36,14 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(df.select(Similarity.dotQ(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("null ELEMENT yields null, matching the built-in spelling") {
+    val r = spark.sql(
+      "SELECT quantized_dot(array(1L, CAST(NULL AS BIGINT)), array(2L, 3L)) AS native, " +
+        "aggregate(zip_with(array(1L, CAST(NULL AS BIGINT)), array(2L, 3L), (x, y) -> x * y), " +
+        "0L, (acc, v) -> acc + v) AS builtin").head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("declarative registration: expr parses via spark.sql.extensions") {
     // TestSpark sets spark.sql.extensions=graft.GraftExtensions, so SQL
     // text resolves without the imperative ensure() path.
