@@ -36,6 +36,11 @@ object Dedup {
   def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     val toks = split(lower(textCol), " ")
     df.select(idCol.as("id"), toks.as("toks"))
+      // a small doc table often arrives as ONE file split, and the
+      // explode below multiplies rows ~100×: spread by id FIRST so the
+      // heavy per-doc work parallelizes (and the per-id aggregates
+      // downstream are already co-partitioned)
+      .repartition(col("id"))
       .select(col("id"), explode(
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
@@ -109,6 +114,9 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - n),
             i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>")).as("shingles"))
+      // spread docs before the ~100× explode (see shingles), and
+      // co-partition with the per-id window below — one shuffle total
+      .repartition(col("id"))
       .select(col("id"), posexplode(col("shingles")).as(Seq("pos", "shingle")))
       .withColumn("h", md5(col("shingle").cast("binary")))
     val win = Window.partitionBy("id").orderBy("pos")
@@ -128,8 +136,9 @@ object Dedup {
     * sum over tokens of ±1 (md5 hex digit j ≥ 8 → +1) is positive.
     * Near-identical token sets land on identical signatures. */
   def simhash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("id"),
-      explode(array_distinct(split(lower(textCol), " "))).as("tok"))
+    val toks = df.select(idCol.as("id"), array_distinct(split(lower(textCol), " ")).as("ts"))
+      .repartition(col("id")) // parallelize the explode; co-partition the group-by
+      .select(col("id"), explode(col("ts")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
     val bitSums = (0 until 16).map(j =>
       sum(when(substring(col("h"), j + 1, 1)
