@@ -76,6 +76,36 @@ object Similarity {
       when(aggregate(weighted, lit(0L), (acc, v) => acc + v) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** IVF cell assignment: a training-free coarse quantizer — every
+    * `stride`-th vector is a centroid (deterministic "sample"), and each
+    * vector joins the centroid with the highest quantized cosine
+    * (ties → lowest centroid id). The centroid set is tiny → broadcast;
+    * the corpus never shuffles for assignment. Production would k-means
+    * the centroids; the cell-assignment/search plumbing is identical. */
+  def ivfCells(prepped: DataFrame, stride: Int): DataFrame = {
+    val cents = prepped.filter(col("id") % stride === 0)
+      .select(col("id").as("cent_id"), col("q").as("cq"), col("norm").as("cnorm"))
+    val scored = prepped.join(broadcast(cents))
+      .select(col("id"), col("q"), col("norm"), col("cent_id"),
+        (dotQ(col("q"), col("cq")).cast("double") / (col("norm") * col("cnorm"))).as("ccos"))
+    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cent_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("q"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF probe: top-k neighbors of each query, searching ONLY the
+    * query's cell (nprobe=1) — the inverted-file scale path. */
+  def ivfTopK(cells: DataFrame, queryIds: Column => Column, k: Int): DataFrame = {
+    val queries = cells.filter(queryIds(col("id")))
+      .select(col("id").as("query_id"), col("q").as("qq"), col("norm").as("qnorm"), col("cell"))
+    val joined = cells.join(broadcast(queries), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dotQ(col("qq"), col("q")).cast("double") / (col("qnorm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b). */
   def lshPairs(prepped: DataFrame, planes: Int = 8): DataFrame = {
     // both sides of the bucket self-join — pin so quantization + the

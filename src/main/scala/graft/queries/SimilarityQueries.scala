@@ -42,11 +42,25 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_a", "vec_b")
 
   private val NearDupThreshold = 0.25
+  private val IvfStride = 31
+
+  /** IVF (inverted-file) ANN: every 31st vector is a centroid, vectors
+    * assign to their max-cosine centroid, queries probe only their own
+    * cell. Approximate by design; the oracle replays the identical
+    * quantizer, so the result is exact under the hash compare. */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Similarity.ivfCells(prepped(spark, sfDir), IvfStride).cache()
+    Similarity.ivfTopK(cells, id => id < 10, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
     "q_sim_lsh" -> simLsh,
-    "q_dedup_embed" -> dedupEmbed)
+    "q_dedup_embed" -> dedupEmbed,
+    "q_sim_ivf" -> simIvf)
 
   private val qvSql =
     """SELECT vec_id, i,
@@ -111,5 +125,34 @@ object SimilarityQueries extends QueryModule {
          |  FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y)
          |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
          |FROM cosv WHERE c >= 0.25
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_sim_ivf" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 10),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qs q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM ncos)
+         |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)
 }
