@@ -54,6 +54,26 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: production rescales pixel buffers; the stub rescales
+    * the METADATA with the same contract — aspect-preserving fit into a
+    * `maxW`×`maxH` box (exact integer arithmetic, floor semantics). */
+  def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
+    if (f.width <= maxW && f.height <= maxH) f
+    else {
+      // scale = min(maxW/w, maxH/h) without floats: compare cross products
+      val byWidth = f.height.toLong * maxW <= f.width.toLong * maxH
+      val (w2, h2) =
+        if (byWidth) (maxW, math.max(1, (f.height.toLong * maxW / f.width).toInt))
+        else (math.max(1, (f.width.toLong * maxH / f.height).toInt), maxH)
+      f.copy(width = w2, height = h2)
+    }
+  }
+
+  /** Frame-sample stub: every `stride`-th frame index of a video
+    * (production decodes just those frames; the indices ARE the plan). */
+  def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] =
+    (0 until f.n_frames by stride).toSeq
+
   /** Batched feature extraction: stream each partition in bounded
     * batches through the decoder. `df` must carry (media_id, kind,
     * media). */

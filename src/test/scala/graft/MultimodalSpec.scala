@@ -36,6 +36,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).kind == "video" && out(2L).n_frames == 1 + bytes0.length / 100)
     assert(out(0L).n_frames == 1)
   }
+
+  test("resize stub: aspect-preserving fit, no-op when already inside the box") {
+    val f = Multimodal.MediaFeatures(1L, "image", 10L, 64, 32, 1, 0, 0, 0, 0)
+    val r = Multimodal.resizeStub(f, 16, 16)
+    assert(r.width == 16 && r.height == 8) // 2:1 aspect kept
+    assert(Multimodal.resizeStub(f, 100, 100) eq f)
+    val tall = Multimodal.MediaFeatures(2L, "image", 10L, 10, 60, 1, 0, 0, 0, 0)
+    val r2 = Multimodal.resizeStub(tall, 16, 12)
+    assert(r2.height == 12 && r2.width == 2)
+  }
+
+  test("frame-sample stub: every nth index, bounded by frame count") {
+    val v = Multimodal.MediaFeatures(3L, "video", 10L, 1, 1, 10, 0, 0, 0, 0)
+    assert(Multimodal.sampleFrames(v, 3) == Seq(0, 3, 6, 9))
+    assert(Multimodal.sampleFrames(v.copy(n_frames = 1), 5) == Seq(0))
+  }
 }
 
 object MultimodalSpec {
