@@ -108,15 +108,18 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: Column, textCol: Column, n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(lower(textCol), " ")
+    // repartition BEFORE building the shingles array: the array holds
+    // ~n copies of every token, so shuffling first moves the raw text
+    // instead of the n×-inflated payload; the shuffle also parallelizes
+    // the explode and co-partitions the per-id window below.
     val positioned = df
-      .select(idCol.as("id"),
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("shingles"))
-      // spread docs before the ~100× explode (see shingles), and
-      // co-partition with the per-id window below — one shuffle total
+      .select(idCol.as("id"), lower(textCol).as("__t"))
       .repartition(col("id"))
+      .select(col("id"),
+        when(size(split(col("__t"), " ")) >= n,
+          transform(sequence(lit(0), size(split(col("__t"), " ")) - n),
+            i => array_join(slice(split(col("__t"), " "), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("shingles"))
       .select(col("id"), posexplode(col("shingles")).as(Seq("pos", "shingle")))
       .withColumn("h", md5(col("shingle").cast("binary")))
     val win = Window.partitionBy("id").orderBy("pos")

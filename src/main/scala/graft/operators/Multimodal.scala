@@ -71,8 +71,10 @@ object Multimodal {
 
   /** Frame-sample stub: every `stride`-th frame index of a video
     * (production decodes just those frames; the indices ARE the plan). */
-  def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] =
+  def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] = {
+    require(stride > 0, s"frame-sample stride must be positive, got $stride")
     (0 until f.n_frames by stride).toSeq
+  }
 
   /** Batched feature extraction: stream each partition in bounded
     * batches through the decoder. `df` must carry (media_id, kind,

@@ -80,17 +80,24 @@ object Similarity {
     * `stride`-th vector is a centroid (deterministic "sample"), and each
     * vector joins the centroid with the highest quantized cosine
     * (ties → lowest centroid id). The centroid set is tiny → broadcast;
-    * the corpus never shuffles for assignment. Production would k-means
-    * the centroids; the cell-assignment/search plumbing is identical. */
+    * assignment costs ONE N-row exchange (the argmax hash aggregate),
+    * never the N×C expansion. Production would k-means the centroids;
+    * the cell-assignment/search plumbing is identical. */
   def ivfCells(prepped: DataFrame, stride: Int): DataFrame = {
     val cents = prepped.filter(col("id") % stride === 0)
       .select(col("id").as("cent_id"), col("q").as("cq"), col("norm").as("cnorm"))
     val scored = prepped.join(broadcast(cents))
       .select(col("id"), col("q"), col("norm"), col("cent_id"),
         (dotQ(col("q"), col("cq")).cast("double") / (col("norm") * col("cnorm"))).as("ccos"))
-    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cent_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("q"), col("norm"), col("cent_id").as("cell"))
+    // argmax via max_by in a hash aggregate: partial aggregation keeps
+    // the map side at one row per (vector, centroid) partial and the
+    // exchange at N rows — a row_number window here would shuffle the
+    // full N×C expansion, each row dragging the 64-element vector.
+    // Tie-break: highest cosine, then LOWEST centroid id (the -cent_id
+    // in the ordering struct).
+    scored
+      .groupBy(col("id"), col("q"), col("norm"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
   }
 
   /** IVF probe: top-k neighbors of each query, searching ONLY the

@@ -49,7 +49,9 @@ object SimilarityQueries extends QueryModule {
     * cell. Approximate by design; the oracle replays the identical
     * quantizer, so the result is exact under the hash compare. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Similarity.ivfCells(prepped(spark, sfDir), IvfStride).cache()
+    // prepped feeds BOTH the centroid extraction and the assignment side
+    // of ivfCells — pin it so the scan + quantization run once
+    val cells = Similarity.ivfCells(prepped(spark, sfDir).cache(), IvfStride).cache()
     Similarity.ivfTopK(cells, id => id < 10, k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         Rnd.r(col("cos"), 6).as("cos"))
