@@ -55,6 +55,52 @@ object EnrichProps extends Properties("Enrich") {
     }
 }
 
+object OperatorProps extends Properties("Operators") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  property("salted aggregation equals the direct aggregate exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(-1e5, 1e5)))) { kvs =>
+      val df = kvs.toDF("k", "v")
+      val salted = graft.operators.Salt.saltedSumCountAvg(df, col("k"), col("v"), salts = 4)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val direct = df.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(30,8)")).cast("double").as("t"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      salted == direct
+    }
+
+  property("winnowed fingerprints are a subset of the shingle hashes; identical docs agree") =
+    Prop.forAll(Gen.chooseNum(3, 40), Gen.chooseNum(1L, 1000L)) { (nTokens, seed) =>
+      // deterministic pseudo-text from the seed
+      val words = (0 until nTokens).map(i => s"w${(seed * 31 + i * 7) % 13}")
+      val text = words.mkString(" ")
+      val df = Seq((1L, text), (2L, text)).toDF("id", "text")
+      val fps = graft.operators.Dedup.winnowFingerprints(df, col("id"), col("text"), 3, 4)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val allShingleHashes = graft.operators.Dedup.shingles(df.filter(col("id") === 1), col("id"), col("text"), 3)
+        .select(md5(col("shingle").cast("binary"))).collect().map(_.getString(0)).toSet
+      byDoc.getOrElse(1L, Set.empty) == byDoc.getOrElse(2L, Set.empty) &&
+        byDoc.getOrElse(1L, Set.empty).subsetOf(allShingleHashes)
+    }
+
+  property("pool assignment over one full cycle uses every pool member equally") =
+    Prop.forAll(Gen.chooseNum(2, 12), Gen.oneOf(7L, 11L, 13L, 104729L)) { (poolSize, a) =>
+      (a % poolSize == 0) || {
+        val records = (1 to poolSize * 2).map(i => Tuple1(i.toLong)).toDF("idx")
+        val pool = (0 until poolSize).map(i => s"m$i").toDF("k")
+        val out = graft.operators.PoolAssign.assign(records, col("idx"), pool, "k", "u", a, 3L)
+          .collect().map(_.getAs[String]("u"))
+        out.groupBy(identity).values.map(_.size).toSet == Set(2)
+      }
+    }
+}
+
 object RndProps extends Properties("Rnd") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(15)
