@@ -75,8 +75,24 @@ object IngestQueries extends QueryModule {
       .orderBy("file")
   }
 
+  /** CSV round-trip: parquet → headered CSV → declared-schema FAILFAST
+    * read → aggregate, oracled against the original parquet. Quoting is
+    * exercised by the free-text column. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = s"$scratchRoot/csv_${java.util.UUID.randomUUID()}"
+    docs.write.option("header", "true").csv(tmp)
+    graft.sources.Bronze.readCsvDir(spark, graft.sources.Bronze.documentSchema, tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bronze_roundtrip" -> bronzeRoundtrip,
+    "q_csv_roundtrip" -> csvRoundtrip,
     "q_upsert" -> upsert,
     "q_file_accounting" -> fileAccounting)
 
@@ -84,6 +100,11 @@ object IngestQueries extends QueryModule {
     "q_bronze_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_upsert" ->
       s"""WITH u AS (SELECT l_suppkey AS key, ${StableAgg.ssumSql("l_extendedprice")} AS value
          |  FROM lineitem GROUP BY 1)

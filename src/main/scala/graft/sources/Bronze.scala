@@ -76,4 +76,14 @@ object Bronze {
     * row-wise): resolve by column name, fail on drift. */
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_))
+
+  /** CSV variant of the declared-schema scan: header + explicit types,
+    * FAILFAST so a malformed row is an error, not a silent null row
+    * (the engine never trusts inference or permissive parsing). */
+  def readCsvDir(spark: SparkSession, schema: StructType, dir: String, glob: String = "*.csv"): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .option("pathGlobFilter", glob)
+      .csv(dir)
 }
