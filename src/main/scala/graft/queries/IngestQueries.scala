@@ -90,9 +90,23 @@ object IngestQueries extends QueryModule {
       .orderBy("lang")
   }
 
+  /** ORC round-trip: the other columnar lakehouse format, written and
+    * read back with full schema fidelity (timestamps excluded — the doc
+    * table is string/long only, which ORC preserves exactly). */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = s"$scratchRoot/orc_${java.util.UUID.randomUUID()}"
+    docs.write.orc(tmp)
+    spark.read.schema(graft.sources.Bronze.documentSchema).orc(tmp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bronze_roundtrip" -> bronzeRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
+    "q_orc_roundtrip" -> orcRoundtrip,
     "q_upsert" -> upsert,
     "q_file_accounting" -> fileAccounting)
 
@@ -105,6 +119,9 @@ object IngestQueries extends QueryModule {
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_upsert" ->
       s"""WITH u AS (SELECT l_suppkey AS key, ${StableAgg.ssumSql("l_extendedprice")} AS value
          |  FROM lineitem GROUP BY 1)
