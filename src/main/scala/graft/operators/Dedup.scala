@@ -31,9 +31,12 @@ object Dedup {
   def exactByKey(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"), aggs: _*)
 
-  /** Word n-gram shingles, lower-cased, distinct per id:
-    * (id, shingle). Single-space tokenization to match the oracle. */
-  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+  /** Word n-gram shingle stream, lower-cased, WITH positional
+    * duplicates: (id, shingle). Single-space tokenization to match the
+    * oracle. Hash-partitioned by id, so every per-id aggregate downstream
+    * (minhash minima, distinct, counts) reuses the partitioning with no
+    * further exchange. */
+  def shinglesRaw(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     val toks = split(lower(textCol), " ")
     df.select(idCol.as("id"), toks.as("toks"))
       // a small doc table often arrives as ONE file split, and the
@@ -46,14 +49,35 @@ object Dedup {
           transform(sequence(lit(0), size(col("toks")) - n),
             i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
   }
 
+  /** Distinct shingle SET per id (the frame Jaccard needs). The
+    * signature path deliberately does NOT use this: MIN is
+    * duplicate-insensitive, so paying a full-width dedup exchange before
+    * the minhash aggregate would buy nothing. */
+  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n).distinct()
+
   /** k-function MinHash signature per id: column m0..m{k-1}, where
-    * m_i = MIN(md5("i:" ++ shingle)) as a hex string. */
+    * m_i = MIN(md5("i:" ++ shingle)) as a hex string. Accepts the RAW
+    * (non-distinct) shingle stream — duplicates cannot change a MIN — so
+    * when fed from [[shinglesRaw]] the only exchange in this branch is
+    * the id repartition the shingle stream already did. */
   def minhashSignature(shingles: DataFrame, k: Int): DataFrame = {
     val hashes = (0 until k).map(i =>
       min(md5(concat_ws(":", lit(i.toString), col("shingle")).cast("binary"))).as(s"m$i"))
+    shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** Production signature path: xxhash64 int64 minima instead of md5 hex
+    * strings — 8 bytes per value instead of a 32-byte string, integer
+    * compares in the MIN, integer shuffle keys in the bands. Identical
+    * banded-LSH structure; NOT on the DuckDB-oracled path (DuckDB has no
+    * xxhash64), so it is verified by spec against the md5 path on the
+    * planted near-duplicates instead. */
+  def minhashSignatureFast(shingles: DataFrame, k: Int): DataFrame = {
+    val hashes = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
   }
 
@@ -64,6 +88,20 @@ object Dedup {
     val bandStructs = (0 until k / bandWidth).map { bx =>
       val cols = (bx * bandWidth until (bx + 1) * bandWidth).map(i => col(s"m$i"))
       struct(lit(bx).as("band_idx"), concat(cols: _*).as("band_val"))
+    }
+    signature
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+  }
+
+  /** Fast-path bands for [[minhashSignatureFast]] signatures: the band
+    * value is one xxhash64 over the band's minima — an 8-byte integer
+    * bucket key instead of a concatenated hex string. */
+  def lshBandsFast(signature: DataFrame, k: Int, bandWidth: Int): DataFrame = {
+    require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
+    val bandStructs = (0 until k / bandWidth).map { bx =>
+      val cols = (bx * bandWidth until (bx + 1) * bandWidth).map(i => col(s"m$i"))
+      struct(lit(bx).as("band_idx"), xxhash64(cols: _*).as("band_val"))
     }
     signature
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
@@ -82,17 +120,37 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard for candidate pairs only; keeps pairs with
-    * similarity ≥ threshold. */
+    * similarity ≥ threshold.
+    *
+    * `shingles` may carry positional duplicates ([[shinglesRaw]]): the
+    * SET semantics Jaccard needs are restored here, but only AFTER a
+    * broadcast semi-join cuts the stream down to candidate ids — LSH
+    * candidates are a vanishing fraction of the corpus, so the dedup
+    * exchange and both probe joins run over |candidate docs| · |positions|
+    * rows, not the full corpus. The candidate-pair frame itself is
+    * broadcast into the probes (no full-shingle shuffle on the pair key).
+    */
   def jaccardVerify(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
-    val counts = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shingles.as("sa"), col("id_a") === col("sa.id"))
-      .join(shingles.as("sb"),
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // (id, shingle) sets for candidate docs only; already partitioned by
+    // id upstream, so distinct() adds no exchange. Cached because the
+    // counts aggregate and both probe sides re-read it (contract: callers
+    // running outside Bench/Verify should clear the session cache, or
+    // materialize candidates first — documented on the query module).
+    val candShingles = shingles
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .distinct()
+      .cache()
+    val counts = candShingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(candidates)
+      .join(candShingles.as("sa"), col("id_a") === col("sa.id"))
+      .join(candShingles.as("sb"),
         col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -106,28 +164,33 @@ object Dedup {
     * PARTITIONED BY document (bounded, parallel — never whole-frame).
     */
   def winnowFingerprints(df: DataFrame, idCol: Column, textCol: Column, n: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // The sliding-window minimum is per-document and documents are
+    // bounded, so the whole selection runs as ARRAY expressions inside
+    // one narrow map — no positional explode (n× row inflation), no
+    // per-id window sort, and crucially no full-corpus distinct
+    // exchange: fingerprints are deduped per document by array_distinct
+    // before the (much smaller) fingerprint explode. The only shuffle
+    // left is the id repartition that spreads per-doc compute across
+    // cores when the doc table arrives as one file split.
     val toks = split(lower(textCol), " ")
-    // repartition BEFORE building the shingles array: the array holds
-    // ~n copies of every token, so shuffling first moves the raw text
-    // instead of the n×-inflated payload; the shuffle also parallelizes
-    // the explode and co-partitions the per-id window below.
-    val positioned = df
-      .select(idCol.as("id"), lower(textCol).as("__t"))
+    df.select(idCol.as("id"), toks.as("toks"))
       .repartition(col("id"))
       .select(col("id"),
-        when(size(split(col("__t"), " ")) >= n,
-          transform(sequence(lit(0), size(split(col("__t"), " ")) - n),
-            i => array_join(slice(split(col("__t"), " "), i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("shingles"))
-      .select(col("id"), posexplode(col("shingles")).as(Seq("pos", "shingle")))
-      .withColumn("h", md5(col("shingle").cast("binary")))
-    val win = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    positioned
-      .withColumn("fp", min(col("h")).over(win))
-      .select(col("id"), col("fp"))
-      .distinct()
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " ").cast("binary"))))
+          .otherwise(array().cast("array<string>")).as("hs"))
+      // fp(pos) = min hash of positions [pos, pos+w-1]; slice clamps at
+      // the tail exactly like a ROWS BETWEEN CURRENT AND w-1 FOLLOWING
+      // window frame does.
+      .select(col("id"),
+        explode(
+          // guard the empty-shingle case: sequence(0, -1) would DESCEND
+          when(size(col("hs")) > 0,
+            array_distinct(
+              transform(sequence(lit(0), size(col("hs")) - 1),
+                p => array_min(slice(col("hs"), p + lit(1), lit(w))))))
+            .otherwise(array().cast("array<string>"))).as("fp"))
   }
 
   /** Streaming exact dedup: state-backed duplicate drop bounded by the

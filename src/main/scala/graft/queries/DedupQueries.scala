@@ -30,10 +30,16 @@ object DedupQueries extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingles(
+    // RAW (non-distinct) shingle stream, partitioned by id — reused by
+    // the signature aggregate AND the verify branch, so pin it once.
+    // MIN is duplicate-insensitive, so the signature branch skips the
+    // full-corpus dedup exchange entirely; jaccardVerify restores set
+    // semantics only for candidate ids (a broadcast semi-join shrinks
+    // the stream first). Caller contract: Bench/Verify clear the session
+    // cache between queries; library callers should do the same or
+    // unpersist after materializing.
+    val sh = Dedup.shinglesRaw(
       Tables.documents(spark, sfDir), col("doc_id"), col("text"), n = 3)
-      // reused by the signature AND both sides of the verify join —
-      // pin the (small: |docs|·|positions| rows) frame once
       .cache()
     // the signature frame (|docs| rows) feeds BOTH sides of the bucket
     // self-join — pin it so the minhash aggregate runs once, not twice

@@ -33,6 +33,38 @@ class DedupSpec extends AnyFunSuite {
     assert(verified.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("raw-shingle signature equals distinct-shingle signature (MIN is duplicate-insensitive)") {
+    val df = Seq(
+      (1L, "a b c a b c a b c d e f"), // heavy positional duplication
+      (2L, "p q r s t u v w"))
+      .toDF("id", "text")
+    val fromRaw = Dedup.minhashSignature(Dedup.shinglesRaw(df, col("id"), col("text"), 3), 8)
+      .orderBy("id").collect().map(_.toSeq)
+    val fromDistinct = Dedup.minhashSignature(Dedup.shingles(df, col("id"), col("text"), 3), 8)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(fromRaw.toSeq == fromDistinct.toSeq)
+  }
+
+  test("fast xxhash64 path verifies the same near-dup pairs as the md5 path") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "an entirely unrelated document about winter weather in the far north"),
+      (4L, "an entirely unrelated document about winter weather in the far north"),
+      (5L, "nothing here resembles any other row of this little fixture at all"))
+      .toDF("id", "text")
+    val raw = Dedup.shinglesRaw(df, col("id"), col("text"), 3)
+    def pairsOf(sig: org.apache.spark.sql.DataFrame, bands: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardVerify(Dedup.candidatePairs(bands), raw, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = Dedup.minhashSignature(raw, 8)
+    val fast = Dedup.minhashSignatureFast(raw, 8)
+    val slowPairs = pairsOf(slow, Dedup.lshBands(slow, 8, 2))
+    val fastPairs = pairsOf(fast, Dedup.lshBandsFast(fast, 8, 2))
+    assert(slowPairs == Set((1L, 2L), (3L, 4L)))
+    assert(fastPairs == slowPairs)
+  }
+
   test("simhash: identical token sets get identical signatures, disjoint sets differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
