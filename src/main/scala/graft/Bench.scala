@@ -27,9 +27,11 @@ object Bench {
     // become ordering artifacts).
     locally {
       import org.apache.spark.sql.functions._
+      // full-scan the biggest table once (OS page cache + parquet reader)
+      // and exercise the decimal-sum codegen path every aggregate uses —
+      // otherwise the alphabetically-first query pays both.
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .limit(10000)
-        .groupBy("l_returnflag").agg(sum("l_quantity"))
+        .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(30,8)")))
         .write.format("noop").mode("overwrite").save()
     }
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b benches a subset;

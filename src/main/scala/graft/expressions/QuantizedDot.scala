@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * compose built-ins < native Expression (this) < UDF (never).
   *
   * Null contract matches the built-in spelling exactly: null if either
-  * ARRAY is null (BinaryExpression's null-safe eval) and null if any
-  * ELEMENT in the zipped prefix is null (`x*y` is null → the fold is
-  * null). Lengths may differ (zip semantics: the shorter length wins).
+  * ARRAY is null (BinaryExpression's null-safe eval), null if any
+  * ELEMENT is null (`x*y` is null → the fold is null), and null on a
+  * LENGTH mismatch — `zip_with` pads the shorter array with nulls, so
+  * the built-in fold is null on ragged inputs, and so is this.
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +49,8 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -65,8 +67,11 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |}
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;

@@ -54,6 +54,13 @@ object FailureMode {
   case object NullFill extends FailureMode
   /** Go client semantics: failed batch dropped (inner-join drop, J3). */
   case object Drop extends FailureMode
+  /** Standalone-client semantics (`llama_cpp_client.py:102-110`,
+    * `ollama_client.py:87-95`, SURVEY §2.4 → `left_anti`): a response
+    * may legally answer only part of the batch; the missing ids — the
+    * anti-join of batch ids vs echoed ids — are re-sent on the next
+    * attempt, and partial successes merge across attempts. Ids still
+    * unanswered after every retry are null-filled. */
+  case object Requeue extends FailureMode
 }
 
 final case class EnrichConfig(
@@ -157,19 +164,47 @@ object Enrich {
       }
     }
 
+  /** The reference's response contract (`models_schema.py:16-22`,
+    * `types.go:38` minItems/maxItems): every echoed id must belong to the
+    * batch, no id may be echoed twice, and — unless partial responses are
+    * legal ([[FailureMode.Requeue]]) — the response must cover the batch
+    * exactly. A violating response is converted into a batch FAILURE (it
+    * is retried, then degraded to the failure mode) instead of flowing
+    * foreign or duplicate keys silently into the merge join. */
+  private def validateEcho(
+      batch: Seq[Row], itemIdIdx: Int,
+      scored: Seq[(Long, Seq[Any])], partialOk: Boolean): Try[Seq[(Long, Seq[Any])]] = {
+    val batchIds = batch.map(_.getLong(itemIdIdx)).toSet
+    val ids = scored.map(_._1)
+    if (ids.exists(!batchIds.contains(_)))
+      Failure(new IllegalStateException("scorer echoed ids outside the batch"))
+    else if (ids.distinct.size != ids.size)
+      Failure(new IllegalStateException("scorer echoed duplicate ids"))
+    else if (!partialOk && ids.size != batch.size)
+      Failure(new IllegalStateException(
+        s"scorer answered ${ids.size} of ${batch.size} items"))
+    else Success(scored)
+  }
+
+  private def interrupted(r: Try[_]): Boolean =
+    Thread.currentThread().isInterrupted ||
+      r.failed.toOption.exists(_.isInstanceOf[InterruptedException])
+
   private def scoreWithRetry(
       bid: Long, batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
+    if (cfg.onFailure == FailureMode.Requeue)
+      return scoreRequeue(bid, batch, itemIdIdx, scorer, cfg)
     // attempts = 1 initial + cfg.retries retries (the reference's
     // shape: enricher.go retries up to 3× AFTER the first call). An
     // interrupt (backstop cancel) aborts the loop immediately.
-    def interrupted(r: Try[_]): Boolean =
-      Thread.currentThread().isInterrupted ||
-        r.failed.toOption.exists(_.isInstanceOf[InterruptedException])
+    def once(attempt: Int): Try[Seq[(Long, Seq[Any])]] =
+      Try(scorer.score(bid, batch, attempt)).flatten
+        .flatMap(validateEcho(batch, itemIdIdx, _, partialOk = false))
     var attempt = 1
-    var result: Try[Seq[(Long, Seq[Any])]] = Try(scorer.score(bid, batch, attempt)).flatten
+    var result = once(attempt)
     while (result.isFailure && attempt <= cfg.retries && !interrupted(result)) {
       attempt += 1
-      result = Try(scorer.score(bid, batch, attempt)).flatten
+      result = once(attempt)
     }
     result match {
       case Success(scoredItems) =>
@@ -181,12 +216,43 @@ object Enrich {
     }
   }
 
+  /** [[FailureMode.Requeue]]: each attempt sends only the still-missing
+    * rows (the anti-join of batch ids vs ids echoed so far); partial
+    * successes accumulate across attempts; leftovers after the final
+    * attempt are null-filled (the ETL null contract applied per ROW
+    * instead of per batch). */
+  private def scoreRequeue(
+      bid: Long, batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] = {
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Seq[Any])]()
+    var remaining = batch
+    var attempt = 1
+    var stop = false
+    while (remaining.nonEmpty && attempt <= cfg.retries + 1 && !stop) {
+      val result = Try(scorer.score(bid, remaining, attempt)).flatten
+        .flatMap(validateEcho(remaining, itemIdIdx, _, partialOk = true))
+      result match {
+        case Success(scoredItems) =>
+          acc ++= scoredItems
+          val answered = scoredItems.map(_._1).toSet
+          remaining = remaining.filterNot(r => answered(r.getLong(itemIdIdx)))
+        case failure => stop = interrupted(failure) // failed attempt: re-send as-is
+      }
+      attempt += 1
+    }
+    val nulls = scorer.outputFields.map(_ => null)
+    acc.toSeq.map { case (id, values) => Row.fromSeq(id +: values) } ++
+      remaining.map(r => Row.fromSeq(r.getLong(itemIdIdx) +: nulls))
+  }
+
   /** The per-batch failure contract: whole-batch null-fill
     * (`data_transformer.py:100-109`) or drop (`enricher.go:118-121`). */
   private def failureRows(
       batch: Seq[Row], itemIdIdx: Int, scorer: Scorer, cfg: EnrichConfig): Seq[Row] =
     cfg.onFailure match {
-      case FailureMode.NullFill =>
+      case FailureMode.NullFill | FailureMode.Requeue =>
+        // Requeue reaches here only via the hung-scorer backstop in
+        // enrich(); its per-row leftovers are null-filled, so a whole
+        // hung batch degrades the same way.
         val nulls = scorer.outputFields.map(_ => null)
         batch.map(r => Row.fromSeq(r.getLong(itemIdIdx) +: nulls))
       case FailureMode.Drop => Seq.empty

@@ -49,6 +49,9 @@ object Kpis {
       // scan→join→groupBy chain appears in the plan twice; the post-agg
       // frame is tiny (|group keys| rows), so pin it and both branches
       // read memory instead of re-running the shuffle.
+      // Cache contract: the pin lives inside the returned lazy plan, so
+      // the CALLER releases it after materializing (Bench/Verify clear
+      // between queries; EtlPipeline unpersists its own batch's caches).
       .cache()
     MinMax.normalize(scored, "likeness_score", "normalized_likeness_score")
   }

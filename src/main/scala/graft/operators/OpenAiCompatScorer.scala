@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+import scala.util.Try
+
+/** Production [[Scorer]]: one OpenAI-compatible chat-completions call per
+  * batch, mirroring the reference client exactly
+  * (`data_transformer.py:28-54`, `enricher.go:73-127`):
+  *
+  *  - prompt: `"items :"` + `"\n id : <id> , review : <review> \n"` per
+  *    item (`tools.py:51-64`);
+  *  - request: system + user messages, `response_format: json_schema`
+  *    with `strict: true` and the reference's `Response` schema — a
+  *    `sentiments` array of `{item_id, sentiment}` pinned to exactly
+  *    `batchSize` items (`models_schema.py:16-22` min/max_length=25);
+  *  - per-call timeout (60 s — `data_transformer.py:50`) enforced as both
+  *    connect and read timeout;
+  *  - response: `choices[0].message.content` parsed as the `Response`
+  *    JSON; each echoed `{item_id, sentiment}` becomes one scored row.
+  *
+  * Retries, the id-echo contract, and failure degradation all live in
+  * [[Enrich]] — one attempt here IS one HTTP call, and any transport /
+  * HTTP / parse error is a `Failure` for the operator's retry loop. The
+  * one Spark-shaped divergence is documented on [[Enrich]]: concurrency
+  * is per-task waves instead of one process-global window.
+  *
+  * Plain `HttpURLConnection` — no extra dependency — and `Serializable`,
+  * so executors can each open their own connections (the reference's
+  * one-async-client-per-process shape maps to one scorer per task).
+  */
+final case class OpenAiCompatScorer(
+    baseUrl: String,
+    model: String,
+    systemPrompt: String,
+    reviewCol: String = "review",
+    batchSize: Int = 25,
+    timeoutMs: Int = 60000,
+    apiKey: String = "key") extends Scorer {
+
+  val outputFields: Seq[StructField] =
+    Seq(StructField("sentiment", BooleanType, nullable = true))
+
+  /** `tools.py:51-64` verbatim: ids and reviews inlined into one user
+    * prompt. */
+  def prompt(batch: Seq[Row]): String = {
+    val sb = new StringBuilder("items :")
+    batch.foreach { r =>
+      val id = r.getLong(r.fieldIndex("item_id"))
+      val review = r.getAs[String](reviewCol)
+      sb.append(s"\n id : $id , review : $review \n")
+    }
+    sb.toString
+  }
+
+  /** The pydantic `Response.model_json_schema()` shape the reference
+    * sends (`models_schema.py:5-22`): strict object schema, sentiments
+    * pinned to exactly `batchSize` entries. */
+  private def responseSchema: JObject =
+    JObject(
+      "type" -> JString("object"),
+      "properties" -> JObject(
+        "sentiments" -> JObject(
+          "type" -> JString("array"),
+          "items" -> JObject(
+            "type" -> JString("object"),
+            "properties" -> JObject(
+              "item_id" -> JObject("type" -> JString("integer")),
+              "sentiment" -> JObject("type" -> JString("boolean"))),
+            "required" -> JArray(List(JString("item_id"), JString("sentiment"))),
+            "additionalProperties" -> JBool(false)),
+          "minItems" -> JInt(batchSize),
+          "maxItems" -> JInt(batchSize))),
+      "required" -> JArray(List(JString("sentiments"))),
+      "additionalProperties" -> JBool(false))
+
+  private def requestBody(batch: Seq[Row]): String = {
+    val body = JObject(
+      "model" -> JString(model),
+      "messages" -> JArray(List(
+        JObject("role" -> JString("system"), "content" -> JString(systemPrompt)),
+        JObject("role" -> JString("user"), "content" -> JString(prompt(batch))))),
+      "response_format" -> JObject(
+        "type" -> JString("json_schema"),
+        "json_schema" -> JObject(
+          "name" -> JString("sentiment_analysis_response"),
+          "description" -> JString(
+            "Response containing sentiment analysis for product reviews"),
+          "schema" -> responseSchema,
+          "strict" -> JBool(true))))
+    JsonMethods.compact(JsonMethods.render(body))
+  }
+
+  private def post(json: String): String = {
+    val url = java.net.URI.create(s"$baseUrl/chat/completions").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("Authorization", s"Bearer $apiKey")
+      val out = conn.getOutputStream
+      try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val code = conn.getResponseCode
+      if (code / 100 != 2)
+        throw new RuntimeException(s"chat/completions returned HTTP $code")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    } finally conn.disconnect()
+  }
+
+  /** Parse `choices[0].message.content` → the `Response` model →
+    * (item_id, [sentiment]) pairs. Any shape violation throws (→ Failure
+    * → Enrich retry). */
+  private def parse(responseJson: String): Seq[(Long, Seq[Any])] = {
+    val content = JsonMethods.parse(responseJson) \ "choices" match {
+      case JArray(first :: _) => first \ "message" \ "content" match {
+        case JString(s) => s
+        case other => throw new RuntimeException(s"no message content: $other")
+      }
+      case other => throw new RuntimeException(s"no choices in response: $other")
+    }
+    JsonMethods.parse(content) \ "sentiments" match {
+      case JArray(items) => items.map { item =>
+        val id = item \ "item_id" match {
+          case JInt(i) => i.toLong
+          case JLong(l) => l
+          case other => throw new RuntimeException(s"bad item_id: $other")
+        }
+        val sentiment: Any = item \ "sentiment" match {
+          case JBool(b) => b
+          case JNull => null // the reference's empty_response carries nulls
+          case other => throw new RuntimeException(s"bad sentiment: $other")
+        }
+        id -> Seq(sentiment)
+      }
+      case other => throw new RuntimeException(s"no sentiments array: $other")
+    }
+  }
+
+  def score(bid: Long, batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] =
+    Try(parse(post(requestBody(batch))))
+}

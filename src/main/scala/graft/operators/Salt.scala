@@ -23,18 +23,24 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** Two-phase salted sum/count/avg of `valueCol` per `keyCol`. Output:
-    * (key, n_rows, total, mean) — identical to the direct aggregate. */
+    * (key, n_rows, total, mean) — identical to the direct aggregate:
+    * n_rows counts every row, while the mean divides by the NON-NULL
+    * value count (built-in AVG's null-skipping semantics — a null-valued
+    * row must not deflate the mean). */
   def saltedSumCountAvg(df: DataFrame, keyCol: Column, valueCol: Column, salts: Int = 16): DataFrame = {
     val Dec = "decimal(30,8)"
     df.withColumn("__salt", pmod(xxhash64(valueCol), lit(salts)))
       .groupBy(keyCol.as("key"), col("__salt"))
       .agg(
         count(lit(1)).as("__n"),
+        count(valueCol).as("__nv"),
         sum(valueCol.cast(Dec)).as("__sum"))
       .groupBy("key")
       .agg(
         sum(col("__n")).cast("long").as("n_rows"),
+        sum(col("__nv")).cast("long").as("__n_values"),
         sum(col("__sum")).cast("double").as("total"))
-      .withColumn("mean", col("total") / col("n_rows"))
+      .withColumn("mean", col("total") / col("__n_values"))
+      .drop("__n_values")
   }
 }

@@ -113,7 +113,14 @@ object Similarity {
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b). */
+  /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b).
+    *
+    * Cache contract (this and the query layers that pin frames): the
+    * pinned frame backs BOTH sides of the self-join of the RETURNED
+    * lazy plan, so the operator cannot unpersist it itself — the caller
+    * owns the lifetime. Bench/Verify/EtlPipeline all release caches
+    * after materializing; a library caller should `spark.catalog
+    * .clearCache()` (or track+unpersist) once the result is consumed. */
   def lshPairs(prepped: DataFrame, planes: Int = 8): DataFrame = {
     // both sides of the bucket self-join — pin so quantization + the
     // 8-plane signature compute once per row, not twice

@@ -67,12 +67,15 @@ object DedupQueries extends QueryModule {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_winnow" -> dedupWinnow)
 
+  // The shingle bound derives from each row's token count (scalar
+  // range() inside list_transform) — no fixture-dependent cap that a
+  // longer document could silently overflow (ADVICE r2).
   private val shinglesSql =
-    """SELECT DISTINCT doc_id AS id,
-      |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-      |     range(1, 4000) t(i)
-      |WHERE i + 2 <= len(toks)""".stripMargin
+    """SELECT DISTINCT id, shingle FROM (
+      |  SELECT doc_id AS id,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))""".stripMargin
 
   private val minhashSql = {
     val mins = (0 until K).map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
@@ -122,11 +125,11 @@ object DedupQueries extends QueryModule {
          |SELECT id AS doc_id, $simhashConcatSql AS simhash FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_winnow" ->
       """WITH pos AS (
-        |  SELECT doc_id AS id, i - 1 AS pos,
-        |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |       range(1, 4000) t(i)
-        |  WHERE i + 2 <= len(toks)),
+        |  SELECT id, u['pos'] AS pos, u['h'] AS h FROM (
+        |    SELECT doc_id AS id,
+        |      unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> {'pos': i - 1, 'h': md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])})) AS u
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))),
         |w AS (SELECT id,
         |    MIN(h) OVER (PARTITION BY id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp

@@ -63,6 +63,25 @@ object EnrichQueries extends QueryModule {
       .orderBy("item_id")
   }
 
+  /** §2.4 requeue — the standalone clients' partial-response semantics:
+    * the scorer answers only ids not divisible by 3 on attempt 1; the
+    * operator must re-send exactly the missing ids (left_anti of the
+    * batch vs the echo) and merge the partial successes, so the final
+    * frame is complete except for perma-failed batches (null-filled per
+    * row). A broken requeue surfaces as nulls on every 3rd id → hash
+    * mismatch. */
+  def enrichRequeue(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = docItems(spark, sfDir)
+    val analysis = Enrich.enrich(
+      items.select("item_id", "signal"),
+      PartialScorer("signal"),
+      EnrichConfig(onFailure = FailureMode.Requeue))
+    Enrich.merge(items.drop("signal"), analysis)
+      .select(col("item_id"), col("doc_id"), col("source"),
+        col("sentiment").cast("int").as("sentiment"))
+      .orderBy("item_id")
+  }
+
   /** The flagship re-based pipeline: user KPIs where sentiment comes from
     * the REAL batch-25 enrichment operator over the facts (not an inline
     * column rule) — scan → join → DenseId → enrich → J1 merge → fused
@@ -78,6 +97,7 @@ object EnrichQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_enrich_merge" -> enrichMerge,
     "q_enrich_drop" -> enrichDrop,
+    "q_enrich_requeue" -> enrichRequeue,
     "q_enrich_kpis" -> enrichKpis)
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +114,15 @@ object EnrichQueries extends QueryModule {
          |FROM documents
          |WHERE NOT ${failedBatchSql("doc_id + 1")}
          |ORDER BY item_id""".stripMargin,
+    // Requeue recovers every dropped id, so the oracle is exactly the
+    // merge oracle: nulls only where the batch perma-failed. The
+    // distinguishing power is NEGATIVE — an operator that fails to
+    // requeue leaves every 3rd id null and mismatches.
+    "q_enrich_requeue" ->
+      s"""SELECT doc_id + 1 AS item_id, doc_id, source,
+         |  CASE WHEN ${failedBatchSql("doc_id + 1")} THEN NULL
+         |       ELSE CAST($lexSignalSql AS INTEGER) END AS sentiment
+         |FROM documents ORDER BY item_id""".stripMargin,
     "q_enrich_kpis" ->
       s"""WITH items AS (${Facts.itemFactsSql}),
          |facts AS (SELECT id, price,

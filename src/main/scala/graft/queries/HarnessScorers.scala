@@ -47,6 +47,28 @@ final case class SentimentScorer(
         (r.getAs[Long]("item_id"), Seq[Any](r.getAs[Boolean](signalCol)))))
 }
 
+/** Partial-response scorer for [[graft.operators.FailureMode.Requeue]]:
+  * attempt 1 answers only the items whose id is NOT divisible by
+  * `dropMod` (the reference's short-LLM-response shape —
+  * `llama_cpp_client.py:102-110` re-queues exactly the missing ids);
+  * attempts ≥ 2 answer everything they are sent. Perma-fail batches
+  * (`bid % failEvery == failEvery-1`) fail whole on every attempt, so
+  * their rows exercise the straggler null-fill. */
+final case class PartialScorer(
+    signalCol: String,
+    dropMod: Int = 3,
+    failEvery: Int = 10) extends Scorer {
+  import ScorerRules._
+  val outputFields: Seq[StructField] = Seq(StructField("sentiment", BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[Row], attempt: Int): Try[Seq[(Long, Seq[Any])]] =
+    if (shouldPermaFail(bid, failEvery))
+      Failure(new RuntimeException(s"batch $bid permanently failed"))
+    else
+      Success(batch
+        .filter(r => attempt > 1 || r.getAs[Long]("item_id") % dropMod != 0)
+        .map(r => (r.getAs[Long]("item_id"), Seq[Any](r.getAs[Boolean](signalCol)))))
+}
+
 /** Go-shaped review scorer: {item_id, classification, review}
   * (`types.go:30-39`). Strings are deterministic functions of the input
   * so DuckDB can mirror them: classification = positive|negative from the

@@ -51,6 +51,29 @@ object IngestQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** K1 — gold snapshot round-trip: aggregate → single-file timestamped
+    * JSON snapshot (`data_loader.py:22-35`, coalesce(1) + errorifexists)
+    * → declared-schema read-back. The oracle aggregates the ORIGINAL
+    * parquet, so a row lost or mangled by the snapshot write/read shows
+    * up as a mismatch. */
+  def goldRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val kpis = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_text"),
+        min(col("doc_id")).as("min_doc"))
+    val dir = s"$scratchRoot/gold_${java.util.UUID.randomUUID()}"
+    val out = Sinks.goldSnapshot(kpis, dir, "2026-01-01T00-00-00Z")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_text", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("min_doc", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(out)
+      .select("source", "n_docs", "total_text", "min_doc")
+      .orderBy("source")
+  }
+
   /** K2 — keyed upsert: per-supplier revenue replaces the account
     * balance; suppliers without lineitem rows keep it. */
   def upsert(spark: SparkSession, sfDir: String): DataFrame = {
@@ -105,6 +128,7 @@ object IngestQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bronze_roundtrip" -> bronzeRoundtrip,
+    "q_gold_roundtrip" -> goldRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_upsert" -> upsert,
@@ -113,6 +137,11 @@ object IngestQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_bronze_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_gold_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_text,
+        |  MIN(doc_id) AS min_doc
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -10,25 +10,72 @@ import org.apache.spark.sql.functions._
   * positions and DuckDB can mirror the stub decoder exactly). */
 object MediaQueries extends QueryModule {
 
-  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Tables.documents(spark, sfDir).select(
+  private def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
       col("doc_id").as("media_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
         .otherwise("video").as("kind"),
       col("text").cast("binary").as("media"))
-    Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 16)
+
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.StubDecoder, batchSize = 16)
       .toDF()
+      .orderBy("media_id")
+
+  private val MaxW = 32
+  private val MaxH = 24
+  private val Stride = 2
+
+  /** Resize + frame-sample wired into a DataFrame-level query: decode →
+    * aspect-fit every frame into a 32×24 box (integer-exact stub) →
+    * every-2nd-frame sample plan. `sampled_frames` is emitted as a
+    * comma-joined string so both engines compare a scalar. */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.StubDecoder, batchSize = 16)
+      .map { f =>
+        val r = Multimodal.resizeStub(f, MaxW, MaxH)
+        val frames = Multimodal.sampleFrames(f, Stride)
+        (f.media_id, f.kind, f.width, f.height, r.width, r.height,
+          frames.length, frames.mkString(","))
+      }
+      .toDF("media_id", "kind", "width", "height", "w2", "h2", "n_sampled", "sampled_frames")
       .orderBy("media_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> mediaFeatures)
+    "q_media_features" -> mediaFeatures,
+    "q_media_resize" -> mediaResize)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
 
+  // stub decoder mirrors (same as q_media_features)
+  private val wSql = s"1 + ${by(0)} % 64"
+  private val hSql = s"1 + ${by(1)} % 64"
+  private val framesSql =
+    "CASE WHEN doc_id % 3 = 2 THEN 1 + CAST(FLOOR(length(text) / 100.0) AS INTEGER) ELSE 1 END"
+
   val oracles: Map[String, String] = Map(
+    "q_media_resize" ->
+      // integer-exact aspect-fit mirror: all operands < 2^53, so the
+      // double FLOOR equals the Scala long integer division
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  $wSql AS w, $hSql AS h, $framesSql AS n_frames
+         |FROM documents)
+         |SELECT media_id, kind, w AS width, h AS height,
+         |  CASE WHEN w <= $MaxW AND h <= $MaxH THEN w
+         |       WHEN h * $MaxW <= w * $MaxH THEN $MaxW
+         |       ELSE greatest(1, CAST(FLOOR(w * $MaxH * 1.0 / h) AS INTEGER)) END AS w2,
+         |  CASE WHEN w <= $MaxW AND h <= $MaxH THEN h
+         |       WHEN h * $MaxW <= w * $MaxH THEN greatest(1, CAST(FLOOR(h * $MaxW * 1.0 / w) AS INTEGER))
+         |       ELSE $MaxH END AS h2,
+         |  CAST(len(range(0, n_frames, $Stride)) AS INTEGER) AS n_sampled,
+         |  array_to_string(range(0, n_frames, $Stride), ',') AS sampled_frames
+         |FROM f ORDER BY media_id""".stripMargin,
     "q_media_features" ->
       s"""SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'

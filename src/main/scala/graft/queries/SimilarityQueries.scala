@@ -64,10 +64,14 @@ object SimilarityQueries extends QueryModule {
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf)
 
+  // dimension bound derives from each vector's length (ADVICE r2: no
+  // silent truncation cap)
   private val qvSql =
-    """SELECT vec_id, i,
-      |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
-      |FROM embeddings, range(1, 9999) t(i) WHERE i <= len(embedding)""".stripMargin
+    """SELECT vec_id, u['i'] AS i,
+      |  CAST(FLOOR(CAST(u['e'] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+      |        i -> {'i': i, 'e': embedding[i]})) AS u
+      |      FROM embeddings)""".stripMargin
 
   private val nrmSql = "SELECT vec_id, SUM(q*q) AS nn FROM qv GROUP BY vec_id"
 

@@ -72,10 +72,9 @@ object TextQueries extends QueryModule {
               s"+ CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) " +
               s"+ CAST(len(list_filter($toksSql, t -> t IN (${stopListSql(Stopwords)}))) AS DOUBLE) / len($toksSql)) / 3.0", 6)} AS quality,
          |  md5(text) AS fp_md5,
-         |  CAST(SUM(ascii(substr(text, i, 1)) * i) AS BIGINT) AS fp_poly
-         |FROM documents, range(1, 5000) r(i)
-         |WHERE i <= length(text)
-         |GROUP BY doc_id, text
+         |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+         |    i -> ascii(substr(text, i, 1)) * i)) AS BIGINT) AS fp_poly
+         |FROM documents
          |ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""SELECT doc_id, lang,

@@ -42,6 +42,10 @@ object EtlPipeline {
     FileQueue.start(spark, bronzeDir, Bronze.productSchema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // operator-internal caches created by THIS batch are released
+          // at the end of it; a snapshot keeps caller-owned caches alive
+          // (clearCache() here would evict the whole session's pins)
+          val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
           // P2: dense ids over the batch's natural unique order
           val items = DenseId.withDenseId(
             batch.withColumn("signal", productSignal),
@@ -55,7 +59,12 @@ object EtlPipeline {
           // K2 gold: upsert this batch's user KPIs into the keyed table
           val kpis = Kpis.userKpis(enriched)
           val goldPath = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis")
+          val bak = new org.apache.hadoop.fs.Path(s"$goldPath.bak")
           val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // crash recovery: a previous batch may have died between
+          // "gold renamed aside" and "tmp renamed in" — the backup IS
+          // the table then; restore it before reading.
+          if (!fs.exists(goldPath) && fs.exists(bak)) fs.rename(bak, goldPath)
           // existence via the Hadoop FS (java.io would always say "no"
           // on hdfs/s3a and silently drop the upsert contract)
           val merged =
@@ -65,11 +74,20 @@ object EtlPipeline {
           // write via temp + move: the upsert reads the table it replaces
           val tmp = new org.apache.hadoop.fs.Path(s"$goldPath.tmp_$batchId")
           merged.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(goldPath, true)
+          // crash-safe swap: the old table is renamed ASIDE (never
+          // deleted before the new one is in place), so at every instant
+          // gold or gold.bak holds one complete copy of the accumulated
+          // KPIs; the recovery rename above heals any crash window.
+          if (fs.exists(bak)) fs.delete(bak, true)
+          if (fs.exists(goldPath)) fs.rename(goldPath, bak)
           fs.rename(tmp, goldPath)
-          // free this batch's operator caches (KPI scoring pins one) —
-          // a long-running stream must not accumulate one per batch
-          spark.catalog.clearCache()
+          fs.delete(bak, true)
+          // free only the caches THIS batch created (KPI scoring pins
+          // one per call) — a long-running stream must not accumulate
+          // one per batch, and must not evict the caller's either
+          val persisted = spark.sparkContext.getPersistentRDDs
+          persisted.keys.filterNot(cachedBefore)
+            .foreach(id => persisted(id).unpersist(blocking = false))
         }
     }
 }

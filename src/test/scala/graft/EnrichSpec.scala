@@ -120,6 +120,61 @@ class EnrichSpec extends AnyFunSuite {
     assert(sentiments(out).values.forall(_.isEmpty))
   }
 
+  test("id-echo contract: foreign ids degrade the batch to its failure mode") {
+    val out = Enrich.enrich(items(5), ForeignIdScorer, EnrichConfig(batchSize = 5))
+    assert(sentiments(out) == (1L to 5L).map(_ -> None).toMap)
+  }
+
+  test("id-echo contract: duplicate ids degrade the batch to its failure mode") {
+    val out = Enrich.enrich(items(5), DuplicateIdScorer, EnrichConfig(batchSize = 5))
+    assert(sentiments(out) == (1L to 5L).map(_ -> None).toMap)
+  }
+
+  test("id-echo contract: a short (partial) response is a violation outside Requeue mode") {
+    val out = Enrich.enrich(items(6),
+      graft.queries.PartialScorer("signal", dropMod = 3, failEvery = 0),
+      EnrichConfig(batchSize = 6, retries = 0)) // NullFill mode, no retry
+    // attempt 1 answers 4 of 6 → contract violation → whole batch null
+    assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
+  test("id-echo contract violations are retried before degrading") {
+    // PartialScorer answers everything from attempt 2 on: with a retry
+    // budget the short first response must recover to a full batch.
+    val out = Enrich.enrich(items(6),
+      graft.queries.PartialScorer("signal", dropMod = 3, failEvery = 0),
+      EnrichConfig(batchSize = 6, retries = 1))
+    assert(sentiments(out).values.forall(_.isDefined))
+  }
+
+  test("requeue: attempt 2 receives EXACTLY the missing ids; partials merge") {
+    RecordingPartialScorer.sent.clear()
+    val out = Enrich.enrich(items(10), RecordingPartialScorer,
+      EnrichConfig(batchSize = 10, onFailure = FailureMode.Requeue))
+    val s = sentiments(out)
+    assert(s.size == 10 && s.values.forall(_.isDefined))
+    assert((1 to 10).forall(i => s(i.toLong).contains(i % 2 == 0)))
+    // the anti-join: attempt 1 saw all 10 ids, attempt 2 only 3,6,9
+    assert(RecordingPartialScorer.sent.get(1).map(_.sorted).contains((1L to 10L).toList))
+    assert(RecordingPartialScorer.sent.get(2).map(_.sorted).contains(List(3L, 6L, 9L)))
+  }
+
+  test("requeue: ids never answered within the retry budget are null-filled per row") {
+    // drops ids % 3 == 0 on EVERY attempt (dropAlways) → only those stay null
+    val out = Enrich.enrich(items(10), AlwaysDroppingScorer,
+      EnrichConfig(batchSize = 10, onFailure = FailureMode.Requeue))
+    val s = sentiments(out)
+    assert(s.size == 10)
+    assert(s.collect { case (id, None) => id }.toSet == Set(3L, 6L, 9L))
+  }
+
+  test("requeue: a batch that perma-fails every attempt null-fills whole") {
+    val out = Enrich.enrich(items(5),
+      graft.queries.PartialScorer("signal", dropMod = 3, failEvery = 1),
+      EnrichConfig(batchSize = 5, onFailure = FailureMode.Requeue))
+    assert(sentiments(out).values.forall(_.isEmpty))
+  }
+
   test("Go-shaped review scorer emits classification + review strings") {
     val out = Enrich.enrich(items(5),
       ReviewScorer("signal", failEvery = 0),
@@ -129,6 +184,51 @@ class EnrichSpec extends AnyFunSuite {
     assert(rows(2L) == (("positive", "review : positive item 2")))
     assert(rows(3L) == (("negative", "review : negative item 3")))
   }
+}
+
+/** Echoes an id that is not in the batch (the reference's schema
+  * validation rejects this — `models_schema.py:16-22`). */
+object ForeignIdScorer extends Scorer {
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] =
+    scala.util.Success(batch.indices.map(i => (999000L + i, Seq[Any](true))))
+}
+
+/** Echoes the first id twice (and drops the last), keeping the count right. */
+object DuplicateIdScorer extends Scorer {
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
+    val first = batch.head.getLong(batch.head.fieldIndex("item_id"))
+    scala.util.Success(batch.indices.map(_ => (first, Seq[Any](true))))
+  }
+}
+
+/** Requeue probe: drops ids % 3 == 0 on attempt 1 only, and records the
+  * id set each attempt received (local-mode static — executors share the
+  * JVM in tests). */
+object RecordingPartialScorer extends Scorer {
+  val sent = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
+    val ids = batch.map(r => r.getLong(r.fieldIndex("item_id"))).toList
+    sent.put(attempt, ids)
+    scala.util.Success(batch
+      .filter(r => attempt > 1 || r.getLong(r.fieldIndex("item_id")) % 3 != 0)
+      .map(r => (r.getLong(r.fieldIndex("item_id")), Seq[Any](r.getAs[Boolean]("signal")))))
+  }
+}
+
+/** Drops ids % 3 == 0 on EVERY attempt — requeue can never finish them. */
+object AlwaysDroppingScorer extends Scorer {
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] =
+    scala.util.Success(batch
+      .filter(r => r.getLong(r.fieldIndex("item_id")) % 3 != 0)
+      .map(r => (r.getLong(r.fieldIndex("item_id")), Seq[Any](r.getAs[Boolean]("signal")))))
 }
 
 /** Simulates a model call that hangs instead of raising. */

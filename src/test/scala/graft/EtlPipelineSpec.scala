@@ -51,5 +51,33 @@ class EtlPipelineSpec extends AnyFunSuite {
     val cols = gold.columns.toSet
     assert(Set("id", "average_spent", "positive_reviews", "negative_reviews",
       "likeness_score", "normalized_likeness_score").subsetOf(cols))
+    // the swap left no backup or temp dirs behind
+    val leftovers = new java.io.File(s"$base/gold").listFiles().map(_.getName).toSet
+    assert(leftovers == Set("user_kpis"), s"unexpected gold leftovers: $leftovers")
+  }
+
+  test("gold swap recovers from a crash that left only the backup copy") {
+    val base = Files.createTempDirectory("graft_etl_crash_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    // simulate the crash window: gold.bak holds the accumulated table,
+    // gold itself is gone (died between rename-aside and rename-in)
+    import spark.implicits._
+    val prior = Seq(("user_9", 99.0, 1L, 1L, 1.0, 0.0))
+      .toDF("id", "average_spent", "positive_reviews", "negative_reviews",
+        "likeness_score", "normalized_likeness_score")
+    prior.write.parquet(s"$base/gold/user_kpis.bak")
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 10).map(productJson).mkString("\n").getBytes)
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver", s"$base/gold",
+      s"$base/ckpt",
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+      EnrichConfig(batchSize = 5))
+    q.awaitTermination(120000)
+    val gold = spark.read.parquet(s"$base/gold/user_kpis")
+    // the recovered user_9 row survived the upsert alongside the new users
+    val ids = gold.select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("user_0", "user_1", "user_2", "user_3", "user_9"))
+    assert(!new java.io.File(s"$base/gold/user_kpis.bak").exists())
   }
 }

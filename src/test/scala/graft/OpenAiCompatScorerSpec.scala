@@ -1,0 +1,133 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.operators.{Enrich, EnrichConfig, OpenAiCompatScorer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The production HTTP scorer against an in-process stub
+  * chat-completions server (no network): request contract (prompt shape,
+  * strict json_schema response_format, auth header), response parsing,
+  * HTTP failure → Failure, timeout → Failure, and end-to-end recovery
+  * through Enrich's retry loop. */
+class OpenAiCompatScorerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Start a one-route stub server; `handler` maps the raw request body
+    * to (status, responseBody). Returns (baseUrl, stop). */
+  private def withServer(handler: String => (Int, String))(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      val req = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastRequest = Some((ex.getRequestHeaders.getFirst("Authorization"), req))
+      val (status, body) = handler(req)
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/v1")
+    finally server.stop(0)
+  }
+
+  @volatile private var lastRequest: Option[(String, String)] = None
+
+  /** A well-formed completion echoing each id with sentiment = id even. */
+  private def completionFor(req: String): String = {
+    // ids appear in the user prompt as " id : <n> , review : ..."
+    val prompt = (JsonMethods.parse(req) \ "messages") match {
+      case JArray(ms) => ms.collectFirst {
+        case m if (m \ "role") == JString("user") =>
+          (m \ "content").asInstanceOf[JString].s
+      }.getOrElse("")
+      case _ => ""
+    }
+    val ids = "id : (\\d+) ,".r.findAllMatchIn(prompt).map(_.group(1).toLong).toList
+    val sentiments = ids.map(id =>
+      s"""{"item_id": $id, "sentiment": ${id % 2 == 0}}""").mkString(",")
+    val content = s"""{"sentiments": [$sentiments]}"""
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "choices" -> JArray(List(JObject(
+        "message" -> JObject(
+          "role" -> JString("assistant"),
+          "content" -> JString(content))))))))
+  }
+
+  private def items(n: Int) =
+    (1 to n).map(i => (i.toLong, s"review text $i")).toDF("item_id", "review")
+
+  private def scorer(baseUrl: String, timeoutMs: Int = 5000) =
+    OpenAiCompatScorer(baseUrl, "test-model", "You are a sentiment classifier.",
+      batchSize = 5, timeoutMs = timeoutMs)
+
+  test("happy path: ids echoed by the server land as sentiments; request honors the contract") {
+    withServer(req => (200, completionFor(req))) { base =>
+      val out = Enrich.enrich(items(5), scorer(base), EnrichConfig(batchSize = 5))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out == (1 to 5).map(i => i.toLong -> (i % 2 == 0)).toMap)
+      val (auth, req) = lastRequest.get
+      assert(auth == "Bearer key")
+      val body = JsonMethods.parse(req)
+      assert((body \ "model") == JString("test-model"))
+      assert((body \ "response_format" \ "type") == JString("json_schema"))
+      assert((body \ "response_format" \ "json_schema" \ "strict") == JBool(true))
+      assert((body \ "response_format" \ "json_schema" \ "schema" \ "properties" \
+        "sentiments" \ "minItems") == JInt(5))
+      // the reference's exact prompt shape (tools.py:51-64)
+      val prompt = (body \ "messages")(1) \ "content"
+      assert(prompt.asInstanceOf[JString].s.startsWith("items :\n id : 1 , review : review text 1 \n"))
+    }
+  }
+
+  test("HTTP 500 every time degrades the batch to null-fill through Enrich") {
+    withServer(_ => (500, """{"error": "boom"}""")) { base =>
+      val out = Enrich.enrich(items(5), scorer(base),
+        EnrichConfig(batchSize = 5, retries = 1))
+        .collect().map(r => r.isNullAt(1))
+      assert(out.length == 5 && out.forall(identity))
+    }
+  }
+
+  test("flaky server: first call 500, second OK — Enrich's retry recovers the batch") {
+    val calls = new AtomicInteger(0)
+    withServer { req =>
+      if (calls.incrementAndGet() == 1) (500, "transient") else (200, completionFor(req))
+    } { base =>
+      val out = Enrich.enrich(items(5), scorer(base),
+        EnrichConfig(batchSize = 5, retries = 2))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out(2L) && !out(3L))
+      assert(calls.get() == 2)
+    }
+  }
+
+  test("malformed content (invalid JSON) is a Failure, not a crash") {
+    withServer { _ =>
+      (200, JsonMethods.compact(JsonMethods.render(JObject(
+        "choices" -> JArray(List(JObject(
+          "message" -> JObject("content" -> JString("not json at all")))))))))
+    } { base =>
+      val out = Enrich.enrich(items(5), scorer(base),
+        EnrichConfig(batchSize = 5, retries = 0))
+        .collect().map(_.isNullAt(1))
+      assert(out.forall(identity))
+    }
+  }
+
+  test("a server slower than the timeout is a Failure (read timeout, not a hang)") {
+    withServer { req => Thread.sleep(2000); (200, completionFor(req)) } { base =>
+      val t0 = System.nanoTime()
+      val result = scorer(base, timeoutMs = 200)
+        .score(0L, items(5).collect().toSeq, attempt = 1)
+      assert(result.isFailure)
+      assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    }
+  }
+}

@@ -63,14 +63,20 @@ object OperatorProps extends Properties("Operators") {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
-  property("salted aggregation equals the direct aggregate exactly") =
-    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(-1e5, 1e5)))) { kvs =>
-      val df = kvs.toDF("k", "v")
+  property("salted aggregation equals the direct aggregate exactly (incl. AVG null-skip)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 5),
+      Gen.option(Gen.chooseNum(-1e5, 1e5))))) { kvs =>
+      val df = kvs.map { case (k, v) => (k, v.map(Double.box).orNull) }.toDF("k", "v")
       val salted = graft.operators.Salt.saltedSumCountAvg(df, col("k"), col("v"), salts = 4)
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
       val direct = df.groupBy("k")
-        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(30,8)")).cast("double").as("t"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(30,8)")).cast("double").as("t"),
+          (sum(col("v").cast("decimal(30,8)")).cast("double") / count(col("v"))).as("m"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
       salted == direct
     }
 

@@ -26,9 +26,12 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(32L, -21L, 2000000000000L, 0L))
   }
 
-  test("length mismatch uses the common prefix (zip semantics)") {
+  test("length mismatch yields null, matching zip_with's null padding") {
     val df = Seq((Array(2L, 3L, 100L), Array(10L, 10L))).toDF("a", "b")
-    assert(df.select(Similarity.dotQ(col("a"), col("b"))).head.getLong(0) == 50L)
+    val r = df.select(
+      Similarity.dotQ(col("a"), col("b")).as("native"),
+      Similarity.dotQBuiltin(col("a"), col("b")).as("builtin")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
   test("null array yields null") {
