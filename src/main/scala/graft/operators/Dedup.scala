@@ -69,6 +69,34 @@ object Dedup {
     shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
   }
 
+  /** MinHash signatures computed per DOCUMENT as array expressions — no
+    * shingle materialization at all: the k minima fold over the in-row
+    * shingle array (`transform` + `array_min`), so the signature frame
+    * comes straight off the document scan as a narrow map (the same
+    * collapse that rewrote winnowing). Value-identical to
+    * [[minhashSignature]] over the exploded stream: MIN over a bag of
+    * per-shingle hashes is MIN over the array of them. Docs too short to
+    * shingle yield null minima (the stream version yields no row); null
+    * band values never match an equality join, so candidate generation
+    * is unaffected. */
+  def minhashSignatureArr(df: DataFrame, idCol: Column, textCol: Column, n: Int, k: Int): DataFrame = {
+    val toks = split(lower(textCol), " ")
+    val shingleArr =
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val minima = (0 until k).map(i =>
+      array_min(transform(col("__sh"),
+        s => md5(concat_ws(":", lit(i.toString), s).cast("binary")))).as(s"m$i"))
+    df.select(idCol.as("id"), toks.as("__toks"))
+      // spread per-doc hashing across cores (a small doc table often
+      // arrives as one file split); also the only exchange in the branch
+      .repartition(col("id"))
+      .select(col("id"), shingleArr.as("__sh"))
+      .select(col("id") +: minima: _*)
+  }
+
   /** Production signature path: xxhash64 int64 minima instead of md5 hex
     * strings — 8 bytes per value instead of a 32-byte string, integer
     * compares in the MIN, integer shuffle keys in the bands. Identical

@@ -30,22 +30,26 @@ object DedupQueries extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // RAW (non-distinct) shingle stream, partitioned by id — reused by
-    // the signature aggregate AND the verify branch, so pin it once.
-    // MIN is duplicate-insensitive, so the signature branch skips the
-    // full-corpus dedup exchange entirely; jaccardVerify restores set
-    // semantics only for candidate ids (a broadcast semi-join shrinks
-    // the stream first). Caller contract: Bench/Verify clear the session
-    // cache between queries; library callers should do the same or
-    // unpersist after materializing.
-    val sh = Dedup.shinglesRaw(
-      Tables.documents(spark, sfDir), col("doc_id"), col("text"), n = 3)
-      .cache()
-    // the signature frame (|docs| rows) feeds BOTH sides of the bucket
-    // self-join — pin it so the minhash aggregate runs once, not twice
-    val sig = Dedup.minhashSignature(sh, K).cache()
-    val cands = Dedup.candidatePairs(Dedup.lshBands(sig, K, BandWidth))
-    Dedup.jaccardVerify(cands, sh, Threshold)
+    val docs = Tables.documents(spark, sfDir)
+    // Signatures fold per-document over the in-row shingle array — the
+    // corpus-wide shingle stream is never materialized for this branch.
+    // The signature frame (|docs| rows) feeds both sides of the bucket
+    // self-join; the candidate frame (|pairs| rows) feeds the id
+    // semi-join and both verify probes. Both are tiny — pin them.
+    // (Cache contract: Bench/Verify clear the session cache between
+    // queries; library callers do the same or unpersist after
+    // materializing.)
+    val sig = Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = K).cache()
+    val cands = Dedup.candidatePairs(Dedup.lshBands(sig, K, BandWidth)).cache()
+    // Exact-Jaccard verification only ever looks at candidate ids, so
+    // shingle explosion is confined to candidate DOCUMENTS up front
+    // (LSH candidates are a vanishing fraction of the corpus);
+    // jaccardVerify's internal candidate-id semi-join is a no-op on the
+    // pre-filtered stream.
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerify(cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), Threshold)
       .orderBy("id_a", "id_b")
   }
 

@@ -29,6 +29,12 @@ object EtlPipeline {
   private val productSignal: org.apache.spark.sql.Column =
     col("description").contains("fast") && !col("description").contains("slow")
 
+  /** Gold-table bucket count: enough that one batch touches a fraction
+    * of the table, few enough that bucket files stay chunky. At real
+    * scale this is sized like any clustering key (≈ table size / target
+    * file size). */
+  val GoldBuckets = 16
+
   def start(
       spark: SparkSession,
       bronzeDir: String,
@@ -57,31 +63,48 @@ object EtlPipeline {
           // K4 silver (50k-row chunks in production; here per micro-batch)
           Sinks.chunkedWrite(enriched, s"$silverDir/batch_$batchId")
           // K2 gold: upsert this batch's user KPIs into the keyed table
+          // K2 gold — BUCKET-PARTITIONED upsert: the table is laid out
+          // as kbucket=<hash(id) % NBuckets> parquet partitions, and a
+          // batch rewrites ONLY the buckets its keys touch — O(|batch|)
+          // per trigger, not O(|table|), so a long-running stream over a
+          // growing KPI table stays flat (the VERDICT r2 stretch; the
+          // production-engine equivalent is MERGE INTO on a clustered
+          // Delta/Iceberg table, same algebra, Sinks.upsertByKey).
+          //
+          // Crash contract: dynamic partition overwrite stages files
+          // and commits per partition — the table is never deleted as a
+          // whole (no delete-then-rename loss window). A crash can leave
+          // SOME touched buckets new and some old; the unfinished batch
+          // is then replayed from the checkpoint and re-merges the same
+          // updates — upsertByKey replaces by key, so the re-apply is
+          // idempotent and heals every partial bucket.
           val kpis = Kpis.userKpis(enriched)
+            .withColumn("kbucket",
+              pmod(xxhash64(col("id")), lit(GoldBuckets)).cast("int"))
           val goldPath = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis")
-          val bak = new org.apache.hadoop.fs.Path(s"$goldPath.bak")
           val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // crash recovery: a previous batch may have died between
-          // "gold renamed aside" and "tmp renamed in" — the backup IS
-          // the table then; restore it before reading.
-          if (!fs.exists(goldPath) && fs.exists(bak)) fs.rename(bak, goldPath)
+          // bounded driver-side list (≤ GoldBuckets entries, not data-sized)
+          val touched = kpis.select("kbucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
           // existence via the Hadoop FS (java.io would always say "no"
           // on hdfs/s3a and silently drop the upsert contract)
           val merged =
             if (fs.exists(goldPath))
-              Sinks.upsertByKey(spark.read.parquet(goldPath.toString), kpis, Seq("id"))
+              Sinks.upsertByKey(
+                // partition-pruned: only the touched buckets are read
+                spark.read.parquet(goldPath.toString)
+                  .filter(col("kbucket").isin(touched: _*)),
+                kpis, Seq("id"))
             else kpis
-          // write via temp + move: the upsert reads the table it replaces
-          val tmp = new org.apache.hadoop.fs.Path(s"$goldPath.tmp_$batchId")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          // crash-safe swap: the old table is renamed ASIDE (never
-          // deleted before the new one is in place), so at every instant
-          // gold or gold.bak holds one complete copy of the accumulated
-          // KPIs; the recovery rename above heals any crash window.
-          if (fs.exists(bak)) fs.delete(bak, true)
-          if (fs.exists(goldPath)) fs.rename(goldPath, bak)
-          fs.rename(tmp, goldPath)
-          fs.delete(bak, true)
+          // materialize BEFORE the write: the merge read the very
+          // partitions the dynamic overwrite replaces
+          val pinned = merged.localCheckpoint(true)
+          pinned.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kbucket")
+            .parquet(goldPath.toString)
+          pinned.unpersist(blocking = false)
           // free only the caches THIS batch created (KPI scoring pins
           // one per call) — a long-running stream must not accumulate
           // one per batch, and must not evict the caller's either

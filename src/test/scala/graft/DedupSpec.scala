@@ -45,6 +45,22 @@ class DedupSpec extends AnyFunSuite {
     assert(fromRaw.toSeq == fromDistinct.toSeq)
   }
 
+  test("per-document array signature equals the exploded-stream signature") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b c a b c a b c d"), // heavy duplication
+      (3L, "too short"))           // < n tokens: stream yields no row
+      .toDF("id", "text")
+    val arr = Dedup.minhashSignatureArr(df, col("id"), col("text"), 3, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val stream = Dedup.minhashSignature(Dedup.shinglesRaw(df, col("id"), col("text"), 3), 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(stream.keySet == Set(1L, 2L))
+    stream.foreach { case (id, sig) => assert(arr(id) == sig) }
+    // the shingle-less doc gets all-null minima in the array form
+    assert(arr(3L).forall(_ == null))
+  }
+
   test("fast xxhash64 path verifies the same near-dup pairs as the md5 path") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

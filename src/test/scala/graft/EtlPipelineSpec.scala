@@ -56,28 +56,51 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(leftovers == Set("user_kpis"), s"unexpected gold leftovers: $leftovers")
   }
 
-  test("gold swap recovers from a crash that left only the backup copy") {
-    val base = Files.createTempDirectory("graft_etl_crash_").toString
+  test("gold upsert rewrites ONLY the buckets the batch touches (sub-linear growth)") {
+    val base = Files.createTempDirectory("graft_etl_buckets_").toString
     val bronze = s"$base/bronze/new"
     new java.io.File(bronze).mkdirs()
-    // simulate the crash window: gold.bak holds the accumulated table,
-    // gold itself is gone (died between rename-aside and rename-in)
-    import spark.implicits._
-    val prior = Seq(("user_9", 99.0, 1L, 1L, 1.0, 0.0))
-      .toDF("id", "average_spent", "positive_reviews", "negative_reviews",
-        "likeness_score", "normalized_likeness_score")
-    prior.write.parquet(s"$base/gold/user_kpis.bak")
+    def run(): Unit = {
+      val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+        s"$base/gold", s"$base/ckpt",
+        SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+        EnrichConfig(batchSize = 5))
+      q.awaitTermination(120000)
+    }
+    // batch 1: users 0..3
     Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
-      (0 until 10).map(productJson).mkString("\n").getBytes)
-    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver", s"$base/gold",
-      s"$base/ckpt",
-      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
-      EnrichConfig(batchSize = 5))
-    q.awaitTermination(120000)
+      (0 until 40).map(productJson).mkString("\n").getBytes)
+    run()
+    def goldFiles(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$base/gold/user_kpis"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = goldFiles()
+    assert(before.nonEmpty)
+    // batch 2: rows for user_0 ONLY (ids ≡ 0 mod 4)
+    Files.write(java.nio.file.Paths.get(bronze, "d2.json"),
+      (0 until 40 by 4).map(productJson).mkString("\n").getBytes)
+    run()
+    val after = goldFiles()
+    // which bucket holds user_0?
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val b0 = Seq("user_0").toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(EtlPipeline.GoldBuckets)).cast("int"))
+      .head.getInt(0)
+    // every file OUTSIDE user_0's bucket survived byte-identical in place;
+    // the touched bucket was rewritten (fresh files)
+    val untouchedBefore = before.filterNot(_._1.contains(s"kbucket=$b0"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"kbucket=$b0"))
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched buckets were rewritten:\n$untouchedBefore\nvs\n$untouchedAfter")
+    assert(after.keys.exists(_.contains(s"kbucket=$b0")))
+    // and the table still carries all four users (user_0 from batch 2)
     val gold = spark.read.parquet(s"$base/gold/user_kpis")
-    // the recovered user_9 row survived the upsert alongside the new users
-    val ids = gold.select("id").collect().map(_.getString(0)).toSet
-    assert(ids == Set("user_0", "user_1", "user_2", "user_3", "user_9"))
-    assert(!new java.io.File(s"$base/gold/user_kpis.bak").exists())
+    assert(gold.select("id").collect().map(_.getString(0)).toSet ==
+      Set("user_0", "user_1", "user_2", "user_3"))
   }
 }
