@@ -221,6 +221,55 @@ object Dedup {
             .otherwise(array().cast("array<string>"))).as("fp"))
   }
 
+  /** Near-dup CLUSTERING: verified pairs → connected components →
+    * (id, canon_id = min id of the component) — the canonicalization
+    * step every dedup pipeline ends with (keep one representative per
+    * cluster, drop the rest).
+    *
+    * Min-label propagation with a driver-side convergence loop: each
+    * round joins the label frame to the (bidirected) edge list and takes
+    * the per-node MIN. Scale rationale: this operator runs on the
+    * VERIFIED-PAIR graph, which is a vanishing fraction of the corpus by
+    * construction (LSH buckets → Jaccard threshold), and near-dup
+    * components are shallow (dup clusters, not social graphs) — the
+    * loop converges in O(component diameter) rounds of small joins. The
+    * driver never sees rows, only the converged/not-converged count.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // materialize the (tiny) pair frame ONCE: the bidirected edge union
+    // references it twice, and the upstream that produced it (a whole
+    // LSH + verification pipeline) must not run per branch
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    // Each round references the previous label frame TWICE (propagation
+    // join + union), so an un-truncated lineage doubles per round and
+    // plan processing blows up on deep chains — localCheckpoint makes
+    // every round's result a leaf (the frames are candidate-graph-sized,
+    // i.e. tiny next to the corpus).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "canon_id")
+  }
+
   /** Streaming exact dedup: state-backed duplicate drop bounded by the
     * event-time watermark (the streaming member of the family). */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =

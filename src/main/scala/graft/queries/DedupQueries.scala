@@ -29,7 +29,19 @@ object DedupQueries extends QueryModule {
         Rnd.r(StableAgg.ssum(col("l_extendedprice")), 2).as("total_price")))
       .orderBy("l_orderkey", "l_linenumber")
 
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairs(spark, sfDir).orderBy("id_a", "id_b")
+
+  /** Canonicalization over the verified near-dup pairs: connected
+    * components → (doc_id, canon_id = min doc of the cluster) — the
+    * keep-one-representative step. Oracled via DuckDB's RECURSIVE
+    * transitive closure over the identical pair chain. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // Signatures fold per-document over the in-row shingle array — the
     // corpus-wide shingle stream is never materialized for this branch.
@@ -50,7 +62,6 @@ object DedupQueries extends QueryModule {
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     Dedup.jaccardVerify(cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), Threshold)
-      .orderBy("id_a", "id_b")
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -68,6 +79,7 @@ object DedupQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_winnow" -> dedupWinnow)
 
@@ -91,6 +103,25 @@ object DedupQueries extends QueryModule {
     s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
   }.mkString(" UNION ALL ")
 
+  /** The whole banded-LSH + verification chain up to `ver(id_a, id_b,
+    * jaccard)` — shared by the pair query and the clustering closure. */
+  private val pairChainSql =
+    s"""sh AS ($shinglesSql),
+       |sig AS ($minhashSql),
+       |bands AS ($bandsSql),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+       |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.id = c.id_a
+       |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.id_a, c.id_b),
+       |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold)""".stripMargin
+
   private val simhashBitsSql = (0 until 16).map(j =>
     s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
     .mkString(", ")
@@ -105,22 +136,19 @@ object DedupQueries extends QueryModule {
          |FROM lineitem GROUP BY l_orderkey, l_linenumber
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shinglesSql),
-         |sig AS ($minhashSql),
-         |bands AS ($bandsSql),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
-         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-         |  FROM cand c
-         |  JOIN sh sa ON sa.id = c.id_a
-         |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.id_a, c.id_b)
-         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $pairChainSql
+         |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairChainSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, MIN(b) AS canon_id FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT DISTINCT id, tok FROM
          |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),

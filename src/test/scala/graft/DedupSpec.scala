@@ -81,6 +81,21 @@ class DedupSpec extends AnyFunSuite {
     assert(fastPairs == slowPairs)
   }
 
+  test("clusters: transitive pairs collapse to min-id components; singletons untouched") {
+    // 1-2, 2-3 chain → component {1,2,3}; 5-6 → {5,6}; 9 never appears
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("clusters: a long chain converges (diameter > 2 needs multiple rounds)") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("simhash: identical token sets get identical signatures, disjoint sets differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan CONTRACTS for the scale-critical queries — the properties that
+  * make these plans survive a 100× scale-up, pinned as assertions so a
+  * refactor that silently un-pushes a filter, widens a scan, or adds a
+  * corpus-wide shuffle fails the build, not the next benchmark.
+  *
+  * AQE is toggled off per-assertion (the executed plan is otherwise an
+  * opaque AdaptiveSparkPlan wrapper pre-execution); harness sessions
+  * keep AQE on.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def staticPlan(build: => DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => s }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  test("q1_agg: shipdate predicate reaches the parquet scan; unused columns pruned") {
+    val plan = staticPlan(graft.queries.KpiQueries.q1Agg(spark, sf))
+    val scan = scans(plan).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed: $pushed")
+    val read = scan.metadata("ReadSchema")
+    // the 7 aggregate inputs + 2 keys + the filter column only
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_shipdate").foreach(c =>
+      assert(read.contains(c), s"$c missing from ReadSchema: $read"))
+    Seq("l_comment", "l_partkey", "l_orderkey", "l_shipmode").foreach(c =>
+      assert(!read.contains(c), s"$c NOT pruned from ReadSchema: $read"))
+  }
+
+  test("q_minmax_norm: both branches scan exactly the two needed customer columns") {
+    val plan = staticPlan(graft.queries.KpiQueries.minmaxNorm(spark, sf))
+    val reads = scans(plan).map(_.metadata("ReadSchema"))
+    assert(reads.nonEmpty)
+    // the agg branch prunes to c_acctbal ALONE; the projection branch
+    // reads the two output columns; nothing reads the wide columns
+    reads.foreach { read =>
+      assert(read.contains("c_acctbal"), read)
+      assert(!read.contains("c_name") && !read.contains("c_address") &&
+        !read.contains("c_comment"), s"customer scan not pruned: $read")
+    }
+    assert(reads.exists(_.contains("c_custkey")), reads.mkString("; "))
+  }
+
+  test("q_dedup_minhash: no corpus-wide shuffle beyond the compute-spreading id repartition") {
+    // 3 shuffles total: signature repartition(id), candidate-pair
+    // distinct (a |pairs|-sized frame), output sort. The verify branch
+    // must stay broadcast-only — a 4th+ shuffle means the full shingle
+    // stream is being moved again.
+    val plan = staticPlan(graft.queries.DedupQueries.dedupMinhash(spark, sf))
+    val ex = shuffles(plan)
+    assert(ex.size <= 3, s"minhash grew a shuffle: ${ex.size}\n${ex.map(_.outputPartitioning)}")
+    spark.catalog.clearCache() // dedupMinhash pins sig + candidates
+  }
+
+  test("q_dedup_winnow: narrow map — exactly the id repartition plus the output sort") {
+    val plan = staticPlan(graft.queries.DedupQueries.dedupWinnow(spark, sf))
+    assert(shuffles(plan).size == 2,
+      s"winnow must not re-grow window/distinct exchanges:\n$plan")
+  }
+
+  test("q_limit_topn: zero exchanges (TakeOrderedAndProject, no global sort)") {
+    val plan = staticPlan(graft.queries.RelationalQueries.limitTopN(spark, sf))
+    assert(shuffles(plan).isEmpty, s"top-n must not shuffle:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+  }
+
+  test("q_sim_topk: the corpus side never shuffles for the query join (queries broadcast)") {
+    val plan = staticPlan(graft.queries.SimilarityQueries.simTopK(spark, sf))
+    // exchanges allowed: the per-query top-k window + output sort — both
+    // over the (tiny) |queries|×|corpus-in-bucket| result, never the corpus
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      s"expected a broadcast for the query side:\n$plan")
+  }
+}
