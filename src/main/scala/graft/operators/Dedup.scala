@@ -254,16 +254,18 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // the old label rides along in the SAME materialization job, so
+      // the convergence probe below reads checkpointed blocks instead
+      // of launching a second join job per round
       val next = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      converged = next.filter(col("label") =!= col("old")).isEmpty
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist(blocking = false)

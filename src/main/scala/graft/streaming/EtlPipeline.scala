@@ -57,9 +57,13 @@ object EtlPipeline {
             batch.withColumn("signal", productSignal),
             Seq(col("id"), col("shop_id"), col("product_name"), col("date")),
             "item_id")
-          // §2.9 + J1
+          // §2.9 + J1. The enriched frame feeds TWO actions (silver
+          // write, gold KPI upsert) — pin it so the scorer runs ONCE per
+          // batch: an uncached plan would re-invoke the model for the
+          // second action, doubling LLM calls. Released by the
+          // batch-scoped unpersist below.
           val analysis = Enrich.enrich(items.select("item_id", "signal"), scorer, cfg)
-          val enriched = Enrich.merge(items.drop("signal"), analysis)
+          val enriched = Enrich.merge(items.drop("signal"), analysis).cache()
           // K4 silver (50k-row chunks in production; here per micro-batch)
           Sinks.chunkedWrite(enriched, s"$silverDir/batch_$batchId")
           // K2 gold: upsert this batch's user KPIs into the keyed table

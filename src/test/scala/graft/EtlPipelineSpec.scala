@@ -56,6 +56,23 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(leftovers == Set("user_kpis"), s"unexpected gold leftovers: $leftovers")
   }
 
+  test("the scorer runs ONCE per batch although silver AND gold consume the enrichment") {
+    val base = Files.createTempDirectory("graft_etl_once_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    // 20 rows, batchSize 5 → exactly 4 batches
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 20).map(productJson).mkString("\n").getBytes)
+    CountingScorer.calls.set(0)
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+      s"$base/gold", s"$base/ckpt", CountingScorer,
+      graft.operators.EnrichConfig(batchSize = 5))
+    q.awaitTermination(120000)
+    assert(CountingScorer.calls.get() == 4,
+      s"scorer invoked ${CountingScorer.calls.get()} times for 4 batches — " +
+        "an uncached enrichment frame re-scores for the second sink")
+  }
+
   test("gold upsert rewrites ONLY the buckets the batch touches (sub-linear growth)") {
     val base = Files.createTempDirectory("graft_etl_buckets_").toString
     val bronze = s"$base/bronze/new"
@@ -102,5 +119,18 @@ class EtlPipelineSpec extends AnyFunSuite {
     val gold = spark.read.parquet(s"$base/gold/user_kpis")
     assert(gold.select("id").collect().map(_.getString(0)).toSet ==
       Set("user_0", "user_1", "user_2", "user_3"))
+  }
+}
+
+/** Echoes the signal and counts score() invocations (local-mode static —
+  * executors share the JVM in tests). */
+object CountingScorer extends graft.operators.Scorer {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val outputFields = Seq(org.apache.spark.sql.types.StructField(
+    "sentiment", org.apache.spark.sql.types.BooleanType, nullable = true))
+  def score(bid: Long, batch: Seq[org.apache.spark.sql.Row], attempt: Int): scala.util.Try[Seq[(Long, Seq[Any])]] = {
+    calls.incrementAndGet()
+    scala.util.Success(batch.map(r =>
+      (r.getLong(r.fieldIndex("item_id")), Seq[Any](r.getAs[Boolean]("signal")))))
   }
 }
