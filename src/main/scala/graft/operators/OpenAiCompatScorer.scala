@@ -17,7 +17,8 @@ import scala.util.Try
   *  - request: system + user messages, `response_format: json_schema`
   *    with `strict: true` and the reference's `Response` schema — a
   *    `sentiments` array of `{item_id, sentiment}` pinned to exactly
-  *    `batchSize` items (`models_schema.py:16-22` min/max_length=25);
+  *    the batch's item count (`models_schema.py:16-22`; see
+  *    [[responseSchema]] for the tail-batch divergence);
   *  - per-call timeout (60 s — `data_transformer.py:50`) enforced as both
   *    connect and read timeout;
   *  - response: `choices[0].message.content` parsed as the `Response`
@@ -38,7 +39,6 @@ final case class OpenAiCompatScorer(
     model: String,
     systemPrompt: String,
     reviewCol: String = "review",
-    batchSize: Int = 25,
     timeoutMs: Int = 60000,
     apiKey: String = "key") extends Scorer {
 
@@ -59,8 +59,12 @@ final case class OpenAiCompatScorer(
 
   /** The pydantic `Response.model_json_schema()` shape the reference
     * sends (`models_schema.py:5-22`): strict object schema, sentiments
-    * pinned to exactly `batchSize` entries. */
-  private def responseSchema: JObject =
+    * pinned to an exact entry count. Divergence (deliberate): the
+    * reference pins 25 unconditionally, which makes a SHORT TAIL batch
+    * unsatisfiable under `strict` (the model cannot both echo the
+    * tail's ids and return 25 items) — we pin to the actual batch size,
+    * so the schema and the id-echo contract agree on every batch. */
+  private def responseSchema(nItems: Int): JObject =
     JObject(
       "type" -> JString("object"),
       "properties" -> JObject(
@@ -73,8 +77,8 @@ final case class OpenAiCompatScorer(
               "sentiment" -> JObject("type" -> JString("boolean"))),
             "required" -> JArray(List(JString("item_id"), JString("sentiment"))),
             "additionalProperties" -> JBool(false)),
-          "minItems" -> JInt(batchSize),
-          "maxItems" -> JInt(batchSize))),
+          "minItems" -> JInt(nItems),
+          "maxItems" -> JInt(nItems))),
       "required" -> JArray(List(JString("sentiments"))),
       "additionalProperties" -> JBool(false))
 
@@ -90,7 +94,7 @@ final case class OpenAiCompatScorer(
           "name" -> JString("sentiment_analysis_response"),
           "description" -> JString(
             "Response containing sentiment analysis for product reviews"),
-          "schema" -> responseSchema,
+          "schema" -> responseSchema(batch.size),
           "strict" -> JBool(true))))
     JsonMethods.compact(JsonMethods.render(body))
   }

@@ -23,9 +23,11 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
     * to (status, responseBody). Returns (baseUrl, stop). */
   private def withServer(handler: String => (Int, String))(f: String => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    requests.clear()
     server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
       val req = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       lastRequest = Some((ex.getRequestHeaders.getFirst("Authorization"), req))
+      requests.add(req)
       val (status, body) = handler(req)
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(status, bytes.length)
@@ -38,6 +40,7 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
   }
 
   @volatile private var lastRequest: Option[(String, String)] = None
+  private val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** A well-formed completion echoing each id with sentiment = id even. */
   private def completionFor(req: String): String = {
@@ -65,7 +68,7 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
 
   private def scorer(baseUrl: String, timeoutMs: Int = 5000) =
     OpenAiCompatScorer(baseUrl, "test-model", "You are a sentiment classifier.",
-      batchSize = 5, timeoutMs = timeoutMs)
+      timeoutMs = timeoutMs)
 
   test("happy path: ids echoed by the server land as sentiments; request honors the contract") {
     withServer(req => (200, completionFor(req))) { base =>
@@ -83,6 +86,27 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
       // the reference's exact prompt shape (tools.py:51-64)
       val prompt = (body \ "messages")(1) \ "content"
       assert(prompt.asInstanceOf[JString].s.startsWith("items :\n id : 1 , review : review text 1 \n"))
+    }
+  }
+
+  test("a short TAIL batch pins the schema to the tail's size, not the configured 25") {
+    withServer(req => (200, completionFor(req))) { base =>
+      // 7 items, batchSize 5 → tail batch of 2; both must come back scored
+      val out = Enrich.enrich(items(7), scorer(base), EnrichConfig(batchSize = 5))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out.size == 7)
+      // batches run on concurrent tasks — find the tail's request by its
+      // 2-id prompt rather than assuming arrival order
+      import scala.jdk.CollectionConverters._
+      val byItems = requests.asScala.toSeq.map { req =>
+        val prompt = ((JsonMethods.parse(req) \ "messages")(1) \ "content")
+          .asInstanceOf[JString].s
+        "id : (\\d+) ,".r.findAllMatchIn(prompt).size -> req
+      }.toMap
+      assert(byItems.keySet == Set(5, 2), byItems.keys)
+      val mm = JsonMethods.parse(byItems(2)) \ "response_format" \ "json_schema" \
+        "schema" \ "properties" \ "sentiments"
+      assert((mm \ "minItems") == JInt(2) && (mm \ "maxItems") == JInt(2), mm)
     }
   }
 
