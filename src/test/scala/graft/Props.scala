@@ -95,6 +95,31 @@ object OperatorProps extends Properties("Operators") {
         byDoc.getOrElse(1L, Set.empty).subsetOf(allShingleHashes)
     }
 
+  property("clusters equals a brute-force union-find on random pair graphs") =
+    Prop.forAll(Gen.chooseNum(1, 12), Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))) {
+      (n, rawPairs) =>
+        val pairs = rawPairs.collect { case (a, b) if a != b && a <= n && b <= n =>
+          (math.min(a, b), math.max(a, b))
+        }.distinct
+        pairs.isEmpty || {
+          // brute-force union-find reference
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          pairs.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          val expected = nodes.map(v => v -> find(v)).toMap
+          val got = graft.operators.Dedup.clusters(pairs.toDF("id_a", "id_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          got == expected
+        }
+    }
+
   property("pool assignment over one full cycle uses every pool member equally") =
     Prop.forAll(Gen.chooseNum(2, 12), Gen.oneOf(7L, 11L, 13L, 104729L)) { (poolSize, a) =>
       (a % poolSize == 0) || {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Sample
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation samplers' contracts: hash-gate membership is a
+  * deterministic per-key property (not a row-count draw), and the
+  * stratified head caps every stratum at k with a stable, key-derived
+  * order. */
+class SampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (1L to 200L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+
+  test("hashSample: a subset, stable across runs, and exactly the md5-gated keys") {
+    val a = Sample.hashSample(docs, col("id"), Seq("0", "1"))
+      .collect().map(_.getLong(0)).toSet
+    val b = Sample.hashSample(docs, col("id"), Seq("0", "1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash gate must be deterministic")
+    assert(a.nonEmpty && a.size < 200, s"2/16 gate selected ${a.size} of 200")
+    // the gate is exactly the md5 first-hex-char predicate, per key
+    val expected = (1L to 200L).filter { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val first = f"${d(0) & 0xff}%02x".charAt(0)
+      first == '0' || first == '1'
+    }.toSet
+    assert(a == expected)
+  }
+
+  test("hashSample of the full hex alphabet keeps every row") {
+    val all = Sample.hashSample(docs, col("id"), "0123456789abcdef".map(_.toString))
+    assert(all.count() == 200)
+  }
+
+  test("stratifiedHead: every stratum capped at k; ranks dense from 1; deterministic") {
+    val out = Sample.stratifiedHead(docs, col("lang"), col("id"), k = 10)
+      .select("lang", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = out.groupBy(_._1)
+    assert(byLang.keySet == Set("lang0", "lang1", "lang2"))
+    byLang.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10))
+    }
+    val again = Sample.stratifiedHead(docs, col("lang"), col("id"), k = 10)
+      .select("lang", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("stratifiedHead keeps whole strata smaller than k") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "lang")
+    val out = Sample.stratifiedHead(tiny, col("lang"), col("id"), k = 10)
+    assert(out.count() == 3)
+  }
+}
