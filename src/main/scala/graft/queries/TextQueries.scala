@@ -40,9 +40,32 @@ object TextQueries extends QueryModule {
         Profiles.keys.toSeq.sorted.map(l => col(s"hits_$l")) :+ col("predicted_lang"): _*)
       .orderBy("doc_id")
 
+  /** Corpus-wide vocabulary heavy-hitters: explode tokens → count →
+    * top-K. Partial aggregation combines per-task before the single
+    * |vocab|-sized shuffle, and the top-K is TakeOrdered (per-partition
+    * heaps + driver merge of K rows) — the canonical corpus-stats scan
+    * shape at any scale. Ties broken by token for determinism. */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Document-length histogram in width-50 buckets: one narrow map +
+    * one tiny aggregate — the length-distribution profile used to pick
+    * truncation/packing thresholds. */
+  def lenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
-    "q_text_langid" -> textLangId)
+    "q_text_langid" -> textLangId,
+    "q_vocab_topk" -> vocabTopK,
+    "q_len_histogram" -> lenHistogram)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -80,5 +103,13 @@ object TextQueries extends QueryModule {
       s"""SELECT doc_id, lang,
          |  $langHitsSql,
          |  $langCaseSql AS predicted_lang
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_len_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 50.0) * 50 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)
 }
