@@ -30,7 +30,7 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("| query | shuffle exchanges | broadcast joins | sort-merge joins | parquet scans | in-memory scans | codegen spans |")
+    println("| query | shuffle exchanges | broadcast joins | sort-merge joins | file scans | in-memory scans | codegen spans |")
     println("|---|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -61,6 +61,7 @@ object PlanAudit {
         println(s"| $name | ERROR ${e.getMessage.take(40)} | - | - | - | - | - |")
       }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

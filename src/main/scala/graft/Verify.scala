@@ -23,8 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free per-query operator caches so 28 queries don't accumulate
+      // free per-query operator caches so 40+ queries don't accumulate;
+      // the RDD sweep also releases localCheckpoint blocks (cluster
+      // rounds), which clearCache alone does not touch
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
