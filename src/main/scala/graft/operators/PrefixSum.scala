@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed running total (prefix sum) over a total order — the
+  * primitive behind sequence PACKING (assigning documents to
+  * fixed-token-budget training bins), running byte/row quotas, and
+  * monotonic watermark columns.
+  *
+  * The naive spelling, `sum(v).over(Window.orderBy(...))` with no
+  * partition key, funnels the whole frame through ONE task — unusable
+  * at scale. This is the two-phase formulation (same shape as
+  * [[DenseId]]): range-partition by the order columns and sort within
+  * partitions, take each partition's subtotal (one lightweight job over
+  * partition tails), prefix-sum the ≤numPartitions subtotals on the
+  * driver, and emit per-row running totals with the partition's offset
+  * added — every heavy step stays parallel.
+  *
+  * The value column is summed as Long (token/byte counts — the packing
+  * domain); order must be total for deterministic output.
+  */
+object PrefixSum {
+
+  /** Appends `outCol` = inclusive running total of `valueCol` in
+    * `orderCols` order. */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val prepared = df.withColumn("__v", valueCol.cast("long"))
+    val sorted = prepared.orderBy(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    // one pass for per-partition subtotals (runs the sort; the second
+    // pass below reuses its shuffle files — see DenseId's note on the
+    // same tradeoff)
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions
+    val outSchema = StructType(
+      sorted.schema.fields.filterNot(_.name == "__v") :+ StructField(outCol, LongType, nullable = false))
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = offsets(pid)
+      it.map { r =>
+        running += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ running)
+      }
+    }
+    spark.createDataFrame(indexed, outSchema)
+  }
+
+  /** Sequence packing, offset-based: concatenate rows in `orderCols`
+    * order and slice the stream at `budget` boundaries — `bin =
+    * floor(start_offset / budget)` where `start_offset = running - v`.
+    * This is the GPT-style concat-then-slice packing scheme (documents
+    * may straddle a sequence boundary; the bin is where the document
+    * STARTS), chosen over first-fit because first-fit's close-the-bin
+    * decision is inherently sequential while offsets come from the
+    * parallel prefix sum above. Emits `outCol` (bin id) and keeps the
+    * running total as `<outCol>_end`. */
+  def packByBudget(df: DataFrame, orderCols: Seq[Column], valueCol: Column, budget: Long, outCol: String): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    import org.apache.spark.sql.functions._
+    withRunningTotal(df, orderCols, valueCol, s"${outCol}_end")
+      .withColumn(outCol,
+        floor((col(s"${outCol}_end") - valueCol.cast("long")) / budget).cast("long"))
+  }
+}

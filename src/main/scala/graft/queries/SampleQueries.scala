@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Sample
+import graft.operators.{PrefixSum, Sample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,9 +25,22 @@ object SampleQueries extends QueryModule {
       .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy("lang", "rk")
 
+  private val PackBudget = 2048L
+
+  /** Offset-based sequence packing of the corpus into 2048-char bins in
+    * doc_id order: distributed prefix sum (no whole-frame window) +
+    * slice-at-boundary bin ids. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    PrefixSum.packByBudget(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), PackBudget, "bin")
+      .select(col("doc_id"), col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> sampleHash,
-    "q_sample_strat" -> sampleStrat)
+    "q_sample_strat" -> sampleStrat,
+    "q_pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -40,5 +53,11 @@ object SampleQueries extends QueryModule {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
          |SELECT lang, doc_id, rk FROM r WHERE rk <= $StratK
-         |ORDER BY lang, rk""".stripMargin)
+         |ORDER BY lang, rk""".stripMargin,
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,
+         |  CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)
+         |    / $PackBudget.0) AS BIGINT) AS bin
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

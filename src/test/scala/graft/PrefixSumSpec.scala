@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed prefix sum must equal the (unscalable) whole-frame
+  * window spelling, independent of input partitioning; packing slices
+  * the concatenated stream at budget boundaries. */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = (1L to 100L).map(i => (i, (i * 7) % 13 + 1)).toDF("id", "v")
+
+  test("running total equals the single-partition window spelling") {
+    val dist = PrefixSum.withRunningTotal(df, Seq(col("id")), col("v"), "rt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val win = df.withColumn("rt",
+      sum(col("v")).over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == win)
+  }
+
+  test("output is independent of the input's physical partitioning") {
+    val a = PrefixSum.withRunningTotal(df.repartition(1), Seq(col("id")), col("v"), "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = PrefixSum.withRunningTotal(df.repartition(7), Seq(col("id")), col("v"), "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("packing: bins slice the stream at budget boundaries; straddlers bin by START offset") {
+    // lengths 5,5,5 with budget 12: starts 0,5,10 → bins 0,0,0; next
+    // start 15 → bin 1
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "len")
+    val out = PrefixSum.packByBudget(docs, Seq(col("id")), col("len"), 12L, "bin")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("packing: an oversized row occupies its own bin range without failing") {
+    val docs = Seq((1L, 3L), (2L, 40L), (3L, 3L)).toDF("id", "len")
+    val out = PrefixSum.packByBudget(docs, Seq(col("id")), col("len"), 10L, "bin")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    // starts: 0, 3, 43 → bins 0, 0, 4
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 4L))
+  }
+}
