@@ -61,11 +61,28 @@ object TextQueries extends QueryModule {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
 
+  /** Exact per-language length quantiles (type-7 linear interpolation —
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * definition). Exact quantiles are fine here because the aggregate's
+    * state is bounded by the DOMAIN of n_chars (a counts map), not the
+    * row count; for unbounded-domain columns at 100 TB the engine's
+    * sketch counterpart is `approx_percentile` (same shape as
+    * q_approx_distinct's rows-only contract). */
+  def lenQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        Rnd.r(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        Rnd.r(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        Rnd.r(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_vocab_topk" -> vocabTopK,
-    "q_len_histogram" -> lenHistogram)
+    "q_len_histogram" -> lenHistogram,
+    "q_len_quantiles" -> lenQuantiles)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -111,5 +128,11 @@ object TextQueries extends QueryModule {
     "q_len_histogram" ->
       """SELECT CAST(FLOOR(n_chars / 50.0) * 50 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs
-        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_len_quantiles" ->
+      s"""SELECT lang,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.9)", 4)} AS p90,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.99)", 4)} AS p99
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }
