@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.QuantizedDot
+import graft.expressions.{HammingDist, QuantizedDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * does not build, e.g. a driver-owned session): `GraftFunctions.ensure`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.quantizedDot)
+    ext.injectFunction(GraftFunctions.hammingDist)
+  }
 }
 
 object GraftFunctions {
@@ -26,10 +28,18 @@ object GraftFunctions {
       QuantizedDot(children.head, children(1))
     })
 
+  val hammingDist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_dist"),
+    new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"hamming_dist expects 2 arguments, got ${children.size}")
+      HammingDist(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
-  def ensure(spark: SparkSession): Unit = {
-    val (ident, info, builder) = quantizedDot
-    if (!spark.sessionState.functionRegistry.functionExists(ident))
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def ensure(spark: SparkSession): Unit =
+    Seq(quantizedDot, hammingDist).foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -221,6 +221,39 @@ object Dedup {
             .otherwise(array().cast("array<string>"))).as("fp"))
   }
 
+  /** SimHash NEAR-DUP matching: pairs of ids whose 16-bit signatures
+    * differ in at most `maxDist` bit positions. Banded exactly like
+    * MinHash-LSH: the signature splits into `bands` equal chunks, pairs
+    * form only inside a shared (band_idx, band_val) bucket, and the
+    * native codegen'd `hamming_dist` verifies candidates. Recall is
+    * EXACT by pigeonhole — `maxDist` differing bits can spoil at most
+    * `maxDist` bands, so any within-radius pair shares a band whenever
+    * `maxDist < bands` (enforced). Never all-pairs.
+    */
+  def simhashPairs(signatures: DataFrame, maxDist: Int, bands: Int = 4, sigLen: Int = 32): DataFrame = {
+    require(maxDist < bands,
+      s"banded recall needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    graft.GraftFunctions.ensure(signatures.sparkSession)
+    require(sigLen % bands == 0, s"$bands bands must divide the $sigLen-bit signature")
+    val w = sigLen / bands
+    val bandStructs = (0 until bands).map { bx =>
+      struct(lit(bx).as("band_idx"),
+        substring(col("simhash"), bx * w + 1, w).as("band_val"))
+    }
+    val banded = signatures
+      .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("hamming_dist", col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-dup CLUSTERING: verified pairs → connected components →
     * (id, canon_id = min id of the component) — the canonicalization
     * step every dedup pipeline ends with (keep one representative per
@@ -277,19 +310,22 @@ object Dedup {
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
-  /** 16-bit SimHash over distinct lower-cased tokens: bit j is 1 iff the
-    * sum over tokens of ±1 (md5 hex digit j ≥ 8 → +1) is positive.
-    * Near-identical token sets land on identical signatures. */
-  def simhash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+  /** `bits`-wide SimHash over distinct lower-cased tokens (≤ 32 — one
+    * bit per md5 hex nibble): bit j is 1 iff the sum over tokens of ±1
+    * (md5 hex digit j ≥ 8 → +1) is positive. Near-identical token sets
+    * land on identical signatures. 16 bits suffice for fingerprinting;
+    * the banded pair MATCHER wants 32 so buckets discriminate. */
+  def simhash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 16): DataFrame = {
+    require(bits > 0 && bits <= 32, s"simhash bits must be in 1..32, got $bits")
     val toks = df.select(idCol.as("id"), array_distinct(split(lower(textCol), " ")).as("ts"))
       .repartition(col("id")) // parallelize the explode; co-partition the group-by
       .select(col("id"), explode(col("ts")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until bits).map(j =>
       sum(when(substring(col("h"), j + 1, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$j"))
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        concat((0 until 16).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+        concat((0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }

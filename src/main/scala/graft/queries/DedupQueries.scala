@@ -69,6 +69,18 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** SimHash near-dup MATCHING: banded bucket join over 32-BIT
+    * signatures (8-bit bands discriminate where 16-bit buckets on a
+    * same-vocabulary corpus degenerate toward all-pairs) + native
+    * `hamming_dist` verification at radius 2. The signature frame is
+    * pinned — it feeds both sides of the bucket self-join (same caller
+    * cache contract as minhash). */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text"), bits = 32).cache(),
+      maxDist = 2)
+      .orderBy("id_a", "id_b")
+
   /** Winnowed fingerprints: window w=4 over 3-gram shingle hashes. */
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.winnowFingerprints(
@@ -81,6 +93,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_winnow" -> dedupWinnow)
 
   // The shingle bound derives from each row's token count (scalar
@@ -122,11 +135,20 @@ object DedupQueries extends QueryModule {
        |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold)""".stripMargin
 
-  private val simhashBitsSql = (0 until 16).map(j =>
+  private def simhashBitsSql(bits: Int) = (0 until bits).map(j =>
     s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
     .mkString(", ")
-  private val simhashConcatSql = (0 until 16).map(j =>
+  private def simhashConcatSql(bits: Int) = (0 until bits).map(j =>
     s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Shared simhash chain up to `sig(id, simhash)` — signatures for the
+    * per-doc query (16-bit) and the banded pair matcher (32-bit). */
+  private def simhashChainSql(bits: Int) =
+    s"""t AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+       |h AS (SELECT id, md5(tok) AS h FROM t),
+       |s AS (SELECT id, ${simhashBitsSql(bits)} FROM h GROUP BY id),
+       |sig AS (SELECT id, ${simhashConcatSql(bits)} AS simhash FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -150,11 +172,23 @@ object DedupQueries extends QueryModule {
          |SELECT a AS doc_id, MIN(b) AS canon_id FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH t AS (SELECT DISTINCT id, tok FROM
-         |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
-         |h AS (SELECT id, md5(tok) AS h FROM t),
-         |s AS (SELECT id, $simhashBitsSql FROM h GROUP BY id)
-         |SELECT id AS doc_id, $simhashConcatSql AS simhash FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH ${simhashChainSql(16)}
+         |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH ${simhashChainSql(32)},
+         |bands AS (SELECT id, simhash, bx AS band_idx,
+         |    substr(simhash, bx * 8 + 1, 8) AS band_val
+         |  FROM sig, range(0, 4) r(bx)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+         |d AS (SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, 33),
+         |      i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM cand)
+         |SELECT id_a, id_b, dist FROM d WHERE dist <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_winnow" ->
       """WITH pos AS (
         |  SELECT id, u['pos'] AS pos, u['h'] AS h FROM (
