@@ -305,6 +305,26 @@ object Dedup {
     labels.withColumnRenamed("label", "canon_id")
   }
 
+  /** Eval-set DECONTAMINATION: drop every row whose fingerprint set
+    * intersects the eval set's fingerprints — the anti-join that keeps
+    * benchmark data out of training corpora. `fps`/`evalFps` are
+    * (id, fp) frames (winnowing fingerprints compose naturally: they
+    * guarantee coverage of every length-w shingle window, so any
+    * sufficiently long verbatim overlap shares a fingerprint).
+    *
+    * Scale shape: the eval fingerprint set is small by nature →
+    * BROADCAST semi-join marks contaminated ids with no corpus shuffle;
+    * the final anti-join broadcasts the (small) contaminated-id set the
+    * same way. The corpus is never shuffled at all.
+    */
+  def decontaminate(df: DataFrame, idCol: Column, fps: DataFrame, evalFps: DataFrame): DataFrame = {
+    val bad = fps
+      .join(broadcast(evalFps.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .select(col("id")).distinct()
+    df.join(broadcast(bad.withColumnRenamed("id", "__bad_id")),
+      idCol === col("__bad_id"), "left_anti")
+  }
+
   /** Streaming exact dedup: state-backed duplicate drop bounded by the
     * event-time watermark (the streaming member of the family). */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =

@@ -81,6 +81,22 @@ object DedupQueries extends QueryModule {
       maxDist = 2)
       .orderBy("id_a", "id_b")
 
+  /** Decontamination: the "eval set" stand-in is every 50th document;
+    * any document sharing a winnowing fingerprint with it (the eval
+    * docs themselves, plus near-verbatim overlaps) is dropped. One
+    * fingerprint pass feeds both sides — winnowing is per-document, so
+    * the eval subset's fingerprints are just its rows of the corpus
+    * frame. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4)
+      .cache() // both the eval filter and the corpus side read it
+    val evalFps = fps.filter(pmod(col("id"), lit(50)) === 0)
+    Dedup.decontaminate(docs, col("doc_id"), fps, evalFps)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowed fingerprints: window w=4 over 3-gram shingle hashes. */
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.winnowFingerprints(
@@ -94,7 +110,8 @@ object DedupQueries extends QueryModule {
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
-    "q_dedup_winnow" -> dedupWinnow)
+    "q_dedup_winnow" -> dedupWinnow,
+    "q_decontaminate" -> decontaminate)
 
   // The shingle bound derives from each row's token count (scalar
   // range() inside list_transform) — no fixture-dependent cap that a
@@ -190,15 +207,28 @@ object DedupQueries extends QueryModule {
          |SELECT id_a, id_b, dist FROM d WHERE dist <= 2
          |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_winnow" ->
-      """WITH pos AS (
-        |  SELECT id, u['pos'] AS pos, u['h'] AS h FROM (
-        |    SELECT doc_id AS id,
-        |      unnest(list_transform(range(1, len(toks) - 1),
-        |        i -> {'pos': i - 1, 'h': md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])})) AS u
-        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))),
-        |w AS (SELECT id,
-        |    MIN(h) OVER (PARTITION BY id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM pos)
-        |SELECT DISTINCT id AS doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
+      s"""WITH $winnowChainSql
+         |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $winnowChainSql,
+         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
+         |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM bad)
+         |ORDER BY doc_id""".stripMargin)
+
+  /** Shared winnowing chain up to `wfp(id, fp)` — the fingerprint frame
+    * for the winnow query and the decontamination anti-join. */
+  private lazy val winnowChainSql =
+    """pos AS (
+      |  SELECT id, u['pos'] AS pos, u['h'] AS h FROM (
+      |    SELECT doc_id AS id,
+      |      unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> {'pos': i - 1, 'h': md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])})) AS u
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))),
+      |w AS (SELECT id,
+      |    MIN(h) OVER (PARTITION BY id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM pos),
+      |wfp AS (SELECT DISTINCT id, fp FROM w)""".stripMargin
 }
