@@ -113,6 +113,30 @@ object IngestQueries extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Schema EVOLUTION read: two parquet generations of the same table —
+    * an old one without `n_chars`, a new one with it — unioned by a
+    * `mergeSchema` scan; rows from the old generation surface the added
+    * column as null (the lakehouse add-a-column contract). The oracle
+    * replays the generation split + null rule on the original table, so
+    * a dropped generation or a mis-merged column mismatches. */
+  def mergeSchemaRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = s"$scratchRoot/evo_${java.util.UUID.randomUUID()}"
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "source") // old generation: no n_chars
+      .write.parquet(s"$tmp/gen=0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "source", "n_chars") // new generation
+      .write.parquet(s"$tmp/gen=1")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1).otherwise(0)).cast("long").as("n_old_gen"),
+        sum(coalesce(col("n_chars"), lit(0))).cast("long").as("new_gen_chars"))
+      .orderBy("lang")
+  }
+
   /** ORC round-trip: the other columnar lakehouse format, written and
     * read back with full schema fidelity (timestamps excluded — the doc
     * table is string/long only, which ORC preserves exactly). */
@@ -131,6 +155,7 @@ object IngestQueries extends QueryModule {
     "q_gold_roundtrip" -> goldRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_merge_schema" -> mergeSchemaRead,
     "q_upsert" -> upsert,
     "q_file_accounting" -> fileAccounting)
 
@@ -151,6 +176,11 @@ object IngestQueries extends QueryModule {
     "q_orc_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_merge_schema" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old_gen,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS new_gen_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_upsert" ->
       s"""WITH u AS (SELECT l_suppkey AS key, ${StableAgg.ssumSql("l_extendedprice")} AS value
          |  FROM lineitem GROUP BY 1)

@@ -77,9 +77,24 @@ object TextQueries extends QueryModule {
         Rnd.r(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
       .orderBy("lang")
 
+  /** PII-style redaction: mask every digit run with '#' — the masking
+    * pass of a curation pipeline as a pure narrow map (regexp_replace
+    * is codegen'd; the pattern is dialect-neutral between Java regex
+    * and DuckDB's RE2). Emits the redacted fingerprint + how much was
+    * masked so the oracle checks the rewrite itself, not just counts. */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(col("text"), "[0-9]+", "#").cast("binary")).as("redacted_md5"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]+", "")))
+          .cast("long").as("chars_redacted"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
+    "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles)
@@ -129,6 +144,12 @@ object TextQueries extends QueryModule {
       """SELECT CAST(FLOOR(n_chars / 50.0) * 50 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]+', '', 'g')) AS BIGINT)
+        |    AS chars_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_len_quantiles" ->
       s"""SELECT lang,
          |  ${Rnd.sql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
