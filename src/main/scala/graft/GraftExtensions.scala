@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.quantizedDot)
     ext.injectFunction(GraftFunctions.hammingDist)
+    // auto-vectorization: the built-in aggregate(zip_with(...)) dot
+    // spelling becomes the native codegen'd expression
+    ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
   }
 }
 

@@ -24,8 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ELEMENT is null (`x*y` is null → the fold is null), and null on a
   * LENGTH mismatch — `zip_with` pads the shorter array with nulls, so
   * the built-in fold is null on ragged inputs, and so is this.
+  *
+  * Overflow contract: `ansi = false` (the registered `quantized_dot`
+  * function) wraps like Java arithmetic / LEGACY mode; `ansi = true`
+  * (used by the optimizer rewrite of ANSI-mode `aggregate(zip_with)`
+  * spellings) throws on overflow via `Math.multiplyExact/addExact` —
+  * same failure semantics as the ANSI fold, though as a plain
+  * `ArithmeticException` rather than Spark's error class.
   */
-case class QuantizedDot(left: Expression, right: Expression)
+case class QuantizedDot(left: Expression, right: Expression, ansi: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
@@ -55,7 +62,8 @@ case class QuantizedDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
+      if (ansi) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -66,6 +74,11 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val step =
+        if (ansi)
+          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();
          |long $acc = 0L;
@@ -76,7 +89,7 @@ case class QuantizedDot(left: Expression, right: Expression)
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |}
          |${ev.value} = $acc;
