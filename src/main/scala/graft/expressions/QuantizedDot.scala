@@ -28,9 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Overflow contract: `ansi = false` (the registered `quantized_dot`
   * function) wraps like Java arithmetic / LEGACY mode; `ansi = true`
   * (used by the optimizer rewrite of ANSI-mode `aggregate(zip_with)`
-  * spellings) throws on overflow via `Math.multiplyExact/addExact` —
-  * same failure semantics as the ANSI fold, though as a plain
-  * `ArithmeticException` rather than Spark's error class.
+  * spellings) mirrors the built-in's ZIP-THEN-FOLD order exactly:
+  * every product inside the common prefix is evaluated with
+  * `multiplyExact` (throwing on overflow even when a null element or
+  * ragged length will null the final fold), while `addExact` runs only
+  * until the first null reaches the accumulator — after that the fold
+  * is null-propagating and add overflow can no longer throw. The one
+  * divergence is the error type (plain `ArithmeticException` vs
+  * Spark's error class).
   */
 case class QuantizedDot(left: Expression, right: Expression, ansi: Boolean = false)
     extends BinaryExpression {
@@ -56,17 +61,35 @@ case class QuantizedDot(left: Expression, right: Expression, ansi: Boolean = fal
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) return null
-    val n = x.numElements()
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      if (ansi) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
-      else acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (ansi) {
+      val n = math.min(x.numElements(), y.numElements())
+      val ragged = x.numElements() != y.numElements()
+      var acc = 0L
+      var nullSeen = false
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) nullSeen = true
+        else {
+          val p = Math.multiplyExact(x.getLong(i), y.getLong(i))
+          if (!nullSeen) acc = Math.addExact(acc, p)
+        }
+        i += 1
+      }
+      if (nullSeen || ragged) null else acc
+    } else {
+      // wrap mode: null outcomes short-circuit (wrapping arithmetic has
+      // no observable effects to preserve)
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,26 +97,43 @@ case class QuantizedDot(left: Expression, right: Expression, ansi: Boolean = fal
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      val step =
-        if (ansi)
-          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
-        else
-          s"$acc += $a.getLong($i) * $b.getLong($i);"
-      s"""
-         |int $n = $a.numElements();
-         |long $acc = 0L;
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |}
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    $step
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      val p = ctx.freshName("p")
+      val nullSeen = ctx.freshName("nullSeen")
+      if (ansi)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |boolean $nullSeen = $a.numElements() != $b.numElements();
+           |boolean ${nullSeen}Elem = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${nullSeen}Elem = true;
+           |  } else {
+           |    long $p = java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i));
+           |    if (!${nullSeen}Elem) {
+           |      $acc = java.lang.Math.addExact($acc, $p);
+           |    }
+           |  }
+           |}
+           |${ev.isNull} = $nullSeen || ${nullSeen}Elem;
+           |${ev.value} = $acc;
+         """.stripMargin
+      else
+        s"""
+           |int $n = $a.numElements();
+           |long $acc = 0L;
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |}
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    $acc += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

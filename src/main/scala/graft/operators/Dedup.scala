@@ -129,7 +129,14 @@ object Dedup {
     require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
     val bandStructs = (0 until k / bandWidth).map { bx =>
       val cols = (bx * bandWidth until (bx + 1) * bandWidth).map(i => col(s"m$i"))
-      struct(lit(bx).as("band_idx"), xxhash64(cols: _*).as("band_val"))
+      // xxhash64 SKIPS null inputs (returns the seed), so all-null
+      // signature rows (shingle-less docs from the array signature path)
+      // would share one bucket in every band — a candidate clique of
+      // all short docs. Null the band value instead: the minima of one
+      // signature are all-null together, so checking the first suffices,
+      // and a null band_val never equi-joins.
+      struct(lit(bx).as("band_idx"),
+        when(cols.head.isNotNull, xxhash64(cols: _*)).as("band_val"))
     }
     signature
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
@@ -230,7 +237,7 @@ object Dedup {
     * `maxDist` bands, so any within-radius pair shares a band whenever
     * `maxDist < bands` (enforced). Never all-pairs.
     */
-  def simhashPairs(signatures: DataFrame, maxDist: Int, bands: Int = 4, sigLen: Int = 32): DataFrame = {
+  def simhashPairs(signatures: DataFrame, maxDist: Int, sigLen: Int, bands: Int = 4): DataFrame = {
     require(maxDist < bands,
       s"banded recall needs maxDist < bands, got maxDist=$maxDist bands=$bands")
     graft.GraftFunctions.ensure(signatures.sparkSession)
@@ -241,6 +248,15 @@ object Dedup {
         substring(col("simhash"), bx * w + 1, w).as("band_val"))
     }
     val banded = signatures
+      // a signature shorter than sigLen would make the tail bands "" for
+      // EVERY row — one shared bucket, silent all-pairs blowup. Fail the
+      // job loudly instead (sigLen is caller-declared; the signature
+      // width lives in the data, so this must be a runtime check).
+      .select(col("id"),
+        when(length(col("simhash")) === sigLen, col("simhash"))
+          .otherwise(raise_error(concat(
+            lit(s"simhashPairs: signature width != declared sigLen=$sigLen: "),
+            col("simhash")))).as("simhash"))
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     banded.as("a")
@@ -269,39 +285,65 @@ object Dedup {
     * driver never sees rows, only the converged/not-converged count.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // Dataset.unpersist is a NO-OP for localCheckpoint'd frames (their
+    // LogicalRDD is never registered with the cache manager), so each
+    // checkpoint's RDD ids are captured by getPersistentRDDs delta and
+    // freed DIRECTLY once the round that read them is over. Only the
+    // final label frame's blocks stay pinned — they back the returned
+    // plan; the caller releases them with the session cache sweep
+    // (same contract as the operator caches).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val d = df.localCheckpoint(true)
+      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     // materialize the (tiny) pair frame ONCE: the bidirected edge union
     // references it twice, and the upstream that produced it (a whole
     // LSH + verification pipeline) must not run per branch
-    val p = pairs.localCheckpoint(true)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    val (p, pIds) = checkpointTracked(pairs)
+    val (edges, edgeIds) = checkpointTracked(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    free(pIds) // edges are materialized; the pair copy is no longer read
     // Each round references the previous label frame TWICE (propagation
     // join + union), so an un-truncated lineage doubles per round and
     // plan processing blows up on deep chains — localCheckpoint makes
     // every round's result a leaf (the frames are candidate-graph-sized,
     // i.e. tiny next to the corpus).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       // the old label rides along in the SAME materialization job, so
       // the convergence probe below reads checkpointed blocks instead
       // of launching a second join job per round
-      val next = labels.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
+          .join(labels.withColumnRenamed("label", "old"), Seq("id")))
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist(blocking = false)
+      free(labelIds)
       labels = next.select(col("id"), col("label"))
+      labelIds = nextIds
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    free(edgeIds)
+    // silent truncation would split true components into wrong clusters
+    // downstream — fail loudly instead (a near-dup graph with diameter
+    // > maxIters is pathological, not a sampling accident).
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds the budget; raise maxIters")
     labels.withColumnRenamed("label", "canon_id")
   }
 

@@ -114,8 +114,29 @@ final case class OpenAiCompatScorer(
       val code = conn.getResponseCode
       if (code / 100 != 2)
         throw new RuntimeException(s"chat/completions returned HTTP $code")
+      // Chunked read with a TOTAL deadline + interrupt checks: the read
+      // timeout only bounds the gap between bytes, so a server dripping
+      // one byte per interval would otherwise hold this thread (and its
+      // slot in Enrich's in-flight window) forever — and blocking socket
+      // reads ignore Thread.interrupt, so the Enrich backstop's
+      // cancel(true) could never free it. Between-chunk checks make the
+      // scorer interrupt-responsive within one readTimeout.
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
       val in = conn.getInputStream
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n != -1) {
+          if (System.nanoTime() > deadline)
+            throw new RuntimeException(s"chat/completions response exceeded ${timeoutMs}ms total")
+          if (Thread.currentThread().isInterrupted)
+            throw new InterruptedException("scorer interrupted mid-response")
+          bytes.write(chunk, 0, n)
+          n = in.read(chunk)
+        }
+        bytes.toString(StandardCharsets.UTF_8)
+      } finally in.close()
     } finally conn.disconnect()
   }
 

@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * added — every heavy step stays parallel.
   *
   * The value column is summed as Long (token/byte counts — the packing
-  * domain); order must be total for deterministic output.
+  * domain); order must be total for deterministic output. Null values
+  * contribute 0 — the row keeps its predecessor's running total, like
+  * the window spelling's null-skip (the one divergence: a LEADING
+  * all-null prefix yields 0 here where the window yields null; the
+  * packing domain has no null lengths, and 0 is the saner identity).
   */
 object PrefixSum {
 
@@ -34,7 +38,9 @@ object PrefixSum {
     // pass below reuses its shuffle files — see DenseId's note on the
     // same tradeoff)
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator(pid -> s)
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator(pid -> s)
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions
     val outSchema = StructType(
@@ -42,7 +48,7 @@ object PrefixSum {
     val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = offsets(pid)
       it.map { r =>
-        running += r.getLong(vIdx)
+        if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
         Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ running)
       }
     }

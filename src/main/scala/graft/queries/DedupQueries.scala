@@ -78,7 +78,7 @@ object DedupQueries extends QueryModule {
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(
       Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text"), bits = 32).cache(),
-      maxDist = 2)
+      maxDist = 2, sigLen = 32)
       .orderBy("id_a", "id_b")
 
   /** Decontamination: the "eval set" stand-in is every 50th document;

@@ -43,18 +43,23 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // NOTE: the mode is read via the `.evalMode` ACCESSOR, not the third
+    // constructor field — Spark 4 wraps it in a NumericEvalContext, and
+    // comparing that context against an EvalMode value is always-false
+    // (which would silently map ANSI spellings to wrap semantics).
     case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(ml, mr, mulMode),
+            LambdaFunction(mul: Multiply,
               Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), false)),
           Literal(0L, LongType),
-          LambdaFunction(Add(al, ar, addMode),
+          LambdaFunction(add: Add,
             Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), false),
           LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), false))
         if isLongArray(a) && isLongArray(b) &&
-          mulMode == addMode && mulMode != EvalMode.TRY &&
-          combinesVars(ml, mr, x, y) && combinesVars(al, ar, acc, v) &&
+          mul.evalMode == add.evalMode && mul.evalMode != EvalMode.TRY &&
+          combinesVars(mul.left, mul.right, x, y) &&
+          combinesVars(add.left, add.right, acc, v) &&
           fin.exprId == fv.exprId =>
-      QuantizedDot(a, b, ansi = mulMode == EvalMode.ANSI)
+      QuantizedDot(a, b, ansi = mul.evalMode == EvalMode.ANSI)
   }
 }

@@ -92,26 +92,47 @@ object EtlPipeline {
             .collect().map(_.getInt(0)).toSeq
           // existence via the Hadoop FS (java.io would always say "no"
           // on hdfs/s3a and silently drop the upsert contract)
+          val tableExists = fs.exists(goldPath)
+          // migration: a gold table written by a pre-bucketing layout
+          // has no kbucket column — bucket it once, rewrite the WHOLE
+          // table statically this batch (a mixed flat+partitioned dir
+          // would be unreadable), and every later batch is per-partition.
+          val migrating = tableExists &&
+            !spark.read.parquet(goldPath.toString).columns.contains("kbucket")
           val merged =
-            if (fs.exists(goldPath))
-              Sinks.upsertByKey(
+            if (!tableExists) kpis
+            else {
+              val existing = spark.read.parquet(goldPath.toString)
+              val bucketed =
+                if (migrating)
+                  existing.withColumn("kbucket",
+                    pmod(xxhash64(col("id")), lit(GoldBuckets)).cast("int"))
                 // partition-pruned: only the touched buckets are read
-                spark.read.parquet(goldPath.toString)
-                  .filter(col("kbucket").isin(touched: _*)),
-                kpis, Seq("id"))
-            else kpis
+                else existing.filter(col("kbucket").isin(touched: _*))
+              Sinks.upsertByKey(bucketed, kpis, Seq("id"))
+            }
           // materialize BEFORE the write: the merge read the very
           // partitions the dynamic overwrite replaces
           val pinned = merged.localCheckpoint(true)
           pinned.write
             .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", if (migrating) "static" else "dynamic")
             .partitionBy("kbucket")
             .parquet(goldPath.toString)
-          pinned.unpersist(blocking = false)
-          // free only the caches THIS batch created (KPI scoring pins
-          // one per call) — a long-running stream must not accumulate
-          // one per batch, and must not evict the caller's either
+          // (pinned's checkpoint blocks are freed by the RDD sweep below
+          // — Dataset.unpersist is a no-op for localCheckpoint'd frames)
+          // Release this batch's pins — a long-running stream must not
+          // accumulate one per batch:
+          //  - enriched.cache() + the KPI path's internal pin are CACHE
+          //    MANAGER entries; only clearCache() removes entries (an
+          //    RDD-block sweep alone leaks one entry per batch). The
+          //    stream therefore OWNS its session's cache namespace:
+          //    callers sharing the session must not pin caches across
+          //    micro-batches (documented contract — operator-internal
+          //    pins cannot be evicted selectively from public APIs).
+          //  - localCheckpoint blocks (the gold pin) are not cache
+          //    entries; the RDD delta sweep frees those.
+          spark.catalog.clearCache()
           val persisted = spark.sparkContext.getPersistentRDDs
           persisted.keys.filterNot(cachedBefore)
             .foreach(id => persisted(id).unpersist(blocking = false))

@@ -96,6 +96,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("clusters: non-convergence within maxIters throws instead of returning wrong labels") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIters = 2)
+    }
+  }
+
+  test("lshBandsFast: all-null signature rows never become candidates") {
+    // docs too short to shingle get all-null minima from the array
+    // signature path; xxhash64 SKIPS nulls, so without the null guard
+    // they would all hash to one bucket and form a clique
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "x y z w")).toDF("id", "text")
+    val sig = Dedup.minhashSignatureArr(df, col("id"), col("text"), 3, 8)
+    val cands = Dedup.candidatePairs(Dedup.lshBandsFast(sig, 8, 2)).collect()
+    assert(cands.isEmpty, s"short docs must not pair: ${cands.mkString(",")}")
+  }
+
   test("simhash: identical token sets get identical signatures, disjoint sets differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -64,6 +64,30 @@ class DotProductRewriteSpec extends AnyFunSuite {
     assert(!q.queryExecution.optimizedPlan.toString.contains("quantized_dot("))
   }
 
+  test("ANSI zip-then-fold order survives: an overflowing product throws even when a null elsewhere would null the fold") {
+    // builtin: zip_with computes EVERY product (index 1 overflows →
+    // throws) before the fold sees the null at index 0; the rewritten
+    // expression must do the same, not short-circuit to null
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    // non-foldable inputs: literals would be constant-folded (and throw)
+    // during optimization, before the rewrite's runtime is exercised
+    val big = lit(4000000000L) + col("id")
+    val df = spark.range(1).select(
+      array(when(col("id") < 0, lit(0L)), big).as("a"), // element 0 is null at runtime
+      array(lit(1L) + col("id"), big).as("b"))
+    val q = df.select(Similarity.dotQBuiltin(col("a"), col("b")).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("quantized_dot("))
+    val e = intercept[Exception] { q.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("overflow") || m.contains("multiplyExact")), e.toString)
+    // and without overflow, a null element still nulls the result
+    val ok = Seq((Array[java.lang.Long](null, 2L), Array[java.lang.Long](1L, 3L))).toDF("a", "b")
+      .select(col("a").cast("array<bigint>").as("a"), col("b").cast("array<bigint>").as("b"))
+      .select(Similarity.dotQBuiltin(col("a"), col("b")))
+    assert(ok.head.isNullAt(0))
+  }
+
   test("null contract survives the rewrite: ragged lengths and null elements → null") {
     val df = Seq(
       (Array(1L, 2L, 3L), Array(10L, 10L)),

@@ -73,6 +73,33 @@ class EtlPipelineSpec extends AnyFunSuite {
         "an uncached enrichment frame re-scores for the second sink")
   }
 
+  test("a pre-bucketing flat gold table is migrated to the partitioned layout, keeping its rows") {
+    val base = Files.createTempDirectory("graft_etl_migrate_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    // old layout: flat parquet, no kbucket column
+    import spark.implicits._
+    Seq(("user_9", 99.0, 1L, 1L, 1.0, 0.0))
+      .toDF("id", "average_spent", "positive_reviews", "negative_reviews",
+        "likeness_score", "normalized_likeness_score")
+      .write.parquet(s"$base/gold/user_kpis")
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 10).map(productJson).mkString("\n").getBytes)
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+      s"$base/gold", s"$base/ckpt",
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+      graft.operators.EnrichConfig(batchSize = 5))
+    q.awaitTermination(120000)
+    val gold = spark.read.parquet(s"$base/gold/user_kpis")
+    // migrated rows survive alongside the new users, now bucketed
+    assert(gold.select("id").collect().map(_.getString(0)).toSet ==
+      Set("user_0", "user_1", "user_2", "user_3", "user_9"))
+    assert(gold.columns.contains("kbucket"))
+    val layout = new java.io.File(s"$base/gold/user_kpis").listFiles().map(_.getName)
+    assert(layout.exists(_.startsWith("kbucket=")), layout.mkString(","))
+    assert(!layout.exists(_.endsWith(".parquet")), s"flat files left behind: ${layout.mkString(",")}")
+  }
+
   test("gold upsert rewrites ONLY the buckets the batch touches (sub-linear growth)") {
     val base = Files.createTempDirectory("graft_etl_buckets_").toString
     val bronze = s"$base/bronze/new"

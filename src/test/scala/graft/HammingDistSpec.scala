@@ -47,4 +47,16 @@ class HammingDistSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 2), (1L, 3L, 1), (2L, 3L, 1)))
   }
+
+  test("simhashPairs fails LOUDLY when signatures are narrower than the declared width") {
+    // 16-char signatures with sigLen=32 would silently bucket every row
+    // together via empty tail bands — the operator must raise instead
+    val sigs = Seq((1L, "0000000000000000"), (2L, "1111111111111111")).toDF("id", "simhash")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.simhashPairs(sigs, maxDist = 2, sigLen = 32).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sigLen")), e.toString)
+  }
 }

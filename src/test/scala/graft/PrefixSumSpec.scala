@@ -40,6 +40,14 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("null values contribute 0: the row keeps its predecessor's running total") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .map { case (id, v) => (id, v.map(Long.box).orNull) }.toDF("id", "v")
+    val out = PrefixSum.withRunningTotal(df, Seq(col("id")), col("v"), "rt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
   test("packing: an oversized row occupies its own bin range without failing") {
     val docs = Seq((1L, 3L), (2L, 40L), (3L, 3L)).toDF("id", "len")
     val out = PrefixSum.packByBudget(docs, Seq(col("id")), col("len"), 10L, "bin")
