@@ -92,25 +92,24 @@ object EtlPipeline {
             .collect().map(_.getInt(0)).toSeq
           // existence via the Hadoop FS (java.io would always say "no"
           // on hdfs/s3a and silently drop the upsert contract)
-          val tableExists = fs.exists(goldPath)
+          val existing =
+            if (fs.exists(goldPath)) Some(spark.read.parquet(goldPath.toString)) else None
           // migration: a gold table written by a pre-bucketing layout
           // has no kbucket column — bucket it once, rewrite the WHOLE
           // table statically this batch (a mixed flat+partitioned dir
           // would be unreadable), and every later batch is per-partition.
-          val migrating = tableExists &&
-            !spark.read.parquet(goldPath.toString).columns.contains("kbucket")
-          val merged =
-            if (!tableExists) kpis
-            else {
-              val existing = spark.read.parquet(goldPath.toString)
+          val migrating = existing.exists(!_.columns.contains("kbucket"))
+          val merged = existing match {
+            case None => kpis
+            case Some(table) =>
               val bucketed =
                 if (migrating)
-                  existing.withColumn("kbucket",
+                  table.withColumn("kbucket",
                     pmod(xxhash64(col("id")), lit(GoldBuckets)).cast("int"))
                 // partition-pruned: only the touched buckets are read
-                else existing.filter(col("kbucket").isin(touched: _*))
+                else table.filter(col("kbucket").isin(touched: _*))
               Sinks.upsertByKey(bucketed, kpis, Seq("id"))
-            }
+          }
           // materialize BEFORE the write: the merge read the very
           // partitions the dynamic overwrite replaces
           val pinned = merged.localCheckpoint(true)
