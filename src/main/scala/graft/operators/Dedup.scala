@@ -164,19 +164,22 @@ object Dedup {
     * exchange and both probe joins run over |candidate docs| · |positions|
     * rows, not the full corpus. The candidate-pair frame itself is
     * broadcast into the probes (no full-shingle shuffle on the pair key).
+    *
+    * The internal candidate-shingle frame is pinned through `scope` —
+    * pass a [[CacheScope]] and `close()` it after consuming the result to
+    * release that pin selectively; the default unmanaged scope keeps the
+    * session-sweep contract (Bench/Verify clear the session cache).
     */
-  def jaccardVerify(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+  def jaccardVerify(candidates: DataFrame, shingles: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
     // (id, shingle) sets for candidate docs only; already partitioned by
-    // id upstream, so distinct() adds no exchange. Cached because the
-    // counts aggregate and both probe sides re-read it (contract: callers
-    // running outside Bench/Verify should clear the session cache, or
-    // materialize candidates first — documented on the query module).
-    val candShingles = shingles
+    // id upstream, so distinct() adds no exchange. Pinned because the
+    // counts aggregate and both probe sides re-read it.
+    val candShingles = scope.pin(shingles
       .join(broadcast(candIds), Seq("id"), "left_semi")
-      .distinct()
-      .cache()
+      .distinct())
     val counts = candShingles.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = broadcast(candidates)
       .join(candShingles.as("sa"), col("id_a") === col("sa.id"))

@@ -100,39 +100,53 @@ final case class OpenAiCompatScorer(
   }
 
   private def post(json: String): String = {
+    // ONE deadline bounds the ENTIRE attempt — connect, request write,
+    // response headers, and body read together stay under timeoutMs.
+    // Per-phase timeouts alone would let one attempt run ~3× timeoutMs
+    // (connect + first-byte + body), outliving Enrich's hung-scorer
+    // backstop, which is sized assuming one timeout per attempt.
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def remainingMs: Int = {
+      val ms = (deadline - System.nanoTime()) / 1000000L
+      if (ms <= 0)
+        throw new RuntimeException(s"chat/completions attempt exceeded ${timeoutMs}ms total")
+      math.min(ms, Int.MaxValue.toLong).toInt
+    }
     val url = java.net.URI.create(s"$baseUrl/chat/completions").toURL
     val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("POST")
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
+      conn.setConnectTimeout(remainingMs)
+      conn.setReadTimeout(remainingMs)
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "application/json")
       conn.setRequestProperty("Authorization", s"Bearer $apiKey")
       val out = conn.getOutputStream
       try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      // the header read blocks up to the READ timeout — refresh it to the
+      // time the deadline has left so connect + headers share the budget
+      conn.setReadTimeout(remainingMs)
       val code = conn.getResponseCode
       if (code / 100 != 2)
         throw new RuntimeException(s"chat/completions returned HTTP $code")
-      // Chunked read with a TOTAL deadline + interrupt checks: the read
-      // timeout only bounds the gap between bytes, so a server dripping
-      // one byte per interval would otherwise hold this thread (and its
-      // slot in Enrich's in-flight window) forever — and blocking socket
-      // reads ignore Thread.interrupt, so the Enrich backstop's
-      // cancel(true) could never free it. Between-chunk checks make the
-      // scorer interrupt-responsive within one readTimeout.
-      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      // Chunked read with the same total deadline + interrupt checks: a
+      // per-read timeout only bounds the gap between bytes, so a server
+      // dripping one byte per interval would otherwise hold this thread
+      // (and its slot in Enrich's in-flight window) forever — and
+      // blocking socket reads ignore Thread.interrupt, so the Enrich
+      // backstop's cancel(true) could never free it. Between-chunk
+      // checks make the scorer interrupt-responsive within one read.
       val in = conn.getInputStream
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
+        conn.setReadTimeout(remainingMs)
         var n = in.read(chunk)
         while (n != -1) {
-          if (System.nanoTime() > deadline)
-            throw new RuntimeException(s"chat/completions response exceeded ${timeoutMs}ms total")
           if (Thread.currentThread().isInterrupted)
             throw new InterruptedException("scorer interrupted mid-response")
           bytes.write(chunk, 0, n)
+          conn.setReadTimeout(remainingMs) // throws once the deadline passes
           n = in.read(chunk)
         }
         bytes.toString(StandardCharsets.UTF_8)

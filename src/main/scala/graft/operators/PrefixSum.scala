@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StructField, StructType}
 
 /** Distributed running total (prefix sum) over a total order — the
   * primitive behind sequence PACKING (assigning documents to
@@ -26,12 +27,34 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PrefixSum {
 
+  /** Can `dt` participate in a Spark sort? (Maps cannot, at any depth.) */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case ArrayType(e, _) => orderable(e)
+    case s: StructType => s.fields.forall(f => orderable(f.dataType))
+    case _ => true
+  }
+
   /** Appends `outCol` = inclusive running total of `valueCol` in
-    * `orderCols` order. */
+    * `orderCols` order.
+    *
+    * `orderCols` need NOT be a total order: every remaining orderable
+    * column is appended as a deterministic tiebreaker. Without that, the
+    * two passes below (subtotals, then emit) re-sort independently off
+    * nondeterministically-ordered shuffle fetches, so rows tied on
+    * `orderCols` could interleave differently between passes and produce
+    * inconsistent running totals. With content tiebreakers the sort is
+    * reproducible, and rows that are FULLY identical are interchangeable
+    * — any interleaving of equal rows emits the same (row, total) pairs.
+    * Tiebreakers cost nothing when `orderCols` is already unique: sort
+    * comparators short-circuit on the first differing key. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val prepared = df.withColumn("__v", valueCol.cast("long"))
-    val sorted = prepared.orderBy(orderCols: _*)
+    val tieBreakers = df.schema.fields.collect {
+      case f if orderable(f.dataType) => col(f.name)
+    }
+    val sorted = prepared.orderBy(orderCols ++ tieBreakers: _*)
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
     // one pass for per-partition subtotals (runs the sort; the second

@@ -86,7 +86,18 @@ object EtlPipeline {
             .withColumn("kbucket",
               pmod(xxhash64(col("id")), lit(GoldBuckets)).cast("int"))
           val goldPath = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis")
+          // migration staging paths (see the swap below): the bucketed
+          // rewrite lands at `tmp`, the flat table is parked at `backup`
+          // for the instant between the two renames
+          val migTmp = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis.__bucketing_tmp")
+          val migBackup = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis.__pre_bucketing")
           val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // replay recovery: a crash BETWEEN the migration's two renames
+          // leaves the table parked at `backup` only — restore it before
+          // reading. A backup alongside a live table means the swap
+          // completed (crash before the final cleanup delete): drop it.
+          if (!fs.exists(goldPath) && fs.exists(migBackup)) fs.rename(migBackup, goldPath)
+          else if (fs.exists(migBackup)) fs.delete(migBackup, true)
           // bounded driver-side list (≤ GoldBuckets entries, not data-sized)
           val touched = kpis.select("kbucket").distinct()
             .collect().map(_.getInt(0)).toSeq
@@ -110,16 +121,35 @@ object EtlPipeline {
                 else table.filter(col("kbucket").isin(touched: _*))
               Sinks.upsertByKey(bucketed, kpis, Seq("id"))
           }
-          // materialize BEFORE the write: the merge read the very
-          // partitions the dynamic overwrite replaces
-          val pinned = merged.localCheckpoint(true)
-          pinned.write
-            .mode("overwrite")
-            .option("partitionOverwriteMode", if (migrating) "static" else "dynamic")
-            .partitionBy("kbucket")
-            .parquet(goldPath.toString)
-          // (pinned's checkpoint blocks are freed by the RDD sweep below
-          // — Dataset.unpersist is a no-op for localCheckpoint'd frames)
+          if (migrating) {
+            // crash-safe migration: the whole-table rewrite lands at a
+            // SIBLING path while the flat table stays live and readable,
+            // then two atomic renames swap it in. A crash during the
+            // write leaves the flat table untouched (stale tmp is
+            // deleted on the replay); a crash between the renames is
+            // healed by the replay recovery above. No checkpoint pin is
+            // needed — source (flat table) and destination (tmp) are
+            // disjoint, so this never reads a partition it is replacing
+            // (and pinning a full TABLE rewrite in executor memory would
+            // not survive real table sizes anyway).
+            fs.delete(migTmp, true)
+            merged.write.mode("overwrite").partitionBy("kbucket").parquet(migTmp.toString)
+            require(fs.rename(goldPath, migBackup), s"migration swap: rename $goldPath -> $migBackup failed")
+            require(fs.rename(migTmp, goldPath), s"migration swap: rename $migTmp -> $goldPath failed")
+            fs.delete(migBackup, true)
+          } else {
+            // materialize BEFORE the write: the merge read the very
+            // partitions the dynamic overwrite replaces
+            val pinned = merged.localCheckpoint(true)
+            pinned.write
+              .mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("kbucket")
+              .parquet(goldPath.toString)
+          }
+          // (the dynamic path's checkpoint blocks are freed by the RDD
+          // sweep below — Dataset.unpersist is a no-op for
+          // localCheckpoint'd frames)
           // Release this batch's pins — a long-running stream must not
           // accumulate one per batch:
           //  - enriched.cache() + the KPI path's internal pin are CACHE

@@ -33,6 +33,28 @@ class DedupSpec extends AnyFunSuite {
     assert(verified.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("a CacheScope releases exactly the pins jaccardVerify created") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val sh = Dedup.shingles(df, col("id"), col("text"), 3)
+    val cands = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh, 8), 8, 2))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.operators.CacheScope
+    val verified = Dedup.jaccardVerify(cands, sh, 0.6, scope)
+    assert(verified.count() == 1) // materializes the internal pin
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected jaccardVerify's candidate-shingle pin to be live")
+    scope.close()
+    // non-blocking unpersist: poll briefly for the blocks to drop
+    val deadline = System.currentTimeMillis() + 10000
+    while ((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "scope.close() must release the operator's internal pin")
+  }
+
   test("raw-shingle signature equals distinct-shingle signature (MIN is duplicate-insensitive)") {
     val df = Seq(
       (1L, "a b c a b c a b c d e f"), // heavy positional duplication

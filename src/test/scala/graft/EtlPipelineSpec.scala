@@ -98,6 +98,36 @@ class EtlPipelineSpec extends AnyFunSuite {
     val layout = new java.io.File(s"$base/gold/user_kpis").listFiles().map(_.getName)
     assert(layout.exists(_.startsWith("kbucket=")), layout.mkString(","))
     assert(!layout.exists(_.endsWith(".parquet")), s"flat files left behind: ${layout.mkString(",")}")
+    // the swap cleaned up its staging dirs
+    val leftovers = new java.io.File(s"$base/gold").listFiles().map(_.getName).toSet
+    assert(leftovers == Set("user_kpis"), s"migration left staging dirs behind: $leftovers")
+  }
+
+  test("a crash between the migration's two renames is healed on replay (table parked at backup)") {
+    val base = Files.createTempDirectory("graft_etl_heal_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    import spark.implicits._
+    // simulate the worst crash window: the flat table was renamed to the
+    // backup path but the bucketed tmp never made it to the live path
+    // (tmp is also gone — the writer deletes stale tmps on replay anyway)
+    Seq(("user_9", 99.0, 1L, 1L, 1.0, 0.0))
+      .toDF("id", "average_spent", "positive_reviews", "negative_reviews",
+        "likeness_score", "normalized_likeness_score")
+      .write.parquet(s"$base/gold/user_kpis.__pre_bucketing")
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 10).map(productJson).mkString("\n").getBytes)
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+      s"$base/gold", s"$base/ckpt",
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+      graft.operators.EnrichConfig(batchSize = 5))
+    q.awaitTermination(120000)
+    val gold = spark.read.parquet(s"$base/gold/user_kpis")
+    // the parked row was restored, then migrated and merged with the batch
+    assert(gold.select("id").collect().map(_.getString(0)).toSet ==
+      Set("user_0", "user_1", "user_2", "user_3", "user_9"))
+    val leftovers = new java.io.File(s"$base/gold").listFiles().map(_.getName).toSet
+    assert(leftovers == Set("user_kpis"), s"recovery left staging dirs behind: $leftovers")
   }
 
   test("gold upsert rewrites ONLY the buckets the batch touches (sub-linear growth)") {

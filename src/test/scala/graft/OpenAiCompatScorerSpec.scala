@@ -154,4 +154,36 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
       assert((System.nanoTime() - t0) / 1e9 < 5.0)
     }
   }
+
+  test("timeoutMs bounds the WHOLE attempt, not each phase separately") {
+    // Headers arrive within the budget and every between-chunk gap is
+    // short, so per-phase connect/read timeouts would all pass — only a
+    // whole-attempt deadline can fail this server, which takes ~600ms
+    // total against a 400ms budget. (Without it, one attempt can run
+    // ~3x timeoutMs and outlive Enrich's hung-scorer backstop.)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      Thread.sleep(300) // headers after 300ms — under a 400ms read timeout
+      ex.sendResponseHeaders(200, 0) // chunked
+      val out = ex.getResponseBody
+      val body = completionFor("").getBytes(StandardCharsets.UTF_8)
+      out.write(body, 0, 1); out.flush()
+      Thread.sleep(150) // each gap well under any per-read timeout
+      out.write(body, 1, 1); out.flush()
+      Thread.sleep(150)
+      out.write(body, 2, body.length - 2)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val t0 = System.nanoTime()
+      val result = scorer(base, timeoutMs = 400)
+        .score(0L, items(2).collect().toSeq, attempt = 1)
+      assert(result.isFailure,
+        "an attempt whose phases each fit the budget but whose total exceeds it must fail")
+      assert((System.nanoTime() - t0) / 1e9 < 3.0)
+    } finally server.stop(0)
+  }
 }

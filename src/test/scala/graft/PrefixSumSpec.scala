@@ -48,6 +48,22 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
   }
 
+  test("ties on orderCols are broken deterministically by row content") {
+    // every row ties on the declared order column; the content
+    // tiebreakers must make the two internal passes agree — each row's
+    // running total is then the prefix sum in (k, id) order
+    val tied = (1L to 50L).map(i => (0, i, i % 7 + 1)).toDF("k", "id", "v").repartition(8)
+    val out = PrefixSum.withRunningTotal(tied, Seq(col("k")), col("v"), "rt")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val expected = (1L to 50L).scanLeft(0L)((acc, i) => acc + i % 7 + 1).tail
+      .zip(1L to 50L).map { case (rt, id) => id -> rt }.toMap
+    assert(out == expected)
+    // and repeated runs agree exactly (no pass-to-pass interleaving drift)
+    val again = PrefixSum.withRunningTotal(tied, Seq(col("k")), col("v"), "rt")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(again == out)
+  }
+
   test("packing: an oversized row occupies its own bin range without failing") {
     val docs = Seq((1L, 3L), (2L, 40L), (3L, 3L)).toDF("id", "len")
     val out = PrefixSum.packByBudget(docs, Seq(col("id")), col("len"), 10L, "bin")
