@@ -27,12 +27,38 @@ object Bench {
     // become ordering artifacts).
     locally {
       import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
       // full-scan the biggest table once (OS page cache + parquet reader)
       // and exercise the decimal-sum codegen path every aggregate uses —
       // otherwise the alphabetically-first query pays both.
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(30,8)")))
-        .write.format("noop").mode("overwrite").save()
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(30,8)"))))
+      // The curation families land alphabetically EARLY (q_decontaminate,
+      // q_dedup_*), so without warm-up they absorb the JIT of every hot
+      // path they share: md5-over-array-transform codegen (minhash /
+      // winnow / simhash), explode + the bucket self-join, broadcast
+      // exchange, the native hamming_dist, the localCheckpoint rounds of
+      // clustering, and the RDD hop under DenseId/PrefixSum. Run each
+      // shape once on a bounded slice — warm-up is untimed; per-query
+      // numbers then measure plans, not compiler state.
+      graft.GraftFunctions.ensure(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(1024).select("doc_id", "text").localCheckpoint(true)
+      val sig = graft.operators.Dedup.minhashSignatureArr(
+        docs, col("doc_id"), col("text"), n = 3, k = 8)
+      noop(graft.operators.Dedup.candidatePairs(
+        graft.operators.Dedup.lshBands(sig, 8, 2)))
+      noop(graft.operators.Dedup.simhashPairs(
+        graft.operators.Dedup.simhash(docs, col("doc_id"), col("text"), bits = 32),
+        maxDist = 2, sigLen = 32))
+      noop(graft.operators.Dedup.clusters(
+        Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")))
+      noop(graft.operators.DenseId.withDenseId(
+        docs.select("doc_id"), Seq(col("doc_id")), "warm_id"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b benches a subset;
     // SPARK_GRAFT_REPEAT=n runs each query n times (min taken) to

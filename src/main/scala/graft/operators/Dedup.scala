@@ -269,8 +269,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         call_function("hamming_dist", col("a.simhash"), col("b.simhash")).as("dist"))
-      .distinct()
+      // radius filter BEFORE the pair dedup: dist is a pure function of
+      // the pair, so the order is semantics-free, but filtering first
+      // means only WITHIN-RADIUS pairs pay the distinct exchange — the
+      // candidate fan-out (every bucket collision, re-found once per
+      // shared band) dies in the map stage. The hamming_dist recompute
+      // on multi-band duplicates is codegen'd per-row work, orders of
+      // magnitude cheaper than shuffling the duplicates.
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Near-dup CLUSTERING: verified pairs → connected components →
@@ -321,17 +328,26 @@ object Dedup {
     var (labels, labelIds) = checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
+    // one min-label hop: every node takes the min of its own and its
+    // neighbors' labels
+    def propagate(l: DataFrame): DataFrame =
+      l.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .union(l)
+        .groupBy("id").agg(min("label").as("label"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // the old label rides along in the SAME materialization job, so
-      // the convergence probe below reads checkpointed blocks instead
-      // of launching a second join job per round
+      // TWO hops per checkpointed round: the round cost is dominated by
+      // fixed per-job overhead (checkpoint materialization + convergence
+      // probe over a tiny frame), not by the joins themselves, so
+      // folding two propagation steps into one round halves the job
+      // count for the same O(diameter) hop budget. The old label rides
+      // along in the SAME materialization job, so the convergence probe
+      // below reads checkpointed blocks instead of launching a second
+      // join job per round.
       val (next, nextIds) = checkpointTracked(
-        labels.join(edges, col("id") === col("src"))
-          .select(col("dst").as("id"), col("label"))
-          .union(labels)
-          .groupBy("id").agg(min("label").as("label"))
+        propagate(propagate(labels))
           .join(labels.withColumnRenamed("label", "old"), Seq("id")))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       free(labelIds)
@@ -342,10 +358,10 @@ object Dedup {
     free(edgeIds)
     // silent truncation would split true components into wrong clusters
     // downstream — fail loudly instead (a near-dup graph with diameter
-    // > maxIters is pathological, not a sampling accident).
+    // > 2*maxIters is pathological, not a sampling accident).
     if (!converged)
       throw new IllegalStateException(
-        s"Dedup.clusters did not converge within $maxIters rounds — " +
+        s"Dedup.clusters did not converge within $maxIters rounds (2 hops each) — " +
           "a component's diameter exceeds the budget; raise maxIters")
     labels.withColumnRenamed("label", "canon_id")
   }
