@@ -81,6 +81,27 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
   }
 
+  test("q_asof_join: no join operator at all — union + keyed window, one shuffle per side") {
+    val plan = staticPlan(graft.queries.JoinQueries.asofJoin(spark, sf))
+    val s = plan.toString
+    // the as-of must NOT plan as an inequality join (BroadcastNestedLoop
+    // explodes at scale); the union+window formulation has no join node
+    assert(!s.contains("NestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"as-of degenerated into an all-pairs join:\n$s")
+    // shuffles: the keyed window partition + the pre-agg of the order
+    // side + output sort; crucially NO whole-frame (empty-key) window
+    assert(!s.contains("Window [") || !s.contains("PartitionBy []"),
+      s"whole-frame window in as-of plan:\n$s")
+    assert(shuffles(plan).size <= 3, s"as-of grew a shuffle: ${shuffles(plan).size}\n$s")
+  }
+
+  test("q_range_join: bucketed equi-join — never BroadcastNestedLoop/Cartesian") {
+    val plan = staticPlan(graft.queries.JoinQueries.rangeJoin(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("NestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join must equi-join on buckets, not all-pairs:\n$s")
+  }
+
   test("q_sim_topk: the corpus side never shuffles for the query join (queries broadcast)") {
     val plan = staticPlan(graft.queries.SimilarityQueries.simTopK(spark, sf))
     // exchanges allowed: the per-query top-k window + output sort — both

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{AsofJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** As-of join (union + keyed window) and bucketed range join: exact
+  * boundary semantics, null handling, and — for the range join — that
+  * interval replication across bucket boundaries loses no matches. */
+class TemporalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofLast: latest right row at/before each left ts, per key; none before -> null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // after both orders of key 10
+      (2L, 10L, ts("2024-01-02 12:00:00")), // between them
+      (3L, 10L, ts("2023-12-31 00:00:00")), // before any
+      (4L, 20L, ts("2024-01-05 00:00:00"))) // key with no right rows
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-03 00:00:00"), "b"),
+      (30L, ts("2024-01-01 00:00:00"), "z")) // unreferenced key
+      .toDF("rk", "rt", "payload")
+    val out = AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("payload"))).toMap
+    assert(out == Map(1L -> Some("b"), 2L -> Some("a"), 3L -> None, 4L -> None))
+  }
+
+  test("asofLast: rightTs == leftTs matches (at-or-before is inclusive)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq((10L, ts("2024-01-01 00:00:00"), "same-instant")).toDF("rk", "rt", "payload")
+    val out = AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("payload")).collect()
+    assert(out.head.getAs[String]("payload") == "same-instant")
+  }
+
+  test("asofLast: null keys never match, on either side") {
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-05 00:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-05 00:00:00")))
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (Option(10L), ts("2024-01-01 00:00:00"), "a"),
+      (Option.empty[Long], ts("2024-01-01 00:00:00"), "null-key"))
+      .toDF("rk", "rt", "payload")
+    val out = AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("payload"))).toMap
+    // the null-keyed left row survives (left join) but matches nothing
+    assert(out == Map(1L -> Some("a"), 2L -> None))
+  }
+
+  test("asofLast: carry-name collision with a left column fails fast") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:00"))).toDF("payload", "k", "t")
+    val right = Seq((10L, ts("2024-01-01 00:00:00"), "x")).toDF("rk", "rt", "payload")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("payload"))
+    }
+  }
+
+  test("pointInInterval: half-open [start, end) boundaries are exact") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start: in
+      (2L, ts("2024-01-01 01:59:59")), // just inside
+      (3L, ts("2024-01-01 02:00:00")), // == end: out
+      (4L, ts("2023-12-31 23:59:59"))) // before: out
+      .toDF("pid", "pt")
+    val intervals = Seq((100L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("pointInInterval: an interval spanning many buckets matches points in every bucket") {
+    // bucket width 1h, interval 10h: replicated to ~11 buckets
+    val points = (0 until 12).map(h => (h.toLong, ts(f"2024-01-01 $h%02d:30:00"))).toDF("pid", "pt")
+    val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00"))).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(out == (0L until 10L).toSet) // 10:30 and 11:30 fall outside
+  }
+
+  test("pointInInterval: matches the naive inequality join on random data") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val points = (1 to 300).map(i => (i.toLong, new Timestamp(base + rnd.nextInt(1000000) * 1000L)))
+      .toDF("pid", "pt")
+    val intervals = (1 to 50).map { i =>
+      val s = base + rnd.nextInt(1000000) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + rnd.nextInt(200000) * 1000L))
+    }.toDF("iid", "s", "e")
+    val bucketed = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 60)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("pt") >= col("s") && col("pt") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+  }
+
+  test("pointInInterval: degenerate (end <= start) intervals match nothing") {
+    val points = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pt")
+    val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-02 00:00:00"), ts("2024-01-01 00:00:00"))).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600).count() == 0)
+  }
+}
