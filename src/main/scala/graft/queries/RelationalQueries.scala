@@ -83,6 +83,21 @@ object RelationalQueries extends QueryModule {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Pivot — the wide KPI matrix shape (yearly revenue with one column
+    * per order status). Pivot values are DECLARED, not discovered: with
+    * explicit values the plan is a single conditional-aggregation hash
+    * aggregate — no extra distinct-scan job to find the columns, and a
+    * static schema (what you want at scale; `pivot(col)` without values
+    * runs a driver-side distinct first). */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Rnd.r(graft.operators.StableAgg.ssum(col("o_totalprice")), 2))
+      .select(col("yr"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))
+      .orderBy("yr")
+
   /** Salted two-phase aggregation over the (skew-prone) supplier key;
     * the oracle runs the UNSALTED aggregate — results must hash-match,
     * proving the technique semantics-preserving. */
@@ -100,6 +115,7 @@ object RelationalQueries extends QueryModule {
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_limit_topn" -> limitTopN,
     "q_approx_distinct" -> approxDistinct,
+    "q_pivot" -> pivotStatus,
     "q_salted_agg" -> saltedAgg)
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +144,13 @@ object RelationalQueries extends QueryModule {
     "q_limit_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_pivot" -> {
+      def rev(s: String) = Rnd.sql(graft.operators.StableAgg.ssumSql(
+        s"CASE WHEN o_orderstatus = '$s' THEN o_totalprice END"), 2)
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  ${rev("F")} AS rev_f, ${rev("O")} AS rev_o, ${rev("P")} AS rev_p
+         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+    },
     "q_salted_agg" ->
       s"""SELECT l_suppkey, COUNT(*) AS n_rows,
          |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("l_extendedprice"), 2)} AS total,

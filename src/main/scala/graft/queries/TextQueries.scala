@@ -91,13 +91,30 @@ object TextQueries extends QueryModule {
           .cast("long").as("chars_redacted"))
       .orderBy("doc_id")
 
+  /** The SKETCH counterpart of q_len_quantiles: `approx_percentile`
+    * (Greenwald-Khanna) keeps fixed-size mergeable per-group state — the
+    * 100 TB path, where exact percentiles must materialize and sort every
+    * group's values. Like q_approx_distinct the estimate is
+    * engine-specific, so the driver records a rows-only check; the
+    * accuracy contract vs the exact percentiles is pinned in
+    * TextStatsSpec. */
+  def lenQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(n_chars, 0.9, 1000)").as("ap90"),
+        expr("approx_percentile(n_chars, 0.99, 1000)").as("ap99"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
     "q_len_histogram" -> lenHistogram,
-    "q_len_quantiles" -> lenQuantiles)
+    "q_len_quantiles" -> lenQuantiles,
+    "q_len_quantiles_approx" -> lenQuantilesApprox)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")

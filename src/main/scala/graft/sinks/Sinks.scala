@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import java.util.UUID
 import scala.concurrent.duration.Duration
@@ -84,4 +85,66 @@ object Sinks {
     * F2+F3). Pass a fixed `now` for deterministic tests. */
   def uniqueName(now: java.time.Instant = java.time.Instant.now()): String =
     s"${now.toString.replace(":", "-")}_${UUID.randomUUID()}"
+
+  /** Atomically replace the table at `target` with the one staged at
+    * `staged`: park the live table at `backup`, move the staged one in,
+    * drop the backup. The live table stays readable until the staged
+    * write is fully committed; the only crash window is between the two
+    * renames, and [[healSwap]] (call it before reading the table) repairs
+    * exactly that. Shared by the gold-table bucketing migration and
+    * [[compact]]. */
+  def swapIn(fs: FileSystem, staged: Path, target: Path, backup: Path): Unit = {
+    require(fs.rename(target, backup), s"swap: rename $target -> $backup failed")
+    require(fs.rename(staged, target), s"swap: rename $staged -> $target failed")
+    fs.delete(backup, true)
+  }
+
+  /** Repair an interrupted [[swapIn]]: a missing target with a live
+    * backup means the crash hit between the renames — restore it; a
+    * backup ALONGSIDE a live target means the swap completed but the
+    * cleanup delete didn't — drop the stale backup. */
+  def healSwap(fs: FileSystem, target: Path, backup: Path): Unit =
+    if (!fs.exists(target) && fs.exists(backup)) { fs.rename(backup, target); () }
+    else if (fs.exists(backup)) { fs.delete(backup, true); () }
+
+  /** Small-file COMPACTION: rewrite a flat parquet dir into
+    * ~`targetFileBytes` files and atomically swap the new layout in.
+    * The small-files problem is the silent killer of long-running
+    * ingestion at scale — every micro-batch leaves a few files, and a
+    * year later each scan opens half a million of them; periodic
+    * compaction is how every lakehouse (Delta OPTIMIZE, Iceberg
+    * rewrite_data_files) keeps scans O(data), not O(files). Readers are
+    * never blocked: they see the old layout until the atomic swap.
+    * `repartition(n)` (round-robin) keeps output files even-sized where
+    * `coalesce` would inherit input skew. Returns (files before, files
+    * after). For a partitioned table, compact each partition dir. */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(s"$dir.__compact_tmp")
+    val backup = new Path(s"$dir.__compact_old")
+    healSwap(fs, target, backup) // a crashed earlier compact leaves backup state
+    fs.delete(staged, true) //          ... and possibly a stale staging dir
+    val dataFiles = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val n = math.max(1L, math.ceil(
+      dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+    spark.read.parquet(dir).repartition(n).write.parquet(staged.toString)
+    swapIn(fs, staged, target, backup)
+    (dataFiles.length, n)
+  }
+
+  /** Range-CLUSTERED write: range-partition on the cluster keys and sort
+    * within each partition, so every output file carries a DISJOINT key
+    * range. Parquet footer min/max statistics then skip whole row groups
+    * (and readers that track file-level stats skip whole files) for any
+    * range or point predicate on those keys — the vanilla-Spark spelling
+    * of Delta/Iceberg clustering, and the single-axis version of what
+    * Z-ordering buys on multiple axes. One range-exchange at write time
+    * buys every later scan its data skipping. */
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String], files: Int): Unit =
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
 }

@@ -93,11 +93,8 @@ object EtlPipeline {
           val migBackup = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis.__pre_bucketing")
           val fs = goldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           // replay recovery: a crash BETWEEN the migration's two renames
-          // leaves the table parked at `backup` only — restore it before
-          // reading. A backup alongside a live table means the swap
-          // completed (crash before the final cleanup delete): drop it.
-          if (!fs.exists(goldPath) && fs.exists(migBackup)) fs.rename(migBackup, goldPath)
-          else if (fs.exists(migBackup)) fs.delete(migBackup, true)
+          // leaves the table parked at `backup` only — heal before reading
+          Sinks.healSwap(fs, goldPath, migBackup)
           // bounded driver-side list (≤ GoldBuckets entries, not data-sized)
           val touched = kpis.select("kbucket").distinct()
             .collect().map(_.getInt(0)).toSeq
@@ -134,9 +131,7 @@ object EtlPipeline {
             // not survive real table sizes anyway).
             fs.delete(migTmp, true)
             merged.write.mode("overwrite").partitionBy("kbucket").parquet(migTmp.toString)
-            require(fs.rename(goldPath, migBackup), s"migration swap: rename $goldPath -> $migBackup failed")
-            require(fs.rename(migTmp, goldPath), s"migration swap: rename $migTmp -> $goldPath failed")
-            fs.delete(migBackup, true)
+            Sinks.swapIn(fs, migTmp, goldPath, migBackup)
           } else {
             // materialize BEFORE the write: the merge read the very
             // partitions the dynamic overwrite replaces

@@ -109,4 +109,51 @@ class IngestSinksSpec extends AnyFunSuite {
     val consumed = FileAccounting.consumedFiles(acc).map(_.split('/').last)
     assert(consumed == Seq("f1.json"))
   }
+
+  test("compact: many small files become few, data byte-identical, swap leaves no staging dirs") {
+    val base = tmpDir()
+    val dir = s"$base/table"
+    val df = (1L to 5000L).map(i => (i, s"row_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles().length == 40)
+    val (before, after) = Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(before == 40 && after == 1, s"($before, $after)")
+    assert(parquetFiles().length == 1)
+    assert(spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (1L to 5000L).map(i => (i, s"row_$i")).toSet)
+    // the swap cleaned up after itself
+    assert(new java.io.File(base).listFiles().map(_.getName).toSet == Set("table"))
+  }
+
+  test("compact: a target size smaller than the data yields multiple even files") {
+    val dir = s"${tmpDir()}/table"
+    (1L to 20000L).map(i => (i, s"padpadpadpad_$i")).toDF("id", "v")
+      .repartition(16).write.parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (_, after) = Sinks.compact(spark, dir, targetFileBytes = bytes / 4)
+    assert(after >= 4 && after <= 5, s"expected ~4 output files, got $after")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
+  test("writeClustered: output files carry disjoint cluster-key ranges (data skipping layout)") {
+    val dir = s"${tmpDir()}/clustered"
+    val df = (1L to 10000L).map(i => ((i * 7919) % 10007, i)).toDF("k", "payload")
+    Sinks.writeClustered(df, dir, Seq("k"), files = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
 }

@@ -33,6 +33,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "en"))
   }
 
+  test("approx_percentile stays within the sketch's rank-error bound of the exact quantiles") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.queries.TextQueries.lenQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.queries.TextQueries.lenQuantilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getAs[Number](1).doubleValue, r.getAs[Number](2).doubleValue)).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy=1000 → rank error ≤ 1/1000; on these distributions the
+    // VALUE error at p50/p90 stays well inside 5%
+    approx.foreach { case (lang, (a50, a90)) =>
+      val (e50, e90) = exact(lang)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$lang p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"$lang p90: approx $a90 vs exact $e90")
+    }
+  }
+
   test("fingerprints: md5 is content hash, poly hash is position-sensitive") {
     val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "text")
     val out = TextStats.withFingerprints(df, col("text"))
