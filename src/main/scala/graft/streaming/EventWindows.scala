@@ -43,6 +43,29 @@ object EventWindows {
   def streamingDailyKpis(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame =
     dailyKpis(events.withWatermark("ts", watermarkDelay))
 
+  /** Stream-STREAM interval join — the streaming member of the temporal
+    * join family (batch analog: [[graft.operators.RangeJoin]]): each
+    * anchor row (e.g. a purchase) joins the follow-up rows of the same
+    * key landing within `window` after it.
+    *
+    * Both sides carry a watermark AND the join condition bounds the time
+    * range, which is exactly what lets Spark derive a state EVICTION
+    * bound for both buffers — an unbounded stream-stream join would hold
+    * every row forever. State ≈ (watermark delay + window) of data per
+    * side, keyed — the bounded-state shape that survives a long-running
+    * stream. Inner join: emits as matches arrive.
+    *
+    * `anchors` must have columns (a_key, a_ts, ...); `follows`
+    * (f_key, f_ts, ...); disjoint otherwise.
+    */
+  def intervalJoin(
+      anchors: DataFrame, follows: DataFrame,
+      window: String = "2 hours", delay: String = "1 hour"): DataFrame =
+    anchors.withWatermark("a_ts", delay)
+      .join(
+        follows.withWatermark("f_ts", delay),
+        expr(s"a_key = f_key AND f_ts >= a_ts AND f_ts <= a_ts + INTERVAL $window"))
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user across micro-batches (the KeyValueGroupedDataset state API the
     * collector's accumulation loop would use for per-key state). */

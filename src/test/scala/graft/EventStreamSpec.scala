@@ -61,6 +61,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: follow-ups within the window join, outside don't, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val anchors = MemoryStream[(Long, Timestamp, Long)]
+    val follows = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventWindows.intervalJoin(
+      anchors.toDF().toDF("a_key", "a_ts", "purchase_id"),
+      follows.toDF().toDF("f_key", "f_ts", "click_id"),
+      window = "2 hours", delay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      anchors.addData((10L, ts("2024-01-01 10:00:00"), 100L))
+      follows.addData(
+        (10L, ts("2024-01-01 10:30:00"), 1L), // in window
+        (10L, ts("2024-01-01 13:00:00"), 2L), // past the 2h window
+        (20L, ts("2024-01-01 10:30:00"), 3L)) // wrong key
+      q.processAllAvailable()
+      // a follow-up arriving in a LATER micro-batch still joins (the
+      // anchor is buffered in join state until the watermark evicts it)
+      follows.addData((10L, ts("2024-01-01 11:00:00"), 4L))
+      q.processAllAvailable()
+      val got = spark.table("attribution").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(got == Set((100L, 1L), (100L, 4L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
