@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{HammingDist, QuantizedDot}
+import graft.expressions.{HammingDist, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.quantizedDot)
     ext.injectFunction(GraftFunctions.hammingDist)
+    ext.injectFunction(GraftFunctions.topKBy)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -39,9 +40,17 @@ object GraftFunctions {
       HammingDist(children.head, children(1))
     })
 
+  val topKBy: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_by"),
+    new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"top_k_by expects 3 arguments, got ${children.size}")
+      TopKBy(children.head, children(1), children(2))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
-    Seq(quantizedDot, hammingDist).foreach { case (ident, info, builder) =>
+    Seq(quantizedDot, hammingDist, topKBy).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -98,6 +98,25 @@ object RelationalQueries extends QueryModule {
       .select(col("yr"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))
       .orderBy("yr")
 
+  /** Per-group top-k via the native bounded-state aggregate
+    * (`top_k_by`, a TypedImperativeAggregate): top-3 customers by spend
+    * within each order priority. With 5 groups and many customers, the
+    * window spelling would sort every customer of a priority in ONE
+    * task; the aggregate keeps k entries per partial buffer, so map-side
+    * combine ships 3 rows per partition per group. */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(graft.operators.StableAgg.ssum(col("o_totalprice")).as("total"))
+    spend.groupBy("o_orderpriority")
+      .agg(call_function("top_k_by", col("total"), col("o_custkey"), lit(3)).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.payload").as("o_custkey"), Rnd.r(col("col.score"), 2).as("total_spent"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   /** Salted two-phase aggregation over the (skew-prone) supplier key;
     * the oracle runs the UNSALTED aggregate — results must hash-match,
     * proving the technique semantics-preserving. */
@@ -116,6 +135,7 @@ object RelationalQueries extends QueryModule {
     "q_limit_topn" -> limitTopN,
     "q_approx_distinct" -> approxDistinct,
     "q_pivot" -> pivotStatus,
+    "q_topk_per_group" -> topkPerGroup,
     "q_salted_agg" -> saltedAgg)
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +171,18 @@ object RelationalQueries extends QueryModule {
          |  ${rev("F")} AS rev_f, ${rev("O")} AS rev_o, ${rev("P")} AS rev_p
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
     },
+    "q_topk_per_group" ->
+      s"""WITH s AS (SELECT o_orderpriority, o_custkey,
+         |    ${graft.operators.StableAgg.ssumSql("o_totalprice")} AS total
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT o_orderpriority, o_custkey, total,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY total DESC, o_custkey) AS rank
+         |  FROM s)
+         |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_custkey,
+         |  ${Rnd.sql("total", 2)} AS total_spent
+         |FROM r WHERE rank <= 3
+         |ORDER BY o_orderpriority, rank""".stripMargin,
     "q_salted_agg" ->
       s"""SELECT l_suppkey, COUNT(*) AS n_rows,
          |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("l_extendedprice"), 2)} AS total,
