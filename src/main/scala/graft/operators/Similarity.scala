@@ -113,6 +113,104 @@ object Similarity {
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Distributed Lloyd's k-means over the quantized vectors — the
+    * TRAINED coarse quantizer for IVF (upgrade of [[ivfCells]]'s
+    * training-free stride rule; the cell-assignment/probe plumbing is
+    * shared). Deterministic init (the k lowest ids); each round is
+    *   assign: centroids broadcast, per-vector argmax cosine via a
+    *           partial-aggregated max_by — an N-row exchange, never the
+    *           N×C expansion;
+    *   update: per-position means via posexplode + hash aggregate
+    *           (map-side combine collapses to cells×dim rows per
+    *           partition before the exchange).
+    * Init is FARTHEST-FIRST traversal (Gonzalez): seed with the vector
+    * of minimum md5(id) (a deterministic uniform draw), then k-1 rounds
+    * of "the point least similar to its nearest chosen centroid" — each
+    * round a broadcast + max-aggregate + TakeOrdered(1), no global
+    * sort. Unlike lowest-k-ids or random init, this provably lands one
+    * seed per well-separated cluster, which is what keeps Lloyd's out
+    * of the split-one-blob/merge-two local optimum.
+    *
+    * Driver state is k×dim doubles per round (the classic k-means
+    * broadcast pattern — bounded, like any centroid model; data rows
+    * never reach the driver). Empty cells keep their previous centroid.
+    *
+    * Not on the oracled path: iterative float means are not portable
+    * SQL. Spec contract instead: clustering cost is monotonically
+    * non-increasing per round and well-separated blobs land in distinct
+    * cells ([[graft.SimilaritySpec]]).
+    *
+    * Returns (cent_id, cvec: array<double>, cnorm). */
+  def kmeansCentroids(prepped: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val spark = prepped.sparkSession
+    import spark.implicits._
+    require(k > 0 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
+    def dotDbl(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    // farthest-first init (see scaladoc): TakeOrdered(1) per round,
+    // never a global sort
+    val seed = prepped
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id")).limit(1)
+      .select(col("q")).head.getSeq[Long](0).map(_.toDouble)
+    var cents: Seq[(Long, Seq[Double])] = Seq(0L -> seed)
+    for (i <- 1 until k) {
+      val chosenDf = cents.toDF("cent_id", "cvec")
+        .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
+      val next = prepped.join(broadcast(chosenDf))
+        .select(col("id"), col("q"),
+          (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
+        .groupBy(col("id"), col("q")).agg(max(col("ccos")).as("best"))
+        .orderBy(col("best"), col("id")).limit(1) // least similar to its nearest seed
+        .select(col("q")).head.getSeq[Long](0).map(_.toDouble)
+      cents = cents :+ (i.toLong -> next)
+    }
+    for (_ <- 0 until iters) {
+      val centsDf = cents.toDF("cent_id", "cvec")
+        .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
+      val assigned = prepped.join(broadcast(centsDf))
+        .select(col("id"), col("q"), col("cent_id"),
+          (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
+        .groupBy(col("id"), col("q"))
+        .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+      // per-position means; bounded collect (cells × dim rows)
+      val means = assigned
+        .select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents.toDF("cent_id", "cvec")
+      .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
+  }
+
+  /** IVF cell assignment against TRAINED (double) centroids — same
+    * argmax shape as [[ivfCells]]: centroids broadcast, N-row exchange. */
+  def ivfCellsTrained(prepped: DataFrame, centroids: DataFrame): DataFrame = {
+    def dotDbl(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    prepped.join(broadcast(centroids))
+      .select(col("id"), col("q"), col("norm"), col("cent_id"),
+        (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
+      .groupBy(col("id"), col("q"), col("norm"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+  }
+
+  /** Mean clustering cost (1 - best cosine) of `prepped` against
+    * `centroids` — the quantity Lloyd's minimizes; used by the spec to
+    * assert each round improves (or holds) the objective. */
+  def kmeansCost(prepped: DataFrame, centroids: DataFrame): Double = {
+    def dotDbl(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    prepped.join(broadcast(centroids))
+      .select(col("id"),
+        (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
+      .groupBy("id").agg(max("ccos").as("best"))
+      .agg(avg(lit(1.0) - col("best"))).head.getDouble(0)
+  }
+
   /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b).
     *
     * Cache contract (this and the query layers that pin frames): the

@@ -41,4 +41,37 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = Similarity.lshPairs(p).collect()
     assert(pairs.length == 1 && math.abs(pairs.head.getAs[Double]("cos") - 1.0) < 1e-9)
   }
+
+  test("k-means: well-separated blobs land in distinct cells; cost never increases per round") {
+    // three tight blobs on orthogonal axes, 20 points each, deterministic jitter
+    val pts = for {
+      (axis, base) <- Seq(0 -> 0L, 1 -> 100L, 2 -> 200L)
+      i <- 0 until 20
+    } yield {
+      val v = Array.fill(3)(0.02f * ((i * 7 + axis * 3) % 5))
+      v(axis) = 1.0f
+      (base + i, v)
+    }
+    val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+      .cache()
+    // cost is monotone non-increasing in training rounds
+    val costs = (0 to 3).map(it =>
+      Similarity.kmeansCost(p, Similarity.kmeansCentroids(p, k = 3, iters = it)))
+    costs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-12, s"cost rose: $costs") }
+    // trained cells separate the blobs exactly
+    val cents = Similarity.kmeansCentroids(p, k = 3, iters = 4)
+    val cells = Similarity.ivfCellsTrained(p, cents)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byBlob = cells.groupBy(_._1 / 100).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byBlob.values.forall(_.size == 1), s"a blob split across cells: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3, s"blobs share a cell: $byBlob")
+    // the trained quantizer beats the untrained stride rule on the objective
+    val strideAsCents = p.filter(col("id") % 67 === 0)
+      .select(col("id").as("cent_id"),
+        org.apache.spark.sql.functions.transform(col("q"), x => x.cast("double")).as("cvec"),
+        col("norm").as("cnorm"))
+    assert(Similarity.kmeansCost(p, cents) <= Similarity.kmeansCost(p, strideAsCents) + 1e-12)
+    p.unpersist()
+  }
 }
