@@ -42,6 +42,8 @@ case class TopKBy(
       case (DoubleType, LongType, IntegerType) =>
         if (!third.foldable)
           TypeCheckResult.TypeCheckFailure("top_k_by: k must be a literal")
+        else if (third.eval() == null) // before k: intValue on null NPEs
+          TypeCheckResult.TypeCheckFailure("top_k_by: k must not be null")
         else if (k <= 0)
           TypeCheckResult.TypeCheckFailure(s"top_k_by: k must be positive, got $k")
         else TypeCheckResult.TypeCheckSuccess

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * inequality join + per-pair max — explodes to |left| × |right-per-key|
   * intermediate rows. This is the SORT-MERGE formulation instead: tag
   * and union both sides, then one window per key ordered by (ts, side)
-  * carries the latest right-side values forward onto the left rows
+  * carries the latest right row forward onto the left rows
   * (`last(..., ignoreNulls)` over an unbounded-preceding frame). Cost is
   * one shuffle per side on the key and a per-KEY window (bounded, fully
   * parallel — never a whole-frame window); intermediate size is
@@ -27,7 +27,7 @@ object AsofJoin {
 
   /** For each row of `left`, append `carry` columns from the latest
     * `right` row with the same key and `rightTs <= leftTs` (inclusive;
-    * null-keyed rows never match, like any join).
+    * null keys or null timestamps never match, like any join/comparison).
     *
     * `right` must be unique per (key, ts) — pre-aggregate ties first so
     * "latest" is well-defined (with tied right rows the carried values
@@ -42,28 +42,40 @@ object AsofJoin {
     require(carry.nonEmpty, "asofLast: nothing to carry from the right side")
     require(!carry.exists(leftCols.contains),
       s"asofLast: carry columns collide with left columns: ${carry.filter(leftCols.contains).mkString(", ")}")
-    def nullAs(df: DataFrame, c: String): Column = lit(null).cast(df.schema(c).dataType).as(c)
+    // The carried payload is ONE non-null STRUCT per right row, not
+    // independent columns: per-column last(ignoreNulls) could not tell a
+    // left row's tagged null from a genuine null in the matching right
+    // row — it would resurrect a STALE value from an older right row,
+    // and with several carry columns even stitch together a combination
+    // that exists in no right row. The struct is non-null exactly on
+    // right rows, so ignoreNulls skips left rows and nothing else; a
+    // null FIELD inside the latest right row survives as null.
+    val carryStructType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c).copy(name = c)))
     // side 0 = right, 1 = left: at equal timestamps the right row sorts
     // FIRST, so rightTs == leftTs matches (the "at or before" contract)
     val lTagged = left.select(
       col(leftKey).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
-        (leftCols.map(col) ++ carry.map(nullAs(right, _))): _*)
-    // null never equals null in a join: a null-keyed right row must not
-    // feed the null window partition (where null-keyed LEFT rows live,
-    // kept but unmatched)
-    val rTagged = right.filter(col(rightKey).isNotNull).select(
-      col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
-        (leftCols.map(nullAs(left, _)) ++ carry.map(col)): _*)
+        lit(null).cast(carryStructType).as("__carry") +: leftCols.map(col): _*)
+    // null never equals null in a join, and a null timestamp satisfies
+    // no `rightTs <= leftTs`: such right rows must not feed the window
+    // (a null __t would sort FIRST and its payload would be carried onto
+    // every row of its key partition)
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
+          struct(carry.map(col): _*).as("__carry") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // left rows tied on (__t, __side) see a nondeterministic frame cut
-    // among THEMSELVES, but left rows carry only nulls — ignoreNulls
+    // among THEMSELVES, but left rows carry a null struct — ignoreNulls
     // last() skips them, so every tied row still reads the same latest
-    // right-side values
-    val carried = carry.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols ++ carry).map(col): _*)
+    // right row
+    lTagged.unionByName(rTagged)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ carry.map(c => col("__carry").getField(c).as(c)): _*)
   }
 }

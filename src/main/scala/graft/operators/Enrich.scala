@@ -112,7 +112,12 @@ object Enrich {
         // fail the Spark task — and cancel(true) interrupts the worker
         // so an interrupt-responsive scorer frees its pool thread
         // instead of silently shrinking the in-flight window.
-        val backstop = cfg.timeout * (cfg.retries + 1).toLong + Duration("5s")
+        // Sized at TWO timeouts per attempt: OpenAiCompatScorer bounds
+        // an attempt by its deadline plus at most one in-flight socket
+        // read (the JDK freezes SO_TIMEOUT when the response stream
+        // opens, so a read started just inside the deadline can overrun
+        // by up to the frozen timeout — see the scorer's post() note).
+        val backstop = cfg.timeout * (2 * (cfg.retries + 1)).toLong + Duration("5s")
         val out = batches.grouped(cfg.inflight).flatMap { wave =>
           val futs = wave.map { case (bid, batch) =>
             (batch, pool.submit(new java.util.concurrent.Callable[Seq[Row]] {

@@ -100,11 +100,16 @@ final case class OpenAiCompatScorer(
   }
 
   private def post(json: String): String = {
-    // ONE deadline bounds the ENTIRE attempt — connect, request write,
-    // response headers, and body read together stay under timeoutMs.
-    // Per-phase timeouts alone would let one attempt run ~3× timeoutMs
-    // (connect + first-byte + body), outliving Enrich's hung-scorer
-    // backstop, which is sized assuming one timeout per attempt.
+    // ONE deadline spans the ENTIRE attempt — connect, request write,
+    // response headers, and body read. Between blocking operations the
+    // deadline is enforced exactly (remainingMs throws); DURING one
+    // blocking socket read only the SO_TIMEOUT that was in effect when
+    // the response stream opened applies (the JDK does not re-read
+    // setReadTimeout mid-stream), and that SO_TIMEOUT is itself ≤ the
+    // budget — so the worst case is deadline + one frozen read, i.e.
+    // ≤ 2× timeoutMs per attempt. Enrich's hung-scorer backstop is
+    // sized to that 2× bound. (Per-phase timeouts alone would allow
+    // ~3×: connect + first-byte + body each getting a full budget.)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     def remainingMs: Int = {
       val ms = (deadline - System.nanoTime()) / 1000000L
@@ -135,18 +140,21 @@ final case class OpenAiCompatScorer(
       // (and its slot in Enrich's in-flight window) forever — and
       // blocking socket reads ignore Thread.interrupt, so the Enrich
       // backstop's cancel(true) could never free it. Between-chunk
-      // checks make the scorer interrupt-responsive within one read.
+      // probes (remainingMs throws past the deadline) make the scorer
+      // deadline- and interrupt-responsive within one socket read; the
+      // read itself is bounded by the SO_TIMEOUT frozen at stream open
+      // (see the 2× note above).
       val in = conn.getInputStream
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
-        conn.setReadTimeout(remainingMs)
+        remainingMs
         var n = in.read(chunk)
         while (n != -1) {
           if (Thread.currentThread().isInterrupted)
             throw new InterruptedException("scorer interrupted mid-response")
           bytes.write(chunk, 0, n)
-          conn.setReadTimeout(remainingMs) // throws once the deadline passes
+          remainingMs // throws once the deadline passes
           n = in.read(chunk)
         }
         bytes.toString(StandardCharsets.UTF_8)

@@ -51,8 +51,9 @@ object PrefixSum {
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val prepared = df.withColumn("__v", valueCol.cast("long"))
+    // backtick-quote: a raw col("a.b") would parse as struct-field access
     val tieBreakers = df.schema.fields.collect {
-      case f if orderable(f.dataType) => col(f.name)
+      case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
     }
     val sorted = prepared.orderBy(orderCols ++ tieBreakers: _*)
     val vIdx = sorted.schema.fieldIndex("__v")

@@ -43,6 +43,11 @@ object Similarity {
   def dotQBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Double dot product of a quantized (long) vector against a trained
+    * (double) centroid — the k-means / trained-IVF scoring primitive. */
+  private def dotDbl(q: Column, c: Column): Column =
+    aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+
   /** Euclidean norm of a quantized vector (double). */
   def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))
 
@@ -116,7 +121,7 @@ object Similarity {
   /** Distributed Lloyd's k-means over the quantized vectors — the
     * TRAINED coarse quantizer for IVF (upgrade of [[ivfCells]]'s
     * training-free stride rule; the cell-assignment/probe plumbing is
-    * shared). Deterministic init (the k lowest ids); each round is
+    * shared). Each round is
     *   assign: centroids broadcast, per-vector argmax cosine via a
     *           partial-aggregated max_by — an N-row exchange, never the
     *           N×C expansion;
@@ -145,8 +150,6 @@ object Similarity {
     val spark = prepped.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
-    def dotDbl(q: Column, c: Column): Column =
-      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     // farthest-first init (see scaladoc): TakeOrdered(1) per round,
     // never a global sort
     val seed = prepped
@@ -189,8 +192,6 @@ object Similarity {
   /** IVF cell assignment against TRAINED (double) centroids — same
     * argmax shape as [[ivfCells]]: centroids broadcast, N-row exchange. */
   def ivfCellsTrained(prepped: DataFrame, centroids: DataFrame): DataFrame = {
-    def dotDbl(q: Column, c: Column): Column =
-      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     prepped.join(broadcast(centroids))
       .select(col("id"), col("q"), col("norm"), col("cent_id"),
         (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
@@ -202,8 +203,6 @@ object Similarity {
     * `centroids` — the quantity Lloyd's minimizes; used by the spec to
     * assert each round improves (or holds) the objective. */
   def kmeansCost(prepped: DataFrame, centroids: DataFrame): Double = {
-    def dotDbl(q: Column, c: Column): Column =
-      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     prepped.join(broadcast(centroids))
       .select(col("id"),
         (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))

@@ -128,6 +128,13 @@ object Sinks {
     fs.delete(staged, true) //          ... and possibly a stale staging dir
     val dataFiles = fs.listStatus(target)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // a partition-layout table has NO top-level data files — rewriting it
+    // here would silently flatten partition dirs into data columns and
+    // corrupt the layout for partition-aware writers (e.g. the gold
+    // table's dynamic overwrite). Fail loudly instead.
+    require(dataFiles.nonEmpty,
+      s"compact: no top-level .parquet files under $dir — for a " +
+        "partitioned table, compact each partition directory")
     val n = math.max(1L, math.ceil(
       dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
     spark.read.parquet(dir).repartition(n).write.parquet(staged.toString)

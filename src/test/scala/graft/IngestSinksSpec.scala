@@ -138,6 +138,18 @@ class IngestSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("compact: refuses a partition-layout table instead of silently flattening it") {
+    val dir = s"${tmpDir()}/partitioned"
+    (1L to 100L).map(i => (i, i % 4)).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partition"))
+    // the table is untouched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("writeClustered: output files carry disjoint cluster-key ranges (data skipping layout)") {
     val dir = s"${tmpDir()}/clustered"
     val df = (1L to 10000L).map(i => ((i * 7919) % 10007, i)).toDF("k", "payload")

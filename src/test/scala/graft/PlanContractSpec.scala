@@ -89,9 +89,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!s.contains("NestedLoopJoin") && !s.contains("CartesianProduct"),
       s"as-of degenerated into an all-pairs join:\n$s")
     // shuffles: the keyed window partition + the pre-agg of the order
-    // side + output sort; crucially NO whole-frame (empty-key) window
-    assert(!s.contains("Window [") || !s.contains("PartitionBy []"),
-      s"whole-frame window in as-of plan:\n$s")
+    // side + output sort; crucially NO whole-frame (empty-partition)
+    // window — assert on the actual WindowExec nodes, not plan strings
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the as-of carry window in:\n$s")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"whole-frame window in as-of plan:\n$w"))
     assert(shuffles(plan).size <= 3, s"as-of grew a shuffle: ${shuffles(plan).size}\n$s")
   }
 

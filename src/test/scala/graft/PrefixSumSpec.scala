@@ -64,6 +64,13 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("column names containing dots survive the tiebreaker pass") {
+    val dotted = Seq((1L, 2L), (2L, 3L)).toDF("id", "meta.src")
+    val out = PrefixSum.withRunningTotal(dotted, Seq(col("id")), col("`meta.src`"), "rt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 5L))
+  }
+
   test("packing: an oversized row occupies its own bin range without failing") {
     val docs = Seq((1L, 3L), (2L, 40L), (3L, 3L)).toDF("id", "len")
     val out = PrefixSum.packByBudget(docs, Seq(col("id")), col("len"), 10L, "bin")

@@ -54,6 +54,32 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some("a"), 2L -> None))
   }
 
+  test("asofLast: a null right TIMESTAMP never matches (no carry onto the whole partition)") {
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, Option.empty[Timestamp], "ghost"),
+      (10L, Option(ts("2024-01-01 00:00:00")), "real"))
+      .map { case (k, t, p) => (k, t.orNull, p) }.toDF("rk", "rt", "payload")
+    val out = AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("payload")).collect()
+    // without the rt filter, the null-ts row sorts FIRST (nulls first)
+    // and "ghost" would be carried; the match must be the real Jan-1 row
+    assert(out.head.getAs[String]("payload") == "real")
+  }
+
+  test("asofLast: a genuine null in the LATEST right row survives; carry columns never mix rows") {
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Option("old-a"), Option(5L)),
+      (10L, ts("2024-01-03 00:00:00"), Option.empty[String], Option(7L)))
+      .map { case (k, t, a, b) => (k, t, a.orNull, b.map(Long.box).orNull) }
+      .toDF("rk", "rt", "a", "b")
+    val r = AsofJoin.asofLast(left, "k", "t", right, "rk", "rt", Seq("a", "b")).collect().head
+    // the latest (Jan-3) row is (null, 7): per-column ignoreNulls would
+    // resurrect "old-a" from Jan-1 and emit the (old-a, 7) combination
+    // that exists in no right row
+    assert(r.getAs[String]("a") == null && r.getAs[Long]("b") == 7L)
+  }
+
   test("asofLast: carry-name collision with a left column fails fast") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:00"))).toDF("payload", "k", "t")
     val right = Seq((10L, ts("2024-01-01 00:00:00"), "x")).toDF("rk", "rt", "payload")

@@ -84,5 +84,10 @@ class TopKBySpec extends AnyFunSuite {
     intercept[Exception] {
       df.groupBy("g").agg(expr("top_k_by(s, p, g)")).collect()
     }
+    // a null literal k must be a clean analysis error, not an analyzer NPE
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(expr("top_k_by(s, p, CAST(NULL AS INT))")).collect()
+    }
+    assert(!e.isInstanceOf[NullPointerException], s"analyzer NPE: $e")
   }
 }
