@@ -81,6 +81,26 @@ object DedupQueries extends QueryModule {
       maxDist = 2, sigLen = 32)
       .orderBy("id_a", "id_b")
 
+  /** The end-to-end "dedup the corpus" step: drop every document that
+    * belongs to a near-dup cluster but is NOT its canonical (min-id)
+    * representative. The non-canonical id set is cluster-graph-sized →
+    * broadcast anti-join; the corpus itself never shuffles. Returns the
+    * keep-list with provenance (kept docs + whether they were a cluster
+    * representative). */
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    val drop = labels.filter(col("id") =!= col("canon_id"))
+      .select(col("id").as("__drop_id"))
+    val reps = labels.filter(col("id") === col("canon_id"))
+      .select(col("id").as("__rep_id"))
+    docs.join(broadcast(drop), col("doc_id") === col("__drop_id"), "left_anti")
+      .join(broadcast(reps), col("doc_id") === col("__rep_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("__rep_id").isNotNull.cast("int").as("is_cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination: the "eval set" stand-in is every 50th document;
     * any document sharing a winnowing fingerprint with it (the eval
     * docs themselves, plus near-verbatim overlaps) is dropped. One
@@ -111,6 +131,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_winnow" -> dedupWinnow,
+    "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate)
 
   // The shingle bound derives from each row's token count (scalar
@@ -188,6 +209,24 @@ object DedupQueries extends QueryModule {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
          |SELECT a AS doc_id, MIN(b) AS canon_id FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $pairChainSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+         |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+         |reps AS (SELECT id FROM labels WHERE id = canon_id)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CAST(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_cluster_rep
+         |FROM documents d
+         |LEFT JOIN reps r ON r.id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH ${simhashChainSql(16)}
          |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
