@@ -89,9 +89,7 @@ object Similarity {
     * never the N×C expansion. Production would k-means the centroids;
     * the cell-assignment/search plumbing is identical. */
   def ivfCells(prepped: DataFrame, stride: Int): DataFrame = {
-    val cents = prepped.filter(col("id") % stride === 0)
-      .select(col("id").as("cent_id"), col("q").as("cq"), col("norm").as("cnorm"))
-    val scored = prepped.join(broadcast(cents))
+    val scored = prepped.join(broadcast(strideCentroids(prepped, stride)))
       .select(col("id"), col("q"), col("norm"), col("cent_id"),
         (dotQ(col("q"), col("cq")).cast("double") / (col("norm") * col("cnorm"))).as("ccos"))
     // argmax via max_by in a hash aggregate: partial aggregation keeps
@@ -105,12 +103,50 @@ object Similarity {
       .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
   }
 
+  /** The training-free coarse-quantizer centroid set: every `stride`-th
+    * vector, as (cent_id, cq, cnorm). */
+  def strideCentroids(prepped: DataFrame, stride: Int): DataFrame =
+    prepped.filter(col("id") % stride === 0)
+      .select(col("id").as("cent_id"), col("q").as("cq"), col("norm").as("cnorm"))
+
   /** IVF probe: top-k neighbors of each query, searching ONLY the
     * query's cell (nprobe=1) — the inverted-file scale path. */
   def ivfTopK(cells: DataFrame, queryIds: Column => Column, k: Int): DataFrame = {
     val queries = cells.filter(queryIds(col("id")))
       .select(col("id").as("query_id"), col("q").as("qq"), col("norm").as("qnorm"), col("cell"))
     val joined = cells.join(broadcast(queries), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dotQ(col("qq"), col("q")).cast("double") / (col("qnorm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Multi-cell IVF probe — the standard recall/latency knob: each query
+    * searches its `nprobe` NEAREST cells instead of only its own
+    * (nprobe=1 reproduces [[ivfTopK]]'s choice; nprobe=#cells
+    * degenerates to exact search). The query→cells step composes the
+    * native bounded [[graft.expressions.TopKBy]] aggregate over the
+    * broadcast centroid set, so it stays a |queries|-row exchange; each
+    * query then fans out to nprobe bucket probes (queries broadcast, the
+    * corpus cells frame never reshuffles). A neighbor lives in exactly
+    * one cell, so no pair is scored twice. */
+  def ivfTopKProbe(cells: DataFrame, cents: DataFrame, queryIds: Column => Column,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    graft.GraftFunctions.ensure(cells.sparkSession)
+    val queries = cells.filter(queryIds(col("id")))
+      .select(col("id").as("query_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val qcells = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qq"), col("qnorm"), col("cent_id"),
+        (dotQ(col("qq"), col("cq")).cast("double") / (col("qnorm") * col("cnorm"))).as("ccos"))
+      .groupBy(col("query_id"), col("qq"), col("qnorm"))
+      // same (cos desc, cent_id asc) tie rule as ivfCells' argmax, so
+      // nprobe=1 probes exactly the ivfTopK cell
+      .agg(call_function("top_k_by", col("ccos"), col("cent_id"), lit(nprobe)).as("top"))
+      .select(col("query_id"), col("qq"), col("qnorm"), explode(col("top")).as("tc"))
+      .select(col("query_id"), col("qq"), col("qnorm"), col("tc").getField("payload").as("cell"))
+    val joined = cells.join(broadcast(qcells), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dotQ(col("qq"), col("q")).cast("double") / (col("qnorm") * col("norm"))).as("cos"))

@@ -58,9 +58,25 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  private val NProbe = 2
+
+  /** IVF with nprobe=2: each query searches its two nearest cells — the
+    * recall knob over [[simIvf]], with the query→cells step on the
+    * native bounded top_k_by aggregate. */
+  def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache()
+    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    Similarity.ivfTopKProbe(cells, Similarity.strideCentroids(p, IvfStride),
+      id => id < 10, k = 3, nprobe = NProbe)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
     "q_sim_lsh" -> simLsh,
+    "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf)
 
@@ -132,6 +148,36 @@ object SimilarityQueries extends QueryModule {
          |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
          |FROM cosv WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_sim_ivf_probe" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |ranked AS (SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |qcells AS (SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= $NProbe AND vec_id < 10),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qcells q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM ncos)
+         |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),

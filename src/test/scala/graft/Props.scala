@@ -155,3 +155,40 @@ object RndProps extends Properties("Rnd") {
       sumOf(vs) == sumOf(vs.reverse)
     }
 }
+
+/** The union+window as-of join must equal the naive (unscalable)
+  * inequality-join + per-left-row argmax spelling on arbitrary data —
+  * keys that hit/miss, duplicate left timestamps, unmatched lefts. */
+object AsofJoinProps extends Properties("AsofJoin") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val smallTs = Gen.chooseNum(0L, 50L)
+  private val key = Gen.chooseNum(0L, 4L)
+  private val lefts = Gen.nonEmptyListOf(Gen.zip(key, smallTs))
+  // right unique per (key, ts) — the operator's documented precondition
+  private val rights = Gen.nonEmptyListOf(Gen.zip(key, smallTs)).map(_.distinct)
+
+  property("equals the naive inequality-join argmax spelling") =
+    Prop.forAll(lefts, rights) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.map { case (k, t) => (k, t, s"p${k}_$t") }
+        .toDF("rk", "rt", "payload")
+      val got = graft.operators.AsofJoin
+        .asofLast(left, "k", "t", right, "rk", "rt", Seq("payload"))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("payload"))).toMap
+      // naive: join all rt <= t pairs, keep the max-rt match per left row
+      val rByKey = rs.groupBy(_._1)
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val best = rByKey.getOrElse(k, Nil).filter(_._2 <= t)
+          .sortBy(_._2).lastOption.map { case (bk, bt) => s"p${bk}_$bt" }
+        i.toLong -> best
+      }.toMap
+      got == expected
+    }
+}

@@ -42,6 +42,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length == 1 && math.abs(pairs.head.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("ivfTopKProbe: nprobe=1 matches the single-cell probe; nprobe=#cells recovers brute force") {
+    // 40 vectors in 4 orthogonal-ish blobs; stride 10 → 4 centroids
+    val pts = (0L until 40L).map { i =>
+      val v = Array.fill(4)(0.01f * (i % 3))
+      v((i / 10).toInt) = 1.0f
+      (i, v)
+    }
+    val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding")).cache()
+    val cells = Similarity.ivfCells(p, stride = 10).cache()
+    val cents = Similarity.strideCentroids(p, stride = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = rows(Similarity.ivfTopKProbe(cells, cents, id => id < 3, k = 3, nprobe = 1))
+    assert(one == rows(Similarity.ivfTopK(cells, id => id < 3, k = 3)))
+    val all = rows(Similarity.ivfTopKProbe(cells, cents, id => id < 3, k = 3, nprobe = 4))
+    assert(all == rows(Similarity.bruteTopK(p, p.filter(col("id") < 3), k = 3)),
+      "probing every cell must equal exact search")
+    p.unpersist(); cells.unpersist()
+  }
+
   test("k-means: well-separated blobs land in distinct cells; cost never increases per round") {
     // three tight blobs on orthogonal axes, 20 points each, deterministic jitter
     val pts = for {
