@@ -31,6 +31,19 @@ object Dedup {
   def exactByKey(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"), aggs: _*)
 
+  /** Exact TEXT dedup by digest: group on md5(text) instead of the text
+    * itself, keeping the min id as representative plus the copy count.
+    * THE difference at corpus scale: the dedup exchange carries 16-byte
+    * digests and two small aggregates — `exactRows`/group-by-text would
+    * shuffle every document's full bytes. (md5 collisions are 2^-64-
+    * scale birthday events — the accepted trade in every content-
+    * addressed dedup store; use exactByKey on the raw text where a
+    * cryptographic guarantee is genuinely required.) */
+  def exactByDigest(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), md5(textCol.cast("binary")).as("digest"))
+      .groupBy("digest")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-gram shingle stream, lower-cased, WITH positional
     * duplicates: (id, shingle). Single-space tokenization to match the
     * oracle. Hash-partitioned by id, so every per-id aggregate downstream

@@ -29,6 +29,13 @@ object DedupQueries extends QueryModule {
         Rnd.r(StableAgg.ssum(col("l_extendedprice")), 2).as("total_price")))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Exact text dedup by DIGEST: the exchange carries 16-byte md5s and
+    * two small aggregates, never document bytes — what exact corpus
+    * dedup has to look like at 100 TB. */
+  def dedupExactText(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactByDigest(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+      .orderBy("keep_id")
+
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     verifiedPairs(spark, sfDir).orderBy("id_a", "id_b")
 
@@ -126,6 +133,7 @@ object DedupQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_exact_text" -> dedupExactText,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
@@ -195,6 +203,10 @@ object DedupQueries extends QueryModule {
          |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice"), 2)} AS total_price
          |FROM lineitem GROUP BY l_orderkey, l_linenumber
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dedup_exact_text" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $pairChainSql
          |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,

@@ -37,15 +37,30 @@ object SampleQueries extends QueryModule {
       .select(col("doc_id"), col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
       .orderBy("doc_id")
 
+  /** Length-weighted Bernoulli sample: longer documents proportionally
+    * likelier, decided by exact integer cross-multiplication (no float
+    * op — see the operator note), per-key reproducible. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Sample.weightedBernoulli(Tables.documents(spark, sfDir), col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> sampleHash,
     "q_sample_strat" -> sampleStrat,
+    "q_sample_weighted" -> sampleWeighted,
     "q_pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents, (SELECT MAX(n_chars) AS wmax FROM documents)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) * wmax
+        |      < n_chars * CAST(281474976710656 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->
       s"""WITH r AS (SELECT lang, doc_id,

@@ -13,6 +13,14 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactRows(df).count() == 2)
   }
 
+  test("exactByDigest: one row per distinct text, min-id representative, copy count") {
+    val df = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByDigest(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("shingles: distinct word 3-grams; short texts yield none") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
     val sh = Dedup.shingles(df, col("id"), col("text"), 3)

@@ -57,4 +57,25 @@ class SampleSpec extends AnyFunSuite {
     val out = Sample.stratifiedHead(tiny, col("lang"), col("id"), k = 10)
     assert(out.count() == 3)
   }
+
+  test("weightedBernoulli: zero weight never sampled, max weight always; deterministic; bad weight raises") {
+    val df = (1L to 400L).map(i => (i, if (i <= 100) 0L else if (i <= 200) 500L else 5L))
+      .toDF("id", "w")
+    val got = Sample.weightedBernoulli(df, col("id"), col("w"))
+      .collect().map(r => r.getLong(0)).toSet
+    // w=0 rows: u48 * wmax < 0 is impossible → never kept
+    assert(got.intersect((1L to 100L).toSet).isEmpty)
+    // w = wmax rows: u48 < 2^48 always → kept with probability 1
+    assert((101L to 200L).toSet.subsetOf(got))
+    // light rows (p = 1%): a few at most, and the draw is reproducible
+    val light = got.intersect((201L to 400L).toSet)
+    assert(light.size < 20)
+    val again = Sample.weightedBernoulli(df, col("id"), col("w"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got)
+    // out-of-range weight fails loudly rather than biasing silently
+    intercept[Exception] {
+      Sample.weightedBernoulli(Seq((1L, 40000L)).toDF("id", "w"), col("id"), col("w")).collect()
+    }
+  }
 }
