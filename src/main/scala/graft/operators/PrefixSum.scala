@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StructField, StructType}
 
 /** Distributed running total (prefix sum) over a total order — the
@@ -38,25 +38,35 @@ object PrefixSum {
   /** Appends `outCol` = inclusive running total of `valueCol` in
     * `orderCols` order.
     *
-    * `orderCols` need NOT be a total order: every remaining orderable
-    * column is appended as a deterministic tiebreaker. Without that, the
-    * two passes below (subtotals, then emit) re-sort independently off
-    * nondeterministically-ordered shuffle fetches, so rows tied on
-    * `orderCols` could interleave differently between passes and produce
-    * inconsistent running totals. With content tiebreakers the sort is
-    * reproducible, and rows that are FULLY identical are interchangeable
-    * — any interleaving of equal rows emits the same (row, total) pairs.
-    * Tiebreakers cost nothing when `orderCols` is already unique: sort
-    * comparators short-circuit on the first differing key. */
-  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
+    * `orderCols` need NOT be a total order: a single Long tiebreaker —
+    * `xxhash64` over every hashable column — is appended to the sort
+    * key. Without one, the two passes below (subtotals, then emit)
+    * re-sort independently off nondeterministically-ordered shuffle
+    * fetches, so rows tied on `orderCols` could interleave differently
+    * between passes and produce inconsistent running totals. One hashed
+    * Long keeps the tie comparator O(1) per row — appending the raw
+    * columns themselves would drag full document text through every
+    * comparator and serialized sort key. Rows that are FULLY identical
+    * are interchangeable (any interleaving emits the same (row, total)
+    * pairs); DISTINCT rows tied on both `orderCols` and the 64-bit hash
+    * are a 2^-64 collision — callers needing a hard guarantee pass an
+    * explicit unique `tieBreaker` (also required for frames with
+    * duplicate column names, which defeat name-based hashing). */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String,
+                       tieBreaker: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
-    val prepared = df.withColumn("__v", valueCol.cast("long"))
-    // backtick-quote: a raw col("a.b") would parse as struct-field access
-    val tieBreakers = df.schema.fields.collect {
-      case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
+    val tb = tieBreaker.getOrElse {
+      require(df.columns.length == df.columns.distinct.length,
+        "withRunningTotal: frame has duplicate column names — pass an explicit tieBreaker")
+      // backtick-quote: a raw col("a.b") would parse as struct-field access
+      val hashable = df.schema.fields.collect {
+        case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
+      }
+      if (hashable.isEmpty) xxhash64(lit(0L)) else xxhash64(hashable.toIndexedSeq: _*)
     }
-    val sorted = prepared.orderBy(orderCols ++ tieBreakers: _*)
-    val vIdx = sorted.schema.fieldIndex("__v")
+    val prepared = df.withColumn("__v", valueCol.cast("long")).withColumn("__tb", tb)
+    val sorted = prepared.orderBy(orderCols :+ col("__tb"): _*)
+    val vIdx = sorted.schema.fieldIndex("__v") // == width-2: appended columns
     val rdd = sorted.rdd
     // one pass for per-partition subtotals (runs the sort; the second
     // pass below reuses its shuffle files — see DenseId's note on the
@@ -68,12 +78,12 @@ object PrefixSum {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions
     val outSchema = StructType(
-      sorted.schema.fields.filterNot(_.name == "__v") :+ StructField(outCol, LongType, nullable = false))
+      sorted.schema.fields.dropRight(2) :+ StructField(outCol, LongType, nullable = false))
     val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = offsets(pid)
       it.map { r =>
         if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ running)
+        Row.fromSeq(r.toSeq.dropRight(2) :+ running)
       }
     }
     spark.createDataFrame(indexed, outSchema)

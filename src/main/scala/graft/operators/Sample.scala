@@ -38,9 +38,9 @@ object Sample {
   }
 
   /** Weighted Bernoulli sample in EXACT integer arithmetic: row i is
-    * kept iff u_i < w_i / w_max, where u_i = hex48(md5(key)) / 2^48 is
+    * kept iff u_i < w_i / w_max, where u_i = hex32(md5(key)) / 2^32 is
     * the deterministic uniform draw. The decision is evaluated as the
-    * cross-multiplied integer compare `hex48 · w_max < w_i · 2^48`, so
+    * cross-multiplied integer compare `hex32 · w_max < w_i · 2^32`, so
     * no engine-specific float op (ln/pow/divide) ever touches it —
     * unlike the classic Efraimidis-Spirakis u^(1/w) keys, whose libm
     * calls differ in final ulps across engines and would break the
@@ -48,19 +48,22 @@ object Sample {
     * kept with probability 1; selection is per-key reproducible.
     *
     * w_max comes from one aggregate broadcast as a 1-row crossJoin (the
-    * MinMax pattern) — a narrow pass, no data shuffle. Weights must be
-    * non-negative integers < 2^15 so `w · 2^48` cannot overflow int64;
-    * out-of-range weights raise (silent wraparound would bias the
-    * sample). */
+    * MinMax pattern) — a narrow pass, no data shuffle. A 32-bit draw
+    * (vs a wider one) buys weight headroom: weights may be any
+    * non-negative integer < 2^31, so byte/char counts of arbitrarily
+    * long documents are valid weights, while the worst-case product
+    * (2^32−1)·(2^31−1) still fits int64. The draw's 2^-32 granularity
+    * is far below sampling noise at any corpus size. Out-of-range
+    * weights raise (silent wraparound would bias the sample). */
   def weightedBernoulli(df: DataFrame, keyCol: Column, weightCol: Column): DataFrame = {
-    val maxW = 32767L // 2^15 - 1: (2^15-1) * 2^48 < 2^63
+    val maxW = Int.MaxValue.toLong // 2^31 - 1: (2^32-1) * (2^31-1) < 2^63
     val guarded = when(weightCol.cast("long").between(0L, maxW), weightCol.cast("long"))
       .otherwise(raise_error(concat(
         lit(s"weightedBernoulli: weight outside [0, $maxW]: "), weightCol.cast("string"))))
-    val u48 = conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 12), 16, 10)
+    val u32 = conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     df.crossJoin(broadcast(df.agg(max(guarded).as("__wmax"))))
-      .filter(u48 * col("__wmax") < guarded * lit(1L << 48))
+      .filter(u32 * col("__wmax") < guarded * lit(1L << 32))
       .drop("__wmax")
   }
 }

@@ -175,6 +175,9 @@ object Similarity {
     * Driver state is k×dim doubles per round (the classic k-means
     * broadcast pattern — bounded, like any centroid model; data rows
     * never reach the driver). Empty cells keep their previous centroid.
+    * An empty input fails loudly; if the input has fewer than k
+    * DISTINCT vectors, init stops early and returns one centroid per
+    * distinct point found (never duplicates).
     *
     * Not on the oracled path: iterative float means are not portable
     * SQL. Spec contract instead: clustering cost is monotonically
@@ -190,9 +193,14 @@ object Similarity {
     // never a global sort
     val seed = prepped
       .orderBy(md5(col("id").cast("string").cast("binary")), col("id")).limit(1)
-      .select(col("q")).head.getSeq[Long](0).map(_.toDouble)
+      .select(col("q")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kmeansCentroids: empty input frame — nothing to cluster"))
+      .getSeq[Long](0).map(_.toDouble)
     var cents: Seq[(Long, Seq[Double])] = Seq(0L -> seed)
-    for (i <- 1 until k) {
+    var exhausted = false
+    var i = 1
+    while (i < k && !exhausted) {
       val chosenDf = cents.toDF("cent_id", "cvec")
         .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
       val next = prepped.join(broadcast(chosenDf))
@@ -201,7 +209,11 @@ object Similarity {
         .groupBy(col("id"), col("q")).agg(max(col("ccos")).as("best"))
         .orderBy(col("best"), col("id")).limit(1) // least similar to its nearest seed
         .select(col("q")).head.getSeq[Long](0).map(_.toDouble)
-      cents = cents :+ (i.toLong -> next)
+      // fewer distinct vectors than k: farthest-first would re-pick an
+      // already-chosen point forever — stop with the distinct set rather
+      // than emit duplicate centroids (which would split cells 0-wide)
+      if (cents.exists(_._2 == next)) exhausted = true
+      else { cents = cents :+ (i.toLong -> next); i += 1 }
     }
     for (_ <- 0 until iters) {
       val centsDf = cents.toDF("cent_id", "cvec")

@@ -59,8 +59,8 @@ object SampleQueries extends QueryModule {
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents, (SELECT MAX(n_chars) AS wmax FROM documents)
-        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) * wmax
-        |      < n_chars * CAST(281474976710656 AS BIGINT)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * wmax
+        |      < n_chars * CAST(4294967296 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->
       s"""WITH r AS (SELECT lang, doc_id,

@@ -86,13 +86,15 @@ object Sinks {
   def uniqueName(now: java.time.Instant = java.time.Instant.now()): String =
     s"${now.toString.replace(":", "-")}_${UUID.randomUUID()}"
 
-  /** Atomically replace the table at `target` with the one staged at
-    * `staged`: park the live table at `backup`, move the staged one in,
-    * drop the backup. The live table stays readable until the staged
-    * write is fully committed; the only crash window is between the two
-    * renames, and [[healSwap]] (call it before reading the table) repairs
-    * exactly that. Shared by the gold-table bucketing migration and
-    * [[compact]]. */
+  /** Replace the table at `target` with the one staged at `staged`:
+    * park the live table at `backup`, move the staged one in, drop the
+    * backup. This is two renames, not one atomic op — between them the
+    * target path briefly does not exist, so a concurrent reader that
+    * lists exactly inside that window sees a missing path. Readers in
+    * this codebase call [[healSwap]] first, which repairs both the
+    * crash-window state and the cleanup-skipped state; external readers
+    * must tolerate/retry a missing-path instant or read via healSwap.
+    * Shared by the gold-table bucketing migration and [[compact]]. */
   def swapIn(fs: FileSystem, staged: Path, target: Path, backup: Path): Unit = {
     require(fs.rename(target, backup), s"swap: rename $target -> $backup failed")
     require(fs.rename(staged, target), s"swap: rename $staged -> $target failed")
@@ -113,12 +115,24 @@ object Sinks {
     * ingestion at scale — every micro-batch leaves a few files, and a
     * year later each scan opens half a million of them; periodic
     * compaction is how every lakehouse (Delta OPTIMIZE, Iceberg
-    * rewrite_data_files) keeps scans O(data), not O(files). Readers are
-    * never blocked: they see the old layout until the atomic swap.
+    * rewrite_data_files) keeps scans O(data), not O(files). Readers see
+    * the old layout until the swap (modulo the [[swapIn]] rename window).
     * `repartition(n)` (round-robin) keeps output files even-sized where
     * `coalesce` would inherit input skew. Returns (files before, files
-    * after). For a partitioned table, compact each partition dir. */
-  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    * after). For a partitioned table, compact each partition dir.
+    *
+    * WRITERS MUST BE QUIESCED for the duration of the call: the rewrite
+    * reads a snapshot of the file set, so a file committed by a
+    * concurrent writer after the snapshot would be silently dropped by
+    * the swap. As a backstop the dir is re-listed just before the swap
+    * and the compaction ABORTS (staged output deleted, live table
+    * untouched, IllegalStateException) if the .parquet file set changed
+    * since the snapshot — narrow-race-proof, not a substitute for
+    * quiescing (a commit can still land between the re-list and the
+    * rename). Run compaction from the single writer's own maintenance
+    * loop, as Delta OPTIMIZE does. */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20,
+              onBeforeSwap: () => Unit = () => ()): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -138,6 +152,20 @@ object Sinks {
     val n = math.max(1L, math.ceil(
       dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
     spark.read.parquet(dir).repartition(n).write.parquet(staged.toString)
+    onBeforeSwap() // test seam: lets specs inject a concurrent commit here
+    // abort-don't-lose backstop: if a writer committed between the
+    // snapshot and now, swapping would drop its files — fail instead.
+    val snapshot = dataFiles.map(s => (s.getPath.getName, s.getLen)).toSet
+    val relisted = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    if (relisted != snapshot) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compact: $dir changed during compaction (" +
+          s"${(relisted -- snapshot).size} added, ${(snapshot -- relisted).size} removed/resized) — " +
+          "aborted without touching the live table; quiesce writers and retry")
+    }
     swapIn(fs, staged, target, backup)
     (dataFiles.length, n)
   }

@@ -138,6 +138,22 @@ class IngestSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("compact: aborts without touching the live table when a writer commits mid-compaction") {
+    val base = tmpDir()
+    val dir = s"$base/table"
+    (1L to 1000L).map(i => (i, s"row_$i")).toDF("id", "v").repartition(8).write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Sinks.compact(spark, dir, onBeforeSwap = () =>
+        // a concurrent micro-batch lands one more file after the snapshot
+        (1001L to 1100L).map(i => (i, s"row_$i")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(dir))
+    }
+    assert(e.getMessage.contains("changed during compaction"))
+    // live table intact INCLUDING the late commit; staged dir cleaned up
+    assert(spark.read.parquet(dir).count() == 1100)
+    assert(new java.io.File(base).listFiles().map(_.getName).toSet == Set("table"))
+  }
+
   test("compact: refuses a partition-layout table instead of silently flattening it") {
     val dir = s"${tmpDir()}/partitioned"
     (1L to 100L).map(i => (i, i % 4)).toDF("id", "part")

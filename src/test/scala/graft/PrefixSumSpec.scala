@@ -48,20 +48,35 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
   }
 
-  test("ties on orderCols are broken deterministically by row content") {
-    // every row ties on the declared order column; the content
-    // tiebreakers must make the two internal passes agree — each row's
-    // running total is then the prefix sum in (k, id) order
+  test("ties on orderCols are broken deterministically by the content-hash tiebreaker") {
+    // every row ties on the declared order column; the xxhash64
+    // tiebreaker must make the two internal passes agree on ONE total
+    // order — the emitted totals are then the prefix sums of v in that
+    // order (each row's total = predecessor's total + its own v)
     val tied = (1L to 50L).map(i => (0, i, i % 7 + 1)).toDF("k", "id", "v").repartition(8)
     val out = PrefixSum.withRunningTotal(tied, Seq(col("k")), col("v"), "rt")
-      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
-    val expected = (1L to 50L).scanLeft(0L)((acc, i) => acc + i % 7 + 1).tail
-      .zip(1L to 50L).map { case (rt, id) => id -> rt }.toMap
-    assert(out == expected)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inOrder = out.sortBy(_._3)
+    val running = inOrder.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(inOrder.map(_._3).sameElements(running),
+      "running totals are not the prefix sums of any single total order")
     // and repeated runs agree exactly (no pass-to-pass interleaving drift)
     val again = PrefixSum.withRunningTotal(tied, Seq(col("k")), col("v"), "rt")
-      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
-    assert(again == out)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("duplicate column names require an explicit tieBreaker; passing one works") {
+    val dup = Seq((1L, 2L), (2L, 3L)).toDF("id", "v")
+      .select(col("id"), col("v"), col("v")) // two columns literally named v
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(dup, Seq(col("id")), col("id"), "rt")
+    }
+    assert(e.getMessage.contains("duplicate column names"))
+    val out = PrefixSum.withRunningTotal(dup, Seq(col("id")), col("id") * 0 + 2, "rt",
+      tieBreaker = Some(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 4L))
   }
 
   test("column names containing dots survive the tiebreaker pass") {

@@ -63,9 +63,9 @@ class SampleSpec extends AnyFunSuite {
       .toDF("id", "w")
     val got = Sample.weightedBernoulli(df, col("id"), col("w"))
       .collect().map(r => r.getLong(0)).toSet
-    // w=0 rows: u48 * wmax < 0 is impossible → never kept
+    // w=0 rows: u32 * wmax < 0 is impossible → never kept
     assert(got.intersect((1L to 100L).toSet).isEmpty)
-    // w = wmax rows: u48 < 2^48 always → kept with probability 1
+    // w = wmax rows: u32 < 2^32 always → kept with probability 1
     assert((101L to 200L).toSet.subsetOf(got))
     // light rows (p = 1%): a few at most, and the draw is reproducible
     val light = got.intersect((201L to 400L).toSet)
@@ -73,9 +73,12 @@ class SampleSpec extends AnyFunSuite {
     val again = Sample.weightedBernoulli(df, col("id"), col("w"))
       .collect().map(r => r.getLong(0)).toSet
     assert(again == got)
-    // out-of-range weight fails loudly rather than biasing silently
+    // large-but-valid weight (a 40k-char document) is fine now that the
+    // cap is 2^31-1; only a truly out-of-range weight fails loudly
+    assert(Sample.weightedBernoulli(Seq((1L, 40000L)).toDF("id", "w"), col("id"), col("w"))
+      .count() == 1) // single max-weight row: kept with probability 1
     intercept[Exception] {
-      Sample.weightedBernoulli(Seq((1L, 40000L)).toDF("id", "w"), col("id"), col("w")).collect()
+      Sample.weightedBernoulli(Seq((1L, Long.MaxValue)).toDF("id", "w"), col("id"), col("w")).collect()
     }
   }
 }

@@ -95,4 +95,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.kmeansCost(p, cents) <= Similarity.kmeansCost(p, strideAsCents) + 1e-12)
     p.unpersist()
   }
+
+  test("k-means guards: empty input fails loudly; k beyond distinct vectors stops without duplicate centroids") {
+    val empty = Similarity.prep(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(empty, k = 2)
+    }
+    assert(e.getMessage.contains("empty input"))
+    // 6 points but only 2 distinct vectors: farthest-first must stop at 2,
+    // not loop re-picking the same point into duplicate centroids
+    val two = (0L until 6L).map(i =>
+      (i, if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val p2 = Similarity.prep(two, col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(p2, k = 5, iters = 2)
+      .select("cent_id", "cvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(cents.length == 2, s"expected 2 centroids, got ${cents.length}")
+    assert(cents.map(_._2).distinct.length == 2, "duplicate centroids emitted")
+  }
 }
