@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{HammingDist, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, HammingDist, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.quantizedDot)
     ext.injectFunction(GraftFunctions.hammingDist)
     ext.injectFunction(GraftFunctions.topKBy)
+    ext.injectFunction(GraftFunctions.bloomBuild)
+    ext.injectFunction(GraftFunctions.bloomContains)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -48,9 +50,25 @@ object GraftFunctions {
       TopKBy(children.head, children(1), children(2))
     })
 
+  val bloomBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_build"),
+    new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"bloom_build expects 3 arguments, got ${children.size}")
+      BloomBuildAgg(children.head, children(1), children(2))
+    })
+
+  val bloomContains: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"bloom_contains expects 2 arguments, got ${children.size}")
+      BloomContains(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
-    Seq(quantizedDot, hammingDist, topKBy).foreach { case (ident, info, builder) =>
+    Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -399,6 +399,40 @@ object Dedup {
       idCol === col("__bad_id"), "left_anti")
   }
 
+  /** Bloom-gated decontamination — same CONTRACT as [[decontaminate]]
+    * (exact output, verified), different scale regime: when the eval
+    * fingerprint set is too large to broadcast as a hash relation but
+    * fits as ~10 bits/member of bloom (1-2 orders of magnitude
+    * smaller), the corpus-side fingerprint stream is first cut down by
+    * a codegen'd `bloom_contains` SCAN FILTER — no join, no shuffle for
+    * the clean majority. Only bloom-positive fingerprints (true
+    * overlaps + the fpp tail) reach the exact semi-join, whose
+    * broadcast side is unchanged; the exact check erases the false
+    * positives, so the result is byte-identical to [[decontaminate]]
+    * (property-pinned in DedupSpec, oracled as q_decontaminate_bloom).
+    *
+    * The filter is built by one distributive aggregate over
+    * `xxhash64(fp)` (map-side partials are the fixed-size bit array)
+    * and lands on the driver as `numBits/8` bytes — bounded sketch
+    * state, never rows. It is embedded as a literal so the probe
+    * inlines into WholeStageCodegen; at multi-MB filter sizes prefer
+    * `numBits` sized to keep the plan literal sane (the bits, not the
+    * corpus, are the knob). */
+  def bloomDecontaminate(df: DataFrame, idCol: Column, fps: DataFrame, evalFps: DataFrame,
+                         numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bloomBytes = evalFps
+      .select(xxhash64(col("fp")).as("h"))
+      .agg(call_function("bloom_build", col("h"), lit(numBits), lit(numHashes)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = fps
+      .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+    val bad = candidates
+      .join(broadcast(evalFps.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .select(col("id")).distinct()
+    df.join(broadcast(bad.withColumnRenamed("id", "__bad_id")),
+      idCol === col("__bad_id"), "left_anti")
+  }
+
   /** Streaming exact dedup: state-backed duplicate drop bounded by the
     * event-time watermark (the streaming member of the family). */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =

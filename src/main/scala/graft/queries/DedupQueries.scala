@@ -124,6 +124,22 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Bloom-gated decontamination: the same eval set and the same exact
+    * output as [[decontaminate]], but the corpus fingerprints pass a
+    * codegen'd `bloom_contains` scan filter first — the mid-size-eval-
+    * set scale path (bloom broadcasts where a hash relation wouldn't).
+    * Oracled against the exact SQL: the verify step makes the bloom's
+    * false positives unobservable. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4)
+      .cache()
+    val evalFps = fps.filter(pmod(col("id"), lit(50)) === 0)
+    Dedup.bloomDecontaminate(docs, col("doc_id"), fps, evalFps)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowed fingerprints: window w=4 over 3-gram shingle hashes. */
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.winnowFingerprints(
@@ -140,7 +156,8 @@ object DedupQueries extends QueryModule {
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_winnow" -> dedupWinnow,
     "q_dedup_keep" -> dedupKeep,
-    "q_decontaminate" -> decontaminate)
+    "q_decontaminate" -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom)
 
   // The shingle bound derives from each row's token count (scalar
   // range() inside list_transform) — no fixture-dependent cap that a
@@ -261,6 +278,15 @@ object DedupQueries extends QueryModule {
       s"""WITH $winnowChainSql
          |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
     "q_decontaminate" ->
+      s"""WITH $winnowChainSql,
+         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
+         |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+    // the bloom pre-filter is exactness-preserving (false positives are
+    // erased by the verify join), so the oracle is the exact-path SQL
+    "q_decontaminate_bloom" ->
       s"""WITH $winnowChainSql,
          |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
          |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))

@@ -127,7 +127,64 @@ object RelationalQueries extends QueryModule {
         Rnd.r(col("total"), 2).as("total"), Rnd.r(col("mean"), 6).as("mean"))
       .orderBy("l_suppkey")
 
+  /** CUBE — every grouping-set combination of (status, year) in ONE
+    * pass: like rollup/pivot this compiles to a single expand + hash
+    * aggregate (each input row fans to its 4 grouping sets map-side,
+    * partials combine before the one exchange) — no per-combination
+    * re-scan. Null group keys from the expansion are disambiguated with
+    * sentinels, the rollup pattern. */
+  def cubeStatusYear(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        Rnd.r(graft.operators.StableAgg.ssum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "yr")
+
+  /** Window-analytics surface on one partitioned pass: lag/lead,
+    * row_number, ntile and percent_rank over each customer's order
+    * history — every function shares ONE window spec, so Catalyst plans
+    * a single per-customer sort (parallel across customers, bounded by
+    * the largest history; never a whole-frame window). percent_rank is
+    * (rank-1)/(n-1) — an exact IEEE division of integers, portable
+    * without rounding. Edge nulls from lag/lead are sentineled to keep
+    * the oracle's float compare null-free. */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)))
+      .withColumn("next_price", coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("prev_price"), col("next_price"), col("quartile"), col("pr"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Set-operator surface: customers active in BOTH 1995 and 1996
+    * (INTERSECT) vs only in 1995 (EXCEPT), tagged and unioned. Spark
+    * plans both as aggregate + shuffle-or-broadcast semi/anti joins on
+    * the key — set semantics without materializing either side
+    * distinct-first. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def active(yr: Int) = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    active(1995).intersect(active(1996)).withColumn("tag", lit("both"))
+      .unionByName(active(1995).except(active(1996)).withColumn("tag", lit("only_1995")))
+      .orderBy("tag", "o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> cubeStatusYear,
+    "q_window_funcs" -> windowFuncs,
+    "q_set_ops" -> setOps,
     "q_item_index" -> itemIndex,
     "q_pool_assign" -> poolAssign,
     "q_prompt_fold" -> promptFold,
@@ -139,6 +196,32 @@ object RelationalQueries extends QueryModule {
     "q_salted_agg" -> saltedAgg)
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         |  COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+         |  COUNT(*) AS n_orders,
+         |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("o_totalprice"), 2)} AS revenue
+         |FROM orders GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
+         |ORDER BY status, yr""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  COALESCE(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+        |  COALESCE(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS tag
+        |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS tag
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q_item_index" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
         |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber) AS item_id

@@ -52,6 +52,34 @@ object TextQueries extends QueryModule {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
+  /** TF-IDF top terms per document, in EXACT integer arithmetic: the
+    * keyword-extraction / sparse-retrieval weighting of a text pipeline.
+    * `score_scaled = tf·10⁶ div df` is the RATIONAL-idf variant (N/df
+    * without the log, evaluated as scaled integer division) — chosen
+    * because `ln` is a libm call whose final ulps differ across engines
+    * and would break the hash-compared oracle; the log-idf spelling is
+    * the one-line `tf * log(N/df)` swap for callers off the oracled
+    * path. Plan shape: ONE shuffle builds tf (per doc-token counts); df
+    * reuses the aggregated tf frame (|doc-token| rows, not raw tokens);
+    * the token join shuffles |vocab|+|doc-token| rows (AQE picks
+    * broadcast when the vocab side is small); the per-doc top-3 window
+    * is bounded by each document's own vocabulary — parallel across
+    * docs, never a whole-frame sort. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .cache() // read twice: the df aggregate and the score join
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_scaled").desc, col("token"))
+    tf.join(dfx, "token")
+      .withColumn("score_scaled", expr("tf * 1000000 DIV df"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score_scaled"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Document-length histogram in width-50 buckets: one narrow map +
     * one tiny aggregate — the length-distribution profile used to pick
     * truncation/packing thresholds. */
@@ -112,6 +140,7 @@ object TextQueries extends QueryModule {
     "q_text_langid" -> textLangId,
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
+    "q_tfidf_topterms" -> tfidfTopTerms,
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles,
     "q_len_quantiles_approx" -> lenQuantilesApprox)
@@ -157,6 +186,17 @@ object TextQueries extends QueryModule {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |s AS (SELECT doc_id, token, tf, df, tf * 1000000 // df AS score_scaled
+        |  FROM tf JOIN dfx USING (token)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_scaled DESC, token) AS rk FROM s)
+        |SELECT doc_id, token, tf, df, score_scaled, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_len_histogram" ->
       """SELECT CAST(FLOOR(n_chars / 50.0) * 50 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs
