@@ -43,6 +43,19 @@ object EventQueries extends QueryModule {
       .orderBy("user_id", "session_no")
   }
 
+  /** Native `session_window` sessionization — the SAME aggregation the
+    * streaming variant runs (EventWindows.sessionKpis), oracled against
+    * the first-principles lag+cumsum SQL spelling. The two definitions
+    * agree iff the gap-close rule matches exactly (an event AT the
+    * boundary starts a NEW session → `diff >= gap` splits), so the
+    * green row pins Spark's native session semantics, batch and
+    * streaming both. */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    EventWindows.sessionKpis(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), Rnd.r(col("raw_total"), 2).as("total_value"))
+      .orderBy("user_id", "start_us")
+
   /** Rollup: revenue totals at (flag, status), per-flag, and grand-total
     * grain in ONE pass (partial-aggregated, no extra scans); grouping
     * nulls are coalesced to '(all)' in both engines. */
@@ -60,6 +73,7 @@ object EventQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_window" -> eventWindow,
     "q_event_sessions" -> eventSessions,
+    "q_session_window" -> sessionWindow,
     "q_rollup" -> eventRollup)
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +100,24 @@ object EventQueries extends QueryModule {
          |  COUNT(*) AS n_events,
          |  ${Rnd.sql(StableAgg.ssumSql("value"), 2)} AS total_value
          |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "q_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT user_id, ts, value, event_id,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= ${30L * 60 * 1000000}
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM e),
+         |s AS (SELECT user_id, ts, value,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM f)
+         |SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+         |  MAX(epoch_us(ts)) + ${30L * 60 * 1000000} AS end_us,
+         |  COUNT(*) AS n_events,
+         |  ${Rnd.sql(StableAgg.ssumSql("value"), 2)} AS total_value
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, start_us""".stripMargin,
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
          |  COALESCE(l_linestatus, '(all)') AS linestatus,

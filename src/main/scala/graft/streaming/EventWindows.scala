@@ -43,6 +43,43 @@ object EventWindows {
   def streamingDailyKpis(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame =
     dailyKpis(events.withWatermark("ts", watermarkDelay))
 
+  /** Native SESSION windows (gap-close semantics): per-user activity
+    * bursts via `session_window(ts, gap)` — Spark merges events whose
+    * [ts, ts+gap) intervals overlap, so a session spans [first event,
+    * last event + gap) and closes at exactly a `gap` of silence (an
+    * event landing AT the boundary starts a new session). The same
+    * aggregation runs batch (oracled against the first-principles
+    * lag+cumsum SQL spelling, q_session_window) and streaming, where
+    * the state store merges partial sessions ACROSS micro-batches and
+    * the watermark both bounds state and finalizes sessions (append
+    * mode emits a session only once it can no longer grow). Session
+    * bounds are emitted as epoch MICROSECONDS — exact integers, no
+    * timestamp formatting on the compare path. */
+  def sessionKpis(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), StableAgg.ssum(col("value")).as("raw_total"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("raw_total"))
+
+  /** Streaming session windows: watermark bounds the session-merge
+    * state; append mode emits each session once the watermark passes
+    * its (final) end. */
+  def streamingSessionKpis(events: DataFrame, gap: String = "30 minutes",
+                           delay: String = "1 hour"): DataFrame =
+    sessionKpis(events.withWatermark("ts", delay), gap)
+
+  /** Stream-STATIC enrichment join: a streaming fact side against a
+    * batch dimension frame — stateless (no watermark required; the
+    * static side is re-planned per micro-batch, which is also how a
+    * slowly-refreshed dim table picks up changes), and the explicit
+    * broadcast keeps every micro-batch shuffle-free on the stream
+    * side: the 100 TB/s-stream × small-dim shape. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Stream-STREAM interval join — the streaming member of the temporal
     * join family (batch analog: [[graft.operators.RangeJoin]]): each
     * anchor row (e.g. a purchase) joins the follow-up rows of the same

@@ -89,6 +89,58 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: partial sessions MERGE across micro-batches; a gap of silence closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventWindows.streamingSessionKpis(
+      in.toDF().toDF("user_id", "ts", "value"), gap = "30 minutes", delay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // second batch: an event 20 min later must MERGE into the open
+      // session (cross-batch state), not start a new one
+      in.addData((1L, ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "session emitted while still open")
+      // 2 hours of silence pushes the watermark past the session end
+      in.addData((1L, ts("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 15:00:00"), 0.0)) // closes session 2
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got == Set(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 2L), // merged pair + 30min
+        (1L, us("2024-01-01 12:30:00"), us("2024-01-01 13:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-static join: every micro-batch enriches against the batch dim, shuffle-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = EventWindows.enrichWithDim(
+      in.toDF().toDF("user_id", "amount"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (3L, 7.0))
+      q.processAllAvailable()
+      in.addData((2L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("amount"),
+          Option(r.getAs[String]("tier")))).toSet
+      assert(got == Set((1L, 10.0, Some("gold")), (3L, 7.0, None), (2L, 5.0, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
