@@ -116,4 +116,49 @@ class PlanContractSpec extends AnyFunSuite {
       plan.toString.contains("BroadcastExchange"),
       s"expected a broadcast for the query side:\n$plan")
   }
+
+  test("q_cube: ONE expand + hash-aggregate pass — no per-grouping-set re-scan, no join") {
+    val plan = staticPlan(graft.queries.RelationalQueries.cubeStatusYear(spark, sf))
+    assert(scans(plan).size == 1, s"cube re-scanned the input:\n$plan")
+    val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1, s"expected exactly one Expand, got ${expands.size}:\n$plan")
+    // expand fan-out + partial agg + final agg exchange + output sort only
+    assert(shuffles(plan).size <= 2, s"cube grew a shuffle: ${shuffles(plan).size}\n$plan")
+  }
+
+  test("q_window_funcs: all five functions share ONE per-customer window (single sort, no whole-frame window)") {
+    val plan = staticPlan(graft.queries.RelationalQueries.windowFuncs(spark, sf))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"expected one fused WindowExec, got ${windows.size} — the functions split specs:\n$plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"whole-frame window:\n$w"))
+    // the customer partition exchange + the output sort
+    assert(shuffles(plan).size <= 2, s"window query grew a shuffle: ${shuffles(plan).size}\n$plan")
+  }
+
+  test("q_set_ops: intersect/except plan as hash joins on the key — never nested-loop/cartesian") {
+    val plan = staticPlan(graft.queries.RelationalQueries.setOps(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("NestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"set ops degenerated to all-pairs:\n$s")
+  }
+
+  test("bloom decontamination: the corpus fingerprint stream is filtered by bloom_contains BEFORE any join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val fps = graft.operators.Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), 3, 4)
+    val evalFps = fps.filter(pmod(col("id"), lit(50)) === 0)
+    val plan = staticPlan(
+      graft.operators.Dedup.bloomDecontaminate(docs, col("doc_id"), fps, evalFps))
+    val s = plan.toString
+    assert(s.contains("bloom_contains"), s"bloom probe missing from the plan:\n$s")
+    // the verify joins stay broadcast — the corpus/fingerprint stream is
+    // never shuffled FOR A JOIN (winnow's internal per-doc repartition is
+    // the only legitimate exchange family here)
+    assert(s.contains("BroadcastExchange"), s"verify joins must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"verify join shuffled the fingerprint stream:\n$s")
+  }
 }
