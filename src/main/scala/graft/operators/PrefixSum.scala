@@ -55,6 +55,11 @@ object PrefixSum {
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String,
                        tieBreaker: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
+    // withColumn REPLACES an existing column in place instead of
+    // appending — a frame already carrying these names would silently
+    // lose the wrong columns to the dropRight below
+    require(!df.columns.contains("__v") && !df.columns.contains("__tb"),
+      "withRunningTotal: column names __v and __tb are reserved")
     val tb = tieBreaker.getOrElse {
       require(df.columns.length == df.columns.distinct.length,
         "withRunningTotal: frame has duplicate column names — pass an explicit tieBreaker")

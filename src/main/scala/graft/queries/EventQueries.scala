@@ -46,9 +46,10 @@ object EventQueries extends QueryModule {
   /** Native `session_window` sessionization — the SAME aggregation the
     * streaming variant runs (EventWindows.sessionKpis), oracled against
     * the first-principles lag+cumsum SQL spelling. The two definitions
-    * agree iff the gap-close rule matches exactly (an event AT the
-    * boundary starts a NEW session → `diff >= gap` splits), so the
-    * green row pins Spark's native session semantics, batch and
+    * agree iff the gap-close rule matches exactly: Spark MERGES an
+    * event landing exactly AT the gap boundary (`diff > gap` splits,
+    * `==` joins — verified empirically, pinned in EventStreamSpec), so
+    * the green row pins Spark's native session semantics, batch and
     * streaming both. */
   def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
     EventWindows.sessionKpis(Tables.events(spark, sfDir))
@@ -105,7 +106,7 @@ object EventQueries extends QueryModule {
          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
          |  FROM events),
          |f AS (SELECT user_id, ts, value, event_id,
-         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= ${30L * 60 * 1000000}
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > ${30L * 60 * 1000000}
          |      THEN 1 ELSE 0 END AS new_sess
          |  FROM e),
          |s AS (SELECT user_id, ts, value,

@@ -45,9 +45,10 @@ object EventWindows {
 
   /** Native SESSION windows (gap-close semantics): per-user activity
     * bursts via `session_window(ts, gap)` — Spark merges events whose
-    * [ts, ts+gap) intervals overlap, so a session spans [first event,
-    * last event + gap) and closes at exactly a `gap` of silence (an
-    * event landing AT the boundary starts a new session). The same
+    * [ts, ts+gap] intervals TOUCH, so a session spans [first event,
+    * last event + gap] and an event landing exactly AT the boundary
+    * still JOINS the session (strictly more than `gap` of silence
+    * closes it — boundary pinned in EventStreamSpec). The same
     * aggregation runs batch (oracled against the first-principles
     * lag+cumsum SQL spelling, q_session_window) and streaming, where
     * the state store merges partial sessions ACROSS micro-batches and

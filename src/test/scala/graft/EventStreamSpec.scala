@@ -120,6 +120,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: an event exactly AT the gap boundary MERGES (batch; pins the oracle's > vs >= rule)") {
+    import spark.implicits._
+    // Spark's session intervals are closed at the end: [ts, ts+gap]
+    // touching merges, so a 30:00.000000 successor joins the session.
+    // The q_session_window oracle SQL must therefore split on
+    // `diff > gap`, NOT `>= gap` — this pair is the regression witness.
+    val boundary = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // == gap → same session
+      (2L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:30:00.000001"), 2.0) // one μs past → new session
+    ).toDF("user_id", "ts", "value")
+    val got = EventWindows.sessionKpis(boundary, gap = "30 minutes")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
   test("stream-static join: every micro-batch enriches against the batch dim, shuffle-free") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -79,6 +79,14 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 2L -> 4L))
   }
 
+  test("reserved internal column names are rejected instead of silently corrupting output") {
+    val clash = Seq((1L, 2L)).toDF("id", "__v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(clash, Seq(col("id")), col("id"), "rt")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("column names containing dots survive the tiebreaker pass") {
     val dotted = Seq((1L, 2L), (2L, 3L)).toDF("id", "meta.src")
     val out = PrefixSum.withRunningTotal(dotted, Seq(col("id")), col("`meta.src`"), "rt")
