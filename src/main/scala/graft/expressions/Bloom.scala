@@ -62,10 +62,22 @@ object Bloom {
     v
   }
 
-  /** Row-hot membership probe (called from generated code). */
+  /** Row-hot membership probe (called from generated code). Validates
+    * the header against the blob so a malformed/foreign binary fails
+    * with a descriptive error instead of an executor AIOOBE or
+    * divide-by-zero — `bloom_contains` is a registered SQL function,
+    * so arbitrary binary columns can reach it. */
   def contains(bloom: Array[Byte], value: Long): Boolean = {
+    if (bloom.length < 16)
+      throw new IllegalArgumentException(
+        s"bloom_contains: ${bloom.length}-byte blob is not a bloom filter (need >= 16)")
     val numHashes = readIntBE(bloom, 0)
     val numBits = readIntBE(bloom, 4)
+    if (numHashes < 1 || numHashes > 16 || numBits < 1 ||
+        bloom.length != 8 + (((numBits + 63) >>> 6) << 3))
+      throw new IllegalArgumentException(
+        s"bloom_contains: malformed filter header (numHashes=$numHashes, " +
+          s"numBits=$numBits, bytes=${bloom.length})")
     val h1 = mix(value)
     val h2 = mix(value ^ 0x7f4a7c15ca62c1d6L) | 1L
     var i = 0

@@ -420,6 +420,7 @@ object Dedup {
     * corpus, are the knob). */
   def bloomDecontaminate(df: DataFrame, idCol: Column, fps: DataFrame, evalFps: DataFrame,
                          numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    graft.GraftFunctions.ensure(df.sparkSession) // foreign sessions lack the extension
     val bloomBytes = evalFps
       .select(xxhash64(col("fp")).as("h"))
       .agg(call_function("bloom_build", col("h"), lit(numBits), lit(numHashes)).as("bf"))

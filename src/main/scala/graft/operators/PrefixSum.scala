@@ -38,40 +38,50 @@ object PrefixSum {
   /** Appends `outCol` = inclusive running total of `valueCol` in
     * `orderCols` order.
     *
-    * `orderCols` need NOT be a total order: a single Long tiebreaker —
-    * `xxhash64` over every hashable column — is appended to the sort
-    * key. Without one, the two passes below (subtotals, then emit)
-    * re-sort independently off nondeterministically-ordered shuffle
-    * fetches, so rows tied on `orderCols` could interleave differently
-    * between passes and produce inconsistent running totals. One hashed
-    * Long keeps the tie comparator O(1) per row — appending the raw
-    * columns themselves would drag full document text through every
-    * comparator and serialized sort key. Rows that are FULLY identical
-    * are interchangeable (any interleaving emits the same (row, total)
-    * pairs); DISTINCT rows tied on both `orderCols` and the 64-bit hash
-    * are a 2^-64 collision — callers needing a hard guarantee pass an
-    * explicit unique `tieBreaker` (also required for frames with
-    * duplicate column names, which defeat name-based hashing). */
+    * `orderCols` need NOT be a total order: a 128-bit content-hash
+    * tiebreaker — two independently-salted `xxhash64`s over every
+    * hashable column — is appended to the sort key. Without one, the
+    * two passes below (subtotals, then emit) re-sort independently off
+    * nondeterministically-ordered shuffle fetches, so rows tied on
+    * `orderCols` could interleave differently between passes and
+    * produce inconsistent running totals. Two hashed Longs keep the
+    * tie comparator O(1) per row — appending the raw columns
+    * themselves would drag full document text through every comparator
+    * and serialized sort key. Rows that are FULLY identical are
+    * interchangeable (any interleaving emits the same (row, total)
+    * pairs); DISTINCT rows colliding on both `orderCols` and 128
+    * hash bits are a ~2^-128 event — vanishing even at 10^10 tied rows
+    * (the 64-bit birthday bound would NOT be: ~0.5 at 5·10^9). Callers
+    * with a known unique key should pass it as `tieBreaker` — it
+    * skips the content hashing entirely (also required for frames
+    * with duplicate column names, which defeat name-based hashing). */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column, outCol: String,
                        tieBreaker: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
     // withColumn REPLACES an existing column in place instead of
     // appending — a frame already carrying these names would silently
     // lose the wrong columns to the dropRight below
-    require(!df.columns.contains("__v") && !df.columns.contains("__tb"),
-      "withRunningTotal: column names __v and __tb are reserved")
-    val tb = tieBreaker.getOrElse {
-      require(df.columns.length == df.columns.distinct.length,
-        "withRunningTotal: frame has duplicate column names — pass an explicit tieBreaker")
-      // backtick-quote: a raw col("a.b") would parse as struct-field access
-      val hashable = df.schema.fields.collect {
-        case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
-      }
-      if (hashable.isEmpty) xxhash64(lit(0L)) else xxhash64(hashable.toIndexedSeq: _*)
+    require(!df.columns.contains("__v") && !df.columns.exists(_.startsWith("__tb")),
+      "withRunningTotal: column names __v and __tb* are reserved")
+    val tbs: Seq[Column] = tieBreaker match {
+      case Some(c) => Seq(c)
+      case None =>
+        require(df.columns.length == df.columns.distinct.length,
+          "withRunningTotal: frame has duplicate column names — pass an explicit tieBreaker")
+        // backtick-quote: a raw col("a.b") would parse as struct-field access
+        val hashable = df.schema.fields.collect {
+          case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
+        }.toIndexedSeq
+        // two salts → 128 independent-ish bits (see scaladoc collision math)
+        Seq(xxhash64(lit(0L) +: hashable: _*), xxhash64(lit(1L) +: hashable.reverse: _*))
     }
-    val prepared = df.withColumn("__v", valueCol.cast("long")).withColumn("__tb", tb)
-    val sorted = prepared.orderBy(orderCols :+ col("__tb"): _*)
-    val vIdx = sorted.schema.fieldIndex("__v") // == width-2: appended columns
+    val prepared = tbs.zipWithIndex
+      .foldLeft(df.withColumn("__v", valueCol.cast("long"))) {
+        case (d, (c, i)) => d.withColumn(s"__tb$i", c)
+      }
+    val appended = 1 + tbs.length // __v + tiebreaker column(s)
+    val sorted = prepared.orderBy(orderCols ++ tbs.indices.map(i => col(s"__tb$i")): _*)
+    val vIdx = sorted.schema.fieldIndex("__v") // appended before the tiebreakers
     val rdd = sorted.rdd
     // one pass for per-partition subtotals (runs the sort; the second
     // pass below reuses its shuffle files — see DenseId's note on the
@@ -83,12 +93,12 @@ object PrefixSum {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions
     val outSchema = StructType(
-      sorted.schema.fields.dropRight(2) :+ StructField(outCol, LongType, nullable = false))
+      sorted.schema.fields.dropRight(appended) :+ StructField(outCol, LongType, nullable = false))
     val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = offsets(pid)
       it.map { r =>
         if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.dropRight(2) :+ running)
+        Row.fromSeq(r.toSeq.dropRight(appended) :+ running)
       }
     }
     spark.createDataFrame(indexed, outSchema)
@@ -103,10 +113,11 @@ object PrefixSum {
     * decision is inherently sequential while offsets come from the
     * parallel prefix sum above. Emits `outCol` (bin id) and keeps the
     * running total as `<outCol>_end`. */
-  def packByBudget(df: DataFrame, orderCols: Seq[Column], valueCol: Column, budget: Long, outCol: String): DataFrame = {
+  def packByBudget(df: DataFrame, orderCols: Seq[Column], valueCol: Column, budget: Long, outCol: String,
+                   tieBreaker: Option[Column] = None): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
     import org.apache.spark.sql.functions._
-    withRunningTotal(df, orderCols, valueCol, s"${outCol}_end")
+    withRunningTotal(df, orderCols, valueCol, s"${outCol}_end", tieBreaker)
       .withColumn(outCol,
         floor((col(s"${outCol}_end") - valueCol.cast("long")) / budget).cast("long"))
   }

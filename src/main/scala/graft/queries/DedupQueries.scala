@@ -277,22 +277,18 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" ->
       s"""WITH $winnowChainSql
          |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH $winnowChainSql,
-         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
-         |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM bad)
-         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
     // the bloom pre-filter is exactness-preserving (false positives are
-    // erased by the verify join), so the oracle is the exact-path SQL
-    "q_decontaminate_bloom" ->
-      s"""WITH $winnowChainSql,
-         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
-         |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM bad)
-         |ORDER BY doc_id""".stripMargin)
+    // erased by the verify join), so the oracle IS the exact-path SQL
+    "q_decontaminate_bloom" -> decontaminateSql)
+
+  private lazy val decontaminateSql =
+    s"""WITH $winnowChainSql,
+       |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
+       |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp))
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM bad)
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared winnowing chain up to `wfp(id, fp)` — the fingerprint frame
     * for the winnow query and the decontamination anti-join. */

@@ -33,7 +33,10 @@ object SampleQueries extends QueryModule {
   def packSequences(spark: SparkSession, sfDir: String): DataFrame =
     PrefixSum.packByBudget(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
-      Seq(col("doc_id")), col("n_chars"), PackBudget, "bin")
+      Seq(col("doc_id")), col("n_chars"), PackBudget, "bin",
+      // doc_id is the unique order key — an explicit tiebreaker skips
+      // the default content-hash pass entirely
+      tieBreaker = Some(col("doc_id")))
       .select(col("doc_id"), col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
       .orderBy("doc_id")
 

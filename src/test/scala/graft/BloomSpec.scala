@@ -69,6 +69,18 @@ class BloomSpec extends AnyFunSuite {
     assert(got.size <= 10, s"fp explosion: $got")
   }
 
+  test("malformed bloom blobs fail with a descriptive error, not an executor AIOOBE") {
+    def probe(bytes: Array[Byte]) =
+      Seq(1L).toDF("h").select(call_function("bloom_contains", lit(bytes), col("h"))).collect()
+    val tooShort = intercept[Exception] { probe(Array[Byte](1, 2, 3)) }
+    assert(tooShort.getMessage.contains("not a bloom filter")
+      || tooShort.getCause.getMessage.contains("not a bloom filter"))
+    // plausible length, nonsense header (numHashes=0)
+    val badHeader = intercept[Exception] { probe(new Array[Byte](24)) }
+    assert(badHeader.getMessage.contains("malformed")
+      || badHeader.getCause.getMessage.contains("malformed"))
+  }
+
   test("bad argument types / non-literal sizing fail analysis loudly") {
     intercept[Exception] {
       spark.range(1).select(call_function("bloom_build", col("id"), col("id").cast("int"), lit(3)))
