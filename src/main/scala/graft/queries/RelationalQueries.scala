@@ -127,6 +127,24 @@ object RelationalQueries extends QueryModule {
         Rnd.r(col("total"), 2).as("total"), Rnd.r(col("mean"), 6).as("mean"))
       .orderBy("l_suppkey")
 
+  /** Pre-planned salted JOIN over the skew-prone event→customer edge
+    * (one hot user's events would otherwise funnel into a single join
+    * task): events are salted per row, the customer dim is replicated
+    * per salt, the join runs on (key, salt). The oracle runs the plain
+    * UNSALTED join + aggregate — hash-match proves row-for-row identity.
+    * Complementary to AQE skew splitting, which cannot act inside
+    * streaming micro-batches or pre-spread a downstream keyed stage. */
+  def skewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    graft.operators.Salt.saltedJoin(events, cust, "user_id", salts = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        Rnd.r(graft.operators.StableAgg.ssum(col("value")), 2).as("total_value"))
+      .orderBy("c_nationkey")
+  }
+
   /** CUBE — every grouping-set combination of (status, year) in ONE
     * pass: like rollup/pivot this compiles to a single expand + hash
     * aggregate (each input row fans to its 4 grouping sets map-side,
@@ -193,9 +211,15 @@ object RelationalQueries extends QueryModule {
     "q_approx_distinct" -> approxDistinct,
     "q_pivot" -> pivotStatus,
     "q_topk_per_group" -> topkPerGroup,
-    "q_salted_agg" -> saltedAgg)
+    "q_salted_agg" -> saltedAgg,
+    "q_skew_join" -> skewJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
+         |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("e.value"), 2)} AS total_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube" ->
       s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
          |  COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
