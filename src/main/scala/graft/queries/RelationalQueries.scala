@@ -145,6 +145,22 @@ object RelationalQueries extends QueryModule {
       .orderBy("c_nationkey")
   }
 
+  /** Morton (Z-order) clustering key over the two query-predicate
+    * dimensions of orders — customer and order day. Sorting the table by
+    * this ONE key clusters it in BOTH dimensions at once, so per-file
+    * parquet min/max statistics skip files for predicates on either
+    * (Sinks.writeZOrdered is the write path; ZOrderSpec measures the
+    * per-file footprint shrink). The oracle recomputes the identical
+    * bit-interleave in SQL — the curve arithmetic is value-checked
+    * cross-engine, not spot-tested. */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        graft.functions.ZOrder.interleave(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))).as("zkey"))
+      .orderBy("o_orderkey")
+
   /** CUBE — every grouping-set combination of (status, year) in ONE
     * pass: like rollup/pivot this compiles to a single expand + hash
     * aggregate (each input row fans to its 4 grouping sets map-side,
@@ -212,9 +228,15 @@ object RelationalQueries extends QueryModule {
     "q_pivot" -> pivotStatus,
     "q_topk_per_group" -> topkPerGroup,
     "q_salted_agg" -> saltedAgg,
-    "q_skew_join" -> skewJoin)
+    "q_skew_join" -> skewJoin,
+    "q_zorder_key" -> zorderKey)
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_key" ->
+      s"""SELECT o_orderkey,
+         |  ${graft.functions.ZOrder.interleaveSql(
+               "o_custkey", "datediff('day', DATE '1970-01-01', o_orderdate)")} AS zkey
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_skew_join" ->
       s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
          |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("e.value"), 2)} AS total_value

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import java.util.UUID
@@ -181,5 +181,19 @@ object Sinks {
   def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String], files: Int): Unit =
     df.repartitionByRange(files, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Two-dimensional variant of [[writeClustered]]: cluster by the
+    * Morton interleave of `x` and `y` (graft.functions.ZOrder) so each
+    * file covers a small RECTANGLE of (x, y) space and parquet min/max
+    * footers skip files for predicates on either dimension — the
+    * lakehouse `OPTIMIZE ZORDER BY` layout. Inputs must be non-negative
+    * 31-bit ints (quantize/bucket wider domains first); the interleaved
+    * key is a layout detail and is not written. */
+  def writeZOrdered(df: DataFrame, dir: String, x: Column, y: Column, files: Int): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.interleave(x, y))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(dir)
 }
