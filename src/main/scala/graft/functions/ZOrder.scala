@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * over the even (x) / odd (y) bit positions of one long.
   *
   * Domain: both coordinates must be in [0, 2^31) — dimension ids, epoch
-  * days, bucketed/quantized measures. Negative or wider inputs would
-  * wrap into the sign bit and break the ordering (guard at call site;
-  * quantize floats first). The same arithmetic is SQL-expressible
+  * days, bucketed/quantized measures (quantize floats first). Enforced
+  * per row with `raise_error`: a negative or wider input would
+  * otherwise WRAP into the interleave silently — rows would cluster
+  * into meaningless ranges and min/max skipping would quietly buy
+  * nothing, the worst failure mode for a layout tool. Null coordinates
+  * propagate to a null key (SQL convention). The same arithmetic is
+  * SQL-expressible
   * ([[interleaveSql]]), which puts any query built on it on the DuckDB
   * oracle path — the bit math is value-checked cross-engine, not just
   * spot-tested.
@@ -36,8 +40,18 @@ object ZOrder {
     2  -> 0x3333333333333333L,
     1  -> 0x5555555555555555L)
 
+  /** Null passes through (null z-key); out-of-domain fails the job with
+    * a row-valued message — the weightedBernoulli guard pattern. */
+  private def guard(c: Column): Column = {
+    val l = c.cast("long")
+    when(c.isNull, lit(null).cast("long"))
+      .when(l.between(0L, Int.MaxValue.toLong), l)
+      .otherwise(raise_error(concat(
+        lit("zorder: coordinate outside [0, 2^31): "), c.cast("string"))))
+  }
+
   private def spread(c: Column): Column =
-    Rounds.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+    Rounds.foldLeft(guard(c)) {
       case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
     }
 

@@ -419,16 +419,23 @@ object Dedup {
     * `numBits` sized to keep the plan literal sane (the bits, not the
     * corpus, are the knob). */
   def bloomDecontaminate(df: DataFrame, idCol: Column, fps: DataFrame, evalFps: DataFrame,
-                         numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+                         numBits: Int = 1 << 20, numHashes: Int = 5,
+                         scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     graft.GraftFunctions.ensure(df.sparkSession) // foreign sessions lack the extension
-    val bloomBytes = evalFps
+    // the eval fingerprint SET feeds two consumers — the EAGER bloom
+    // build (the .head below runs at construction) and the lazy exact
+    // verify join — so pin it once: an un-cached caller would otherwise
+    // pay the full evalFps lineage twice. Duplicates don't change a
+    // bloom, so building from the distinct set is the same filter.
+    val evalSet = scope.pin(evalFps.select(col("fp")).distinct())
+    val bloomBytes = evalSet
       .select(xxhash64(col("fp")).as("h"))
       .agg(call_function("bloom_build", col("h"), lit(numBits), lit(numHashes)).as("bf"))
       .head.getAs[Array[Byte]](0)
     val candidates = fps
       .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
     val bad = candidates
-      .join(broadcast(evalFps.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .join(broadcast(evalSet), Seq("fp"), "left_semi")
       .select(col("id")).distinct()
     df.join(broadcast(bad.withColumnRenamed("id", "__bad_id")),
       idCol === col("__bad_id"), "left_anti")

@@ -61,8 +61,7 @@ object PrefixSum {
     // withColumn REPLACES an existing column in place instead of
     // appending — a frame already carrying these names would silently
     // lose the wrong columns to the dropRight below
-    require(!df.columns.contains("__v") && !df.columns.exists(_.startsWith("__tb")),
-      "withRunningTotal: column names __v and __tb* are reserved")
+    require(!df.columns.contains("__v"), "withRunningTotal: column name __v is reserved")
     val tbs: Seq[Column] = tieBreaker match {
       case Some(c) => Seq(c)
       case None =>
@@ -75,6 +74,10 @@ object PrefixSum {
         // two salts → 128 independent-ish bits (see scaladoc collision math)
         Seq(xxhash64(lit(0L) +: hashable: _*), xxhash64(lit(1L) +: hashable.reverse: _*))
     }
+    // only the EXACT generated names are reserved (one per tiebreaker
+    // column) — a frame's unrelated "__tbx" column stays legal
+    tbs.indices.foreach(i => require(!df.columns.contains(s"__tb$i"),
+      s"withRunningTotal: column name __tb$i is reserved"))
     val prepared = tbs.zipWithIndex
       .foldLeft(df.withColumn("__v", valueCol.cast("long"))) {
         case (d, (c, i)) => d.withColumn(s"__tb$i", c)

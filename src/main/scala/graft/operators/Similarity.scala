@@ -176,8 +176,10 @@ object Similarity {
     * broadcast pattern — bounded, like any centroid model; data rows
     * never reach the driver). Empty cells keep their previous centroid.
     * An empty input fails loudly; if the input has fewer than k
-    * DISTINCT vectors, init stops early and returns one centroid per
-    * distinct point found (never duplicates).
+    * DISTINCT DIRECTIONS, init stops early and returns one centroid per
+    * direction found (never duplicates). "Distinct" is cosine-space
+    * distinctness: colinear vectors ([1,0] and [2,0]) are the SAME
+    * point on the unit sphere and correctly collapse to one centroid.
     *
     * Not on the oracled path: iterative float means are not portable
     * SQL. Spec contract instead: clustering cost is monotonically

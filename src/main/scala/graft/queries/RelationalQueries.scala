@@ -233,10 +233,14 @@ object RelationalQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_zorder_key" ->
-      s"""SELECT o_orderkey,
-         |  ${graft.functions.ZOrder.interleaveSql(
-               "o_custkey", "datediff('day', DATE '1970-01-01', o_orderdate)")} AS zkey
-         |FROM orders ORDER BY o_orderkey""".stripMargin,
+      // the CTE keeps interleaveSql's short-reference contract: the
+      // substituted snippet is textually duplicated 32x by the
+      // doubling rounds, so feed it column names, not expressions
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |  datediff('day', DATE '1970-01-01', o_orderdate) AS d FROM orders)
+         |SELECT o_orderkey,
+         |  ${graft.functions.ZOrder.interleaveSql("o_custkey", "d")} AS zkey
+         |FROM o ORDER BY o_orderkey""".stripMargin,
     "q_skew_join" ->
       s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
          |  ${Rnd.sql(graft.operators.StableAgg.ssumSql("e.value"), 2)} AS total_value

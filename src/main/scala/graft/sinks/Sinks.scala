@@ -190,10 +190,14 @@ object Sinks {
     * lakehouse `OPTIMIZE ZORDER BY` layout. Inputs must be non-negative
     * 31-bit ints (quantize/bucket wider domains first); the interleaved
     * key is a layout detail and is not written. */
-  def writeZOrdered(df: DataFrame, dir: String, x: Column, y: Column, files: Int): Unit =
+  def writeZOrdered(df: DataFrame, dir: String, x: Column, y: Column, files: Int): Unit = {
+    // withColumn would REPLACE a caller's __z in place and the drop
+    // below would then delete their column from the written table
+    require(!df.columns.contains("__z"), "writeZOrdered: column name __z is reserved")
     df.withColumn("__z", graft.functions.ZOrder.interleave(x, y))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+  }
 }

@@ -85,6 +85,17 @@ class PrefixSumSpec extends AnyFunSuite {
       PrefixSum.withRunningTotal(clash, Seq(col("id")), col("id"), "rt")
     }
     assert(e.getMessage.contains("reserved"))
+    val tb0 = Seq((1L, 2L)).toDF("id", "__tb0")
+    val e2 = intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(tb0, Seq(col("id")), col("id"), "rt")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // only the EXACT generated names are reserved: an unrelated __tbx
+    // column is legal (regression — a prefix check rejected it)
+    val tbx = Seq((1L, 5L), (2L, 7L)).toDF("id", "__tbx")
+    val ok = PrefixSum.withRunningTotal(tbx, Seq(col("id")), col("__tbx"), "rt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ok == Map(1L -> 5L, 2L -> 12L))
   }
 
   test("column names containing dots survive the tiebreaker pass") {

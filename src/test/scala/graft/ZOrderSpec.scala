@@ -39,6 +39,31 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-domain coordinates fail loudly; nulls pass through as null keys") {
+    val neg = intercept[Exception] {
+      Seq((-1L, 2L)).toDF("x", "y")
+        .select(ZOrder.interleave(col("x"), col("y"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(neg).exists(m => m != null && m.contains("outside [0, 2^31)")), msgs(neg))
+    val wide = intercept[Exception] {
+      Seq((1L << 31, 2L)).toDF("x", "y")
+        .select(ZOrder.interleave(col("x"), col("y"))).collect()
+    }
+    assert(msgs(wide).exists(m => m != null && m.contains("outside [0, 2^31)")), msgs(wide))
+    val nulls = Seq((Some(3L), None: Option[Long])).toDF("x", "y")
+      .select(ZOrder.interleave(col("x"), col("y"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("writeZOrdered rejects a frame already carrying __z") {
+    intercept[IllegalArgumentException] {
+      Sinks.writeZOrdered(Seq((1, 2, 3L)).toDF("x", "y", "__z"),
+        "/tmp/never_written", col("x"), col("y"), files = 1)
+    }
+  }
+
   test("z-ordered files cover small rectangles in BOTH dims; single-column clustering does not") {
     // a 64x64 grid of points; 16 output files
     val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
