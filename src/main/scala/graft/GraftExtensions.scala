@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, HammingDist, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.topKBy)
     ext.injectFunction(GraftFunctions.bloomBuild)
     ext.injectFunction(GraftFunctions.bloomContains)
+    ext.injectFunction(GraftFunctions.cmsBuild)
+    ext.injectFunction(GraftFunctions.cmsQuery)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -66,9 +68,25 @@ object GraftFunctions {
       BloomContains(children.head, children(1))
     })
 
+  val cmsBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_build"),
+    new ExpressionInfo(classOf[CmsBuildAgg].getName, "cms_build"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"cms_build expects 3 arguments, got ${children.size}")
+      CmsBuildAgg(children.head, children(1), children(2))
+    })
+
+  val cmsQuery: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_query"),
+    new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"cms_query expects 2 arguments, got ${children.size}")
+      CmsQuery(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
-    Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains).foreach { case (ident, info, builder) =>
+    Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -73,4 +73,38 @@ object TextStats {
           zip_with(chars, sequence(lit(1), length(textCol)), (c, i) => ascii(c) * i.cast("long")),
           lit(0L), (acc, v) => acc + v))
   }
+
+  /** Exact heavy hitters (all keys with count >= minCount) WITHOUT a
+    * full-cardinality shuffle — the two-pass count-min pattern:
+    *
+    *   1. sketch pass: one distributive `cms_build` aggregate collapses
+    *      every partition to a fixed depth×width counter grid (KBs
+    *      cross the wire, vs one partial row per (partition, distinct
+    *      key) for the exact groupBy — the vocabulary, at corpus scale);
+    *   2. candidate pass: a narrow codegen'd scan filter keeps only
+    *      rows whose estimate reaches minCount. CMS overestimates ONLY,
+    *      so this is a SUPERSET of the true heavy hitters;
+    *   3. exact recount of the candidates — the shuffle now carries
+    *      only (partition × candidate-key) partials — and a final
+    *      `>= minCount` erases the sketch's false positives.
+    *
+    * Output is EXACTLY the plain `groupBy.count.having` answer, which
+    * is what the q_heavy_hitters oracle checks. Width controls the
+    * false-positive rate (estimate error ≈ 2·N/width per row with
+    * depth rows to take the min over); exactness never depends on it.
+    * Input scanned twice (sketch + candidates) — the linear-scan price
+    * of not shuffling the universe; cache upstream if the key column
+    * is expensive to derive. */
+  def heavyHitters(keys: DataFrame, keyCol: Column, minCount: Long,
+                   depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+    require(minCount > 0, s"heavyHitters: minCount must be positive, got $minCount")
+    graft.GraftFunctions.ensure(keys.sparkSession)
+    val k = keys.select(keyCol.as("key"))
+    val cms = k.select(xxhash64(col("key")).as("h"))
+      .agg(call_function("cms_build", col("h"), lit(depth), lit(width)).as("c"))
+      .head.getAs[Array[Byte]](0)
+    k.filter(call_function("cms_query", lit(cms), xxhash64(col("key"))) >= minCount)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

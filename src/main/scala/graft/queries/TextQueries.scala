@@ -52,6 +52,19 @@ object TextQueries extends QueryModule {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
+  /** Heavy hitters via the two-pass count-min pattern (sketch pass →
+    * candidate scan filter → exact recount): the answer is EXACTLY the
+    * plain group-count-having answer — which is what the oracle runs —
+    * but the only per-key shuffle carries candidate keys, not the
+    * vocabulary. See [[graft.operators.TextStats.heavyHitters]]. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextStats.heavyHitters(
+      Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), " ")).as("token")),
+      col("token"), minCount = 500)
+      .select(col("key").as("token"), col("n"))
+      .orderBy("token")
+
   /** TF-IDF top terms per document, in EXACT integer arithmetic: the
     * keyword-extraction / sparse-retrieval weighting of a text pipeline.
     * `score_scaled = tf·10⁶ div df` is the RATIONAL-idf variant (N/df
@@ -140,6 +153,7 @@ object TextQueries extends QueryModule {
     "q_text_langid" -> textLangId,
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
+    "q_heavy_hitters" -> heavyHitters,
     "q_tfidf_topterms" -> tfidfTopTerms,
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles,
@@ -186,6 +200,12 @@ object TextQueries extends QueryModule {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // the sketch pre-pass is exactness-preserving (overestimates are
+    // erased by the recount), so the oracle IS the exact spelling
+    "q_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token HAVING COUNT(*) >= 500 ORDER BY token""".stripMargin,
     "q_tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
