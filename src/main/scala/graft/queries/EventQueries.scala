@@ -71,10 +71,43 @@ object EventQueries extends QueryModule {
         col("n_rows"), col("revenue"))
       .orderBy("returnflag", "linestatus")
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click AT/after it, the first purchase
+    * at/after THAT click — strictly sequential steps, the e-commerce
+    * behavioral query. Spelled as a chain of keyed min-aggregates +
+    * joins: after the first user_id exchange every later stage
+    * co-partitions on the same key (no whole-frame windows, no per-user
+    * collect — per-stage state is one timestamp per user). Exact
+    * integer micros; `>=` at each step boundary, pinned by the oracle. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") >= col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") >= col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("reached"),
+        col("t1"),
+        coalesce(col("t2"), lit(-1L)).as("t2"),
+        coalesce(col("t3"), lit(-1L)).as("t3"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_window" -> eventWindow,
     "q_event_sessions" -> eventSessions,
     "q_session_window" -> sessionWindow,
+    "q_funnel" -> funnel,
     "q_rollup" -> eventRollup)
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +152,19 @@ object EventQueries extends QueryModule {
          |  ${Rnd.sql(StableAgg.ssumSql("value"), 2)} AS total_value
          |FROM s GROUP BY user_id, session_no
          |ORDER BY user_id, start_us""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached,
+        |  t1, COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
          |  COALESCE(l_linestatus, '(all)') AS linestatus,

@@ -161,4 +161,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
       s"verify join shuffled the fingerprint stream:\n$s")
   }
+
+  test("q_zorder_key: pure map over one pruned scan — only the output sort exchanges") {
+    val plan = staticPlan(graft.queries.RelationalQueries.zorderKey(spark, sf))
+    val scanList = scans(plan)
+    assert(scanList.size == 1, s"expected one scan, got ${scanList.size}")
+    val read = scanList.head.metadata("ReadSchema")
+    Seq("o_orderkey", "o_custkey", "o_orderdate").foreach(c =>
+      assert(read.contains(c), s"$c missing: $read"))
+    assert(!read.contains("o_totalprice") && !read.contains("o_comment"),
+      s"orders scan not pruned: $read")
+    assert(shuffles(plan).size <= 1, s"bit-interleave grew a shuffle:\n$plan")
+  }
+
+  test("q_heavy_hitters: cms_query gates the scan BEFORE the only per-key exchange") {
+    // the sketch pass runs eagerly at construction; the returned plan is
+    // the candidate pass — scan → cms filter → recount (+ output sort)
+    val plan = staticPlan(graft.queries.TextQueries.heavyHitters(spark, sf))
+    val s = plan.toString
+    assert(s.contains("cms_query"), s"cms probe missing from the plan:\n$s")
+    assert(scans(plan).size == 1, s"candidate pass re-scans:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("NestedLoopJoin"),
+      s"heavy hitters must not join:\n$s")
+    // candidate-count aggregate + output sort only
+    assert(shuffles(plan).size <= 2, s"extra exchange in the recount:\n$plan")
+  }
 }
