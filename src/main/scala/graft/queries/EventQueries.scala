@@ -74,24 +74,31 @@ object EventQueries extends QueryModule {
   /** Ordered conversion funnel view → click → purchase: per user, the
     * first view, the first click AT/after it, the first purchase
     * at/after THAT click — strictly sequential steps, the e-commerce
-    * behavioral query. Spelled as a chain of keyed min-aggregates +
-    * joins: after the first user_id exchange every later stage
-    * co-partitions on the same key (no whole-frame windows, no per-user
-    * collect — per-stage state is one timestamp per user). Exact
-    * integer micros; `>=` at each step boundary, pinned by the oracle. */
+    * behavioral query. Spelled as three CHAINED min-over-partition
+    * windows on one user_id spec: t2's predicate reads the t1 column
+    * the previous window produced, so the sequential dependency
+    * resolves in one pass — ONE events scan and ONE exchange (the
+    * staged aggregate-join chain reads the events table once per step;
+    * at event-log scale the scans dominate, so the window spelling
+    * wins even though it buffers a user's history in the window
+    * frame — same state class as q_event_sessions). Exact integer
+    * micros; `>=` at each step boundary, pinned by the oracle. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("t1"))
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("us") >= col("t1"))
-      .groupBy("user_id").agg(min("us").as("t2"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("us") >= col("t2"))
-      .groupBy("user_id").agg(min("us").as("t3"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1"), col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2"), col("us"))).over(w))
+      .groupBy("user_id")
+      // the step times are per-user constants by construction (each is
+      // an unbounded-frame window value); min is just a picker
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+      .filter(col("t1").isNotNull) // funnel entry requires a view
       .select(
         col("user_id"),
         when(col("t3").isNotNull, 3L)

@@ -186,4 +186,17 @@ class PlanContractSpec extends AnyFunSuite {
     // candidate-count aggregate + output sort only
     assert(shuffles(plan).size <= 2, s"extra exchange in the recount:\n$plan")
   }
+
+  test("q_funnel: one events scan; the chained step windows share one user partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.EventQueries.funnel(spark, sf))
+    assert(scans(plan).size == 1,
+      s"funnel re-scans events (the staged-join spelling):\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 3, s"expected 3 chained step windows, got ${windows.size}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"whole-frame window:\n$w"))
+    // user_id exchange + output sort only — the windows and the final
+    // per-user aggregate all reuse the first partitioning
+    assert(shuffles(plan).size <= 2, s"funnel grew an exchange:\n$plan")
+  }
 }
