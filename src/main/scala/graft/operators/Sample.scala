@@ -66,4 +66,39 @@ object Sample {
       .filter(u32 * col("__wmax") < guarded * lit(1L << 32))
       .drop("__wmax")
   }
+
+  /** Epoch-based UPSAMPLING to balance a skewed group mixture: each row
+    * of group g is replicated `max_count div count(g)` times (an
+    * integer "number of epochs", always ≥ 1 for the largest group and
+    * ≥ 1 everywhere), appended as an `epoch` column ∈ [0, r). This is
+    * the multilingual/multi-domain training-mix move — minority
+    * groups re-appear in more epochs instead of majority groups being
+    * thrown away (subsampling is [[stratifiedHead]]'s job). Integer
+    * repeat factors keep the output an exact deterministic function of
+    * the input (no fractional-epoch randomness), so re-runs and other
+    * engines reproduce the mix row-for-row.
+    *
+    * Plan shape: the group-count aggregate collapses map-side to
+    * |groups| rows; the max rides a whole-frame window over that
+    * ALREADY-AGGREGATED |groups|-row frame (one tiny single-partition
+    * exchange — NOT a whole-corpus window, and cheaper than the
+    * crossJoin-with-own-max spelling, which plans the count subtree
+    * twice and re-scans the input); the factor frame joins back by
+    * BROADCAST — the corpus itself is never shuffled; replication is a
+    * map-side `explode` whose output is Σ r_g·n_g rows. At 100 TB the
+    * only extra full pass is the count scan. */
+  def balanceByUpsampling(df: DataFrame, groupCol: Column): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "balanceByUpsampling: column name epoch is reserved")
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    val factors = counts
+      // floor division of positive longs: the quotient fits a double
+      // exactly (counts < 2^53), so floor(a/b) == a div b
+      .select(col("__g"),
+        floor(max(col("__n")).over(Window.partitionBy()).cast("double") / col("__n"))
+          .cast("long").as("__r"))
+    df.join(broadcast(factors), groupCol === col("__g"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__r") - 1L)))
+      .drop("__g", "__r")
+  }
 }

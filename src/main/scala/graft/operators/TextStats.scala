@@ -107,4 +107,79 @@ object TextStats {
       .groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Repetition signals (the Gopher/C4-style quality gates against
+    * machine-generated or boilerplate text), per document:
+    *
+    *  - `n_words`        — whitespace token count
+    *  - `dup_word_permille`   — ⌊(n − |distinct words|)·1000 / n⌋: the
+    *    fraction of word occurrences that are repeats of an earlier word
+    *  - `top_bigram_permille` — ⌊(occurrences of the most frequent word
+    *    2-gram)·2·1000 / n⌋: the fraction of the doc covered by its
+    *    single most repeated bigram (≈ the "fraction of characters in
+    *    the most common n-gram" filter, in word units)
+    *
+    * Permille as FLOOR of an IEEE double division, spelled identically
+    * in the DuckDB mirror: both engines perform the same single
+    * division (exact-integer quotients are exact in IEEE; non-integer
+    * quotients floor identically for numerators < 2^53 — documents
+    * would need 2^43 words to breach it).
+    *
+    * Everything is per-row map work in one codegen stage — no shuffle,
+    * no UDF. The top-bigram mode is computed WITHIN the row by HOFs
+    * (distinct × filter: O(d·n) per doc, d = distinct bigrams). That is
+    * the right shape for web-scale corpora of bounded-length documents;
+    * for pathological single-docs of 10⁶+ words, explode → per-(doc,
+    * bigram) count → max_by is the same contract with two exchanges. */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val n = size(toks)
+    // adjacent-pair zip: slice is 1-based; n-1 pairs for n tokens
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topBigram = coalesce(
+      array_max(transform(array_distinct(bigrams),
+        x => size(filter(bigrams, y => y === x)))),
+      lit(0)) // 0- and 1-word docs have no bigram
+    df.withColumn("n_words", n.cast("long"))
+      .withColumn("dup_word_permille",
+        floor((n - size(array_distinct(toks))).cast("double") * 1000 / n).cast("long"))
+      .withColumn("top_bigram_permille",
+        floor(topBigram.cast("double") * 2000 / n).cast("long"))
+  }
+
+  /** Sliding-window CHUNKING: split each document into `window`-token
+    * chunks every `stride` tokens (overlap = window − stride), the
+    * long-document → training-sequence step of an LLM data pipeline.
+    * The final chunk starts at the smallest stride multiple whose
+    * window reaches the end of the document, so every token lands in
+    * ≥ 1 chunk and no start index runs past the text; short documents
+    * yield exactly one (possibly sub-window) chunk.
+    *
+    * Emits one row per (doc, chunk): `chunk_id` (0-based), `start`
+    * (0-based token offset), `chunk_len`, `chunk_text`. Pure map-side
+    * work — tokenize, one `sequence` of start offsets, `posexplode`,
+    * `slice` — a single narrow codegen stage, no shuffle; output size
+    * is ~n/stride rows per doc, the chunking's inherent inflation. */
+  def chunkSliding(df: DataFrame, idCol: Column, textCol: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkSliding: need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(textCol)
+    val n = size(toks)
+    // ceil((n - window)/stride)·stride via floor of an IEEE division —
+    // exact cross-engine (see withRepetition's bound); 0 when the doc
+    // fits a single window
+    val lastStart = greatest(lit(0),
+      (floor((n - window + (stride - 1)).cast("double") / stride) * stride).cast("int"))
+    df.select(idCol.as("id"), toks.as("__toks"), lastStart.as("__last"))
+      .select(col("id"), col("__toks"),
+        posexplode(sequence(lit(0), col("__last"), lit(stride))).as(Seq("chunk_id", "start")))
+      .select(
+        col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        size(slice(col("__toks"), col("start") + 1, lit(window))).cast("long").as("chunk_len"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("chunk_text"))
+  }
 }

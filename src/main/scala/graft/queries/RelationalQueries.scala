@@ -202,6 +202,34 @@ object RelationalQueries extends QueryModule {
       .orderBy("o_custkey", "rn")
   }
 
+  /** VALUE-based (RANGE) window frames: per order, the customer's
+    * rolling 30-day order count and spend — the time-decayed feature /
+    * trailing-metric shape that row frames (q_window_funcs) cannot
+    * express when a customer's order days are irregular. The frame is
+    * `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over integer
+    * day-since-epoch, so same-day orders are PEERS (both engines
+    * include the full peer group — that exact boundary semantics is
+    * what the oracle pins). One per-customer exchange, each partition
+    * sorts independently; the spend rides [[graft.operators.StableAgg]]
+    * decimals so the rolling sum is partition-order-independent. */
+  def rollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("day")).rangeBetween(-29, 0)
+    Tables.orders(spark, sfDir)
+      // pre-cast the decimal here: with both frame aggregates in ONE
+      // select over an already-typed input they fuse onto a single
+      // WindowExec (a Project between two withColumn windows blocks
+      // CollapseWindow and doubles the per-partition frame pass)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(30,8)").as("__price"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col("__price")).over(w).cast("double").as("roll_spend"))
+      .orderBy("o_orderkey")
+  }
+
   /** Set-operator surface: customers active in BOTH 1995 and 1996
     * (INTERSECT) vs only in 1995 (EXCEPT), tagged and unioned. Spark
     * plans both as aggregate + shuffle-or-broadcast semi/anti joins on
@@ -218,6 +246,7 @@ object RelationalQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube" -> cubeStatusYear,
     "q_window_funcs" -> windowFuncs,
+    "q_rolling_range" -> rollingRange,
     "q_set_ops" -> setOps,
     "q_item_index" -> itemIndex,
     "q_pool_assign" -> poolAssign,
@@ -263,6 +292,19 @@ object RelationalQueries extends QueryModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    // decimal accumulation inside the frame (StableAgg rule): the sum
+    // is exact, so ONE final cast to double matches bit-for-bit
+    "q_rolling_range" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS roll_spend
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_set_ops" ->
       """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
         |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)

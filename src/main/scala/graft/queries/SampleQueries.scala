@@ -48,10 +48,22 @@ object SampleQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Mixture balancing by integer upsampling: the corpus is ~44% `en`,
+    * so minority languages replicate into `max_count div count` epochs
+    * (en×1 … fr×3 on this skew) — the multilingual training-mix move.
+    * Counts aggregate + broadcast factor join + map-side explode; the
+    * corpus itself never shuffles
+    * ([[graft.operators.Sample.balanceByUpsampling]]). */
+  def sampleBalance(spark: SparkSession, sfDir: String): DataFrame =
+    Sample.balanceByUpsampling(Tables.documents(spark, sfDir), col("lang"))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> sampleHash,
     "q_sample_strat" -> sampleStrat,
     "q_sample_weighted" -> sampleWeighted,
+    "q_sample_balance" -> sampleBalance,
     "q_pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +84,15 @@ object SampleQueries extends QueryModule {
          |  FROM documents)
          |SELECT lang, doc_id, rk FROM r WHERE rk <= $StratK
          |ORDER BY lang, rk""".stripMargin,
+    // per-row epoch fan-out via scalar range() inside list_transform
+    // (lateral range() on a column is not supported in DuckDB)
+    "q_sample_balance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |f AS (SELECT lang, (SELECT MAX(n) FROM c) // n AS r FROM c)
+        |SELECT d.doc_id, d.lang,
+        |  unnest(list_transform(range(0, f.r), e -> e)) AS epoch
+        |FROM documents d JOIN f USING (lang)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q_pack_sequences" ->
       s"""SELECT doc_id, n_chars,
          |  CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,

@@ -148,6 +148,32 @@ object TextQueries extends QueryModule {
         expr("approx_percentile(n_chars, 0.99, 1000)").as("ap99"))
       .orderBy("lang")
 
+  /** Gopher-style repetition quality gates: per-doc duplicate-word and
+    * top-bigram coverage permilles plus the keep/drop flag a curation
+    * pass would filter on. Pure per-row map work (one codegen stage,
+    * no shuffle beyond the output sort) — see
+    * [[graft.operators.TextStats.withRepetition]]. The thresholds sit
+    * inside this corpus's spread so the flag actually splits it. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.withRepetition(Tables.documents(spark, sfDir), col("text"))
+      .select(
+        col("doc_id"), col("n_words"), col("dup_word_permille"), col("top_bigram_permille"),
+        (col("dup_word_permille") > 700 || col("top_bigram_permille") > 100)
+          .cast("int").as("repetitive"))
+      .orderBy("doc_id")
+
+  private val ChunkWindow = 40
+  private val ChunkStride = 20
+
+  /** Sliding-window chunking (40-token windows every 20): the
+    * long-document → training-sequence split. One narrow map stage —
+    * see [[graft.operators.TextStats.chunkSliding]]. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.chunkSliding(Tables.documents(spark, sfDir), col("doc_id"), col("text"),
+      ChunkWindow, ChunkStride)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
@@ -157,7 +183,9 @@ object TextQueries extends QueryModule {
     "q_tfidf_topterms" -> tfidfTopTerms,
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles,
-    "q_len_quantiles_approx" -> lenQuantilesApprox)
+    "q_len_quantiles_approx" -> lenQuantilesApprox,
+    "q_text_repetition" -> textRepetition,
+    "q_chunk_overlap" -> chunkOverlap)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -232,5 +260,42 @@ object TextQueries extends QueryModule {
          |  ${Rnd.sql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
          |  ${Rnd.sql("quantile_cont(n_chars, 0.9)", 4)} AS p90,
          |  ${Rnd.sql("quantile_cont(n_chars, 0.99)", 4)} AS p99
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // permilles as floor of the SAME IEEE double division Spark
+    // performs (exact-quotient / floor-agreement bound in the operator
+    // scaladoc); the bigram mode is an in-list distinct × filter count
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n,
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+         |  FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(n AS BIGINT) AS n_words,
+         |    CAST(floor(CAST(n - len(list_distinct(toks)) AS DOUBLE) * 1000 / n) AS BIGINT)
+         |      AS dup_word_permille,
+         |    CAST(floor(CAST(coalesce(list_max(list_transform(list_distinct(bg),
+         |        x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) * 2000 / n) AS BIGINT)
+         |      AS top_bigram_permille
+         |  FROM b)
+         |SELECT doc_id, n_words, dup_word_permille, top_bigram_permille,
+         |  CAST(dup_word_permille > 700 OR top_bigram_permille > 100 AS INT) AS repetitive
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // start offsets are a per-row scalar range() (stride 20) materialized
+    // through list_transform + unnest (lateral range() on a column is
+    // not supported); list_slice clamps at the list end like slice
+    "q_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |    greatest(0, CAST(floor(CAST(len(toks) - 40 + 19 AS DOUBLE) / 20) AS BIGINT) * 20)
+         |      AS last_start
+         |  FROM t),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(list_transform(range(0, last_start + 1, 20), s -> s)) AS start
+         |  FROM b)
+         |SELECT doc_id,
+         |  start // 20 AS chunk_id,
+         |  start,
+         |  CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS chunk_len,
+         |  array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
 }

@@ -187,6 +187,47 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffles(plan).size <= 2, s"extra exchange in the recount:\n$plan")
   }
 
+  test("q_text_repetition: pure per-row map — one scan, only the output-sort exchange") {
+    val plan = staticPlan(graft.queries.TextQueries.textRepetition(spark, sf))
+    assert(scans(plan).size == 1, s"repetition re-scans documents:\n$plan")
+    assert(shuffles(plan).size <= 1, s"repetition grew an exchange beyond the sort:\n$plan")
+    assert(!plan.toString.contains("Join"), s"repetition must not join:\n$plan")
+  }
+
+  test("q_chunk_overlap: one scan + map-side Generate; only the output-sort exchange") {
+    val plan = staticPlan(graft.queries.TextQueries.chunkOverlap(spark, sf))
+    assert(scans(plan).size == 1, s"chunking re-scans documents:\n$plan")
+    assert(plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+      s"expected the posexplode Generate:\n$plan")
+    assert(shuffles(plan).size <= 1, s"chunking grew an exchange beyond the sort:\n$plan")
+  }
+
+  test("q_rolling_range: one orders scan, one partitioned RANGE window, no whole-frame sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.RelationalQueries.rollingRange(spark, sf))
+    assert(scans(plan).size == 1, s"rolling range re-scans orders:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 1, s"both frame aggregates must fuse onto one WindowExec:\n$plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"whole-frame window:\n$w"))
+    // customer partition + output sort only
+    assert(shuffles(plan).size <= 2, s"rolling range grew an exchange:\n$plan")
+  }
+
+  test("q_sample_balance: corpus never shuffles — factor join broadcasts, fan-out is map-side") {
+    val plan = staticPlan(graft.queries.SampleQueries.sampleBalance(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the factor join must broadcast, not shuffle the corpus:\n$s")
+    assert(plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+      s"expected the epoch explode Generate:\n$s")
+    // exactly two scans: the counts pass + the corpus pass (the max
+    // must NOT re-plan the counts subtree a third time)
+    assert(scans(plan).size == 2, s"balance re-scans documents:\n$s")
+    // counts aggregate (|groups| rows) + the tiny single-partition max
+    // window + the output sort; the replicated corpus crosses no exchange
+    assert(shuffles(plan).size <= 3, s"balance grew an exchange:\n$s")
+  }
+
   test("q_funnel: one events scan; the chained step windows share one user partition") {
     import org.apache.spark.sql.execution.window.WindowExec
     val plan = staticPlan(graft.queries.EventQueries.funnel(spark, sf))

@@ -81,4 +81,26 @@ class SampleSpec extends AnyFunSuite {
       Sample.weightedBernoulli(Seq((1L, Long.MaxValue)).toDF("id", "w"), col("id"), col("w")).collect()
     }
   }
+
+  test("balanceByUpsampling: r = max div n per group, epochs dense from 0, majority group untouched") {
+    // a:5 → r=1, b:2 → r=2, c:1 → r=5
+    val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val out = Sample.balanceByUpsampling(df, col("g")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("g"), r.getAs[Long]("epoch")))
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup("a").length == 5)  // r=1: unchanged
+    assert(byGroup("b").length == 4)  // 2 rows × 2 epochs
+    assert(byGroup("c").length == 5)  // 1 row × 5 epochs
+    // epochs are dense 0..r-1 per row
+    assert(byGroup("c").map(_._3).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.filter(_._2 == "a").forall(_._3 == 0L))
+    // deterministic: same output on re-run
+    val again = Sample.balanceByUpsampling(df, col("g")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("g"), r.getAs[Long]("epoch")))
+    assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      Sample.balanceByUpsampling(df.withColumnRenamed("id", "epoch"), col("g"))
+    }
+  }
 }

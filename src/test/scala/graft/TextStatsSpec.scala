@@ -58,4 +58,39 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L)._2 == 97 * 1 + 98 * 2)
     assert(out(2L)._2 == 98 * 1 + 97 * 2)
   }
+
+  test("repetition: hand-computed permilles; 1-word doc has no bigram") {
+    val df = Seq(
+      (1L, "a b a b"),   // dup: (4-2)/4 = 500‰; top bigram "a b"×2 of 4 words = 1000‰
+      (2L, "a b c"),     // dup 0‰; bigrams "a b","b c" ×1 → 2/3 = 666‰
+      (3L, "x"))         // no bigram → 0‰; no dup → 0‰
+      .toDF("id", "text")
+    val out = TextStats.withRepetition(df, col("text"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("dup_word_permille"), r.getAs[Long]("top_bigram_permille")))).toMap
+    assert(out(1L) == ((4L, 500L, 1000L)))
+    assert(out(2L) == ((3L, 0L, 666L)))
+    assert(out(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("chunkSliding: tail chunk covers the end; short docs yield one chunk; starts advance by stride") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "s1 s2")).toDF("id", "text")
+    val out = TextStats.chunkSliding(df, col("id"), col("text"), window = 3, stride = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start"), r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_text")))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: n=6, last start = ceil((6-3)/2)*2 = 4 → starts 0,2,4
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 3L, "t1 t2 t3"),
+      (1L, 1L, 2L, 3L, "t3 t4 t5"),
+      (1L, 2L, 4L, 2L, "t5 t6")))
+    // doc 2 fits one window → exactly one (sub-window) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "s1 s2")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet
+    assert(covered == Set("t1", "t2", "t3", "t4", "t5", "t6"))
+    intercept[IllegalArgumentException] {
+      TextStats.chunkSliding(df, col("id"), col("text"), window = 2, stride = 3)
+    }
+  }
 }
