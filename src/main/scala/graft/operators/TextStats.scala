@@ -125,11 +125,14 @@ object TextStats {
     * quotients floor identically for numerators < 2^53 — documents
     * would need 2^43 words to breach it).
     *
-    * Everything is per-row map work in one codegen stage — no shuffle,
-    * no UDF. The top-bigram mode is computed WITHIN the row by HOFs
-    * (distinct × filter: O(d·n) per doc, d = distinct bigrams). That is
-    * the right shape for web-scale corpora of bounded-length documents;
-    * for pathological single-docs of 10⁶+ words, explode → per-(doc,
+    * Everything is per-row map work in one stage — no shuffle, no UDF.
+    * The top-bigram mode is the longest equal-run of the SORTED bigram
+    * array — one `array_sort` + one `aggregate` pass, O(n log n) per
+    * doc. (The naive `transform(distinct, x -> count(filter(bg, =x)))`
+    * spelling re-evaluates the whole tokenize→zip chain inside the
+    * lambda — lambdas are interpreted, not codegen'd, and CSE does not
+    * reach into them: measured 17.9 s → sub-second at sf0.1.) For
+    * pathological single-docs of 10⁶+ words, explode → per-(doc,
     * bigram) count → max_by is the same contract with two exchanges. */
   def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
@@ -138,10 +141,17 @@ object TextStats {
     val bigrams = zip_with(
       slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
-    val topBigram = coalesce(
-      array_max(transform(array_distinct(bigrams),
-        x => size(filter(bigrams, y => y === x)))),
-      lit(0)) // 0- and 1-word docs have no bigram
+    // longest run in sort order = max multiplicity; a bigram always
+    // contains a space so the "" init can never match the first element,
+    // and an empty array returns the zero's best = 0 (no coalesce needed)
+    val topBigram = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     df.withColumn("n_words", n.cast("long"))
       .withColumn("dup_word_permille",
         floor((n - size(array_distinct(toks))).cast("double") * 1000 / n).cast("long"))
