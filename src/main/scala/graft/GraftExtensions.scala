@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, PqAdc, PqEncode, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomContains)
     ext.injectFunction(GraftFunctions.cmsBuild)
     ext.injectFunction(GraftFunctions.cmsQuery)
+    ext.injectFunction(GraftFunctions.pqEncode)
+    ext.injectFunction(GraftFunctions.pqAdc)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -84,9 +86,26 @@ object GraftFunctions {
       CmsQuery(children.head, children(1))
     })
 
+  val pqEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"pq_encode expects 3 arguments, got ${children.size}")
+      PqEncode(children.head, children(1), children(2))
+    })
+
+  val pqAdc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"pq_adc expects 2 arguments, got ${children.size}")
+      PqAdc(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
-    Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery).foreach { case (ident, info, builder) =>
+    Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
+        pqEncode, pqAdc).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

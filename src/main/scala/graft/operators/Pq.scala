@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization over the engine's quantized embeddings — the
+  * memory-compression side of ANN at corpus scale (IVF narrows WHERE to
+  * search; PQ shrinks WHAT is resident: a 64-dim vector becomes m
+  * codeword indices, 32-64× smaller, which is what lets a
+  * billion-vector index fit executor memory).
+  *
+  * Layout contract (shared with the native expressions and the DuckDB
+  * oracle): codebooks flatten as `cb[(j·ksub + c)·dsub + i]` — subspace
+  * j, codeword c, position i; `cb.length = ksub · dim`.
+  *
+  * The codebook here is TRAINING-FREE (stride-sampled rows, the
+  * [[Similarity.ivfCells]] precedent): deterministic, engine-portable,
+  * and exactly the plumbing a k-means-per-subspace upgrade would reuse
+  * ([[Similarity.kmeansCentroids]] on each subvector frame — not on the
+  * oracled path for the same iterative-float-means reason documented
+  * there). All distances are exact integer squared-L2 over quantized
+  * longs, so codes AND ADC scores hash-match across engines.
+  *
+  * Scale shape: the codebook is a driver-side model of ksub·dim longs
+  * (bounded, like any centroid set); encoding is map-side native
+  * codegen over N rows — no shuffle; scoring broadcasts the |Q|
+  * query tables and windows per query. The corpus crosses one exchange
+  * (the per-query top-k partition), never an N×C expansion.
+  */
+object Pq {
+
+  /** Training-free codebook: codeword c of EVERY subspace comes from
+    * the row with id = c·stride (c < ksub) — a deterministic "sample"
+    * of the corpus. Collects ksub·dim longs to the driver (a bounded
+    * model). Fails loudly if any sampled id is missing. */
+  def strideCodebook(prepped: DataFrame, stride: Int, ksub: Int, m: Int): Array[Long] = {
+    require(stride > 0 && ksub > 0 && m > 0, s"bad stride=$stride ksub=$ksub m=$m")
+    val rows = prepped
+      .filter(col("id") % stride === 0 && col("id") < stride.toLong * ksub)
+      .orderBy("id").select("q").collect()
+    require(rows.length == ksub,
+      s"strideCodebook: expected $ksub codeword rows (ids 0, $stride, ...), found ${rows.length}")
+    val vecs = rows.map(_.getSeq[Long](0).toArray)
+    val dim = vecs.head.length
+    require(vecs.forall(_.length == dim), "strideCodebook: ragged vectors")
+    require(dim % m == 0, s"strideCodebook: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val cb = new Array[Long](ksub * dim)
+    for (j <- 0 until m; c <- 0 until ksub; i <- 0 until dsub)
+      cb((j * ksub + c) * dsub + i) = vecs(c)(j * dsub + i)
+    cb
+  }
+
+  /** Map-side encode via the native codegen'd
+    * [[graft.expressions.PqEncode]]: array<bigint> → array<int> of m
+    * codeword indices. The codebook rides the plan as a literal. */
+  def encode(vec: Column, cb: Array[Long], m: Int): Column =
+    call_function("pq_encode", vec, typedLit(cb.toSeq), lit(m))
+
+  /** Query-side ADC table: the query's exact integer squared-L2 to
+    * every codeword, flattened in the codebook layout. HOF spelling on
+    * purpose — it runs on |Q| rows only, and the lambdas index the row
+    * array and a literal (bounded ksub·dim work per row; NOT the
+    * data-dependent lambda re-evaluation of the q_text_repetition
+    * lesson, which is why this one may stay interpreted). */
+  def adcTable(vec: Column, cb: Array[Long], m: Int, ksub: Int): Column = {
+    require(cb.length % ksub == 0 && (cb.length / ksub) % m == 0,
+      s"adcTable: codebook of ${cb.length} is not ksub=$ksub codewords of dim divisible by m=$m")
+    val dim = cb.length / ksub
+    val dsub = dim / m
+    val cbLit = typedLit(cb.toSeq)
+    flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ksub - 1)), c =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (acc, p) => {
+          val d = element_at(vec, j * dsub + p + 1) -
+            element_at(cbLit, (j * ksub + c) * dsub + p + 1)
+          acc + d * d
+        }))))
+  }
+
+  /** Asymmetric-distance score via the native codegen'd
+    * [[graft.expressions.PqAdc]]. */
+  def adc(codes: Column, table: Column): Column =
+    call_function("pq_adc", codes, table)
+
+  /** Top-k by ADC distance: `codes` (id, codes) × broadcast `queries`
+    * (query_id, tbl), scored by the native lookup, ranked per query
+    * (ascending distance, ties to the lower neighbor id). The corpus
+    * never re-shuffles beyond the per-query window partition. */
+  def topKAdc(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.GraftFunctions.ensure(codes.sparkSession)
+    val joined = codes.join(broadcast(queries), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adc(col("codes"), col("tbl")).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,12 +73,34 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  private val PqM = 4
+  private val PqKsub = 8
+  private val PqStride = 31
+
+  /** Product-quantization ANN: stride-sampled codebooks (8 codewords ×
+    * 4 subspaces of 16 dims), corpus encoded map-side by the native
+    * `pq_encode`, queries scored by `pq_adc` table lookups — all
+    * exact-integer squared-L2, so codes and distances hash-match the
+    * oracle. The compression story: 64 longs → 4 ints per vector. */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+    // prepped feeds the codebook collect AND the encode — pin it
+    val p = prepped(spark, sfDir).cache()
+    val cb = Pq.strideCodebook(p, PqStride, PqKsub, PqM)
+    val codes = p.select(col("id"), Pq.encode(col("q"), cb, PqM).as("codes"))
+    val qs = p.filter(col("id") < 10)
+      .select(col("id").as("query_id"), Pq.adcTable(col("q"), cb, PqM, PqKsub).as("tbl"))
+    Pq.topKAdc(codes, qs, k = K)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adist"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
     "q_sim_lsh" -> simLsh,
     "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
-    "q_sim_ivf" -> simIvf)
+    "q_sim_ivf" -> simIvf,
+    "q_sim_pq" -> simPq)
 
   // dimension bound derives from each vector's length (ADVICE r2: no
   // silent truncation cap)
@@ -206,5 +228,32 @@ object SimilarityQueries extends QueryModule {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
          |  FROM ncos)
          |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
-         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // PQ mirror: codeword c of subspace j is row 31c's subvector j
+    // (dsub=16); codes are argmin of integer squared-L2 (ties → lowest
+    // c, the ROW_NUMBER tie order); ADC re-joins each neighbor's codes
+    // to the QUERY's distance rows — every number an exact integer
+    "q_sim_pq" ->
+      s"""WITH qv AS ($qvSql),
+         |sub AS (SELECT vec_id, (i-1) // 16 AS j, (i-1) % 16 AS p, q FROM qv),
+         |cbv AS (SELECT vec_id // $PqStride AS c, j, p, q
+         |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqKsub}),
+         |d AS (SELECT s.vec_id, s.j, b.c,
+         |    CAST(SUM((s.q - b.q) * (s.q - b.q)) AS BIGINT) AS dist2
+         |  FROM sub s JOIN cbv b ON b.j = s.j AND b.p = s.p
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist2, c) AS rn
+         |    FROM d) WHERE rn = 1),
+         |adc AS (SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    CAST(SUM(qd.dist2) AS BIGINT) AS adist
+         |  FROM codes x JOIN d qd ON qd.j = x.j AND qd.c = x.c
+         |  WHERE qd.vec_id < 10 AND qd.vec_id <> x.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, rk, adist
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin)
 }

@@ -117,6 +117,19 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected a broadcast for the query side:\n$plan")
   }
 
+  test("q_sim_pq: queries broadcast; corpus crosses only the top-k window + output sort") {
+    val plan = staticPlan(graft.queries.SimilarityQueries.simPq(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the query-table join must broadcast, not shuffle the encoded corpus:\n$s")
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected one per-query window:\n$s")
+    // per-query window partition + output sort; encoding itself is map-side
+    assert(shuffles(plan).size <= 2, s"pq grew an exchange:\n$s")
+    spark.catalog.clearCache() // simPq pins the prepped frame
+  }
+
   test("q_cube: ONE expand + hash-aggregate pass — no per-grouping-set re-scan, no join") {
     val plan = staticPlan(graft.queries.RelationalQueries.cubeStatusYear(spark, sf))
     assert(scans(plan).size == 1, s"cube re-scanned the input:\n$plan")

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization primitives: the native pq_encode / pq_adc
+  * expressions against hand-computed codes and distances, their null
+  * and misuse contracts, and the self-consistency of the operator's
+  * three pieces (encode = argmin of the ADC table; a vector assembled
+  * from codewords scores its EXACT distance). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // dim=4, m=2 subspaces of 2, ksub=2 codewords:
+  //   sub0: c0=[0,0]  c1=[10,10]     sub1: c0=[5,5]  c1=[0,0]
+  // flattened cb[(j*ksub + c)*dsub + i]
+  private val cb = Array(0L, 0L, 10L, 10L, 5L, 5L, 0L, 0L)
+  private val M = 2
+  private val Ksub = 2
+
+  test("encode: hand-computed argmin per subspace") {
+    val out = Seq(
+      Tuple1(Array(9L, 9L, 1L, 1L)),   // sub0: 162 vs 2 -> 1; sub1: 32 vs 2 -> 1
+      Tuple1(Array(1L, 2L, 4L, 5L)))   // sub0: 5 vs 145 -> 0; sub1: 1 vs 41 -> 0
+      .toDF("v")
+      .select(Pq.encode(col("v"), cb, M).as("codes"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(out.toSeq == Seq(Seq(1, 1), Seq(0, 0)))
+  }
+
+  test("encode: equidistant codewords tie to the LOWEST index") {
+    // sub codewords [0,0] and [2,0]; [1,0] is distance 1 from both
+    val tieCb = Array(0L, 0L, 2L, 0L)
+    val codes = Seq(Tuple1(Array(1L, 0L))).toDF("v")
+      .select(Pq.encode(col("v"), tieCb, 1)).head.getSeq[Int](0)
+    assert(codes == Seq(0))
+  }
+
+  test("encode: null array and null element yield null; bad shape throws") {
+    val nullArr = Seq(Tuple1(Option.empty[Array[Long]])).toDF("v")
+      .select(Pq.encode(col("v"), cb, M)).head
+    assert(nullArr.isNullAt(0))
+    val nullElem = Seq(Tuple1(Array[java.lang.Long](9L, null, 1L, 1L))).toDF("v")
+      .select(Pq.encode(col("v"), cb, M)).head
+    assert(nullElem.isNullAt(0))
+    // local mode may surface the IAE directly or wrapped in SparkException
+    val err = intercept[Throwable] {
+      Seq(Tuple1(Array(1L, 2L, 3L, 4L))).toDF("v")
+        .select(Pq.encode(col("v"), cb, 3)).collect() // dim 4 % m 3 != 0
+    }
+    assert(Iterator.iterate(err)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(_.getMessage.contains("pq_encode")), s"unexpected failure: $err")
+  }
+
+  test("adc: table lookup sum; out-of-range code throws") {
+    // m=2, ksub=2 table [t00,t01,t10,t11]
+    val v = Seq((Array(1, 0), Array(7L, 9L, 11L, 13L))).toDF("c", "t")
+      .select(Pq.adc(col("c"), col("t"))).head.getLong(0)
+    assert(v == 9L + 11L) // codes [1,0] -> t01 + t10
+    val err = intercept[Throwable] {
+      Seq((Array(2, 0), Array(7L, 9L, 11L, 13L))).toDF("c", "t")
+        .select(Pq.adc(col("c"), col("t"))).collect()
+    }
+    assert(Iterator.iterate(err)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(_.getMessage.contains("pq_adc")), s"unexpected failure: $err")
+  }
+
+  test("self-consistency: encode is the argmin of the ADC table, and a codeword-assembled row scores its exact distance") {
+    val vecs = Seq(
+      Array(9L, 9L, 1L, 1L), Array(1L, 2L, 4L, 5L), Array(0L, 0L, 5L, 5L),
+      Array(10L, 10L, 0L, 0L), Array(-3L, 7L, 2L, 2L))
+    val df = vecs.map(Tuple1(_)).toDF("v").select(
+      col("v"),
+      Pq.encode(col("v"), cb, M).as("codes"),
+      Pq.adcTable(col("v"), cb, M, Ksub).as("tbl"))
+    df.collect().foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val tbl = r.getSeq[Long](2)
+      // argmin of each subspace's table slice (ties -> lowest) == code
+      (0 until M).foreach { j =>
+        val slice = tbl.slice(j * Ksub, (j + 1) * Ksub)
+        assert(slice.indexOf(slice.min) == codes(j),
+          s"subspace $j: table $slice vs code ${codes(j)}")
+      }
+    }
+    // row [10,10,0,0] IS (c1, c1): ADC distance == exact squared L2
+    val q = Array(1L, 2L, 4L, 5L)
+    val exact = q.zip(Array(10L, 10L, 0L, 0L)).map { case (a, b) => (a - b) * (a - b) }.sum
+    val adc = Seq((Array(10L, 10L, 0L, 0L), q)).toDF("x", "q")
+      .select(Pq.adc(Pq.encode(col("x"), cb, M), Pq.adcTable(col("q"), cb, M, Ksub)))
+      .head.getLong(0)
+    assert(adc == exact)
+  }
+
+  test("strideCodebook: layout is subspace-major and fails loudly on a missing sample id") {
+    val prepped = (0L until 10L).map(id =>
+      (id, Array(id * 100L, id * 100L + 1L, id * 100L + 2L, id * 100L + 3L)))
+      .toDF("id", "q")
+    val got = Pq.strideCodebook(prepped, stride = 3, ksub = 3, m = 2)
+    // codeword c = row 3c; cb[(j*ksub + c)*dsub + i] = vecs(c)(j*dsub + i)
+    val vecs = Array(Array(0L, 1L, 2L, 3L), Array(300L, 301L, 302L, 303L), Array(600L, 601L, 602L, 603L))
+    val want = for (j <- 0 until 2; c <- 0 until 3; i <- 0 until 2)
+      yield vecs(c)(j * 2 + i)
+    assert(got.toSeq == want)
+    intercept[IllegalArgumentException] {
+      Pq.strideCodebook(prepped, stride = 6, ksub = 3, m = 2) // id 12 missing
+    }
+  }
+}
