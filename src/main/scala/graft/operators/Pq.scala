@@ -84,13 +84,19 @@ object Pq {
   def adc(codes: Column, table: Column): Column =
     call_function("pq_adc", codes, table)
 
-  /** Top-k by ADC distance: `codes` (id, codes) × broadcast `queries`
-    * (query_id, tbl), scored by the native lookup, ranked per query
-    * (ascending distance, ties to the lower neighbor id). The corpus
-    * never re-shuffles beyond the per-query window partition. */
-  def topKAdc(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Top-k by ADC distance: `codes` (id, codes, [bucket cols]) ×
+    * broadcast `queries` (query_id, tbl, [bucket cols]), scored by the
+    * native lookup, ranked per query (ascending distance, ties to the
+    * lower neighbor id). With `using` empty every query scans the whole
+    * encoded corpus (flat PQ); with `using = Seq("cell")` scoring is
+    * confined to shared IVF cells — the IVF-PQ composition, where IVF
+    * prunes WHERE to search and PQ shrinks WHAT is scored. Either way
+    * the corpus crosses only the per-query window partition. */
+  def topKAdc(codes: DataFrame, queries: DataFrame, k: Int,
+              using: Seq[String] = Nil): DataFrame = {
     graft.GraftFunctions.ensure(codes.sparkSession)
-    val joined = codes.join(broadcast(queries), col("id") =!= col("query_id"))
+    val joined = (if (using.isEmpty) codes.join(broadcast(queries), col("id") =!= col("query_id"))
+                  else codes.join(broadcast(queries), using).filter(col("id") =!= col("query_id")))
       .select(col("query_id"), col("id").as("neighbor_id"),
         adc(col("codes"), col("tbl")).as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))

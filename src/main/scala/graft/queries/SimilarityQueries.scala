@@ -94,13 +94,37 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-PQ — the billion-vector composition: IVF prunes WHERE to
+    * search (each query scores only its own cell), PQ shrinks WHAT is
+    * scored (codes, not vectors). Non-residual variant: codes quantize
+    * the raw vectors, not (vec − centroid) residuals — the residual
+    * upgrade reuses this exact plumbing since stride centroids are
+    * integer vectors (residuals stay exact longs), at the price of
+    * per-(query, cell) tables. Same k and cells as q_sim_ivf, so the
+    * two results diff the PQ approximation directly. */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache()
+    val cb = Pq.strideCodebook(p, PqStride, PqKsub, PqM)
+    // cells feed both the encode side and the query side — pin
+    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    val coded = cells.select(col("id"), col("cell"),
+      Pq.encode(col("q"), cb, PqM).as("codes"))
+    val qs = cells.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("cell"),
+        Pq.adcTable(col("q"), cb, PqM, PqKsub).as("tbl"))
+    Pq.topKAdc(coded, qs, k = 3, using = Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adist"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
     "q_sim_lsh" -> simLsh,
     "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
-    "q_sim_pq" -> simPq)
+    "q_sim_pq" -> simPq,
+    "q_sim_ivfpq" -> simIvfPq)
 
   // dimension bound derives from each vector's length (ADVICE r2: no
   // silent truncation cap)
@@ -255,5 +279,45 @@ object SimilarityQueries extends QueryModule {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
          |  FROM adc)
          |SELECT query_id, neighbor_id, rk, adist
-         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin)
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    // IVF-PQ = q_sim_ivf's cell assignment ∘ q_sim_pq's codes/ADC:
+    // candidates come from shared cells, scores from code lookups
+    "q_sim_ivfpq" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |sub AS (SELECT vec_id, (i-1) // 16 AS j, (i-1) % 16 AS p, q FROM qv),
+         |cbv AS (SELECT vec_id // $PqStride AS c, j, p, q
+         |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqKsub}),
+         |d AS (SELECT s.vec_id, s.j, b.c,
+         |    CAST(SUM((s.q - b.q) * (s.q - b.q)) AS BIGINT) AS dist2
+         |  FROM sub s JOIN cbv b ON b.j = s.j AND b.p = s.p
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist2, c) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 10),
+         |cand AS (SELECT q.query_id, cl.vec_id AS neighbor_id
+         |  FROM qs q JOIN cells cl ON cl.cell = q.cell AND cl.vec_id <> q.query_id),
+         |adc AS (SELECT cand.query_id, cand.neighbor_id,
+         |    CAST(SUM(qd.dist2) AS BIGINT) AS adist
+         |  FROM cand
+         |  JOIN codes x ON x.vec_id = cand.neighbor_id
+         |  JOIN d qd ON qd.vec_id = cand.query_id AND qd.j = x.j AND qd.c = x.c
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, rk, adist
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)
 }

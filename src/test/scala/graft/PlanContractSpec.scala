@@ -130,6 +130,18 @@ class PlanContractSpec extends AnyFunSuite {
     spark.catalog.clearCache() // simPq pins the prepped frame
   }
 
+  test("q_sim_ivfpq: cell join broadcasts the query tables; one per-query window") {
+    val plan = staticPlan(graft.queries.SimilarityQueries.simIvfPq(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the cell join must broadcast the queries, not shuffle the encoded corpus:\n$s")
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected one per-query window:\n$s")
+    assert(shuffles(plan).size <= 2, s"ivfpq grew an exchange:\n$s")
+    spark.catalog.clearCache() // simIvfPq pins prepped + cells
+  }
+
   test("q_cube: ONE expand + hash-aggregate pass — no per-grouping-set re-scan, no join") {
     val plan = staticPlan(graft.queries.RelationalQueries.cubeStatusYear(spark, sf))
     assert(scans(plan).size == 1, s"cube re-scanned the input:\n$plan")
