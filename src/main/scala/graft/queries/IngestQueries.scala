@@ -87,6 +87,32 @@ object IngestQueries extends QueryModule {
       .orderBy("key")
   }
 
+  /** SCD2 merge: customer balances as a type-2 dimension (one open row
+    * per key, valid_from 0), updated with the 1995 per-customer order
+    * total. All four MERGE outcomes occur on this data: customers
+    * without 1995 orders keep their row untouched; custkey%10==0
+    * updates echo the CURRENT balance (no-op path); the rest close the
+    * old version at 1995 and open a new one; negated keys of custkey<500
+    * insert first versions. ONE full-outer key join + map-side outcome
+    * explode ([[graft.sinks.Sinks.scd2Merge]]); the closed-history
+    * slice (empty here) never joins. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        lit(0L).as("valid_from"), lit(Sinks.Scd2Open).as("valid_to"))
+    val agg = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(Rnd.r(StableAgg.ssum(col("o_totalprice")), 2).as("nb"))
+    val updates = agg.join(dim.select(col("key"), col("bal")), Seq("key"))
+      .select(col("key"),
+        when(col("key") % 10 === 0, col("bal")).otherwise(col("nb")).as("bal"))
+      .unionByName(agg.filter(col("key") < 500)
+        .select((-col("key") - 1).as("key"), col("nb").as("bal")))
+    Sinks.scd2Merge(dim, updates, Seq("key"), Seq("bal"), at = 1995L)
+      .orderBy("key", "valid_from")
+  }
+
   /** A6 — per-file consumption over the documents "files" (the `source`
     * column: 20 files × 25 rows), processed = the row's enrichment batch
     * did not perma-fail (Drop world): src9/src19 stay unconsumed. */
@@ -157,6 +183,7 @@ object IngestQueries extends QueryModule {
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_merge_schema" -> mergeSchemaRead,
     "q_upsert" -> upsert,
+    "q_scd2" -> scd2,
     "q_file_accounting" -> fileAccounting)
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +216,31 @@ object IngestQueries extends QueryModule {
          |  WHERE s_suppkey NOT IN (SELECT key FROM u)
          |  UNION ALL SELECT key, value FROM u)
          |ORDER BY key""".stripMargin,
+    // the MERGE algebra replayed as dim LEFT JOIN upd (kept/closed
+    // current rows) UNION ALL upd LEFT JOIN dim (new versions); bal is
+    // the same Rnd(StableAgg) number in both engines, so the
+    // changed-vs-no-op comparison agrees exactly
+    "q_scd2" ->
+      s"""WITH dim AS (SELECT c_custkey AS key, c_acctbal AS bal,
+         |    CAST(0 AS BIGINT) AS valid_from, CAST(9999 AS BIGINT) AS valid_to
+         |  FROM customer),
+         |agg AS (SELECT o_custkey AS key,
+         |    ${Rnd.sql(StableAgg.ssumSql("o_totalprice"), 2)} AS nb
+         |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+         |upd AS (SELECT a.key, CASE WHEN a.key % 10 = 0 THEN d.bal ELSE a.nb END AS bal
+         |    FROM agg a JOIN dim d USING (key)
+         |  UNION ALL
+         |  SELECT -key - 1 AS key, nb AS bal FROM agg WHERE key < 500)
+         |SELECT key, bal, valid_from, valid_to FROM (
+         |  SELECT d.key, d.bal, d.valid_from,
+         |    CASE WHEN u.key IS NOT NULL AND u.bal <> d.bal
+         |         THEN CAST(1995 AS BIGINT) ELSE d.valid_to END AS valid_to
+         |  FROM dim d LEFT JOIN upd u ON u.key = d.key
+         |  UNION ALL
+         |  SELECT u.key, u.bal, CAST(1995 AS BIGINT), CAST(9999 AS BIGINT)
+         |  FROM upd u LEFT JOIN dim d ON d.key = u.key
+         |  WHERE d.key IS NULL OR d.bal <> u.bal)
+         |ORDER BY key, valid_from""".stripMargin,
     "q_file_accounting" ->
       """SELECT source AS file, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN NOT (CAST(FLOOR(doc_id / 25.0) AS BIGINT) % 10 = 9) THEN 1 ELSE 0 END) AS BIGINT) AS processed,

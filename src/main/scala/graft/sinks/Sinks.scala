@@ -200,4 +200,62 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Open-row sentinel for [[scd2Merge]]: `valid_to = Scd2Open` marks
+    * the CURRENT version. A sentinel (not null) keeps the validity
+    * columns non-nullable — range predicates like
+    * `valid_from <= t AND t < valid_to` need no null branch, and the
+    * table stays on the exact-compare oracle path. */
+  val Scd2Open = 9999L
+
+  /** Type-2 slowly-changing-dimension MERGE — the history-keeping
+    * upgrade of [[upsertByKey]] (which overwrites in place): an update
+    * that CHANGES a key's tracked values closes the current row
+    * (`valid_to = at`) and opens a new version (`valid_from = at`);
+    * an update equal to the current values is a no-op; an unknown key
+    * inserts its first version. Closed history rows are immutable.
+    *
+    * `dim` must carry `keys ++ values ++ (valid_from, valid_to)` with
+    * exactly one open row per key; `updates` carries `keys ++ values`,
+    * one row per key (enforce upstream — duplicate update keys would
+    * fan out the join).
+    *
+    * Shape: ONE full-outer key join of the OPEN slice against the
+    * (typically small) update batch, then a map-side outcome explode —
+    * the MERGE WHEN MATCHED/NOT MATCHED algebra in one pass. The
+    * closed-history slice is untouched and unioned back without ever
+    * joining; on a `valid_to`-partitioned table that branch is
+    * partition-pruned, so a 100 TB dimension pays only for its open
+    * slice + batch. Value comparison is null-safe (`<=>`). */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                values: Seq[String], at: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outCols = keys ++ values ++ Seq("valid_from", "valid_to")
+    require(dim.columns.toSeq == outCols,
+      s"scd2Merge: dim must be exactly $outCols, got ${dim.columns.toSeq}")
+    val current = dim.filter(col("valid_to") === Scd2Open)
+    val hist = dim.filter(col("valid_to") =!= Scd2Open)
+    val u = updates.select(
+      keys.map(col) ++ values.map(v => col(v).as(s"__u_$v")) :+ lit(1).as("__has_u"): _*)
+    val j = current.withColumn("__has_c", lit(1)).join(u, keys, "full_outer")
+    val same = values.map(v => col(v) <=> col(s"__u_$v")).reduce(_ && _)
+    val hasC = col("__has_c").isNotNull
+    val hasU = col("__has_u").isNotNull
+    val curRow = struct(values.map(v => col(v).as(v)) :+
+      col("valid_from").as("valid_from") :+ col("valid_to").as("valid_to"): _*)
+    val closedRow = struct(values.map(v => col(v).as(v)) :+
+      col("valid_from").as("valid_from") :+ lit(at).as("valid_to"): _*)
+    val newRow = struct(values.map(v => col(s"__u_$v").as(v)) :+
+      lit(at).as("valid_from") :+ lit(Scd2Open).as("valid_to"): _*)
+    val outcome =
+      when(hasC && !hasU, array(curRow))                  // no update: keep
+        .when(hasC && hasU && same, array(curRow))        // no-op update: keep
+        .when(hasC && hasU && !same, array(closedRow, newRow)) // close + reopen
+        .otherwise(array(newRow))                         // first version
+    val merged = j
+      .select(keys.map(col) :+ explode(outcome).as("__r"): _*)
+      .select(keys.map(col) ++
+        (values ++ Seq("valid_from", "valid_to")).map(f => col(s"__r.$f").as(f)): _*)
+    hist.select(outCols.map(col): _*).unionByName(merged)
+  }
 }
