@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** `top_k_by(score double, payload bigint, k) -> array<struct<score,
-  * payload>>` — per-group top-k as a native BOUNDED-STATE aggregate.
+/** `top_k_by(score double|bigint, payload bigint, k) -> array<struct<
+  * score, payload>>` — per-group top-k as a native BOUNDED-STATE
+  * aggregate.
   *
   * Why an aggregate and not a window: with few groups and many items,
   * `row_number() OVER (PARTITION BY group)` funnels every group's full
@@ -20,6 +21,13 @@ import org.apache.spark.sql.types._
   * min-heap), so map-side partials shuffle k rows per partition per
   * group no matter how many items a group has, and merges are k+k heap
   * unions. State: O(k) always; the 100 TB per-group top-k shape.
+  *
+  * Score type: `double` (cosines, revenues) or `bigint` (exact integer
+  * distances — negate for ascending order; long negation is exact where
+  * a cast to double above 2^53 would not be). Both rank identically:
+  * doubles ride an order-preserving bijection into sortable longs
+  * (Lucene's `sortableDoubleBits`), so the buffer compares plain longs
+  * either way and NaN keeps Spark/DuckDB's sorts-greatest convention.
   *
   * Determinism: ranked by (score desc, payload asc) — equal scores tie-
   * break on the payload, so results are stable at any parallelism. Null
@@ -35,11 +43,11 @@ case class TopKBy(
 
   override def prettyName: String = "top_k_by"
   override def nullable: Boolean = false
-  override def dataType: DataType = TopKBy.resultType
+  override def dataType: DataType = TopKBy.resultType(first.dataType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (DoubleType, LongType, IntegerType) =>
+      case (DoubleType | LongType, LongType, IntegerType) =>
         if (!third.foldable)
           TypeCheckResult.TypeCheckFailure("top_k_by: k must be a literal")
         else if (third.eval() == null) // before k: intValue on null NPEs
@@ -48,18 +56,22 @@ case class TopKBy(
           TypeCheckResult.TypeCheckFailure(s"top_k_by: k must be positive, got $k")
         else TypeCheckResult.TypeCheckSuccess
       case (s, p, kk) => TypeCheckResult.TypeCheckFailure(
-        s"top_k_by requires (double, bigint, int), got ($s, $p, $kk)")
+        s"top_k_by requires (double|bigint, bigint, int), got ($s, $p, $kk)")
     }
 
   private lazy val k: Int = third.eval().asInstanceOf[Number].intValue()
+  private lazy val doubleScore: Boolean = first.dataType == DoubleType
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = first.eval(input)
     val p = second.eval(input)
-    if (s != null && p != null)
-      buffer.add(s.asInstanceOf[Double], p.asInstanceOf[Long])
+    if (s != null && p != null) {
+      val key = if (doubleScore) TopKBy.toSortable(s.asInstanceOf[Double])
+                else s.asInstanceOf[Long]
+      buffer.add(key, p.asInstanceOf[Long])
+    }
     buffer
   }
 
@@ -70,7 +82,7 @@ case class TopKBy(
 
   override def eval(buffer: TopKBuffer): Any =
     new GenericArrayData(buffer.sortedBestFirst.map { case (s, p) =>
-      InternalRow(s, p)
+      InternalRow(if (doubleScore) TopKBy.fromSortable(s) else s, p)
     })
 
   override def serialize(buffer: TopKBuffer): Array[Byte] = buffer.toBytes
@@ -86,32 +98,44 @@ case class TopKBy(
 }
 
 object TopKBy {
-  val resultType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType, nullable = false),
+  def resultType(scoreType: DataType): DataType = ArrayType(StructType(Seq(
+    StructField("score", scoreType, nullable = false),
     StructField("payload", LongType, nullable = false))), containsNull = false)
+
+  /** Order-preserving double→long bijection (its own inverse): flips the
+    * low 63 bits of negative doubles so SIGNED long comparison matches
+    * `Double.compare` — -0.0 lands just below +0.0, NaN above +Inf. */
+  def toSortable(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d) // canonical NaN: all NaNs rank equal
+    bits ^ ((bits >> 63) & Long.MaxValue)
+  }
+
+  def fromSortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
 }
 
 /** Bounded top-k state: a min-heap (by keep-worthiness) of at most k
-  * (score, payload) pairs — the head is the WORST kept entry, evicted
-  * when something better arrives. Better = higher score, ties to the
-  * SMALLER payload. */
+  * (sortKey, payload) pairs — the head is the WORST kept entry, evicted
+  * when something better arrives. Better = higher key, ties to the
+  * SMALLER payload. Keys are longs: raw bigint scores, or doubles via
+  * [[TopKBy.toSortable]]. */
 final class TopKBuffer(k: Int) {
-  // head = worst kept entry (lowest score; ties: largest payload)
-  private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-    new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
+  // head = worst kept entry (lowest key; ties: largest payload)
+  private val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+    new Ordering[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     })
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean = {
+    val c = java.lang.Long.compare(a._1, b._1)
     if (c != 0) c > 0 else a._2 < b._2
   }
 
-  def add(score: Double, payload: Long): Unit = {
-    val cand = (score, payload)
+  def add(key: Long, payload: Long): Unit = {
+    val cand = (key, payload)
     if (heap.size < k) heap.enqueue(cand)
     else if (better(cand, heap.head)) {
       heap.dequeue()
@@ -122,13 +146,13 @@ final class TopKBuffer(k: Int) {
   def mergeFrom(other: TopKBuffer): Unit =
     other.heap.foreach { case (s, p) => add(s, p) }
 
-  def sortedBestFirst: Array[(Double, Long)] =
+  def sortedBestFirst: Array[(Long, Long)] =
     heap.toArray.sortWith(better)
 
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + heap.size * 16)
     bb.putInt(heap.size)
-    heap.foreach { case (s, p) => bb.putDouble(s); bb.putLong(p) }
+    heap.foreach { case (s, p) => bb.putLong(s); bb.putLong(p) }
     bb.array()
   }
 }
@@ -140,7 +164,7 @@ object TopKBuffer {
     val buf = new TopKBuffer(k)
     var i = 0
     while (i < n) {
-      buf.add(bb.getDouble, bb.getLong)
+      buf.add(bb.getLong, bb.getLong)
       i += 1
     }
     buf

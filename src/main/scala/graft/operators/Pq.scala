@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization over the engine's quantized embeddings — the
@@ -24,9 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the codebook is a driver-side model of ksub·dim longs
   * (bounded, like any centroid set); encoding is map-side native
-  * codegen over N rows — no shuffle; scoring broadcasts the |Q|
-  * query tables and windows per query. The corpus crosses one exchange
-  * (the per-query top-k partition), never an N×C expansion.
+  * codegen over N rows — no shuffle; scoring broadcasts the |Q| query
+  * tables and ranks per query through the bounded `top_k_by` aggregate.
+  * The corpus crosses one exchange at k rows per partition per query,
+  * never an N×C expansion or a single-task per-query sort.
   */
 object Pq {
 
@@ -90,8 +90,13 @@ object Pq {
     * lower neighbor id). With `using` empty every query scans the whole
     * encoded corpus (flat PQ); with `using = Seq("cell")` scoring is
     * confined to shared IVF cells — the IVF-PQ composition, where IVF
-    * prunes WHERE to search and PQ shrinks WHAT is scored. Either way
-    * the corpus crosses only the per-query window partition. */
+    * prunes WHERE to search and PQ shrinks WHAT is scored.
+    *
+    * Ranking rides the native bounded `top_k_by` aggregate on the
+    * NEGATED distance (descending −adist = ascending adist; long
+    * negation is exact, unlike a >2⁵³ double cast), so the encoded
+    * corpus crosses the one per-query aggregate exchange at k rows per
+    * partition per query — never a single-task per-query window sort. */
   def topKAdc(codes: DataFrame, queries: DataFrame, k: Int,
               using: Seq[String] = Nil): DataFrame = {
     graft.GraftFunctions.ensure(codes.sparkSession)
@@ -99,7 +104,10 @@ object Pq {
                   else codes.join(broadcast(queries), using).filter(col("id") =!= col("query_id")))
       .select(col("query_id"), col("id").as("neighbor_id"),
         adc(col("codes"), col("tbl")).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    joined.groupBy("query_id")
+      .agg(call_function("top_k_by", -col("adist"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).as("rk"), (-col("col.score")).as("adist"))
   }
 }

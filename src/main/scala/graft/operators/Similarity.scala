@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -16,8 +15,9 @@ import org.apache.spark.sql.functions._
   * DuckDB-oracled path with exact hash compares.
   *
   * Scale design: [[bruteTopK]] broadcasts the (small) query set and
-  * keeps the corpus partitioned — the per-query window never sees more
-  * than one query's rows per partition group. The 100 TB path is
+  * keeps the corpus partitioned — every scorer ranks through the
+  * bounded [[rankTopK]] aggregate, so a query's candidate set never
+  * funnels through one task. The 100 TB path is
   * [[lshSignature]]: 8 deterministic hyperplane signs bucket the corpus
   * (one narrow shuffle on an 8-char key), and scoring happens only
   * inside buckets — the ANN analog of the dedup band join, never
@@ -58,6 +58,24 @@ object Similarity {
       .withColumn("norm", normQ(col("q")))
   }
 
+  /** Rank scored (query_id, neighbor_id, cos) candidates to each query's
+    * top-k via the native bounded [[graft.expressions.TopKBy]] aggregate:
+    * map-side combine ships at most k rows per partition per query and
+    * merges are k+k heap unions, so no task ever materializes or sorts a
+    * query's full candidate set. (The `row_number() OVER (PARTITION BY
+    * query_id)` spelling this replaces funnels each query's millions of
+    * scored candidates through ONE task's sort at corpus scale.) Same
+    * order contract as that window: cos desc, ties to the lower
+    * neighbor_id; rk is 1-based best-first. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.GraftFunctions.ensure(scored.sparkSession)
+    scored.groupBy("query_id")
+      .agg(call_function("top_k_by", col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).as("rk"), col("col.score").as("cos"))
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * The baseline — exact, O(|Q|·|C|); keep |Q| small and broadcast. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -67,8 +85,7 @@ object Similarity {
         col("qs.id").as("query_id"),
         col("c.id").as("neighbor_id"),
         (dotQ(col("qs.q"), col("c.q")).cast("double") / (col("qs.norm") * col("c.norm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    rankTopK(joined, k)
   }
 
   /** 8-plane hyperplane-sign signature of a quantized vector: plane p's
@@ -118,8 +135,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dotQ(col("qq"), col("q")).cast("double") / (col("qnorm") * col("norm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    rankTopK(joined, k)
   }
 
   /** Multi-cell IVF probe — the standard recall/latency knob: each query
@@ -150,8 +166,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dotQ(col("qq"), col("q")).cast("double") / (col("qnorm") * col("norm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    rankTopK(joined, k)
   }
 
   /** Distributed Lloyd's k-means over the quantized vectors — the

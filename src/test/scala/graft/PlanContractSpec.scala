@@ -107,37 +107,44 @@ class PlanContractSpec extends AnyFunSuite {
       s"range join must equi-join on buckets, not all-pairs:\n$s")
   }
 
-  test("q_sim_topk: the corpus side never shuffles for the query join (queries broadcast)") {
+  /** The similarity scorers must rank through the bounded top_k_by
+    * aggregate — a WindowExec here means a single-task sort over one
+    * query's full candidate set at scale. */
+  private def assertBoundedTopK(p: SparkPlan): Unit = {
+    val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"per-query ranking regressed to a window sort:\n$p")
+    assert(p.toString.contains("top_k_by"), s"bounded top_k_by aggregate missing:\n$p")
+  }
+
+  test("q_sim_topk: queries broadcast; ranking is the bounded top_k_by aggregate, no window") {
     val plan = staticPlan(graft.queries.SimilarityQueries.simTopK(spark, sf))
-    // exchanges allowed: the per-query top-k window + output sort — both
-    // over the (tiny) |queries|×|corpus-in-bucket| result, never the corpus
     assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
       plan.toString.contains("BroadcastHashJoin") ||
       plan.toString.contains("BroadcastExchange"),
       s"expected a broadcast for the query side:\n$plan")
+    assertBoundedTopK(plan)
+    // the per-query top-k aggregate exchange (k rows per partition per
+    // query after map-side combine) + the output sort
+    assert(shuffles(plan).size <= 2, s"sim_topk grew an exchange:\n$plan")
   }
 
-  test("q_sim_pq: queries broadcast; corpus crosses only the top-k window + output sort") {
+  test("q_sim_pq: queries broadcast; corpus crosses only the top-k aggregate + output sort") {
     val plan = staticPlan(graft.queries.SimilarityQueries.simPq(spark, sf))
     val s = plan.toString
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
       s"the query-table join must broadcast, not shuffle the encoded corpus:\n$s")
-    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
-      s"expected one per-query window:\n$s")
-    // per-query window partition + output sort; encoding itself is map-side
+    assertBoundedTopK(plan)
+    // per-query aggregate exchange + output sort; encoding itself is map-side
     assert(shuffles(plan).size <= 2, s"pq grew an exchange:\n$s")
     spark.catalog.clearCache() // simPq pins the prepped frame
   }
 
-  test("q_sim_ivfpq: cell join broadcasts the query tables; one per-query window") {
+  test("q_sim_ivfpq: cell join broadcasts the query tables; bounded top-k aggregate") {
     val plan = staticPlan(graft.queries.SimilarityQueries.simIvfPq(spark, sf))
     val s = plan.toString
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
       s"the cell join must broadcast the queries, not shuffle the encoded corpus:\n$s")
-    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
-      s"expected one per-query window:\n$s")
+    assertBoundedTopK(plan)
     assert(shuffles(plan).size <= 2, s"ivfpq grew an exchange:\n$s")
     spark.catalog.clearCache() // simIvfPq pins prepped + cells
   }

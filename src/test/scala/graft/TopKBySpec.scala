@@ -64,15 +64,42 @@ class TopKBySpec extends AnyFunSuite {
 
   test("partial state is bounded by k (serialized buffer never exceeds k entries)") {
     val buf = new graft.expressions.TopKBuffer(3)
-    (1 to 1000).foreach(i => buf.add(i.toDouble, i.toLong))
-    assert(buf.sortedBestFirst.toSeq == Seq((1000.0, 1000L), (999.0, 999L), (998.0, 998L)))
+    (1 to 1000).foreach(i => buf.add(i.toLong, i.toLong))
+    assert(buf.sortedBestFirst.toSeq == Seq((1000L, 1000L), (999L, 999L), (998L, 998L)))
     // 4-byte count + 3 * 16 bytes — O(k), not O(n)
     assert(buf.toBytes.length == 4 + 3 * 16)
     // merge keeps the bound and the global best
     val other = new graft.expressions.TopKBuffer(3)
-    Seq(2000.0 -> 1L, 500.0 -> 2L).foreach { case (s, p) => other.add(s, p) }
+    Seq(2000L -> 1L, 500L -> 2L).foreach { case (s, p) => other.add(s, p) }
     buf.mergeFrom(other)
-    assert(buf.sortedBestFirst.toSeq == Seq((2000.0, 1L), (1000.0, 1000L), (999.0, 999L)))
+    assert(buf.sortedBestFirst.toSeq == Seq((2000L, 1L), (1000L, 1000L), (999L, 999L)))
+  }
+
+  test("bigint scores rank exactly — including above 2^53 where a double cast collapses") {
+    GraftFunctions.ensure(spark)
+    val big = 1L << 53
+    // big and big+1 are the SAME double; as bigint scores they must rank apart
+    val df = Seq((0, big + 1L, 1L), (0, big, 2L), (0, big - 1L, 3L))
+      .toDF("g", "s", "p").repartition(4)
+    val top = topk(df, 2).collect().head.getSeq[Row](1)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(top == Seq((big + 1L, 1L), (big, 2L)))
+    // descending on the negated score = ascending distance — the ADC path
+    val asc = df.groupBy("g")
+      .agg(call_function("top_k_by", -col("s"), col("p"), lit(2)).as("top"))
+      .collect().head.getSeq[Row](1).map(x => (-x.getLong(0), x.getLong(1)))
+    assert(asc == Seq((big - 1L, 3L), (big, 2L)))
+  }
+
+  test("sortable double bits: an order-preserving involution across sign, zero, infinity, NaN") {
+    import graft.expressions.TopKBy.{fromSortable, toSortable}
+    val vals = Seq(Double.NegativeInfinity, -1e300, -1.5, -Double.MinPositiveValue, -0.0,
+      0.0, Double.MinPositiveValue, 1.5, 1e300, Double.PositiveInfinity, Double.NaN)
+    vals.foreach(v => assert(java.lang.Double.compare(fromSortable(toSortable(v)), v) == 0,
+      s"roundtrip broke $v"))
+    vals.sliding(2).foreach { case Seq(a, b) =>
+      assert(toSortable(a) < toSortable(b), s"order broke between $a and $b")
+    }
   }
 
   test("non-literal or non-positive k fails analysis") {
