@@ -90,7 +90,17 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // a query failing k of n repeats must appear once, not k times
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query record: the driver's stdout tail is
+    // fixed-size and truncates the first ~10 queries, so round-over-round
+    // comparison reads this file instead. One file per scale factor,
+    // overwritten per run (only full runs — a SPARK_GRAFT_ONLY subset
+    // would clobber the complete record with a partial one).
+    if (only.isEmpty) {
+      val base = new java.io.File(sfDir).getName
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_$base.json"), line + "\n")
+    }
     spark.stop()
   }
 }
