@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * Scale design: [[bruteTopK]] broadcasts the (small) query set and
   * keeps the corpus partitioned — every scorer ranks through the
   * bounded [[rankTopK]] aggregate, so a query's candidate set never
-  * funnels through one task. The 100 TB path is
-  * [[lshSignature]]: 8 deterministic hyperplane signs bucket the corpus
-  * (one narrow shuffle on an 8-char key), and scoring happens only
-  * inside buckets — the ANN analog of the dedup band join, never
-  * all-pairs. Production would draw seeded Gaussian planes once and
-  * broadcast them; the harness uses an arithmetic ±1 pattern so the
+  * funnels through one task. The 100 TB path is [[lshSignature]]:
+  * deterministic hyperplane signs bucket the corpus (one narrow shuffle
+  * on a short string key) and scoring happens only inside buckets — the
+  * ANN analog of the dedup band join, never all-pairs. The plane COUNT
+  * is corpus-aware ([[adaptiveBits]]): buckets track the corpus size,
+  * so occupancy — and with it the within-bucket pair join — stays flat
+  * as rows double. Production would draw seeded Gaussian planes once
+  * and broadcast them; the harness derives ±1 weights from md5 so the
   * oracle stays self-contained.
   */
 object Similarity {
@@ -88,15 +90,52 @@ object Similarity {
     rankTopK(joined, k)
   }
 
-  /** 8-plane hyperplane-sign signature of a quantized vector: plane p's
-    * component i weight is ±1 by the arithmetic rule
-    * `(p·73 + i·151) mod 7 < 3`; bit p = (weighted sum ≥ 0). */
-  def lshSignature(qvec: Column, planes: Int = 8): Column =
-    concat((0 until planes).map { p =>
-      val weighted = transform(qvec,
-        (x, i) => when(((lit(p * 73) + i * 151) % 7) < 3, x).otherwise(-x))
-      when(aggregate(weighted, lit(0L), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+  /** Deterministic ±1 hyperplane weight for (plane p, position i): +1
+    * iff the first hex nibble of md5("plane:p:i") is < 8 — an unbiased,
+    * pattern-free coin every engine recomputes exactly (DuckDB:
+    * `substring(md5('plane:' || p || ':' || i), 1, 1) BETWEEN '0' AND
+    * '7'`). Replaces the old arithmetic rule `(p·73 + i·151) mod 7 < 3`,
+    * which was 7-PERIODIC in both arguments: plane p+7 duplicated plane
+    * p bit-for-bit, silently capping every signature at 7 informative
+    * bits (128 buckets) no matter how many planes were requested. */
+  def planeWeight(p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  /** Hyperplane-sign signature: bit p = (Σᵢ w(p,i)·qᵢ ≥ 0). The weight
+    * rows are data-independent driver-computed literals, so each
+    * plane's sum plans as one native `quantized_dot` against a literal
+    * array (the DotProductRewrite rule fires on the zip_with spelling)
+    * — no per-row hash work. Vectors must be exactly `dim` wide; a
+    * silently zip-padded short vector would land in a wrong bucket, so
+    * the mismatch raises instead. */
+  def lshSignature(qvec: Column, planes: Int, dim: Int): Column = {
+    require(planes >= 1 && planes <= 256, s"lshSignature: planes out of [1,256]: $planes")
+    require(dim >= 1, s"lshSignature: dim must be positive, got $dim")
+    val sig = concat((0 until planes).map { p =>
+      val w = typedLit((0 until dim).map(i => planeWeight(p, i)))
+      when(aggregate(zip_with(qvec, w, (x, ww) => x * ww), lit(0L), (acc, v) => acc + v) >= 0,
+        "1").otherwise("0")
     }: _*)
+    when(size(qvec) === dim, sig).otherwise(raise_error(concat(
+      lit(s"lshSignature: expected a $dim-dim vector, got "), size(qvec).cast("string"))))
+  }
+
+  /** Smallest p ≥ 1 with 2^p ≥ n, floored at `minBits` — the
+    * corpus-aware bucket-count rule. Bucket count (2^bits) then tracks
+    * the corpus linearly, so expected bucket occupancy stays O(1) as
+    * rows double and within-bucket pair enumeration stays linear — a
+    * FIXED plane count is asymptotically quadratic at 100×, however
+    * many planes it is. Exact integer arithmetic: no float log whose
+    * final ulp could disagree with the oracle's SQL spelling
+    * `GREATEST(minBits, MIN(p) WHERE (1::BIGINT << p) >= n)`. */
+  def adaptiveBits(n: Long, minBits: Int): Int = {
+    require(minBits >= 1 && minBits <= 63, s"adaptiveBits: bad minBits=$minBits")
+    val p = if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(minBits, p)
+  }
 
   /** IVF cell assignment: a training-free coarse quantizer — every
     * `stride`-th vector is a centroid (deterministic "sample"), and each
@@ -283,14 +322,60 @@ object Similarity {
     * owns the lifetime. Bench/Verify/EtlPipeline all release caches
     * after materializing; a library caller should `spark.catalog
     * .clearCache()` (or track+unpersist) once the result is consumed. */
-  def lshPairs(prepped: DataFrame, planes: Int = 8): DataFrame = {
+  def lshPairs(prepped: DataFrame, planes: Int, dim: Int): DataFrame = {
     // both sides of the bucket self-join — pin so quantization + the
-    // 8-plane signature compute once per row, not twice
-    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes)).cache()
+    // signature compute once per row, not twice
+    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes, dim)).cache()
     sig.as("a")
       .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         (dotQ(col("a.q"), col("b.q")).cast("double") / (col("a.norm") * col("b.norm"))).as("cos"))
+  }
+
+  /** [[lshPairs]] with the plane count derived from the corpus size:
+    * one column-pruned count job, then `adaptiveBits(n, minPlanes)`
+    * planes — the bucket population tracks the corpus, so doubling the
+    * rows doubles the buckets instead of quadrupling every bucket's
+    * pair join. */
+  def lshPairsAdaptive(prepped: DataFrame, dim: Int, minPlanes: Int = 8): DataFrame =
+    lshPairs(prepped, adaptiveBits(prepped.count(), minPlanes), dim)
+
+  /** Banded hyperplane LSH — the high-recall near-dup shape (the
+    * [[Dedup]] band-join precedent, on vectors): a bands·width
+    * signature, candidates = pairs agreeing on EVERY bit of AT LEAST
+    * ONE band, then exact cosine on candidates only. Width scales with
+    * log₂(n) ([[adaptiveBits]]), so each band offers ~n buckets and
+    * expected occupancy stays O(1); `bands` is the recall knob (each
+    * band is one more chance for a true near-dup to collide), costing
+    * one explode row per band — never all-pairs, never a bucket that
+    * widens with the corpus.
+    *
+    * Plan shape: the band self-join carries only (id, band, bsig) —
+    * vectors never ride the bucket exchange; a pair colliding in
+    * several bands is deduplicated BEFORE scoring (scored once); the
+    * candidate set then re-joins the vectors by id. Callers should
+    * cache `prepped` (it backs the signature pass and both scoring
+    * sides; same caller-owned-lifetime contract as [[lshPairs]]). */
+  def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
+    require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
+    val width = adaptiveBits(prepped.count(), minWidth)
+    val banded = prepped
+      .select(col("id"), lshSignature(col("q"), bands * width, dim).as("sig"))
+      .select(col("id"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), substring(col("sig"), b * width + 1, width).as("bsig"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .cache() // both sides of the bucket self-join
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    val va = prepped.select(col("id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
+    val vb = prepped.select(col("id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotQ(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos"))
   }
 }

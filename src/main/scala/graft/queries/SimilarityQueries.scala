@@ -25,21 +25,30 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
-  /** Bucketed ANN: all same-signature pairs with their cosine. */
+  /** Bucketed ANN: all same-signature pairs with their cosine. The
+    * plane count is corpus-aware (9 bits at 500 rows, 11 at 2000 —
+    * the oracle recomputes the identical integer-shift rule), so
+    * bucket occupancy stays O(1) as the corpus grows. */
   def simLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshPairs(prepped(spark, sfDir))
+    Similarity.lshPairsAdaptive(prepped(spark, sfDir), dim = EmbDim)
       .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
 
   /** Embedding-cosine near-dup (the dedup family's vector member):
-    * LSH-bucketed candidate pairs thresholded on exact quantized cosine.
-    * The filter runs on the raw cosine (bit-identical across engines);
-    * only the output is rounded. */
-  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshPairs(prepped(spark, sfDir))
+    * BANDED LSH candidates (4 bands × log₂(n)-bit width — agree on any
+    * one band to become a candidate; each extra band buys recall)
+    * thresholded on exact quantized cosine. The filter runs on the raw
+    * cosine (bit-identical across engines); only the output is
+    * rounded. */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache() // backs signature + both scoring sides
+    Similarity.lshBandedPairs(p, dim = EmbDim)
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  private val EmbDim = 64
 
   private val NearDupThreshold = 0.25
   private val IvfStride = 31
@@ -152,12 +161,20 @@ object SimilarityQueries extends QueryModule {
          |  FROM cosv)
          |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    // plane weight = md5 nibble rule, plane count = exact integer-shift
+    // ceil-log2 of the corpus count — both mirror Similarity.planeWeight
+    // and Similarity.adaptiveBits bit-for-bit (md5 is md5; no float log)
     "q_sim_lsh" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
+         |pl AS (SELECT GREATEST(8, MIN(p)) AS np FROM range(1, 63) r(p)
+         |  WHERE (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
          |bits AS (SELECT vec_id, p,
-         |    SUM(CASE WHEN ((p*73 + (i-1)*151) % 7) < 3 THEN q ELSE -q END) AS s
-         |  FROM qv, range(0, 8) pp(p) GROUP BY vec_id, p),
+         |    SUM(CASE WHEN substring(md5('plane:' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)
+         |             BETWEEN '0' AND '7' THEN q ELSE -q END) AS s
+         |  FROM qv, range(0, 64) pp(p)
+         |  WHERE p < (SELECT np FROM pl)
+         |  GROUP BY vec_id, p),
          |sig AS (SELECT vec_id,
          |    STRING_AGG(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
          |  FROM bits GROUP BY vec_id),
@@ -172,17 +189,25 @@ object SimilarityQueries extends QueryModule {
          |  ${Rnd.sql("CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))", 6)} AS cos
          |FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // banded: 4 bands of ceil-log2(n) planes each; candidates agree on
+    // every bit of at least one band (DISTINCT before scoring)
     "q_dedup_embed" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
+         |pl AS (SELECT GREATEST(4, MIN(p)) AS w FROM range(1, 63) r(p)
+         |  WHERE (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
          |bits AS (SELECT vec_id, p,
-         |    SUM(CASE WHEN ((p*73 + (i-1)*151) % 7) < 3 THEN q ELSE -q END) AS s
-         |  FROM qv, range(0, 8) pp(p) GROUP BY vec_id, p),
-         |sig AS (SELECT vec_id,
+         |    SUM(CASE WHEN substring(md5('plane:' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)
+         |             BETWEEN '0' AND '7' THEN q ELSE -q END) AS s
+         |  FROM qv, range(0, 256) pp(p)
+         |  WHERE p < 4 * (SELECT w FROM pl)
+         |  GROUP BY vec_id, p),
+         |bsig AS (SELECT vec_id, p // (SELECT w FROM pl) AS band,
          |    STRING_AGG(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
-         |  FROM bits GROUP BY vec_id),
-         |pairs AS (SELECT a.vec_id AS x, b.vec_id AS y
-         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |  FROM bits GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+         |  FROM bsig a JOIN bsig b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
          |pd AS (SELECT p.x, p.y, SUM(qa.q * qb.q) AS dp
          |  FROM pairs p
          |  JOIN qv qa ON qa.vec_id = p.x

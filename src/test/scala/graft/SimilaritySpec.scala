@@ -32,14 +32,84 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
   }
 
-  test("identical vectors share an LSH signature; signature is 8 bits") {
+  test("identical vectors share an LSH signature; signature length = planes") {
     val df = Seq((0L, Array(0.5f, -0.25f)), (1L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
     val p = Similarity.prep(df, col("vec_id"), col("embedding"))
-    val sigs = p.select(Similarity.lshSignature(col("q")).as("s")).collect().map(_.getString(0))
+    val sigs = p.select(Similarity.lshSignature(col("q"), 8, 2).as("s"))
+      .collect().map(_.getString(0))
     assert(sigs.distinct.length == 1)
     assert(sigs.head.length == 8 && sigs.head.forall(c => c == '0' || c == '1'))
-    val pairs = Similarity.lshPairs(p).collect()
+    val pairs = Similarity.lshPairs(p, 8, 2).collect()
     assert(pairs.length == 1 && math.abs(pairs.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    spark.catalog.clearCache() // lshPairs pins its signature frame
+  }
+
+  test("a wrong-width vector raises instead of hashing into a wrong bucket") {
+    val df = Seq((0L, Array(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val p = Similarity.prep(df, col("vec_id"), col("embedding"))
+    val e = intercept[Exception] {
+      p.select(Similarity.lshSignature(col("q"), 4, 2)).collect()
+    }
+    assert(e.getMessage.contains("expected a 2-dim vector"),
+      s"wanted the loud dim guard, got: ${e.getMessage}")
+  }
+
+  test("plane weights are not periodic: requesting p planes yields p distinct patterns") {
+    // the retired arithmetic rule repeated every 7 planes (plane 7 ==
+    // plane 0), capping any signature at 128 buckets; the md5 rule must
+    // give pairwise-distinct weight rows at practical widths
+    val dim = 64
+    val rows = (0 until 44).map(p => (0 until dim).map(i => Similarity.planeWeight(p, i)))
+    assert(rows.distinct.length == rows.length, "duplicate hyperplanes within 44 planes")
+    // and the coin is roughly fair per row (a constant row buckets nothing)
+    rows.foreach(r => assert(math.abs(r.sum) <= dim / 2, s"degenerate plane: $r"))
+  }
+
+  test("adaptiveBits: exact integer ceil-log2 with a floor") {
+    import Similarity.adaptiveBits
+    assert(adaptiveBits(0, 4) == 4 && adaptiveBits(1, 4) == 4 && adaptiveBits(2, 1) == 1)
+    assert(adaptiveBits(3, 1) == 2 && adaptiveBits(4, 1) == 2 && adaptiveBits(5, 1) == 3)
+    assert(adaptiveBits(500, 8) == 9 && adaptiveBits(512, 8) == 9 && adaptiveBits(513, 8) == 10)
+    assert(adaptiveBits(2000, 8) == 11)
+    assert(adaptiveBits(1L << 40, 8) == 40)
+  }
+
+  test("adaptive planes: max bucket occupancy stays flat as the corpus doubles") {
+    def maxOccupancy(n: Int): Long = {
+      val dim = 8
+      // deterministic pseudo-random directions (spec-local generator)
+      val pts = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(dim)(j => math.sin(i * 12.9898 + j * 78.233).toFloat))
+      }
+      val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+      p.select(Similarity.lshSignature(col("q"), Similarity.adaptiveBits(n, 8), dim).as("s"))
+        .groupBy("s").count().agg(max("count")).head.getLong(0)
+    }
+    val at256 = maxOccupancy(256)
+    val at512 = maxOccupancy(512)
+    // fixed planes would double the biggest bucket; adaptive planes keep
+    // expected occupancy constant (allow generous noise headroom)
+    assert(at512 <= at256 * 1.5 + 3,
+      s"occupancy grew linearly: $at256 -> $at512 despite doubling buckets")
+  }
+
+  test("banded LSH: near-identical vectors survive banding; each pair scored exactly once") {
+    val dim = 8
+    // 3 exact duplicates of one direction + 40 scattered vectors
+    val dups = Seq(0L, 1L, 2L).map(i => (i, Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.01f)))
+    val rest = (10L until 50L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 3.77 + j * 1.31).toFloat)))
+    val p = Similarity.prep((dups ++ rest).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).cache()
+    val pairs = Similarity.lshBandedPairs(p, dim, bands = 4, minWidth = 4).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "a multi-band collision was scored twice")
+    // identical vectors agree on every band, so all 3 duplicate pairs appear
+    val dupPairs = keys.filter { case (a, b) => a < 3 && b < 3 }
+    assert(dupPairs.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"lost duplicates: ${keys.toSeq}")
+    pairs.filter(r => r.getLong(0) < 3 && r.getLong(1) < 3)
+      .foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
+    p.unpersist(); spark.catalog.clearCache()
   }
 
   test("ivfTopKProbe: nprobe=1 matches the single-cell probe; nprobe=#cells recovers brute force") {
