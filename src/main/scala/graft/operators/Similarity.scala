@@ -208,6 +208,105 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** k-means‖ initialization (Bahmani et al., VLDB 2012): pick k seed
+    * directions in O(log k) full-corpus passes.
+    *
+    *   1. Seed with the vector of minimum md5(id) — a deterministic
+    *      uniform draw.
+    *   2. For ceil(log₂ k) (≥2) rounds: score every point's cosine
+    *      distance to its nearest candidate (candidates broadcast; one
+    *      parallel aggregate), then keep point x with probability
+    *      min(1, 2k·d(x)/φ) where φ = Σd — the draw is a pure md5
+    *      function of (round, id), so re-runs and retries sample the
+    *      SAME set. Expected ≤ 2k new candidates per round, collected
+    *      to the driver (bounded model state, like the centroids).
+    *   3. Weight every candidate by the number of points it wins
+    *      (one more parallel argmax pass), then solve the tiny weighted
+    *      k-center problem driver-side: greedy max of
+    *      weight·(1 − nearest-chosen cosine), ties to the earliest
+    *      candidate — deterministic, no RNG.
+    *
+    * Job count is O(log k) corpus passes total vs farthest-first's k−1
+    * sequential rounds; the quality argument is the k-means‖ paper's:
+    * cost-proportional oversampling lands ≥1 candidate per separated
+    * mass, and the weighted recluster keeps exactly one. If the corpus
+    * has fewer than k distinct DIRECTIONS, the greedy step runs out of
+    * positive-score candidates and returns one centroid per direction
+    * found (never duplicates). Empty input fails loudly. */
+  def kmeansParInit(prepped: DataFrame, k: Int): Seq[Seq[Double]] = {
+    val spark = prepped.sparkSession
+    import spark.implicits._
+    val seed = prepped
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id")).limit(1)
+      .select(col("q")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kmeansCentroids: empty input frame — nothing to cluster"))
+      .getSeq[Long](0).map(_.toDouble)
+    if (k == 1) return Seq(seed)
+    var cands: Vector[Seq[Double]] = Vector(seed)
+    val rounds = math.max(2, 32 - Integer.numberOfLeadingZeros(k - 1)) // ceil(log2 k)
+    var saturated = false
+    for (r <- 1 to rounds if !saturated) {
+      val candsDf = cands.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("cent_id", "cvec")
+        .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
+      // per-point distance to the nearest candidate; feeds BOTH the
+      // normalizer aggregate and the sample filter — pin for the round
+      val costs = prepped.join(broadcast(candsDf))
+        .select(col("id"), col("q"),
+          (lit(1.0) - dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("d"))
+        .groupBy(col("id"), col("q")).agg(min(col("d")).as("dist"))
+        .cache()
+      val phi = costs.agg(sum(col("dist"))).head.getDouble(0)
+      if (phi <= 1e-12) saturated = true // every point sits on a candidate
+      else {
+        // deterministic uniform draw in [0,1): high 32 bits of md5(round:id)
+        val draw = conv(substring(
+          md5(concat(lit(s"kmpp:$r:"), col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        val picked = costs
+          .filter(draw < least(lit(1.0), lit(2.0 * k) * col("dist") / lit(phi)))
+          .select(col("id"), col("q")).collect()
+          .sortBy(_.getLong(0)) // partition order is not a contract
+          .map(_.getSeq[Long](1).map(_.toDouble))
+        cands = (cands ++ picked).distinct
+      }
+      costs.unpersist(blocking = false)
+    }
+    // weight candidates by won points (one argmax pass), then greedy
+    // weighted k-center on the driver (|cands| ~ 2k·log k entries)
+    val candsDf = cands.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cent_id", "cvec")
+      .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
+    val weights = prepped.join(broadcast(candsDf))
+      .select(col("id"),
+        (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"),
+        col("cent_id"))
+      .groupBy("id").agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val wt = cands.indices.map(i => weights.getOrElse(i.toLong, 0L).toDouble)
+    val first = cands.indices.maxBy(i => (wt(i), -i)) // heaviest, ties earliest
+    var chosenIdx = Vector(first)
+    var nearest = cands.indices.map(i => cos(cands(i), cands(first))).toArray
+    while (chosenIdx.size < k && {
+      val next = cands.indices.filterNot(chosenIdx.contains)
+        .maxByOption(i => (wt(i) * (1.0 - nearest(i)), -i))
+      next.exists(i => wt(i) * (1.0 - nearest(i)) > 1e-12) && {
+        val i = next.get
+        chosenIdx :+= i
+        cands.indices.foreach(j => nearest(j) = math.max(nearest(j), cos(cands(j), cands(i))))
+        true
+      }
+    }) ()
+    chosenIdx.map(cands).toList
+  }
+
   /** Distributed Lloyd's k-means over the quantized vectors — the
     * TRAINED coarse quantizer for IVF (upgrade of [[ivfCells]]'s
     * training-free stride rule; the cell-assignment/probe plumbing is
@@ -218,13 +317,13 @@ object Similarity {
     *   update: per-position means via posexplode + hash aggregate
     *           (map-side combine collapses to cells×dim rows per
     *           partition before the exchange).
-    * Init is FARTHEST-FIRST traversal (Gonzalez): seed with the vector
-    * of minimum md5(id) (a deterministic uniform draw), then k-1 rounds
-    * of "the point least similar to its nearest chosen centroid" — each
-    * round a broadcast + max-aggregate + TakeOrdered(1), no global
-    * sort. Unlike lowest-k-ids or random init, this provably lands one
-    * seed per well-separated cluster, which is what keeps Lloyd's out
-    * of the split-one-blob/merge-two local optimum.
+    * Init is k-means‖ ([[kmeansParInit]]): O(log k) full-corpus passes
+    * regardless of k, where the former farthest-first traversal ran k−1
+    * SEQUENTIAL corpus rounds — thousands of scans at a realistic IVF k
+    * (1024–65536 cells). Like farthest-first it lands one seed per
+    * well-separated cluster (cost-proportional sampling concentrates on
+    * far points), which keeps Lloyd's out of the split-one-blob/
+    * merge-two local optimum.
     *
     * Driver state is k×dim doubles per round (the classic k-means
     * broadcast pattern — bounded, like any centroid model; data rows
@@ -245,32 +344,8 @@ object Similarity {
     val spark = prepped.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
-    // farthest-first init (see scaladoc): TakeOrdered(1) per round,
-    // never a global sort
-    val seed = prepped
-      .orderBy(md5(col("id").cast("string").cast("binary")), col("id")).limit(1)
-      .select(col("q")).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "kmeansCentroids: empty input frame — nothing to cluster"))
-      .getSeq[Long](0).map(_.toDouble)
-    var cents: Seq[(Long, Seq[Double])] = Seq(0L -> seed)
-    var exhausted = false
-    var i = 1
-    while (i < k && !exhausted) {
-      val chosenDf = cents.toDF("cent_id", "cvec")
-        .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
-      val next = prepped.join(broadcast(chosenDf))
-        .select(col("id"), col("q"),
-          (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
-        .groupBy(col("id"), col("q")).agg(max(col("ccos")).as("best"))
-        .orderBy(col("best"), col("id")).limit(1) // least similar to its nearest seed
-        .select(col("q")).head.getSeq[Long](0).map(_.toDouble)
-      // fewer distinct vectors than k: farthest-first would re-pick an
-      // already-chosen point forever — stop with the distinct set rather
-      // than emit duplicate centroids (which would split cells 0-wide)
-      if (cents.exists(_._2 == next)) exhausted = true
-      else { cents = cents :+ (i.toLong -> next); i += 1 }
-    }
+    var cents: Seq[(Long, Seq[Double])] =
+      kmeansParInit(prepped, k).zipWithIndex.map { case (v, i) => i.toLong -> v }
     for (_ <- 0 until iters) {
       val centsDf = cents.toDF("cent_id", "cvec")
         .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))

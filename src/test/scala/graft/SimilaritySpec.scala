@@ -166,6 +166,42 @@ class SimilaritySpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("k-means|| init: corpus passes grow logarithmically with k, not linearly") {
+    // 200 scattered directions; count Spark jobs per init via job groups
+    val pts = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5.17 + j * 2.71).toFloat))
+    }
+    val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+      .cache()
+    p.count() // materialize the cache outside the counted window
+    def jobsForInit(k: Int): Int = {
+      val gid = s"kmpp-jobcount-$k"
+      spark.sparkContext.setJobGroup(gid, "kmeansParInit job count")
+      try {
+        val cents = Similarity.kmeansParInit(p, k)
+        assert(cents.size == k, s"expected $k centroids, got ${cents.size}")
+      } finally spark.sparkContext.clearJobGroup()
+      // the status store applies listener events asynchronously
+      var n = -1; var stable = 0
+      while (stable < 2) {
+        Thread.sleep(100)
+        val m = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+        if (m == n) stable += 1 else { n = m; stable = 0 }
+      }
+      n
+    }
+    val at4 = jobsForInit(4)
+    val at64 = jobsForInit(64)
+    // Under AQE each round costs ~6 jobs (broadcast + shuffle-stage
+    // materializations count individually). k-means|| adds
+    // ceil(log2 64) - ceil(log2 4) = 4 rounds between these two;
+    // farthest-first ran k-1 SEQUENTIAL corpus rounds — 60 more rounds
+    // (hundreds of jobs). Allow 4 rounds' worth plus slack.
+    assert(at64 - at4 <= 40, s"init jobs grew linearly with k: $at4 -> $at64")
+    assert(at64 <= 70, s"k=64 init used $at64 corpus jobs — not O(log k)")
+    p.unpersist()
+  }
+
   test("k-means guards: empty input fails loudly; k beyond distinct vectors stops without duplicate centroids") {
     val empty = Similarity.prep(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
