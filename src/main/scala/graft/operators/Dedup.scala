@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Deduplication operators for a training-data pipeline: exact (hash /
   * keyed), MinHash + banded LSH with n-gram-Jaccard verification, and
@@ -414,13 +415,19 @@ object Dedup {
     * The filter is built by one distributive aggregate over
     * `xxhash64(fp)` (map-side partials are the fixed-size bit array)
     * and lands on the driver as `numBits/8` bytes — bounded sketch
-    * state, never rows. It is embedded as a literal so the probe
-    * inlines into WholeStageCodegen; at multi-MB filter sizes prefer
-    * `numBits` sized to keep the plan literal sane (the bits, not the
-    * corpus, are the knob). */
+    * state, never rows. Delivery to executors is size-adaptive: a
+    * KB-scale filter is embedded as a plan literal (inlines straight
+    * into WholeStageCodegen); past `literalMaxBytes` it rides a
+    * [[graft.expressions.BroadcastRef]] instead — shipped once per
+    * executor over the torrent bus, NOT copied into every serialized
+    * task of every referencing stage — so the operator's own motivating
+    * regime (tens of MBs of bits standing in for an un-broadcastable
+    * hash relation) no longer bloats the plan. Both forms are the same
+    * codegen'd probe and byte-identical output (spec-pinned). */
   def bloomDecontaminate(df: DataFrame, idCol: Column, fps: DataFrame, evalFps: DataFrame,
                          numBits: Int = 1 << 20, numHashes: Int = 5,
-                         scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                         scope: CacheScope = CacheScope.unmanaged,
+                         literalMaxBytes: Int = 1 << 19): DataFrame = {
     graft.GraftFunctions.ensure(df.sparkSession) // foreign sessions lack the extension
     // the eval fingerprint SET feeds two consumers — the EAGER bloom
     // build (the .head below runs at construction) and the lazy exact
@@ -432,8 +439,12 @@ object Dedup {
       .select(xxhash64(col("fp")).as("h"))
       .agg(call_function("bloom_build", col("h"), lit(numBits), lit(numHashes)).as("bf"))
       .head.getAs[Array[Byte]](0)
+    val probe =
+      if (bloomBytes.length <= literalMaxBytes) lit(bloomBytes)
+      else graft.expressions.BroadcastRef.column(
+        df.sparkSession.sparkContext.broadcast(bloomBytes), BinaryType)
     val candidates = fps
-      .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+      .filter(call_function("bloom_contains", probe, xxhash64(col("fp"))))
     val bad = candidates
       .join(broadcast(evalSet), Seq("fp"), "left_semi")
       .select(col("id")).distinct()

@@ -54,9 +54,25 @@ object Pq {
 
   /** Map-side encode via the native codegen'd
     * [[graft.expressions.PqEncode]]: array<bigint> → array<int> of m
-    * codeword indices. The codebook rides the plan as a literal. */
+    * codeword indices. The codebook rides the plan as a literal —
+    * right while it is KBs (ksub=16 × dim=8 here); for a production
+    * codebook (ksub=256, dim=1024 → 2 MB of longs) use
+    * [[encodeBroadcast]] so the model ships once per executor instead
+    * of inside every serialized task. */
   def encode(vec: Column, cb: Array[Long], m: Int): Column =
     call_function("pq_encode", vec, typedLit(cb.toSeq), lit(m))
+
+  /** [[encode]] with the codebook delivered as a
+    * [[graft.expressions.BroadcastRef]] — same native expression, same
+    * codes (spec-pinned byte-identical), but the plan carries a
+    * broadcast handle instead of ksub·dim literal longs. */
+  def encodeBroadcast(vec: Column, cb: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                      m: Int): Column =
+    call_function("pq_encode", vec,
+      graft.expressions.BroadcastRef.column(
+        cb, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      lit(m))
 
   /** Query-side ADC table: the query's exact integer squared-L2 to
     * every codeword, flattened in the codebook layout. HOF spelling on
@@ -67,14 +83,32 @@ object Pq {
   def adcTable(vec: Column, cb: Array[Long], m: Int, ksub: Int): Column = {
     require(cb.length % ksub == 0 && (cb.length / ksub) % m == 0,
       s"adcTable: codebook of ${cb.length} is not ksub=$ksub codewords of dim divisible by m=$m")
-    val dim = cb.length / ksub
+    adcTableCore(vec, typedLit(cb.toSeq), cb.length, m, ksub)
+  }
+
+  /** [[adcTable]] with the codebook on the broadcast bus (see
+    * [[encodeBroadcast]]) — the query side is |Q| rows so the per-row
+    * cost is identical; what shrinks is the serialized plan. */
+  def adcTableBroadcast(vec: Column, cbB: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                        m: Int, ksub: Int): Column = {
+    val len = cbB.value.length // driver-local read of the broadcast
+    require(len % ksub == 0 && (len / ksub) % m == 0,
+      s"adcTable: codebook of $len is not ksub=$ksub codewords of dim divisible by m=$m")
+    adcTableCore(vec,
+      graft.expressions.BroadcastRef.column(
+        cbB, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      len, m, ksub)
+  }
+
+  private def adcTableCore(vec: Column, cbCol: Column, cbLen: Int, m: Int, ksub: Int): Column = {
+    val dim = cbLen / ksub
     val dsub = dim / m
-    val cbLit = typedLit(cb.toSeq)
     flatten(transform(sequence(lit(0), lit(m - 1)), j =>
       transform(sequence(lit(0), lit(ksub - 1)), c =>
         aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (acc, p) => {
           val d = element_at(vec, j * dsub + p + 1) -
-            element_at(cbLit, (j * ksub + c) * dsub + p + 1)
+            element_at(cbCol, (j * ksub + c) * dsub + p + 1)
           acc + d * d
         }))))
   }

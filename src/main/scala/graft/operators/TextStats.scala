@@ -96,14 +96,23 @@ object TextStats {
     * of not shuffling the universe; cache upstream if the key column
     * is expensive to derive. */
   def heavyHitters(keys: DataFrame, keyCol: Column, minCount: Long,
-                   depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+                   depth: Int = 4, width: Int = 1 << 16,
+                   literalMaxBytes: Int = 1 << 19): DataFrame = {
     require(minCount > 0, s"heavyHitters: minCount must be positive, got $minCount")
     graft.GraftFunctions.ensure(keys.sparkSession)
     val k = keys.select(keyCol.as("key"))
     val cms = k.select(xxhash64(col("key")).as("h"))
       .agg(call_function("cms_build", col("h"), lit(depth), lit(width)).as("c"))
       .head.getAs[Array[Byte]](0)
-    k.filter(call_function("cms_query", lit(cms), xxhash64(col("key"))) >= minCount)
+    // size-adaptive delivery (the bloomDecontaminate pattern): a wide
+    // low-error grid (depth × width × 8 bytes) rides the broadcast bus
+    // as a BroadcastRef instead of bloating every task's serialized plan
+    val probe =
+      if (cms.length <= literalMaxBytes) lit(cms)
+      else graft.expressions.BroadcastRef.column(
+        keys.sparkSession.sparkContext.broadcast(cms),
+        org.apache.spark.sql.types.BinaryType)
+    k.filter(call_function("cms_query", probe, xxhash64(col("key"))) >= minCount)
       .groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }

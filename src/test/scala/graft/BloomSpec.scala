@@ -106,4 +106,45 @@ class BloomSpec extends AnyFunSuite {
     assert(bloomed.intersect((1L to 300L).filter(_ % 50 == 0).toSet).isEmpty)
     fps.unpersist()
   }
+
+  test("2^27-bit filter rides a BroadcastRef: output identical, plan free of multi-MB literals") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"kilo lima mike november oscar ${i % 23} papa quebec romeo sierra tango"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4).cache()
+    val evalFps = fps.filter(pmod(col("id"), lit(40)) === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.decontaminate(docs, col("doc_id"), fps, evalFps))
+    // 2^27 bits = a 16 MiB filter — the regime the operator exists for;
+    // the default literalMaxBytes (512 KiB) must push it onto the bus
+    val big = Dedup.bloomDecontaminate(docs, col("doc_id"), fps, evalFps, numBits = 1 << 27)
+    assert(ids(big) == exact, "broadcast-backed probe diverged from the exact path")
+    val plan = big.queryExecution.optimizedPlan
+    val bigBinaryLits = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.BinaryType && l.value != null &&
+             l.value.asInstanceOf[Array[Byte]].length >= 1024 => l
+      })
+    }.flatten
+    assert(bigBinaryLits.isEmpty,
+      s"filter leaked into the plan as ${bigBinaryLits.map(_.value.asInstanceOf[Array[Byte]].length)}-byte literal(s)")
+    val refs = plan.collect { case p =>
+      p.expressions.flatMap(_.collect { case b: graft.expressions.BroadcastRef => b })
+    }.flatten
+    assert(refs.nonEmpty, "expected the probe to read a BroadcastRef")
+    fps.unpersist()
+  }
+
+  test("below literalMaxBytes the probe stays a plan literal (codegen-inlined small-model path)") {
+    val fps = (1L to 100L).map(i => (i, i * 31L)).toDF("id", "fp")
+    val evalFps = fps.filter(col("id") <= 10).select(col("fp"))
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val small = Dedup.bloomDecontaminate(docs, col("doc_id"), fps, evalFps) // default 2^20 bits
+    val refs = small.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case b: graft.expressions.BroadcastRef => b })
+    }.flatten
+    assert(refs.isEmpty, "a KB-scale filter should inline as a literal, not a broadcast")
+  }
 }

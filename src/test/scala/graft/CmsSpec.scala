@@ -87,4 +87,19 @@ class CmsSpec extends AnyFunSuite {
         .agg(call_function("cms_build", col("h"), lit(4), lit(1 << 23))).collect()
     }
   }
+
+  test("broadcast-delivered sketch (literalMaxBytes=0) matches the literal path") {
+    val viaLit = TextStats.heavyHitters(keys, col("key"), minCount = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaBcast = TextStats.heavyHitters(keys, col("key"), minCount = 20, literalMaxBytes = 0)
+    assert(viaBcast.collect().map(r => (r.getString(0), r.getLong(1))).toSet == viaLit)
+    // analyzed, not optimized: ConvertToLocalRelation constant-evaluates
+    // this tiny local-relation test frame, erasing the probe expression
+    // (BroadcastRef itself is non-foldable, so it can never re-enter a
+    // surviving plan as a literal — BloomSpec pins that on a real scan)
+    val refs = viaBcast.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case b: graft.expressions.BroadcastRef => b })
+    }.flatten
+    assert(refs.nonEmpty, "expected cms_query to read a BroadcastRef")
+  }
 }

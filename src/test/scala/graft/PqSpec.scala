@@ -108,4 +108,32 @@ class PqSpec extends AnyFunSuite {
       Pq.strideCodebook(prepped, stride = 6, ksub = 3, m = 2) // id 12 missing
     }
   }
+
+  test("broadcast codebook forms are byte-identical to the literal forms, no codebook literal in plan") {
+    val cbB = spark.sparkContext.broadcast(cb)
+    // repartition keeps ConvertToLocalRelation from constant-evaluating
+    // the projection at optimize time (which would erase the very
+    // expressions the plan assertions below inspect)
+    val vecs = Seq(
+      Tuple1(Array(9L, 9L, 1L, 1L)), Tuple1(Array(1L, 2L, 4L, 5L)),
+      Tuple1(Array(0L, 0L, 5L, 5L)), Tuple1(Array(10L, 10L, 0L, 0L))).toDF("v")
+      .repartition(2)
+    val lit_ = vecs.select(
+      Pq.encode(col("v"), cb, M).as("codes"),
+      Pq.adcTable(col("v"), cb, M, Ksub).as("tbl")).collect()
+    val bcast = vecs.select(
+      Pq.encodeBroadcast(col("v"), cbB, M).as("codes"),
+      Pq.adcTableBroadcast(col("v"), cbB, M, Ksub).as("tbl"))
+    assert(bcast.collect().map(_.toString).toSeq == lit_.map(_.toString).toSeq)
+    // the plan must carry the broadcast handle, not ksub·dim literal longs
+    val exprs = bcast.queryExecution.optimizedPlan.collect { case p => p.expressions }.flatten
+    assert(exprs.exists(_.collect { case b: graft.expressions.BroadcastRef => b }.nonEmpty))
+    val arrayLits = exprs.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+           l.value != null &&
+           l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() >= cb.length => l
+    })
+    assert(arrayLits.isEmpty, s"codebook leaked into the plan as array literal(s)")
+  }
 }
