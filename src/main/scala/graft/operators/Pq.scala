@@ -74,6 +74,95 @@ object Pq {
           org.apache.spark.sql.types.LongType, containsNull = false)),
       lit(m))
 
+  /** TRAINED codebook: Lloyd refinement of an initial codebook (use
+    * [[strideCodebook]] — deterministic init, so the trained book is
+    * reproducible with no RNG) under the squared-L2 objective PQ
+    * actually optimizes. All m subspaces train in ONE job per round:
+    *
+    *   assign: the native `pq_encode` against the current codebook
+    *           gives every row its m codeword assignments map-side;
+    *   update: `posexplode` splits each vector into (subspace j,
+    *           position i, value) and a hash aggregate means the values
+    *           per (j, assigned codeword, i) — map-side combine
+    *           collapses each partition to ≤ m·ksub·dsub = ksub·dim
+    *           partial rows before the exchange, the same bounded-state
+    *           shape as [[Similarity.kmeansCentroids]]'s update.
+    *
+    * Driver state is the ksub·dim-long codebook per round (bounded
+    * model, never rows). Means round half-up back to the quantized
+    * integer domain, so encode/ADC stay exact-integer; empty cells keep
+    * their previous codeword (the k-means convention). Not on the
+    * oracled path — iterative means are not portable SQL; the spec
+    * contract is monotone distortion vs the stride init and planted-
+    * cluster recall ([[graft.PqSpec]]). */
+  def trainedCodebook(prepped: DataFrame, init: Array[Long], m: Int, ksub: Int,
+                      iters: Int = 5): Array[Long] = {
+    graft.GraftFunctions.ensure(prepped.sparkSession)
+    require(m > 0 && ksub > 0 && iters >= 0, s"trainedCodebook: bad m=$m ksub=$ksub iters=$iters")
+    require(init.length % ksub == 0 && (init.length / ksub) % m == 0,
+      s"trainedCodebook: init of ${init.length} is not ksub=$ksub codewords of dim divisible by m=$m")
+    val dim = init.length / ksub
+    val dsub = dim / m
+    var cb = init.clone()
+    for (_ <- 0 until iters) {
+      val means = prepped
+        .select(col("q"), encode(col("q"), cb, m).as("codes"))
+        .select(col("codes"), posexplode(col("q")))
+        .select((col("pos") / dsub).cast("int").as("j"), pmod(col("pos"), lit(dsub)).as("i"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("c"), col("col").as("v"))
+        .groupBy("j", "c", "i").agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = cb.clone() // empty cells keep their previous codeword
+      means.foreach { r =>
+        val (j, c, i) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next((j * ksub + c) * dsub + i) = math.floor(r.getDouble(3) + 0.5).toLong
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Mean squared-L2 quantization error of `prepped` under a codebook —
+    * the objective [[trainedCodebook]] minimizes (ADC distance of each
+    * row to its own code is exactly ‖v − reconstruction‖²). */
+  def distortion(prepped: DataFrame, cb: Array[Long], m: Int, ksub: Int): Double = {
+    graft.GraftFunctions.ensure(prepped.sparkSession)
+    prepped
+      .select(adc(encode(col("q"), cb, m), adcTable(col("q"), cb, m, ksub)).as("d"))
+      .agg(avg(col("d"))).head.getDouble(0)
+  }
+
+  /** Residual frame for IVFADC: each vector minus its cell's centroid,
+    * returned AS the `q` column of (id, cell, q) so every codebook
+    * builder ([[strideCodebook]], [[trainedCodebook]]) and encode path
+    * composes on residuals unchanged. Stride centroids are themselves
+    * quantized integer vectors, so residuals stay exact longs — the
+    * reason the residual upgrade keeps the hash-stable integer story. */
+  def residuals(cells: DataFrame, cents: DataFrame): DataFrame =
+    cells.join(broadcast(cents.select(col("cent_id").as("cell"), col("cq"))), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+
+  /** Residual IVF-PQ (the IVFADC composition of Jégou et al.): IVF
+    * prunes WHERE (each query searches its own cell), PQ codes quantize
+    * the RESIDUAL vec − centroid — residuals cluster tightly around
+    * zero, so the same ksub codewords spend their resolution on the
+    * within-cell geometry instead of re-describing the coarse grid
+    * (spec pins residual distortion ≤ raw distortion on clustered
+    * data). `cb` must be trained/sampled on [[residuals]] of the same
+    * (cells, cents). nprobe=1 by construction: a query's residual is
+    * defined against its OWN cell's centroid; multi-probe would need a
+    * per-(query, probed-cell) residual — the documented upgrade, same
+    * plumbing with the probe join of [[Similarity.ivfTopKProbe]]. */
+  def topKAdcResidual(cells: DataFrame, cents: DataFrame, cb: Array[Long],
+                      queryIds: Column => Column, k: Int, m: Int, ksub: Int): DataFrame = {
+    val res = residuals(cells, cents)
+    val coded = res.select(col("id"), col("cell"), encode(col("q"), cb, m).as("codes"))
+    val qs = res.filter(queryIds(col("id")))
+      .select(col("id").as("query_id"), col("cell"), adcTable(col("q"), cb, m, ksub).as("tbl"))
+    topKAdc(coded, qs, k, using = Seq("cell"))
+  }
+
   /** Query-side ADC table: the query's exact integer squared-L2 to
     * every codeword, flattened in the codebook layout. HOF spelling on
     * purpose — it runs on |Q| rows only, and the lambdas index the row

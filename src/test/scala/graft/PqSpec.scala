@@ -109,6 +109,99 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  // ---- planted-cluster corpora for the training/residual contracts ----
+  // MAGNITUDE clusters (training tests): 64 vectors, dim 8, group g =
+  // id/16 at magnitude g·1000, offset o = id%16 added to EVERY position
+  // — so a group's true neighbor order is exactly offset order, and the
+  // tie rule (lower id) agrees with it. stride=1 init samples ids 0..3:
+  // ALL group 0, a deliberately bad codebook training must escape.
+  private val Dim = 8
+  private def plantedMag(id: Long): Array[Long] =
+    Array.fill(Dim)((id / 16) * 1000L + (id % 16))
+  private lazy val magDf = {
+    val df = (0L until 64L).map(id => (id, plantedMag(id))).toDF("id", "q")
+      .withColumn("norm", graft.operators.Similarity.normQ(col("q")))
+    df.cache(); df
+  }
+  // DIRECTION clusters (residual/IVF tests — the coarse quantizer is
+  // cosine-based, so clusters must separate in angle, not magnitude):
+  // group g's mass sits on positions {2g, 2g+1}; anchors (o=0) at ids
+  // g·16 become the stride-16 coarse centroids, and every residual is
+  // exactly o·(1,...,1) — tight around zero, the IVFADC argument.
+  private def plantedDir(id: Long): Array[Long] = {
+    val g = (id / 16).toInt; val o = id % 16
+    Array.tabulate(Dim)(p => if (p / 2 == g) 1000L + o else o)
+  }
+  private lazy val dirDf = {
+    val df = (0L until 64L).map(id => (id, plantedDir(id))).toDF("id", "q")
+      .withColumn("norm", graft.operators.Similarity.normQ(col("q")))
+    df.cache(); df
+  }
+
+  test("trainedCodebook: Lloyd rounds strictly cut distortion from a bad stride init and never regress") {
+    val init = Pq.strideCodebook(magDf, stride = 1, ksub = 4, m = 2)
+    val d0 = Pq.distortion(magDf, init, m = 2, ksub = 4)
+    var prev = d0
+    for (it <- Seq(1, 2, 5)) {
+      val d = Pq.distortion(magDf, Pq.trainedCodebook(magDf, init, m = 2, ksub = 4, iters = it), 2, 4)
+      assert(d <= prev + 1e-9, s"distortion rose at iters=$it: $prev -> $d")
+      prev = d
+    }
+    assert(prev < d0 * 0.5, s"training barely helped: $d0 -> $prev (init misses 3 of 4 clusters)")
+    // determinism: no RNG anywhere in init or refinement
+    assert(Pq.trainedCodebook(magDf, init, 2, 4, 3).toSeq ==
+      Pq.trainedCodebook(magDf, init, 2, 4, 3).toSeq)
+  }
+
+  test("recall@3 on planted clusters: trained codebook >= stride codebook, queries from every cluster") {
+    val vecs = (0L until 64L).map(id => id -> plantedMag(id)).toMap
+    def sqL2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    val queries = Seq(0L, 16L, 32L, 48L) // one per cluster
+    val truth: Map[Long, Set[Long]] = queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (sqL2(vecs(q), vecs(n)), n)).take(3).toSet
+    }.toMap
+    def recall(cb: Array[Long]): Double = {
+      val codes = magDf.select(col("id"), Pq.encode(col("q"), cb, 2).as("codes"))
+      val qs = magDf.filter(col("id") % 16 === 0)
+        .select(col("id").as("query_id"), Pq.adcTable(col("q"), cb, 2, 4).as("tbl"))
+      val got = Pq.topKAdc(codes, qs, k = 3).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      queries.map(q => got(q).intersect(truth(q)).size.toDouble / 3).sum / queries.size
+    }
+    val stride = Pq.strideCodebook(magDf, stride = 1, ksub = 4, m = 2)
+    val trained = Pq.trainedCodebook(magDf, stride, m = 2, ksub = 4, iters = 5)
+    val (rs, rt) = (recall(stride), recall(trained))
+    assert(rt >= rs, s"trained recall $rt fell below stride recall $rs")
+    assert(rt > 0.5, s"trained recall $rt too weak on trivially-clustered data")
+  }
+
+  test("residual IVF-PQ: residual coding beats raw coding on clustered data; neighbors stay in-cell") {
+    import graft.operators.Similarity
+    // stride-16 coarse centroids = the four direction anchors
+    val cells = Similarity.ivfCells(dirDf, stride = 16).cache()
+    val cents = Similarity.strideCentroids(dirDf, stride = 16)
+    val res = Pq.residuals(cells, cents).cache()
+    val rawCb = Pq.strideCodebook(dirDf, stride = 1, ksub = 4, m = 2)
+    val resCb = Pq.trainedCodebook(res, Pq.strideCodebook(res, 1, 4, 2), m = 2, ksub = 4, iters = 3)
+    val dRaw = Pq.distortion(dirDf, rawCb, 2, 4)
+    val dRes = Pq.distortion(res, resCb, 2, 4)
+    assert(dRes <= dRaw,
+      s"residual distortion $dRes should not exceed raw distortion $dRaw on clustered data")
+    val out = Pq.topKAdcResidual(cells, cents, resCb, _ % 16 === 0, k = 3, m = 2, ksub = 4).collect()
+    assert(out.length == 4 * 3, s"expected 3 neighbors per query, got ${out.length}")
+    val cellOf = cells.select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(cellOf(r.getLong(0)) == cellOf(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cell")
+    }
+    // direction clusters make cells == planted groups, so every in-cell
+    // hit is a true near neighbor (a group-mate)
+    out.foreach(r => assert(r.getLong(0) / 16 == r.getLong(1) / 16))
+    cells.unpersist(); res.unpersist()
+  }
+
   test("broadcast codebook forms are byte-identical to the literal forms, no codebook literal in plan") {
     val cbB = spark.sparkContext.broadcast(cb)
     // repartition keeps ConvertToLocalRelation from constant-evaluating
