@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+
+/** Generic HTTP-polling REST source — the collector's ingest loop
+  * (`collect/collector.py:26-39` getData + `:110-128` run_loop) as a
+  * reusable wrapper: GET a keyed endpoint repeatedly, accumulate the
+  * raw JSON bodies, stop on an empty response (the reference breaks its
+  * loop when the API returns nothing) or at `maxPolls`, then parse the
+  * accumulated batches into ONE DataFrame under a DECLARED schema (the
+  * S2 contract — schema inference over remote payloads is both a
+  * correctness and a scale hazard).
+  *
+  * Transport contract, mirroring the engine's production HTTP client
+  * ([[graft.operators.OpenAiCompatScorer]]): plain `HttpURLConnection`
+  * (no added dependency), per-request connect+read timeout, bounded
+  * retries with optional backoff on transport/HTTP errors, loud failure
+  * once retries are exhausted — a silent partial poll would look like a
+  * short day of data downstream.
+  *
+  * Scale shape: polling ONE endpoint is inherently sequential
+  * driver-side work (the reference's loop is the same) and the payload
+  * per poll is API-page sized — the parallel side of ingestion lives in
+  * [[graft.streaming.FileQueue]] (S5: executors fetch queued files
+  * concurrently) once payloads land in storage. This wrapper is the
+  * front door, not the firehose; [[toFrame]] hands Spark the batches as
+  * a dataset so parsing runs distributed, not on the driver.
+  */
+object RestPoll {
+
+  /** One GET with bounded retries. Returns the body string; throws
+    * after `retries` failed attempts. A 204 returns "". */
+  def getOnce(url: String, headers: Map[String, String] = Map.empty,
+              timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): String = {
+    require(retries >= 1, s"RestPoll: retries must be >= 1, got $retries")
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < retries) {
+      attempt += 1
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod("GET")
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          val code = conn.getResponseCode
+          if (code >= 400)
+            throw new java.io.IOException(s"RestPoll: HTTP $code from $url")
+          val in = conn.getInputStream
+          try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        } finally conn.disconnect()
+      } catch {
+        case e: java.io.IOException =>
+          last = e
+          if (attempt < retries && backoffMs > 0) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new java.io.IOException(
+      s"RestPoll: $url failed after $retries attempt(s): ${last.getMessage}", last)
+  }
+
+  /** Poll until the endpoint returns an empty body / empty JSON array
+    * (the collector's stop condition) or `maxPolls` is reached. Returns
+    * the non-empty raw bodies in poll order. */
+  def pollJson(url: String, headers: Map[String, String] = Map.empty, maxPolls: Int = 10,
+               timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): Seq[String] = {
+    require(maxPolls >= 1, s"RestPoll: maxPolls must be >= 1, got $maxPolls")
+    val out = Seq.newBuilder[String]
+    var polls = 0
+    var stopped = false
+    while (polls < maxPolls && !stopped) {
+      val body = getOnce(url, headers, timeoutMs, retries, backoffMs).trim
+      polls += 1
+      if (body.isEmpty || body == "[]" || body == "null") stopped = true
+      else out += body
+    }
+    out.result()
+  }
+
+  /** Parse accumulated JSON-array bodies into one typed DataFrame. Each
+    * body is one JSON document (an array of objects, as REST pages are);
+    * Spark's JSON reader fans a top-level array out to one row per
+    * element, and parsing runs distributed over the dataset — the
+    * driver never walks the payloads. Fields absent from a record are
+    * null (declared-schema semantics, same as the bronze reader). */
+  def toFrame(spark: SparkSession, bodies: Seq[String], schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(spark.createDataset(bodies))
+  }
+
+  /** The collector's full accumulate-then-frame loop in one call. */
+  def pollToFrame(spark: SparkSession, url: String, schema: StructType,
+                  headers: Map[String, String] = Map.empty, maxPolls: Int = 10,
+                  timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): DataFrame =
+    toFrame(spark, pollJson(url, headers, maxPolls, timeoutMs, retries, backoffMs), schema)
+}

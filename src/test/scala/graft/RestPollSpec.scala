@@ -1,0 +1,89 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sources.RestPoll
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The HTTP-polling source against a real local server: header auth is
+  * sent, batches accumulate until the endpoint runs dry (the
+  * collector's stop condition), transient 5xx responses are retried and
+  * exhausted retries fail loudly, maxPolls bounds the loop, and the
+  * accumulated pages parse into one typed frame under a declared
+  * schema with absent fields nulled. */
+class RestPollSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("review", StringType),
+    StructField("price", DoubleType)))
+
+  private def withServer(handler: HttpExchange => (Int, String))(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val (code, payload) = handler(ex)
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/")
+    finally server.stop(0)
+  }
+
+  test("polls until the API runs dry, sends the auth header, parses to a typed frame") {
+    val calls = new AtomicInteger(0)
+    val seenKeys = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    withServer { ex =>
+      Option(ex.getRequestHeaders.getFirst("X-API-Key")).foreach(k => seenKeys.put(k, ()))
+      val n = calls.incrementAndGet()
+      if (n <= 3) (200, s"""[{"item_id": ${n * 10}, "review": "r$n", "price": ${n}.5},
+                           | {"item_id": ${n * 10 + 1}, "review": null}]""".stripMargin)
+      else (200, "[]") // dry — the collector's break condition
+    } { url =>
+      val df = RestPoll.pollToFrame(spark, url, schema,
+        headers = Map("X-API-Key" -> "sekrit"), maxPolls = 10)
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(rows == Set(
+        (10L, "r1", Some(1.5)), (11L, null, None),
+        (20L, "r2", Some(2.5)), (21L, null, None),
+        (30L, "r3", Some(3.5)), (31L, null, None)))
+      assert(calls.get() == 4, "should have stopped on the first empty page")
+      assert(seenKeys.keySet == Set("sekrit"))
+    }
+  }
+
+  test("maxPolls bounds a never-dry endpoint") {
+    val calls = new AtomicInteger(0)
+    withServer { _ =>
+      (200, s"""[{"item_id": ${calls.incrementAndGet()}, "review": "x", "price": 1.0}]""")
+    } { url =>
+      val bodies = RestPoll.pollJson(url, maxPolls = 3)
+      assert(bodies.length == 3 && calls.get() == 3)
+    }
+  }
+
+  test("transient 500 is retried; exhausted retries fail loudly; 204 reads as empty") {
+    val calls = new AtomicInteger(0)
+    withServer { _ =>
+      if (calls.incrementAndGet() == 1) (500, "boom") else (200, """[{"item_id": 1}]""")
+    } { url =>
+      val bodies = RestPoll.pollJson(url, maxPolls = 1, retries = 3)
+      assert(bodies.length == 1 && calls.get() == 2, "first attempt 500, second should succeed")
+    }
+    withServer { _ => (500, "always down") } { url =>
+      val e = intercept[java.io.IOException](RestPoll.getOnce(url, retries = 2))
+      assert(e.getMessage.contains("after 2 attempt"))
+    }
+    withServer { _ => (204, "") } { url =>
+      assert(RestPoll.pollJson(url, maxPolls = 5).isEmpty)
+    }
+  }
+}
