@@ -126,6 +126,26 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  /** Residual IVF-PQ (IVFADC): same cells and k as q_sim_ivfpq, but the
+    * codes quantize vec − centroid and the codebook is stride-sampled
+    * from the RESIDUAL frame. Stride centroids are integer vectors, so
+    * residuals stay exact longs and the whole composition sits on the
+    * hash-compared oracle path; diffing against q_sim_ivfpq measures
+    * what residual coding buys at identical compression. */
+  def simIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache()
+    // cells/residuals each feed the codebook collect AND the scoring
+    // sides; CacheManager dedups the structurally-equal residual plan
+    // built inside topKAdcResidual against this pinned one
+    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    val cents = Similarity.strideCentroids(p, IvfStride)
+    val res = Pq.residuals(cells, cents).cache()
+    val cb = Pq.strideCodebook(res, PqStride, PqKsub, PqM)
+    Pq.topKAdcResidual(cells, cents, cb, _ < 10, k = 3, m = PqM, ksub = PqKsub)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adist"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
     "q_sim_lsh" -> simLsh,
@@ -133,7 +153,8 @@ object SimilarityQueries extends QueryModule {
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
     "q_sim_pq" -> simPq,
-    "q_sim_ivfpq" -> simIvfPq)
+    "q_sim_ivfpq" -> simIvfPq,
+    "q_sim_ivfpq_res" -> simIvfPqRes)
 
   // dimension bound derives from each vector's length (ADVICE r2: no
   // silent truncation cap)
@@ -326,6 +347,50 @@ object SimilarityQueries extends QueryModule {
          |d AS (SELECT s.vec_id, s.j, b.c,
          |    CAST(SUM((s.q - b.q) * (s.q - b.q)) AS BIGINT) AS dist2
          |  FROM sub s JOIN cbv b ON b.j = s.j AND b.p = s.p
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist2, c) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 10),
+         |cand AS (SELECT q.query_id, cl.vec_id AS neighbor_id
+         |  FROM qs q JOIN cells cl ON cl.cell = q.cell AND cl.vec_id <> q.query_id),
+         |adc AS (SELECT cand.query_id, cand.neighbor_id,
+         |    CAST(SUM(qd.dist2) AS BIGINT) AS adist
+         |  FROM cand
+         |  JOIN codes x ON x.vec_id = cand.neighbor_id
+         |  JOIN d qd ON qd.vec_id = cand.query_id AND qd.j = x.j AND qd.c = x.c
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, rk, adist
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q_sim_ivfpq's chain with ONE extra CTE: subvector values become
+    // vec − assigned-centroid residuals before codebook sampling,
+    // encoding, and ADC — the IVFADC composition, still exact integers
+    "q_sim_ivfpq_res" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |sub AS (SELECT vec_id, (i-1) // 16 AS j, (i-1) % 16 AS p, q FROM qv),
+         |resid AS (SELECT s.vec_id, s.j, s.p, s.q - cs.q AS q
+         |  FROM sub s JOIN cells cl ON cl.vec_id = s.vec_id
+         |  JOIN sub cs ON cs.vec_id = cl.cell AND cs.j = s.j AND cs.p = s.p),
+         |cbv AS (SELECT vec_id // $PqStride AS c, j, p, q
+         |  FROM resid WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqKsub}),
+         |d AS (SELECT s.vec_id, s.j, b.c,
+         |    CAST(SUM((s.q - b.q) * (s.q - b.q)) AS BIGINT) AS dist2
+         |  FROM resid s JOIN cbv b ON b.j = s.j AND b.p = s.p
          |  GROUP BY 1, 2, 3),
          |codes AS (SELECT vec_id, j, c FROM (
          |    SELECT vec_id, j, c,
