@@ -149,6 +149,18 @@ class PlanContractSpec extends AnyFunSuite {
     spark.catalog.clearCache() // simIvfPq pins prepped + cells
   }
 
+  test("q_sim_ivfpq_res: residual coding keeps the ivfpq contract — broadcast cell join, bounded top-k") {
+    val plan = staticPlan(graft.queries.SimilarityQueries.simIvfPqRes(spark, sf))
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the cell join must broadcast the queries, not shuffle the encoded residuals:\n$s")
+    // (the cached ivfCells lineage carries the documented bounded
+    // centroid-scoring BNLJ — corpus × #centroids — same as q_sim_ivfpq)
+    assertBoundedTopK(plan)
+    assert(shuffles(plan).size <= 2, s"ivfpq_res grew an exchange:\n$s")
+    spark.catalog.clearCache() // simIvfPqRes pins prepped + cells + residuals
+  }
+
   test("q_cube: ONE expand + hash-aggregate pass — no per-grouping-set re-scan, no join") {
     val plan = staticPlan(graft.queries.RelationalQueries.cubeStatusYear(spark, sf))
     assert(scans(plan).size == 1, s"cube re-scanned the input:\n$plan")
