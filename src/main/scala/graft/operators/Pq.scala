@@ -163,6 +163,52 @@ object Pq {
     topKAdc(coded, qs, k, using = Seq("cell"))
   }
 
+  /** Multi-probe residual IVF-PQ — [[topKAdcResidual]] with the
+    * recall knob: each query searches its `nprobe` NEAREST cells (by
+    * the same quantized-cosine + tie rule as
+    * [[Similarity.ivfTopKProbe]], so nprobe=1 reproduces
+    * [[topKAdcResidual]] exactly — spec-pinned). The residual is
+    * per-(query, probed cell): rebuilt against THAT cell's centroid, so
+    * every ADC score estimates the same true ‖q − x‖² and scores are
+    * comparable across cells (the IVFADC invariant that makes
+    * multi-probe sound). A corpus vector lives in exactly one cell, so
+    * no (query, neighbor) pair is scored twice.
+    *
+    * Plan shape: query→cells rides the bounded `top_k_by` aggregate
+    * over broadcast centroids (|Q|-row exchange); the nprobe-row-per-
+    * query probe frame re-joins broadcast centroids to recover the
+    * centroid VECTOR (top_k_by carries only the id — the payload stays
+    * a Long on purpose), builds nprobe residual tables per query, and
+    * broadcasts into the coded corpus; ranking is the global bounded
+    * top-k. The corpus crosses one aggregate exchange at k rows per
+    * partition per query — never a per-query sort. */
+  def topKAdcResidualProbe(cells: DataFrame, cents: DataFrame, cb: Array[Long],
+                           queryIds: Column => Column, k: Int, nprobe: Int,
+                           m: Int, ksub: Int): DataFrame = {
+    require(nprobe > 0, s"topKAdcResidualProbe: nprobe must be positive, got $nprobe")
+    require(cb.length % ksub == 0 && (cb.length / ksub) % m == 0,
+      s"topKAdcResidualProbe: codebook of ${cb.length} is not ksub=$ksub codewords " +
+        s"of dim divisible by m=$m")
+    graft.GraftFunctions.ensure(cells.sparkSession)
+    val coded = residuals(cells, cents)
+      .select(col("id"), col("cell"), encode(col("q"), cb, m).as("codes"))
+    val queries = cells.filter(queryIds(col("id")))
+      .select(col("id").as("query_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val probed = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qq"), col("qnorm"), col("cent_id"),
+        (Similarity.dotQ(col("qq"), col("cq")).cast("double") /
+          (col("qnorm") * col("cnorm"))).as("ccos"))
+      .groupBy(col("query_id"), col("qq"))
+      .agg(call_function("top_k_by", col("ccos"), col("cent_id"), lit(nprobe)).as("top"))
+      .select(col("query_id"), col("qq"), explode(col("top")).as("tc"))
+      .select(col("query_id"), col("qq"), col("tc").getField("payload").as("cell"))
+    val qs = probed.join(broadcast(cents.select(col("cent_id").as("cell"), col("cq"))), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        adcTableCore(zip_with(col("qq"), col("cq"), (a, b) => a - b),
+          typedLit(cb.toSeq), cb.length, m, ksub).as("tbl"))
+    topKAdc(coded, qs, k, using = Seq("cell"))
+  }
+
   /** Query-side ADC table: the query's exact integer squared-L2 to
     * every codeword, flattened in the codebook layout. HOF spelling on
     * purpose — it runs on |Q| rows only, and the lambdas index the row

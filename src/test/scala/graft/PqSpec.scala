@@ -202,6 +202,31 @@ class PqSpec extends AnyFunSuite {
     cells.unpersist(); res.unpersist()
   }
 
+  test("multi-probe residual IVF-PQ: nprobe=1 reproduces the single-cell path; top-k never worsens with nprobe") {
+    import graft.operators.Similarity
+    val cells = Similarity.ivfCells(dirDf, stride = 16).cache()
+    val cents = Similarity.strideCentroids(dirDf, stride = 16)
+    val res = Pq.residuals(cells, cents)
+    val cb = Pq.strideCodebook(res, 1, 4, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSet
+    val single = rows(Pq.topKAdcResidual(cells, cents, cb, _ % 16 === 0, k = 3, m = 2, ksub = 4))
+    val probe1 = rows(Pq.topKAdcResidualProbe(cells, cents, cb, _ % 16 === 0, k = 3, nprobe = 1, m = 2, ksub = 4))
+    assert(probe1 == single, "nprobe=1 must reproduce the own-cell residual path exactly")
+    // widening the probe can only improve (or hold) each query's top-k:
+    // the candidate set grows monotonically under the same scoring
+    def worst(s: Set[(Long, Long, Long, Long)]): Map[Long, Long] =
+      s.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val w1 = worst(probe1)
+    for (np <- Seq(2, 4)) {
+      val wn = worst(rows(Pq.topKAdcResidualProbe(cells, cents, cb, _ % 16 === 0, k = 3, nprobe = np, m = 2, ksub = 4)))
+      wn.foreach { case (q, w) =>
+        assert(w <= w1(q), s"query $q: nprobe=$np worst adist $w exceeds nprobe=1's ${w1(q)}")
+      }
+    }
+    cells.unpersist()
+  }
+
   test("broadcast codebook forms are byte-identical to the literal forms, no codebook literal in plan") {
     val cbB = spark.sparkContext.broadcast(cb)
     // repartition keeps ConvertToLocalRelation from constant-evaluating
