@@ -44,7 +44,8 @@ object EtlPipeline {
       checkpointDir: String,
       scorer: Scorer,
       cfg: EnrichConfig = EnrichConfig(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      servingUrl: Option[String] = None): StreamingQuery =
     FileQueue.start(spark, bronzeDir, Bronze.productSchema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -141,6 +142,20 @@ object EtlPipeline {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("kbucket")
               .parquet(goldPath.toString)
+          }
+          // K2 serving leg — the reference's actual endpoint (its KPI
+          // tables land in Postgres with on-conflict-update): the same
+          // per-batch KPI frame rides the staged JDBC MERGE, so the
+          // serving store converges to exactly the gold table's keyed
+          // state and batch replay is idempotent (JdbcMerge contract).
+          // average_spent serves as double — the exact decimal stays in
+          // gold; a serving store is a consumer surface, not the
+          // analytic source of truth.
+          servingUrl.foreach { url =>
+            graft.sinks.JdbcMerge.mergeInto(
+              kpis.drop("kbucket")
+                .withColumn("average_spent", col("average_spent").cast("double")),
+              url, "user_kpis", Seq("id"))
           }
           // (the dynamic path's checkpoint blocks are freed by the RDD
           // sweep below — Dataset.unpersist is a no-op for

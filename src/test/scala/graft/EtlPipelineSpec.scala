@@ -56,6 +56,40 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(leftovers == Set("user_kpis"), s"unexpected gold leftovers: $leftovers")
   }
 
+  test("serving leg: per-batch KPIs MERGE into a real JDBC store and converge to the gold table") {
+    val base = Files.createTempDirectory("graft_etl_jdbc_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    Files.write(java.nio.file.Paths.get(bronze, "d1.json"),
+      (0 until 30).map(productJson).mkString("\n").getBytes)
+    val url = "jdbc:derby:memory:graftetlserve;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        "CREATE TABLE user_kpis (id VARCHAR(64) NOT NULL PRIMARY KEY, average_spent DOUBLE, " +
+          "positive_reviews BIGINT, negative_reviews BIGINT, likeness_score DOUBLE, " +
+          "normalized_likeness_score DOUBLE)")
+      finally st.close()
+    } finally conn.close()
+
+    val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+      s"$base/gold", s"$base/ckpt",
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+      EnrichConfig(batchSize = 5), servingUrl = Some(url))
+    q.awaitTermination(120000)
+
+    import org.apache.spark.sql.functions._
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("average_spent").cast("double"), col("positive_reviews"),
+        col("negative_reviews"), col("likeness_score"), col("normalized_likeness_score"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val gold = keyed(spark.read.parquet(s"$base/gold/user_kpis"))
+    val served = keyed(spark.read.jdbc(url, "user_kpis", new java.util.Properties))
+    assert(gold.nonEmpty && served == gold,
+      s"serving store diverged from gold:\n gold=$gold\n served=$served")
+  }
+
   test("the scorer runs ONCE per batch although silver AND gold consume the enrichment") {
     val base = Files.createTempDirectory("graft_etl_once_").toString
     val bronze = s"$base/bronze/new"
