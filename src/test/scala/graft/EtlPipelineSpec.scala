@@ -66,11 +66,19 @@ class EtlPipelineSpec extends AnyFunSuite {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.execute(
-        "CREATE TABLE user_kpis (id VARCHAR(64) NOT NULL PRIMARY KEY, average_spent DOUBLE, " +
-          "positive_reviews BIGINT, negative_reviews BIGINT, likeness_score DOUBLE, " +
-          "normalized_likeness_score DOUBLE)")
-      finally st.close()
+      try {
+        st.execute(
+          "CREATE TABLE user_kpis (id VARCHAR(64) NOT NULL PRIMARY KEY, average_spent DOUBLE, " +
+            "positive_reviews BIGINT, negative_reviews BIGINT, likeness_score DOUBLE, " +
+            "normalized_likeness_score DOUBLE)")
+        st.execute(
+          "CREATE TABLE shop_kpis (shop_id VARCHAR(64) NOT NULL PRIMARY KEY, average_profit DOUBLE, " +
+            "positive_reviews BIGINT, negative_reviews BIGINT, likeness_score DOUBLE, " +
+            "normalized_likeness_score DOUBLE)")
+        st.execute(
+          "CREATE TABLE date_kpis (day VARCHAR(10) NOT NULL PRIMARY KEY, " +
+            "average_profit_per_day DOUBLE)")
+      } finally st.close()
     } finally conn.close()
 
     val q = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
@@ -88,6 +96,28 @@ class EtlPipelineSpec extends AnyFunSuite {
     val served = keyed(spark.read.jdbc(url, "user_kpis", new java.util.Properties))
     assert(gold.nonEmpty && served == gold,
       s"serving store diverged from gold:\n gold=$gold\n served=$served")
+
+    // all THREE reference tables serve (main.py:53-55); the single-file
+    // fixture is one micro-batch, so per-batch KPIs == global KPIs and
+    // the served shop/date tables must equal the operators recomputed
+    // over the silver output
+    val silver = spark.read.json(s"$base/silver/batch_0")
+      .withColumn("sentiment", col("sentiment").cast("boolean"))
+    val wantShop = graft.operators.Kpis.shopKpis(silver)
+      .select(col("shop_id"), col("average_profit").cast("double"), col("positive_reviews"),
+        col("negative_reviews"), col("likeness_score"), col("normalized_likeness_score"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val gotShop = spark.read.jdbc(url, "shop_kpis", new java.util.Properties)
+      .select(col("shop_id"), col("average_profit"), col("positive_reviews"),
+        col("negative_reviews"), col("likeness_score"), col("normalized_likeness_score"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(gotShop == wantShop, s"shop_kpis diverged:\n want=$wantShop\n got=$gotShop")
+    val wantDate = graft.operators.Kpis.dateKpis(silver)
+      .select(col("date"), col("average_profit_per_day").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotDate = spark.read.jdbc(url, "date_kpis", new java.util.Properties)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotDate == wantDate, s"date_kpis diverged:\n want=$wantDate\n got=$gotDate")
   }
 
   test("the scorer runs ONCE per batch although silver AND gold consume the enrichment") {
