@@ -202,6 +202,32 @@ class PqSpec extends AnyFunSuite {
     cells.unpersist(); res.unpersist()
   }
 
+  test("trainedCodebook: one corpus job per Lloyd round regardless of m (all subspaces train together)") {
+    val spark0 = spark
+    val init = Pq.strideCodebook(magDf, stride = 1, ksub = 4, m = 2)
+    magDf.count() // materialize the cache outside the counted window
+    def jobsFor(iters: Int): Int = {
+      val gid = s"pq-train-jobcount-$iters"
+      spark0.sparkContext.setJobGroup(gid, "trainedCodebook job count")
+      try Pq.trainedCodebook(magDf, init, m = 2, ksub = 4, iters = iters)
+      finally spark0.sparkContext.clearJobGroup()
+      var n = -1; var stable = 0
+      while (stable < 2) { // status store applies events asynchronously
+        Thread.sleep(100)
+        val m = spark0.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+        if (m == n) stable += 1 else { n = m; stable = 0 }
+      }
+      n
+    }
+    val j2 = jobsFor(2); val j6 = jobsFor(6)
+    // each round is ONE collect (AQE may count its shuffle-stage
+    // materializations individually — allow a few per round, but the
+    // growth must be per-ROUND, not per-round-per-subspace-per-codeword
+    val perRound = (j6 - j2) / 4.0
+    assert(perRound <= 4, s"a Lloyd round cost $perRound jobs — assign/update split into extra passes")
+    assert(jobsFor(0) == 0, "iters=0 must not touch the cluster")
+  }
+
   test("multi-probe residual IVF-PQ: nprobe=1 reproduces the single-cell path; top-k never worsens with nprobe") {
     import graft.operators.Similarity
     val cells = Similarity.ivfCells(dirDf, stride = 16).cache()
