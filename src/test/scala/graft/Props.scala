@@ -192,3 +192,38 @@ object AsofJoinProps extends Properties("AsofJoin") {
       got == expected
     }
 }
+
+object JdbcMergeProps extends Properties("JdbcMerge") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5) // each case is a table + several real MERGEs
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftprops;create=true"
+  private val tableId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // sequences of keyed batches: each batch has unique keys drawn from a
+  // small domain so batches genuinely collide across the sequence
+  private val batchGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(-100, 100)))
+    .map(_.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toList)
+  private val seqGen = Gen.nonEmptyListOf(batchGen).map(_.take(4))
+
+  property("folding batches through real MERGE equals folding upsertByKey") =
+    Prop.forAll(seqGen) { batches =>
+      val table = s"prop_tbl_${tableId.incrementAndGet()}"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute(s"CREATE TABLE $table (k BIGINT NOT NULL PRIMARY KEY, v INT)")
+        finally st.close()
+      } finally conn.close()
+      val frames = batches.map(_.toDF("k", "v"))
+      frames.foreach(b => graft.sinks.JdbcMerge.mergeInto(b, url, table, Seq("k")))
+      val want = frames.reduceLeft((acc, b) => graft.sinks.Sinks.upsertByKey(acc, b, Seq("k")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = spark.read.jdbc(url, table, new java.util.Properties)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == want
+    }
+}
