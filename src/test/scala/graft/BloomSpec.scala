@@ -137,6 +137,23 @@ class BloomSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("BroadcastRef survives java serialization (the executor path) and evals to the value") {
+    val payload = Array.tabulate[Byte](64)(_.toByte)
+    val ref = graft.expressions.BroadcastRef(
+      spark.sparkContext.broadcast(payload), org.apache.spark.sql.types.BinaryType)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(ref); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[graft.expressions.BroadcastRef]
+    assert(java.util.Arrays.equals(
+      back.eval(null).asInstanceOf[Array[Byte]], payload))
+    // the handle serializes small — the value rides the torrent bus,
+    // not the task closure (the whole point vs a literal)
+    assert(bytes.size() < 4096, s"BroadcastRef serialized to ${bytes.size()} bytes")
+  }
+
   test("below literalMaxBytes the probe stays a plan literal (codegen-inlined small-model path)") {
     val fps = (1L to 100L).map(i => (i, i * 31L)).toDF("id", "fp")
     val evalFps = fps.filter(col("id") <= 10).select(col("fp"))
