@@ -320,7 +320,7 @@ object Dedup {
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val d = df.localCheckpoint(true)
-      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (d, sc.getPersistentRDDs.keySet.toSet.diff(before.toSet))
     }
     def free(ids: Set[Int]): Unit = {
       val live = sc.getPersistentRDDs
@@ -438,7 +438,7 @@ object Dedup {
     val bloomBytes = evalSet
       .select(xxhash64(col("fp")).as("h"))
       .agg(call_function("bloom_build", col("h"), lit(numBits), lit(numHashes)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val probe =
       if (bloomBytes.length <= literalMaxBytes) lit(bloomBytes)
       else graft.expressions.BroadcastRef.column(

@@ -117,7 +117,7 @@ object Enrich {
         // read (the JDK freezes SO_TIMEOUT when the response stream
         // opens, so a read started just inside the deadline can overrun
         // by up to the frozen timeout — see the scorer's post() note).
-        val backstop = cfg.timeout * (2 * (cfg.retries + 1)).toLong + Duration("5s")
+        val backstop = cfg.timeout * (2 * (cfg.retries + 1)).toDouble + Duration("5s")
         val out = batches.grouped(cfg.inflight).flatMap { wave =>
           val futs = wave.map { case (bid, batch) =>
             (batch, pool.submit(new java.util.concurrent.Callable[Seq[Row]] {

@@ -129,7 +129,7 @@ object Pq {
     graft.GraftFunctions.ensure(prepped.sparkSession)
     prepped
       .select(adc(encode(col("q"), cb, m), adcTable(col("q"), cb, m, ksub)).as("d"))
-      .agg(avg(col("d"))).head.getDouble(0)
+      .agg(avg(col("d"))).head().getDouble(0)
   }
 
   /** Residual frame for IVFADC: each vector minus its cell's centroid,

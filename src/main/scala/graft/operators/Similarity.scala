@@ -257,7 +257,7 @@ object Similarity {
           (lit(1.0) - dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("d"))
         .groupBy(col("id"), col("q")).agg(min(col("d")).as("dist"))
         .cache()
-      val phi = costs.agg(sum(col("dist"))).head.getDouble(0)
+      val phi = costs.agg(sum(col("dist"))).head().getDouble(0)
       if (phi <= 1e-12) saturated = true // every point sits on a candidate
       else {
         // deterministic uniform draw in [0,1): high 32 bits of md5(round:id)
@@ -386,7 +386,7 @@ object Similarity {
       .select(col("id"),
         (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
       .groupBy("id").agg(max("ccos").as("best"))
-      .agg(avg(lit(1.0) - col("best"))).head.getDouble(0)
+      .agg(avg(lit(1.0) - col("best"))).head().getDouble(0)
   }
 
   /** Bucketed ANN: cosine for all same-signature pairs (id_a < id_b).

@@ -103,7 +103,7 @@ object TextStats {
     val k = keys.select(keyCol.as("key"))
     val cms = k.select(xxhash64(col("key")).as("h"))
       .agg(call_function("cms_build", col("h"), lit(depth), lit(width)).as("c"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     // size-adaptive delivery (the bloomDecontaminate pattern): a wide
     // low-error grid (depth × width × 8 bytes) rides the broadcast bus
     // as a BroadcastRef instead of bloating every task's serialized plan
