@@ -73,6 +73,24 @@ class JdbcMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("a multi-partition 10k-row batch lands through concurrent executor connections") {
+    ddl("CREATE TABLE wide_tgt (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    val big = spark.range(0, 10000).repartition(8)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) * 1.5 AS v")
+    JdbcMerge.mergeInto(big, url, "wide_tgt", Seq("k"))
+    val t = readTable("wide_tgt")
+    assert(t.count() == 10000)
+    // overlap half the keys with new values, add 1k new
+    val upd = spark.range(5000, 11000).repartition(8)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) * 2.0 AS v")
+    JdbcMerge.mergeInto(upd, url, "wide_tgt", Seq("k"))
+    val got = readTable("wide_tgt")
+    assert(got.count() == 11000)
+    import org.apache.spark.sql.functions._
+    assert(got.filter(col("k") < 5000 && col("v") =!= col("k") * 1.5).count() == 0)
+    assert(got.filter(col("k") >= 5000 && col("v") =!= col("k") * 2.0).count() == 0)
+  }
+
   test("writeStream.foreachBatch drives the sink across micro-batches") {
     ddl("CREATE TABLE stream_kpis (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
