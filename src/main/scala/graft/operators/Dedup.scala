@@ -452,6 +452,53 @@ object Dedup {
       idCol === col("__bad_id"), "left_anti")
   }
 
+  /** Per-document contamination FRACTION against an eval fingerprint
+    * set — the gray-zone instrument [[decontaminate]]'s binary drop
+    * cannot give: a doc sharing one boilerplate fingerprint with a
+    * benchmark is a different animal from one that IS the benchmark
+    * item, and corpus policy usually drops above a threshold, flags a
+    * band, keeps below. Returns (id, n_fps, n_hits, permille) with
+    * permille = ⌊1000·hits/fps⌋ (FLOOR of one IEEE division — the
+    * engine-portable spelling, same as the repetition gates).
+    *
+    * Scale shape: the eval set broadcasts once with a hit flag; the
+    * corpus fingerprints take ONE broadcast left-join + one per-id
+    * aggregate (map-side combined) — the corpus never shuffles wider
+    * than (id, counts). */
+  def contaminationScore(fps: DataFrame, evalFps: DataFrame): DataFrame = {
+    val eval = broadcast(evalFps.select(col("fp")).distinct().withColumn("__hit", lit(1)))
+    fps.select(col("id"), col("fp")).distinct()
+      .join(eval, Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_fps"), count(col("__hit")).as("n_hits"))
+      .withColumn("permille",
+        floor(col("n_hits") * lit(1000.0) / col("n_fps")).cast("long"))
+  }
+
+  /** Leakage-aware train/val/test SPLIT assignment: every document's
+    * split is a hash of its near-dup cluster REPRESENTATIVE (its
+    * [[clusters]] canonical label; singletons are their own), so two
+    * near-duplicates can never straddle a split boundary — the standard
+    * guard against eval leakage that a plain per-doc hash split walks
+    * straight into. md5-based modulo keeps the assignment deterministic
+    * and engine-portable (the [[graft.operators.Sample]] /
+    * [[graft.operators.PoolAssign]] precedent).
+    *
+    * `labels` is the (id, canon_id) frame from [[clusters]] — clustered
+    * docs only, small by construction, broadcast; the corpus takes one
+    * broadcast left-join and no shuffle. */
+  def splitByCluster(df: DataFrame, idCol: Column, labels: DataFrame, nSplits: Int): DataFrame = {
+    require(nSplits > 0, s"splitByCluster: nSplits must be positive, got $nSplits")
+    val reps = broadcast(labels.select(col("id").as("__cid"), col("canon_id")))
+    df.join(reps, idCol === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("canon_id"), idCol))
+      .withColumn("split", pmod(
+        conv(substring(md5(col("rep").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"),
+        lit(nSplits.toLong)))
+      .drop("__cid", "canon_id")
+  }
+
   /** Streaming exact dedup: state-backed duplicate drop bounded by the
     * event-time watermark (the streaming member of the family). */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =

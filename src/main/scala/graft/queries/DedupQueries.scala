@@ -147,6 +147,33 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "fp")
 
+  /** Contamination FRACTION per document (the gray-zone instrument):
+    * same winnow fingerprints and eval set as q_decontaminate, but
+    * instead of a binary drop every doc reports how MUCH of it overlaps
+    * the eval set — the threshold/band/keep policy input. */
+  def contaminationScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4)
+      .cache() // both the eval filter and the corpus side read it
+    val evalFps = fps.filter(pmod(col("id"), lit(50)) === 0)
+    Dedup.contaminationScore(fps, evalFps)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-aware split assignment: near-dup clusters (the
+    * q_dedup_clusters labels) pin every member's split to the cluster
+    * representative's hash, so no near-duplicate pair straddles
+    * train/val/test. */
+  def splitByCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    Dedup.splitByCluster(
+      docs.select(col("doc_id"), col("lang"), col("source")), col("doc_id"), labels,
+      nSplits = 10)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
@@ -157,7 +184,9 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" -> dedupWinnow,
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
-    "q_decontaminate_bloom" -> decontaminateBloom)
+    "q_decontaminate_bloom" -> decontaminateBloom,
+    "q_contamination_score" -> contaminationScore,
+    "q_split_by_cluster" -> splitByCluster)
 
   // The shingle bound derives from each row's token count (scalar
   // range() inside list_transform) — no fixture-dependent cap that a
@@ -277,6 +306,30 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" ->
       s"""WITH $winnowChainSql
          |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+    "q_contamination_score" ->
+      s"""WITH $winnowChainSql,
+         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0)
+         |SELECT w.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+         |  CAST(COUNT(e.fp) AS BIGINT) AS n_hits,
+         |  CAST(FLOOR(COUNT(e.fp) * 1000.0 / COUNT(*)) AS BIGINT) AS permille
+         |FROM wfp w LEFT JOIN efp e ON e.fp = w.fp
+         |GROUP BY w.id ORDER BY doc_id""".stripMargin,
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE $pairChainSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  COALESCE(l.canon_id, d.doc_id) AS rep,
+         |  CAST(CAST('0x' || substr(md5(CAST(COALESCE(l.canon_id, d.doc_id) AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 10 AS BIGINT) AS split
+         |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the bloom pre-filter is exactness-preserving (false positives are
     // erased by the verify join), so the oracle IS the exact-path SQL

@@ -143,6 +143,37 @@ class DedupSpec extends AnyFunSuite {
     assert(cands.isEmpty, s"short docs must not pair: ${cands.mkString(",")}")
   }
 
+  test("splitByCluster: near-dup cluster members share a split; singletons hash their own id") {
+    val docs = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    // two clusters: {1,2,3} canon 1 and {10,11} canon 10
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "canon_id")
+    val out = Dedup.splitByCluster(docs, col("doc_id"), labels, nSplits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.values.forall { case (_, s) => s >= 0 && s < 4 })
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "cluster {1,2,3} straddled splits")
+    assert(out(10L) == out(11L), "cluster {10,11} straddled splits")
+    assert(out(4L)._1 == 4L && out(20L)._1 == 20L, "singletons must represent themselves")
+    // determinism
+    val again = Dedup.splitByCluster(docs, col("doc_id"), labels, nSplits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
+  test("contaminationScore: permille bounds, full hit for eval members, zero for disjoint docs") {
+    val fps = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), // doc 1: 2/4 contaminated
+      (2L, "x"), (2L, "y"),                       // doc 2: clean
+      (3L, "a"), (3L, "b"))                       // doc 3: the eval doc itself
+      .toDF("id", "fp")
+    val evalFps = fps.filter(col("id") === 3L)
+    val got = Dedup.contaminationScore(fps, evalFps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 2L, 500L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((2L, 2L, 1000L)))
+  }
+
   test("simhash: identical token sets get identical signatures, disjoint sets differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
