@@ -70,6 +70,46 @@ class RestPollSpec extends AnyFunSuite {
     }
   }
 
+  test("collector run_loop end-to-end: poll -> accumulate -> surrogate-key decorate -> chunked upload") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val calls = new AtomicInteger(0)
+    withServer { _ =>
+      val n = calls.incrementAndGet()
+      if (n <= 2) (200, (1 to 5).map { i =>
+        val id = (n - 1) * 5 + i
+        s"""{"item_id": $id, "review": "rev$id", "price": $id.0}"""
+      }.mkString("[", ",", "]"))
+      else (200, "[]")
+    } { url =>
+      // poll until dry (the reference's max_size accumulation loop)
+      val raw = RestPoll.pollToFrame(spark, url, schema, maxPolls = 10)
+      // decorate with surrogate user/shop keys from fixed pools
+      // (collector.addUsers/addShops: modulo index into a seeded pool)
+      val users = (0 until 7).map(i => Tuple1(s"user_$i")).toDF("uid")
+      val shops = (0 until 5).map(i => Tuple1(s"shop_$i")).toDF("sid")
+      val withIdx = graft.operators.DenseId.withDenseId(raw, Seq(col("item_id")), "idx")
+      val decorated = graft.operators.PoolAssign.assign(
+        graft.operators.PoolAssign.assign(withIdx, col("idx"), users, "uid", "user_id", a = 3, b = 1),
+        col("idx"), shops, "sid", "shop_id", a = 2, b = 0)
+      // unique-name chunked upload (the storage write)
+      val dir = java.nio.file.Files.createTempDirectory("graft_collect_").toString +
+        "/" + graft.sinks.Sinks.uniqueName(java.time.Instant.EPOCH)
+      graft.sinks.Sinks.chunkedWrite(decorated, dir, maxRecordsPerFile = 4)
+      val back = spark.read.json(dir)
+      assert(back.count() == 10)
+      assert(back.select("user_id").distinct().count() > 1)
+      assert(back.select(countDistinct("item_id")).head().getLong(0) == 10)
+      // decoration is a bijection per pool cycle: deterministic, no dupes
+      val u = back.select("item_id", "user_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val again = graft.operators.PoolAssign.assign(withIdx, col("idx"), users, "uid", "user_id", 3, 1)
+        .select(col("item_id"), col("user_id")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(u == again)
+    }
+  }
+
   test("transient 500 is retried; exhausted retries fail loudly; 204 reads as empty") {
     val calls = new AtomicInteger(0)
     withServer { _ =>
