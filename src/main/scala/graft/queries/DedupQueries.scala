@@ -174,7 +174,40 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The FLAGSHIP corpus-preparation composition — what a training-data
+    * user actually runs, as ONE plan: exact text dedup → near-dup
+    * keep-list → eval-set decontamination → repetition quality gate →
+    * leakage-aware split assignment. Every stage is an
+    * individually-oracled operator; composing them exercises the
+    * filters as a conjunction and shares the cluster labels between the
+    * keep filter and the split decoration (computed once, cached).
+    * Scale shape is inherited: the corpus crosses one digest aggregate
+    * and one semi-join; clusters/eval/dropped sets ride broadcasts. */
+  def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // 1. exact dedup: keep the min doc_id per content digest
+    val exactKeep = Dedup.exactByDigest(docs, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val exact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    // 2. near-dup labels — shared by the drop filter AND the split
+    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b")).cache()
+    val dropped = labels.filter(col("id") =!= col("canon_id")).select(col("id").as("__drop"))
+    val deduped = exact.join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
+    // 3. decontamination (same winnow fps + eval set as q_decontaminate)
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4).cache()
+    val evalFps = fps.filter(pmod(col("id"), lit(50)) === 0)
+    val clean = Dedup.decontaminate(deduped, col("doc_id"), fps, evalFps)
+    // 4. repetition quality gate (the q_text_repetition thresholds)
+    val gated = graft.operators.TextStats.withRepetition(clean, col("text"))
+      .filter(col("n_words") >= 5 && col("dup_word_permille") <= 700)
+      .select("doc_id", "lang", "source")
+    // 5. split by cluster representative — no near-dup pair straddles
+    Dedup.splitByCluster(gated, col("doc_id"), labels, nSplits = 10)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
     "q_dedup_minhash" -> dedupMinhash,
@@ -306,6 +339,36 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" ->
       s"""WITH $winnowChainSql
          |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+    "q_corpus_pipeline" ->
+      s"""WITH RECURSIVE $pairChainSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+         |$winnowChainSql,
+         |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
+         |bad AS (SELECT DISTINCT id FROM wfp JOIN efp USING (fp)),
+         |keepex AS (SELECT MIN(doc_id) AS kid
+         |  FROM (SELECT doc_id, md5(text) AS dg FROM documents) GROUP BY dg),
+         |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+         |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |qual AS (SELECT doc_id FROM tk WHERE len(toks) >= 5
+         |  AND CAST(floor(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) * 1000 / len(toks))
+         |      AS BIGINT) <= 700)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  COALESCE(l.canon_id, d.doc_id) AS rep,
+         |  CAST(CAST('0x' || substr(md5(CAST(COALESCE(l.canon_id, d.doc_id) AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 10 AS BIGINT) AS split
+         |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+         |WHERE d.doc_id IN (SELECT kid FROM keepex)
+         |  AND d.doc_id NOT IN (SELECT id FROM dropped)
+         |  AND d.doc_id NOT IN (SELECT id FROM bad)
+         |  AND d.doc_id IN (SELECT doc_id FROM qual)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_contamination_score" ->
       s"""WITH $winnowChainSql,
          |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0)
