@@ -59,7 +59,24 @@ object SampleQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), col("epoch"))
       .orderBy("doc_id", "epoch")
 
+  /** Deterministic corpus SHUFFLE for training order: position = dense
+    * rank in md5-of-id order — the distributed spelling of a data
+    * loader's seeded permutation (every engine and every re-run agrees
+    * on the order, and no single task ever holds the corpus:
+    * [[graft.operators.DenseId]]'s range-sort + zipWithIndex, not a
+    * 1-partition window). Downstream training shards read contiguous
+    * `pos` ranges and get an unbiased mix of the corpus. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    graft.operators.DenseId.withDenseId(
+      docs.withColumn("__key", md5(col("doc_id").cast("string").cast("binary"))),
+      Seq(col("__key"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_shuffle" -> corpusShuffle,
     "q_sample_hash" -> sampleHash,
     "q_sample_strat" -> sampleStrat,
     "q_sample_weighted" -> sampleWeighted,
@@ -67,6 +84,10 @@ object SampleQueries extends QueryModule {
     "q_pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
