@@ -368,6 +368,45 @@ object Similarity {
       .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
   }
 
+  /** MAP-SIDE cell assignment: the centroid argmax as one narrow
+    * expression — an array of (cosine, −cent_id) structs over the
+    * model, `array_max`, done. Where [[ivfCells]]' join + `max_by`
+    * aggregate pays an N-row exchange to group per id, this pays NONE:
+    * assignment fuses into the scan's stage (and into WholeStageCodegen
+    * for bounded k). Identical output to [[ivfCells]] including the tie
+    * rule — struct ordering on (cosine, −cent_id) picks the highest
+    * cosine, ties to the LOWEST cent_id (spec-pinned equal).
+    *
+    * This is also the STREAMING-safe spelling: a stateless per-row map
+    * needs no aggregation state, so a stream of vectors can be routed
+    * to cells under any output mode. The model is a driver-side
+    * centroid seq (the k-means-broadcast pattern); norms are computed
+    * driver-side in exact long arithmetic so the division matches the
+    * executor-side spelling bit-for-bit. Plan-size note: k centroid
+    * array literals (k·dim longs) — the bloom/codebook regime starts at
+    * k·dim ≫ 10⁵, where the [[graft.expressions.BroadcastRef]] form of
+    * the model is the right delivery (same expression shape). */
+  def cellAssignExpr(cents: Seq[(Long, Seq[Long])], qCol: Column, normCol: Column): Column = {
+    require(cents.nonEmpty, "cellAssignExpr: empty centroid model")
+    val scored = cents.map { case (cid, cvec) =>
+      val cnorm = math.sqrt(cvec.map(v => v * v).sum.toDouble) // exact long sum, then one sqrt
+      struct(
+        (dotQ(qCol, typedLit(cvec)).cast("double") / (normCol * lit(cnorm))).as("c"),
+        lit(-cid).as("negid"))
+    }
+    (-array_max(array(scored: _*)).getField("negid")).cast("long")
+  }
+
+  /** [[ivfCells]] through [[cellAssignExpr]]: same (id, q, norm, cell)
+    * frame, ZERO exchanges (the stride-centroid collect is the bounded
+    * model read, as everywhere). */
+  def ivfCellsMapSide(prepped: DataFrame, stride: Int): DataFrame = {
+    val model = strideCentroids(prepped, stride)
+      .select(col("cent_id"), col("cq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    prepped.withColumn("cell", cellAssignExpr(model, col("q"), col("norm")))
+  }
+
   /** IVF cell assignment against TRAINED (double) centroids — same
     * argmax shape as [[ivfCells]]: centroids broadcast, N-row exchange. */
   def ivfCellsTrained(prepped: DataFrame, centroids: DataFrame): DataFrame = {

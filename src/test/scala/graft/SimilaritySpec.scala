@@ -133,6 +133,47 @@ class SimilaritySpec extends AnyFunSuite {
     p.unpersist(); cells.unpersist()
   }
 
+  test("map-side cell assignment equals the aggregate path, with zero exchanges, and routes a stream") {
+    val pts = (0L until 40L).map { i =>
+      val v = Array.fill(4)(0.01f * (i % 3))
+      v((i / 10).toInt) = 1.0f
+      (i, v)
+    }
+    val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding")).cache()
+    val agg = Similarity.ivfCells(p, stride = 10)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapSide = Similarity.ivfCellsMapSide(p, stride = 10)
+    assert(mapSide.select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == agg, "map-side argmax diverged from the aggregate argmax (tie rule?)")
+    // the assignment itself adds NO exchange: only the model collect ran
+    val shuffles = mapSide.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"map-side assignment grew an exchange:\n${mapSide.queryExecution.executedPlan}")
+
+    // streaming member: the same expression routes a live stream of
+    // vectors to cells — stateless narrow map, append mode, no state
+    val model = Similarity.strideCentroids(p, stride = 10)
+      .select("cent_id", "cq").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val routed = in.toDF().toDF("id", "embedding")
+    val prepped = Similarity.prep(routed, col("id"), col("embedding"))
+      .withColumn("cell", Similarity.cellAssignExpr(model, col("q"), col("norm")))
+    val q = prepped.select("id", "cell").writeStream.format("memory")
+      .queryName("cells_stream").outputMode("append").start()
+    try {
+      in.addData(pts.take(25).map { case (i, v) => (i, v.toSeq) }: _*)
+      q.processAllAvailable()
+      in.addData(pts.drop(25).map { case (i, v) => (i, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cells_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == agg, "streamed routing diverged from batch assignment")
+    } finally q.stop()
+    p.unpersist()
+  }
+
   test("k-means: well-separated blobs land in distinct cells; cost never increases per round") {
     // three tight blobs on orthogonal axes, 20 points each, deterministic jitter
     val pts = for {
