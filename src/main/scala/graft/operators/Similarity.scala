@@ -388,19 +388,23 @@ object Similarity {
     * the model is the right delivery (same expression shape). */
   def cellAssignExpr(cents: Seq[(Long, Seq[Long])], qCol: Column, normCol: Column): Column = {
     require(cents.nonEmpty, "cellAssignExpr: empty centroid model")
-    val scored = cents.map { case (cid, cvec) =>
-      val cnorm = math.sqrt(cvec.map(v => v * v).sum.toDouble) // exact long sum, then one sqrt
-      struct(
-        (dotQ(qCol, typedLit(cvec)).cast("double") / (normCol * lit(cnorm))).as("c"),
-        lit(-cid).as("negid"))
-    }
-    (-array_max(array(scored: _*)).getField("negid")).cast("long")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim), "cellAssignExpr: ragged centroid model")
+    val flat = cents.flatMap(_._2)
+    // exact long sum, then one sqrt — bit-identical to the executor-side
+    // sqrt(cast(quantized_dot as double)) the aggregate path computes
+    val cnorms = cents.map { case (_, cv) => math.sqrt(cv.map(v => v * v).sum.toDouble) }
+    val idx = call_function("nearest_centroid",
+      qCol, normCol, typedLit(flat), typedLit(cnorms))
+    // index → centroid id via a tiny k-long literal lookup
+    element_at(typedLit(cents.map(_._1)), idx + 1)
   }
 
   /** [[ivfCells]] through [[cellAssignExpr]]: same (id, q, norm, cell)
     * frame, ZERO exchanges (the stride-centroid collect is the bounded
     * model read, as everywhere). */
   def ivfCellsMapSide(prepped: DataFrame, stride: Int): DataFrame = {
+    graft.GraftFunctions.ensure(prepped.sparkSession) // foreign sessions lack the extension
     val model = strideCentroids(prepped, stride)
       .select(col("cent_id"), col("cq")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)

@@ -60,7 +60,7 @@ object SimilarityQueries extends QueryModule {
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     // prepped feeds BOTH the centroid extraction and the assignment side
     // of ivfCells — pin it so the scan + quantization run once
-    val cells = Similarity.ivfCells(prepped(spark, sfDir).cache(), IvfStride).cache()
+    val cells = Similarity.ivfCellsMapSide(prepped(spark, sfDir).cache(), IvfStride).cache()
     Similarity.ivfTopK(cells, id => id < 10, k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         Rnd.r(col("cos"), 6).as("cos"))
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryModule {
     * native bounded top_k_by aggregate. */
   def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val p = prepped(spark, sfDir).cache()
-    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
     Similarity.ivfTopKProbe(cells, Similarity.strideCentroids(p, IvfStride),
       id => id < 10, k = 3, nprobe = NProbe)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -115,7 +115,7 @@ object SimilarityQueries extends QueryModule {
     val p = prepped(spark, sfDir).cache()
     val cb = Pq.strideCodebook(p, PqStride, PqKsub, PqM)
     // cells feed both the encode side and the query side — pin
-    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
     val coded = cells.select(col("id"), col("cell"),
       Pq.encode(col("q"), cb, PqM).as("codes"))
     val qs = cells.filter(col("id") < 10)
@@ -137,7 +137,7 @@ object SimilarityQueries extends QueryModule {
     // cells/residuals each feed the codebook collect AND the scoring
     // sides; CacheManager dedups the structurally-equal residual plan
     // built inside topKAdcResidual against this pinned one
-    val cells = Similarity.ivfCells(p, IvfStride).cache()
+    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
     val cents = Similarity.strideCentroids(p, IvfStride)
     val res = Pq.residuals(cells, cents).cache()
     val cb = Pq.strideCodebook(res, PqStride, PqKsub, PqM)
