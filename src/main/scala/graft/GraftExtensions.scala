@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, PqAdc, PqEncode, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.pqEncode)
     ext.injectFunction(GraftFunctions.pqAdc)
     ext.injectFunction(GraftFunctions.nearestCentroid)
+    ext.injectFunction(GraftFunctions.nearestCentroidDbl)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -111,10 +112,18 @@ object GraftFunctions {
       NearestCentroid(children.head, children(1), children(2), children(3))
     })
 
+  val nearestCentroidDbl: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_centroid_dbl"),
+    new ExpressionInfo(classOf[NearestCentroidDbl].getName, "nearest_centroid_dbl"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4, s"nearest_centroid_dbl expects 4 arguments, got ${children.size}")
+      NearestCentroidDbl(children.head, children(1), children(2), children(3))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
-        pqEncode, pqAdc, nearestCentroid).foreach { case (ident, info, builder) =>
+        pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

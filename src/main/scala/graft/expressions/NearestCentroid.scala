@@ -77,7 +77,88 @@ case class NearestCentroid(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** `nearest_centroid_dbl(vec array<bigint>, norm double, cents
+  * array<double>, cnorms array<double>) -> int` — [[NearestCentroid]]
+  * against TRAINED (double) centroids: the k-means assign step and the
+  * trained-IVF router. The dot accumulates `vec[i]·cents[j·dim+i]` in
+  * index order — bit-identical to the `aggregate(zip_with(...))` fold
+  * the join + `max_by` spelling evaluates, so swapping the aggregate
+  * path for this expression cannot move a single assignment
+  * (spec-pinned in SimilaritySpec). Null/shape contract matches
+  * [[NearestCentroid]]. */
+case class NearestCentroidDbl(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_dbl"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), DoubleType, ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_dbl requires (array<bigint>, double, array<double>, array<double>), " +
+          s"got ($a, $b, $c, $d)")
+    }
+
+  override def nullSafeEval(v: Any, n: Any, c: Any, cn: Any): Any =
+    NearestCentroid.assignDblBoxed(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], cn.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n, c, cn) => {
+      val boxed = ctx.freshName("assigned")
+      s"""
+         |java.lang.Integer $boxed = graft.expressions.NearestCentroid.assignDblBoxed($v, $n, $c, $cn);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): NearestCentroidDbl =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object NearestCentroid {
+
+  /** [[assignBoxed]] against double centroids; the dot accumulates in
+    * index order (the HOF fold order — bit-identical swap). */
+  def assignDblBoxed(vec: ArrayData, norm: Double, cents: ArrayData,
+                     cnorms: ArrayData): java.lang.Integer = {
+    val dim = vec.numElements()
+    val k = cnorms.numElements()
+    if (k == 0 || dim == 0 || cents.numElements() != dim.toLong * k)
+      throw new IllegalArgumentException(
+        s"nearest_centroid_dbl: model of ${cents.numElements()} doubles is not k=$k centroids of dim=$dim")
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    var best = Double.NegativeInfinity
+    var bestJ = 0
+    var j = 0
+    while (j < k) {
+      if (cnorms.isNullAt(j))
+        throw new IllegalArgumentException(s"nearest_centroid_dbl: null norm for centroid $j")
+      var dot = 0.0
+      var p = 0
+      val off = j * dim
+      while (p < dim) {
+        if (cents.isNullAt(off + p))
+          throw new IllegalArgumentException(s"nearest_centroid_dbl: null model element at ${off + p}")
+        dot += vec.getLong(p) * cents.getDouble(off + p)
+        p += 1
+      }
+      val c = dot / (norm * cnorms.getDouble(j))
+      if (c > best) { best = c; bestJ = j } // ties keep the LOWEST index
+      j += 1
+    }
+    Integer.valueOf(bestJ)
+  }
 
   /** Row-hot argmax (called from generated code and eval). Returns null
     * (boxed) iff `vec` contains a null element. */

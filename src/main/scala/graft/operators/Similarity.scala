@@ -311,9 +311,9 @@ object Similarity {
     * TRAINED coarse quantizer for IVF (upgrade of [[ivfCells]]'s
     * training-free stride rule; the cell-assignment/probe plumbing is
     * shared). Each round is
-    *   assign: centroids broadcast, per-vector argmax cosine via a
-    *           partial-aggregated max_by — an N-row exchange, never the
-    *           N×C expansion;
+    *   assign: the native map-side `nearest_centroid_dbl` argmax over
+    *           the driver-side model ([[cellAssignExprDbl]]) — ZERO
+    *           exchanges, never the N×C expansion;
     *   update: per-position means via posexplode + hash aggregate
     *           (map-side combine collapses to cells×dim rows per
     *           partition before the exchange).
@@ -343,17 +343,15 @@ object Similarity {
   def kmeansCentroids(prepped: DataFrame, k: Int, iters: Int = 5): DataFrame = {
     val spark = prepped.sparkSession
     import spark.implicits._
+    graft.GraftFunctions.ensure(spark) // foreign sessions lack the extension
     require(k > 0 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
     var cents: Seq[(Long, Seq[Double])] =
       kmeansParInit(prepped, k).zipWithIndex.map { case (v, i) => i.toLong -> v }
     for (_ <- 0 until iters) {
-      val centsDf = cents.toDF("cent_id", "cvec")
-        .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
-      val assigned = prepped.join(broadcast(centsDf))
-        .select(col("id"), col("q"), col("cent_id"),
-          (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
-        .groupBy(col("id"), col("q"))
-        .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+      // assign map-side (native nearest_centroid_dbl): no join, no
+      // exchange — each round's only exchange is the update aggregate
+      val assigned = prepped
+        .select(cellAssignExprDbl(cents, col("q"), col("norm")).as("cell"), col("q"))
       // per-position means; bounded collect (cells × dim rows)
       val means = assigned
         .select(col("cell"), posexplode(col("q")))
@@ -411,14 +409,32 @@ object Similarity {
     prepped.withColumn("cell", cellAssignExpr(model, col("q"), col("norm")))
   }
 
-  /** IVF cell assignment against TRAINED (double) centroids — same
-    * argmax shape as [[ivfCells]]: centroids broadcast, N-row exchange. */
+  /** [[cellAssignExpr]] against TRAINED (double) centroids — the same
+    * exchange-free native argmax via `nearest_centroid_dbl`. The dot
+    * accumulates in index order (the `aggregate(zip_with)` fold order)
+    * and the driver-side norms fold the same doubles in the same order,
+    * so assignments are bit-identical to the former join + `max_by`
+    * spelling (spec-pinned by the k-means blob/cost contracts). */
+  def cellAssignExprDbl(cents: Seq[(Long, Seq[Double])], qCol: Column, normCol: Column): Column = {
+    require(cents.nonEmpty, "cellAssignExprDbl: empty centroid model")
+    val sorted = cents.sortBy(_._1) // lowest-index ties == lowest cent_id
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "cellAssignExprDbl: ragged centroid model")
+    val flat = sorted.flatMap(_._2)
+    val cnorms = sorted.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    val idx = call_function("nearest_centroid_dbl", qCol, normCol, typedLit(flat), typedLit(cnorms))
+    element_at(typedLit(sorted.map(_._1)), idx + 1)
+  }
+
+  /** IVF cell assignment against TRAINED (double) centroids — map-side
+    * via [[cellAssignExprDbl]]: the centroid frame collapses to its
+    * bounded driver-side model and the assignment fuses into the scan
+    * stage (zero exchanges, like [[ivfCellsMapSide]]). */
   def ivfCellsTrained(prepped: DataFrame, centroids: DataFrame): DataFrame = {
-    prepped.join(broadcast(centroids))
-      .select(col("id"), col("q"), col("norm"), col("cent_id"),
-        (dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("ccos"))
-      .groupBy(col("id"), col("q"), col("norm"))
-      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+    graft.GraftFunctions.ensure(prepped.sparkSession)
+    val model = centroids.select("cent_id", "cvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    prepped.withColumn("cell", cellAssignExprDbl(model, col("q"), col("norm")))
   }
 
   /** Mean clustering cost (1 - best cosine) of `prepped` against
