@@ -22,6 +22,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT hamming_dist('1100', '1001')").head.getInt(0) == 2)
     assert(spark.sql(
       "SELECT quantized_dot(array(1L, 2L), array(3L, 4L))").head.getLong(0) == 11L)
+    // the coarse-quantizer argmax pair resolves from SQL text too
+    assert(spark.sql(
+      "SELECT nearest_centroid(array(9L, 1L), sqrt(82.0D), array(10L, 0L, 0L, 10L), " +
+        "array(10.0D, 10.0D))").head.getInt(0) == 0)
+    assert(spark.sql(
+      "SELECT nearest_centroid_dbl(array(1L, 9L), sqrt(82.0D), array(10.0D, 0.0D, 0.0D, 10.0D), " +
+        "array(10.0D, 10.0D))").head.getInt(0) == 1)
   }
 
   test("a SQL-authored query over the harness tables matches the DataFrame spelling") {
