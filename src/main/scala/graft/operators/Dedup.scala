@@ -299,16 +299,32 @@ object Dedup {
     * step every dedup pipeline ends with (keep one representative per
     * cluster, drop the rest).
     *
-    * Min-label propagation with a driver-side convergence loop: each
-    * round joins the label frame to the (bidirected) edge list and takes
-    * the per-node MIN. Scale rationale: this operator runs on the
-    * VERIFIED-PAIR graph, which is a vanishing fraction of the corpus by
-    * construction (LSH buckets → Jaccard threshold), and near-dup
-    * components are shallow (dup clusters, not social graphs) — the
-    * loop converges in O(component diameter) rounds of small joins. The
-    * driver never sees rows, only the converged/not-converged count.
+    * Two execution paths, chosen by measured edge count:
+    *
+    * 1. **Driver-drained union-find** (graphs ≤ `driverDrainMaxEdges`):
+    *    the verified-pair graph is a vanishing fraction of the corpus by
+    *    construction (LSH buckets → Jaccard threshold), so even a 100 TB
+    *    corpus typically yields a pair list that fits in driver memory
+    *    with a wide margin (the default 4M-edge bound is ~64 MiB of
+    *    longs). Collecting it once and running union-find replaces an
+    *    O(diameter) sequence of Spark jobs — each dominated by fixed
+    *    scheduling/checkpoint overhead, not data — with two small jobs
+    *    (count + collect). The bound is a hard memory guarantee, checked
+    *    against the materialized count, never assumed.
+    * 2. **Distributed min-label propagation** (bigger graphs, or id
+    *    types without a driver-side ordering): each round joins the
+    *    label frame to the (bidirected) edge list and takes the per-node
+    *    MIN; converges in O(component diameter) rounds of small joins
+    *    (near-dup components are shallow — dup clusters, not social
+    *    graphs). The driver never sees rows, only the converged /
+    *    not-converged count.
+    *
+    * Both paths produce the identical (id, canon_id = min id of the
+    * component) frame — the driver path's string ordering compares UTF-8
+    * bytes unsigned, matching Spark's UTF8String ordering exactly.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 50,
+               driverDrainMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // Dataset.unpersist is a NO-OP for localCheckpoint'd frames (their
     // LogicalRDD is never registered with the cache manager), so each
@@ -330,6 +346,21 @@ object Dedup {
     // references it twice, and the upstream that produced it (a whole
     // LSH + verification pipeline) must not run per branch
     val (p, pIds) = checkpointTracked(pairs)
+    val idType = p.schema("id_a").dataType
+    val drainable = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    // count() over the just-checkpointed blocks is a cheap local scan;
+    // the drain decision is made against the MEASURED size, never a
+    // stats estimate, so the driver-memory bound is a hard guarantee.
+    if (drainable && p.count() <= driverDrainMaxEdges) {
+      val out = driverUnionFind(p, idType)
+      free(pIds)
+      return out
+    }
     val (edges, edgeIds) = checkpointTracked(
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
@@ -378,6 +409,67 @@ object Dedup {
         s"Dedup.clusters did not converge within $maxIters rounds (2 hops each) — " +
           "a component's diameter exceeds the budget; raise maxIters")
     labels.withColumnRenamed("label", "canon_id")
+  }
+
+  /** Bounded driver-side connected components over a collected pair
+    * list: union-find with path halving + union by size, then one pass
+    * assigning each node the MIN id of its component. Called only from
+    * [[clusters]] after the edge count has been verified against the
+    * drain bound — the collect here is a deliberate, size-checked model
+    * gather (like centroid/codebook collects), not a corpus collect.
+    *
+    * Ordering contract: numeric ids compare numerically; string ids
+    * compare as unsigned UTF-8 bytes — exactly UTF8String's ordering,
+    * so the driver path is bit-identical to the distributed `min` path.
+    */
+  private def driverUnionFind(p: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = p.sparkSession
+    val cmp: java.util.Comparator[Any] =
+      if (idType == StringType)
+        (a: Any, b: Any) => java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else
+        (a: Any, b: Any) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+    val edges = p.select("id_a", "id_b").collect()
+    val index = new java.util.HashMap[Any, java.lang.Integer](edges.length * 2)
+    val keys = new scala.collection.mutable.ArrayBuffer[Any]
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]
+    val size = new scala.collection.mutable.ArrayBuffer[Int]
+    def nodeOf(k: Any): Int = {
+      val got = index.get(k)
+      if (got ne null) got.intValue else {
+        val i = keys.length
+        index.put(k, i); keys += k; parent += i; size += 1; i
+      }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { row =>
+      val a = find(nodeOf(row.get(0))); val b = find(nodeOf(row.get(1)))
+      if (a != b) {
+        if (size(a) >= size(b)) { parent(b) = a; size(a) += size(b) }
+        else { parent(a) = b; size(b) += size(a) }
+      }
+    }
+    val minOfRoot = new java.util.HashMap[Int, Any]
+    keys.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || cmp.compare(keys(i), cur) < 0) minOfRoot.put(r, keys(i))
+    }
+    val out = keys.indices.map(i => Row(keys(i), minOfRoot.get(find(i))))
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("canon_id", idType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** Eval-set DECONTAMINATION: drop every row whose fingerprint set

@@ -127,10 +127,34 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("clusters: non-convergence within maxIters throws instead of returning wrong labels") {
+    // driverDrainMaxEdges = 0 pins the DISTRIBUTED propagation path —
+    // the driver union-find drain has no convergence budget to exhaust
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.clusters(chain, maxIters = 2)
+      Dedup.clusters(chain, maxIters = 2, driverDrainMaxEdges = 0L)
     }
+  }
+
+  test("clusters: distributed path matches driver union-find drain exactly") {
+    // same graph, both paths — the drain must be bit-identical to the
+    // min-label propagation it replaces (chain, star, singleton pair,
+    // and out-of-order ids that make min-tracking nontrivial)
+    val pairs = Seq((7L, 2L), (2L, 9L), (9L, 1L), (20L, 21L), (30L, 25L))
+      .toDF("id_a", "id_b")
+    val drained = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propagated = Dedup.clusters(pairs, driverDrainMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drained == propagated)
+    assert(drained == Map(7L -> 1L, 2L -> 1L, 9L -> 1L, 1L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 25L, 25L -> 25L))
+  }
+
+  test("clusters: driver drain handles string ids with UTF8-byte ordering") {
+    val pairs = Seq(("b", "a"), ("a", "c")).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
   test("lshBandsFast: all-null signature rows never become candidates") {
