@@ -84,6 +84,46 @@ object Enrich {
   def enrich(items: DataFrame, scorer: Scorer, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
     val outSchema = StructType(
       StructField("item_id", LongType, nullable = false) +: scorer.outputFields)
+    batchPass(items, scorer, cfg, outSchema)((_, scored, _, _) => scored)
+  }
+
+  /** Fused enrich + merge: scores batches exactly like [[enrich]] but
+    * carries every input column through the batch pass, emitting
+    * input-row ++ scorer-outputs directly. Semantically identical to
+    * `merge(items, enrich(items.select("item_id", ...), scorer))`
+    * ([[FailureMode.NullFill]]/[[FailureMode.Requeue]] → left-merge with
+    * null outputs on failed batches) or `mergeDrop(...)`
+    * ([[FailureMode.Drop]] → failed batches' rows vanish) — pinned by
+    * EnrichSpec. Scale rationale: the two-operator spelling evaluates
+    * the `items` plan TWICE (once per join side — Spark does not
+    * common-subexpression DataFrame reuse) and pays a sort-merge join
+    * on item_id; the fused pass computes the input once, shuffles it
+    * once (on batch_id), and joins nothing. Use it whenever the
+    * analysis frame itself is not needed downstream.
+    */
+  def enrichCarry(items: DataFrame, scorer: Scorer, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
+    val outSchema = StructType(items.schema.fields ++ scorer.outputFields)
+    batchPass(items, scorer, cfg, outSchema) { (batch, scored, itemIdIdx, batchIdIdx) =>
+      // scored rows are keyed by the echoed item_id (col 0) and may be
+      // partial (Drop: whole failed batch absent) — assemble by lookup,
+      // dropping the internal __batch_id column from the carried row
+      val byId = scored.iterator.map(r => (r.getLong(0), r)).toMap
+      batch.flatMap { r =>
+        byId.get(r.getLong(itemIdIdx)).map { s =>
+          Row.fromSeq(r.toSeq.patch(batchIdIdx, Nil, 1) ++ s.toSeq.tail)
+        }
+      }
+    }
+  }
+
+  /** The shared batch machinery behind [[enrich]] and [[enrichCarry]]:
+    * one shuffle on the global batch id, per-task wave-of-`inflight`
+    * scoring with the hung-scorer backstop, then `assemble(batch,
+    * scoredRows, itemIdIdx, batchIdIdx)` turns each batch's scored rows
+    * into output rows. */
+  private def batchPass(
+      items: DataFrame, scorer: Scorer, cfg: EnrichConfig, outSchema: StructType)(
+      assemble: (Seq[Row], Seq[Row], Int, Int) => Seq[Row]): DataFrame = {
     val spark = items.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val withBatch = items.withColumn("__batch_id", batchId(col("item_id"), cfg.batchSize))
@@ -125,15 +165,17 @@ object Enrich {
             }))
           }
           futs.flatMap { case (batch, f) =>
-            try f.get(backstop.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
-            catch {
-              case _: java.util.concurrent.TimeoutException =>
-                f.cancel(true)
-                failureRows(batch, itemIdIdx, scorer, cfg)
-              case _: java.util.concurrent.ExecutionException =>
-                // scoreWithRetry wraps scorer calls in Try — defensive only
-                failureRows(batch, itemIdIdx, scorer, cfg)
-            }
+            val scoredRows =
+              try f.get(backstop.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  f.cancel(true)
+                  failureRows(batch, itemIdIdx, scorer, cfg)
+                case _: java.util.concurrent.ExecutionException =>
+                  // scoreWithRetry wraps scorer calls in Try — defensive only
+                  failureRows(batch, itemIdIdx, scorer, cfg)
+              }
+            assemble(batch, scoredRows, itemIdIdx, batchIdIdx)
           }
         }
         // Close the pool when the (lazy) iterator is exhausted.

@@ -88,9 +88,11 @@ object EnrichQueries extends QueryModule {
     * KPI agg → min-max (SURVEY.md §3.1 end-to-end). */
   def enrichKpis(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Facts.itemFacts(spark, sfDir)
-    val analysis = Enrich.enrich(
-      items.select("item_id", "signal"), SentimentScorer("signal"))
-    val enriched = Enrich.merge(items.drop("signal"), analysis)
+    // Fused enrich+merge: the two-operator spelling would evaluate the
+    // itemFacts plan (join + range sort + zipWithIndex) TWICE — once per
+    // merge side — and pay an item_id sort-merge join; enrichCarry
+    // computes it once and shuffles once, on batch_id (see Enrich).
+    val enriched = Enrich.enrichCarry(items, SentimentScorer("signal")).drop("signal")
     KpiQueries.finish(Kpis.userKpis(enriched), "id", "average_spent")
   }
 

@@ -184,6 +184,49 @@ class EnrichSpec extends AnyFunSuite {
     assert(rows(2L) == (("positive", "review : positive item 2")))
     assert(rows(3L) == (("negative", "review : negative item 3")))
   }
+
+  /** The fused pass must be indistinguishable from the two-operator
+    * spelling it replaces, in every failure mode — including a payload
+    * column the scorer never reads. */
+  private def carriedItems(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, i % 2 == 0, s"payload_$i")).toDF("item_id", "signal", "extra")
+
+  private def asMaps(df: DataFrame): Set[Map[String, Any]] =
+    df.collect().map(r =>
+      r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap).toSet
+
+  test("enrichCarry == merge(items, enrich(items)) under NullFill") {
+    val src = carriedItems(40)
+    val cfg = EnrichConfig(batchSize = 5)
+    val scorer = SentimentScorer("signal", failEvery = 2, flakyEvery = 3, flakyMod = 0)
+    val fused = Enrich.enrichCarry(src, scorer, cfg)
+    val joined = Enrich.merge(src, Enrich.enrich(src.select("item_id", "signal"), scorer, cfg))
+      .select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(asMaps(fused) == asMaps(joined))
+  }
+
+  test("enrichCarry == mergeDrop(items, enrich(items)) under Drop") {
+    val src = carriedItems(40)
+    val cfg = EnrichConfig(batchSize = 5, onFailure = FailureMode.Drop)
+    val scorer = SentimentScorer("signal", failEvery = 2, flakyEvery = 0)
+    val fused = Enrich.enrichCarry(src, scorer, cfg)
+    val joined = Enrich.mergeDrop(src, Enrich.enrich(src.select("item_id", "signal"), scorer, cfg))
+      .select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(asMaps(fused) == asMaps(joined))
+    // failed batches' rows are GONE, not null-filled: 8 batches of 5,
+    // failEvery=2 fails the 4 odd bids → 20 of 40 rows survive
+    assert(fused.count() == 20)
+  }
+
+  test("enrichCarry under Requeue: partial echoes merge, leftovers null-fill per row") {
+    val src = carriedItems(40)
+    val cfg = EnrichConfig(batchSize = 5, onFailure = FailureMode.Requeue)
+    val scorer = graft.queries.PartialScorer("signal", dropMod = 3, failEvery = 2)
+    val fused = Enrich.enrichCarry(src, scorer, cfg)
+    val joined = Enrich.merge(src, Enrich.enrich(src.select("item_id", "signal"), scorer, cfg))
+      .select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(asMaps(fused) == asMaps(joined))
+  }
 }
 
 /** Echoes an id that is not in the batch (the reference's schema
