@@ -108,4 +108,41 @@ class JdbcMergeSpec extends AnyFunSuite {
       assert(got == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
     } finally q.stop()
   }
+
+  test("statement builders: ANSI MERGE vs Postgres ON CONFLICT, same upsert algebra") {
+    val cols = Seq("id", "average_spent", "positive_reviews")
+    assert(JdbcMerge.mergeStatement("user_kpis", "stg1", cols, Seq("id")) ==
+      "MERGE INTO user_kpis t USING stg1 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET average_spent = s.average_spent, " +
+        "positive_reviews = s.positive_reviews " +
+        "WHEN NOT MATCHED THEN INSERT (id, average_spent, positive_reviews) " +
+        "VALUES (s.id, s.average_spent, s.positive_reviews)")
+    assert(JdbcMerge.onConflictStatement("user_kpis", "stg1", cols, Seq("id")) ==
+      "INSERT INTO user_kpis (id, average_spent, positive_reviews) " +
+        "SELECT id, average_spent, positive_reviews FROM stg1 " +
+        "ON CONFLICT (id) DO UPDATE SET average_spent = EXCLUDED.average_spent, " +
+        "positive_reviews = EXCLUDED.positive_reviews")
+  }
+
+  test("statement builders: composite keys and all-key tables") {
+    val cols = Seq("a", "b", "v")
+    assert(JdbcMerge.mergeStatement("t1", "s1", cols, Seq("a", "b"))
+      .contains("ON t.a = s.a AND t.b = s.b WHEN MATCHED THEN UPDATE SET v = s.v"))
+    assert(JdbcMerge.onConflictStatement("t1", "s1", cols, Seq("a", "b"))
+      .endsWith("ON CONFLICT (a, b) DO UPDATE SET v = EXCLUDED.v"))
+    // all columns are keys: MERGE omits the MATCHED clause, Postgres DOES NOTHING
+    assert(!JdbcMerge.mergeStatement("t1", "s1", Seq("a", "b"), Seq("a", "b"))
+      .contains("WHEN MATCHED"))
+    assert(JdbcMerge.onConflictStatement("t1", "s1", Seq("a", "b"), Seq("a", "b"))
+      .endsWith("ON CONFLICT (a, b) DO NOTHING"))
+  }
+
+  test("dialect auto-selection: postgres urls take ON CONFLICT, others ANSI MERGE") {
+    assert(JdbcMerge.UpsertDialect.forUrl("jdbc:postgresql://host/db") ==
+      JdbcMerge.UpsertDialect.PostgresOnConflict)
+    assert(JdbcMerge.UpsertDialect.forUrl("jdbc:derby:memory:x") ==
+      JdbcMerge.UpsertDialect.AnsiMerge)
+    assert(JdbcMerge.UpsertDialect.forUrl("jdbc:oracle:thin:@h:1521:s") ==
+      JdbcMerge.UpsertDialect.AnsiMerge)
+  }
 }
