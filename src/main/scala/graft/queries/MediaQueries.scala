@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing on the oracled path: documents' text bytes play
   * the opaque media payload (ASCII, so byte positions == character
-  * positions and DuckDB can mirror the stub decoder exactly). */
+  * positions and DuckDB can mirror the stub decoder exactly). The
+  * queries run the REAL [[Multimodal.HeaderDecoder]]: text payloads
+  * are not PNG/JPEG containers, so every row takes its documented
+  * stub fallback — real image bytes would get real dimensions through
+  * the same plan (MultimodalSpec covers that path with synthesized
+  * headers). */
 object MediaQueries extends QueryModule {
 
   private def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
@@ -19,7 +24,7 @@ object MediaQueries extends QueryModule {
       col("text").cast("binary").as("media"))
 
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.StubDecoder, batchSize = 16)
+    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.HeaderDecoder, batchSize = 16)
       .toDF()
       .orderBy("media_id")
 
@@ -33,7 +38,7 @@ object MediaQueries extends QueryModule {
     * comma-joined string so both engines compare a scalar. */
   def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.StubDecoder, batchSize = 16)
+    Multimodal.extractFeatures(mediaTable(spark, sfDir), Multimodal.HeaderDecoder, batchSize = 16)
       .map { f =>
         val r = Multimodal.resizeStub(f, MaxW, MaxH)
         val frames = Multimodal.sampleFrames(f, Stride)

@@ -47,6 +47,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r2.height == 12 && r2.width == 2)
   }
 
+  // --- real container-header parsing (HeaderDecoder) ---
+
+  /** Minimal valid PNG prefix: signature + IHDR length/tag + w/h. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.array()
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to skip, then SOF0 with h/w. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val app0 = Array(0xFF, 0xE0, 0x00, 0x10) ++ Array.fill(14)(0x4A)
+    val sof0 = Array(0xFF, 0xC0, 0x00, 0x11,
+      8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3)
+    (Array(0xFF, 0xD8) ++ app0 ++ sof0).map(_.toByte)
+  }
+
+  test("HeaderDecoder: real PNG and JPEG dimensions from actual header bytes") {
+    assert(Multimodal.HeaderDecoder.imageHeader(pngBytes(640, 480)) == Some(("png", 640, 480)))
+    assert(Multimodal.HeaderDecoder.imageHeader(jpegBytes(1920, 1080)) == Some(("jpeg", 1920, 1080)))
+    // dimensions above the stub's 64-cap prove the real path was taken
+    val recs = Seq(
+      MediaRecord(1L, "image", pngBytes(640, 480)),
+      MediaRecord(2L, "image", jpegBytes(333, 77)),
+      MediaRecord(3L, "image", "just some prose, not an image".getBytes("UTF-8")))
+    val out = Multimodal.HeaderDecoder.decodeBatch(recs).map(f => f.media_id -> f).toMap
+    assert((out(1L).width, out(1L).height) == ((640, 480)))
+    assert((out(2L).width, out(2L).height) == ((333, 77)))
+    // non-container payloads keep the stub's documented pseudo-dims
+    val stub = Multimodal.StubDecoder.decodeBatch(Seq(recs(2))).head
+    assert(out(3L) == stub)
+  }
+
+  test("HeaderDecoder: truncated/corrupt containers fall back instead of guessing") {
+    assert(Multimodal.HeaderDecoder.imageHeader(pngBytes(640, 480).take(20)).isEmpty)
+    assert(Multimodal.HeaderDecoder.imageHeader(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    assert(Multimodal.HeaderDecoder.imageHeader(Array[Byte]()).isEmpty)
+    // zero dimensions are invalid, not "a 0x0 image"
+    assert(Multimodal.HeaderDecoder.imageHeader(pngBytes(0, 480)).isEmpty)
+    // ASCII text can never be claimed (PNG/JPEG lead bytes are non-ASCII)
+    assert(Multimodal.HeaderDecoder.imageHeader("GIF89a pretend".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("frame-sample stub: every nth index, bounded by frame count") {
     val v = Multimodal.MediaFeatures(3L, "video", 10L, 1, 1, 10, 0, 0, 0, 0)
     assert(Multimodal.sampleFrames(v, 3) == Seq(0, 3, 6, 9))
