@@ -30,10 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * both long and double), one double division per centroid, `>` compare
   * — so assignments are bit-identical to `ivfCells` (spec-pinned).
   *
-  * Null contract: null if any ARGUMENT or any ELEMENT of `vec` is null
-  * (a null model element is a corrupt model — that throws). Shape
-  * misuse (cents not k·dim, empty model, non-positive norms product)
-  * throws IllegalArgumentException — caller bugs, not data.
+  * Null contract: null if any ARGUMENT or any ELEMENT of `vec` is
+  * null, and null if `norm` is not strictly positive — a zero-norm
+  * (or NaN-norm) vector has no cosine direction, so its assignment is
+  * undefined DATA, not an error. Model corruption is different: a null
+  * model element or a non-positive / null centroid norm throws
+  * IllegalArgumentException, as does shape misuse (cents not k·dim,
+  * empty model) — caller bugs, not data.
   */
 case class NearestCentroid(first: Expression, second: Expression,
                            third: Expression, fourth: Expression)
@@ -133,6 +136,7 @@ object NearestCentroid {
     if (k == 0 || dim == 0 || cents.numElements() != dim.toLong * k)
       throw new IllegalArgumentException(
         s"nearest_centroid_dbl: model of ${cents.numElements()} doubles is not k=$k centroids of dim=$dim")
+    if (!(norm > 0)) return null // zero/NaN-norm vector: no cosine direction (data, not error)
     var i = 0
     while (i < dim) {
       if (vec.isNullAt(i)) return null
@@ -142,8 +146,9 @@ object NearestCentroid {
     var bestJ = 0
     var j = 0
     while (j < k) {
-      if (cnorms.isNullAt(j))
-        throw new IllegalArgumentException(s"nearest_centroid_dbl: null norm for centroid $j")
+      if (cnorms.isNullAt(j) || !(cnorms.getDouble(j) > 0))
+        throw new IllegalArgumentException(
+          s"nearest_centroid_dbl: null or non-positive norm for centroid $j — corrupt model")
       var dot = 0.0
       var p = 0
       val off = j * dim
@@ -169,6 +174,7 @@ object NearestCentroid {
     if (k == 0 || dim == 0 || cents.numElements() != dim.toLong * k)
       throw new IllegalArgumentException(
         s"nearest_centroid: model of ${cents.numElements()} longs is not k=$k centroids of dim=$dim")
+    if (!(norm > 0)) return null // zero/NaN-norm vector: no cosine direction (data, not error)
     var i = 0
     while (i < dim) {
       if (vec.isNullAt(i)) return null
@@ -178,8 +184,9 @@ object NearestCentroid {
     var bestJ = 0
     var j = 0
     while (j < k) {
-      if (cnorms.isNullAt(j))
-        throw new IllegalArgumentException(s"nearest_centroid: null norm for centroid $j")
+      if (cnorms.isNullAt(j) || !(cnorms.getDouble(j) > 0))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: null or non-positive norm for centroid $j — corrupt model")
       var dot = 0L
       var p = 0
       val off = j * dim

@@ -366,14 +366,17 @@ object Similarity {
       .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
   }
 
-  /** MAP-SIDE cell assignment: the centroid argmax as one narrow
-    * expression — an array of (cosine, −cent_id) structs over the
-    * model, `array_max`, done. Where [[ivfCells]]' join + `max_by`
+  /** MAP-SIDE cell assignment: the centroid argmax as ONE native
+    * codegen'd expression — `nearest_centroid(q, norm, flat-model,
+    * cnorms)` ([[graft.expressions.NearestCentroid]]) returns the
+    * 0-based index of the best centroid, then a k-long literal lookup
+    * maps index → cent_id. Where [[ivfCells]]' join + `max_by`
     * aggregate pays an N-row exchange to group per id, this pays NONE:
-    * assignment fuses into the scan's stage (and into WholeStageCodegen
-    * for bounded k). Identical output to [[ivfCells]] including the tie
-    * rule — struct ordering on (cosine, −cent_id) picks the highest
-    * cosine, ties to the LOWEST cent_id (spec-pinned equal).
+    * assignment fuses into the scan's stage and its WholeStageCodegen.
+    * Identical output to [[ivfCells]] including the tie rule — the
+    * expression keeps the lowest index on equal cosine, and the model
+    * is sorted by cent_id here, so ties go to the LOWEST cent_id
+    * regardless of caller order (spec-pinned equal).
     *
     * This is also the STREAMING-safe spelling: a stateless per-row map
     * needs no aggregation state, so a stream of vectors can be routed
@@ -386,16 +389,17 @@ object Similarity {
     * the model is the right delivery (same expression shape). */
   def cellAssignExpr(cents: Seq[(Long, Seq[Long])], qCol: Column, normCol: Column): Column = {
     require(cents.nonEmpty, "cellAssignExpr: empty centroid model")
-    val dim = cents.head._2.length
-    require(cents.forall(_._2.length == dim), "cellAssignExpr: ragged centroid model")
-    val flat = cents.flatMap(_._2)
+    val sorted = cents.sortBy(_._1) // lowest-index ties == lowest cent_id
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "cellAssignExpr: ragged centroid model")
+    val flat = sorted.flatMap(_._2)
     // exact long sum, then one sqrt — bit-identical to the executor-side
     // sqrt(cast(quantized_dot as double)) the aggregate path computes
-    val cnorms = cents.map { case (_, cv) => math.sqrt(cv.map(v => v * v).sum.toDouble) }
+    val cnorms = sorted.map { case (_, cv) => math.sqrt(cv.map(v => v * v).sum.toDouble) }
     val idx = call_function("nearest_centroid",
       qCol, normCol, typedLit(flat), typedLit(cnorms))
     // index → centroid id via a tiny k-long literal lookup
-    element_at(typedLit(cents.map(_._1)), idx + 1)
+    element_at(typedLit(sorted.map(_._1)), idx + 1)
   }
 
   /** [[ivfCells]] through [[cellAssignExpr]]: same (id, q, norm, cell)

@@ -31,8 +31,16 @@ import java.nio.charset.StandardCharsets
   */
 object RestPoll {
 
+  /** Marks an HTTP 4xx — the request itself is wrong (bad key, wrong
+    * path), so retrying it verbatim cannot succeed. */
+  final class ClientError(msg: String) extends java.io.IOException(msg)
+
   /** One GET with bounded retries. Returns the body string; throws
-    * after `retries` failed attempts. A 204 returns "". */
+    * after `retries` failed attempts. A 204 returns "". Only TRANSPORT
+    * errors and 5xx are retried: a 4xx is a [[ClientError]] thrown
+    * immediately — a permanent client error (401/404) would burn every
+    * retry with backoff and fail identically. Error bodies are drained
+    * before disconnect so keep-alive connections stay reusable. */
   def getOnce(url: String, headers: Map[String, String] = Map.empty,
               timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): String = {
     require(retries >= 1, s"RestPoll: retries must be >= 1, got $retries")
@@ -49,13 +57,19 @@ object RestPoll {
           conn.setReadTimeout(timeoutMs)
           headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
           val code = conn.getResponseCode
-          if (code >= 400)
+          if (code >= 400) {
+            // drain the error stream (connection-reuse hygiene)
+            val err = conn.getErrorStream
+            if (err != null) try { err.readAllBytes(); () } finally err.close()
+            if (code < 500) throw new ClientError(s"RestPoll: HTTP $code from $url")
             throw new java.io.IOException(s"RestPoll: HTTP $code from $url")
+          }
           val in = conn.getInputStream
           try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
         } finally conn.disconnect()
       } catch {
+        case e: ClientError => throw e // 4xx: fail fast, no retry
         case e: java.io.IOException =>
           last = e
           if (attempt < retries && backoffMs > 0) Thread.sleep(backoffMs * attempt)

@@ -40,6 +40,29 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(msgs(badShape).exists(_.contains("not k=")), msgs(badShape))
   }
 
+  test("zero-norm vector is null (undefined data); non-positive centroid norm throws (corrupt model)") {
+    // a zero vector has no cosine direction — the assignment is null,
+    // never a NaN-driven arbitrary index
+    val zeroVec = Seq(Tuple1(Seq(0L, 0L))).toDF("v")
+      .select(call_function("nearest_centroid",
+        col("v"), sqrt(call_function("quantized_dot", col("v"), col("v")).cast("double")),
+        typedLit(cents), typedLit(cnorms))).head()
+    assert(zeroVec.isNullAt(0))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val badNorm = intercept[Throwable] {
+      Seq(Tuple1(Seq(1000000L, 0L))).toDF("v")
+        .select(call_function("nearest_centroid", col("v"), lit(1000000.0),
+          typedLit(cents), typedLit(Seq(1000000.0, 0.0)))).head()
+    }
+    assert(msgs(badNorm).exists(_.contains("non-positive norm")), msgs(badNorm))
+    // the double-centroid variant shares the contract
+    val zeroDbl = Seq(Tuple1(Seq(0L, 0L))).toDF("v")
+      .select(call_function("nearest_centroid_dbl", col("v"), lit(0.0),
+        typedLit(Seq(1.0, 0.0, 0.0, 1.0)), typedLit(Seq(1.0, 1.0)))).head()
+    assert(zeroDbl.isNullAt(0))
+  }
+
   test("BroadcastRef-delivered model matches the literal model (the big-index path)") {
     val pts = (0L until 50L).map { i =>
       (i, Seq(1000000L - i * 7000L, i * 7000L))

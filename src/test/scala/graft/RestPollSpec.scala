@@ -126,4 +126,19 @@ class RestPollSpec extends AnyFunSuite {
       assert(RestPoll.pollJson(url, maxPolls = 5).isEmpty)
     }
   }
+
+  test("4xx fails FAST (no retry burn); 5xx still consumes the retry budget") {
+    val calls = new AtomicInteger(0)
+    withServer { _ => { calls.incrementAndGet(); (404, "no such key") } } { url =>
+      val e = intercept[RestPoll.ClientError](
+        RestPoll.getOnce(url, retries = 5, backoffMs = 1000))
+      assert(e.getMessage.contains("HTTP 404"))
+      assert(calls.get() == 1, "a permanent client error must not be retried")
+    }
+    val calls5 = new AtomicInteger(0)
+    withServer { _ => { calls5.incrementAndGet(); (503, "overloaded") } } { url =>
+      intercept[java.io.IOException](RestPoll.getOnce(url, retries = 3))
+      assert(calls5.get() == 3, "5xx is transient: every retry should be spent")
+    }
+  }
 }
