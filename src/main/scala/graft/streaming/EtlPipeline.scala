@@ -45,7 +45,8 @@ object EtlPipeline {
       scorer: Scorer,
       cfg: EnrichConfig = EnrichConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
-      servingUrl: Option[String] = None): StreamingQuery =
+      servingUrl: Option[String] = None,
+      scoreCols: Seq[String] = Seq("signal")): StreamingQuery =
     FileQueue.start(spark, bronzeDir, Bronze.productSchema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -63,7 +64,12 @@ object EtlPipeline {
           // batch: an uncached plan would re-invoke the model for the
           // second action, doubling LLM calls. Released by the
           // batch-scoped unpersist below.
-          val analysis = Enrich.enrich(items.select("item_id", "signal"), scorer, cfg)
+          // scoreCols picks what the scorer sees per row: the default
+          // `signal` feeds the deterministic test scorer; a production
+          // OpenAiCompatScorer takes the raw review text instead
+          // (scoreCols = Seq("description"), reviewCol = "description")
+          val analysis = Enrich.enrich(
+            items.select(("item_id" +: scoreCols).map(col): _*), scorer, cfg)
           val enriched = Enrich.merge(items.drop("signal"), analysis).cache()
           // K4 silver (50k-row chunks in production; here per micro-batch)
           Sinks.chunkedWrite(enriched, s"$silverDir/batch_$batchId")
