@@ -602,16 +602,48 @@ object Dedup {
     * land on identical signatures. 16 bits suffice for fingerprinting;
     * the banded pair MATCHER wants 32 so buckets discriminate. */
   def simhash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 16): DataFrame = {
-    require(bits > 0 && bits <= 32, s"simhash bits must be in 1..32, got $bits")
+    require(bits > 0 && bits <= 256, s"simhash bits must be in 1..256, got $bits")
+    // one md5 gives 32 bit-votes (one per hex nibble's top bit); wider
+    // signatures draw extra 32-bit blocks from SALTED hashes of the same
+    // token. Block 0 stays unsalted, so a wide signature's first 32 bits
+    // are bit-identical to the narrow signature — widening never
+    // re-bucketizes the prefix (pinned by DedupSpec).
+    val nBlocks = (bits + 31) / 32
+    val blockHashes = (0 until nBlocks).map { k =>
+      val h = if (k == 0) md5(col("tok").cast("binary"))
+      else md5(concat(lit(s"sh$k:"), col("tok")).cast("binary"))
+      h.as(s"h$k")
+    }
     val toks = df.select(idCol.as("id"), array_distinct(split(lower(textCol), " ")).as("ts"))
       .repartition(col("id")) // parallelize the explode; co-partition the group-by
       .select(col("id"), explode(col("ts")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
+      .select(col("id") +: blockHashes: _*)
     val bitSums = (0 until bits).map(j =>
-      sum(when(substring(col("h"), j + 1, 1)
+      sum(when(substring(col(s"h${j / 32}"), j % 32 + 1, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$j"))
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
         concat((0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** [[simhashPairs]] with the signature width derived from the corpus
+    * size — the scale rule ScaleGrowth measured into place: a FIXED
+    * 32-bit/4-band signature offers at most 4·2⁸ buckets, so mean bucket
+    * occupancy grows linearly with the corpus (measured 10.5 → 22.3 over
+    * a 10× clone at sf0.01) and the bucket self-join goes quadratic at
+    * real scale. Deriving the band width from ⌈log₂ n⌉
+    * ([[Similarity.adaptiveBits]] — the same rule the ANN family uses)
+    * keeps the per-band bucket space ≥ n, so expected occupancy stays
+    * O(1) and the pair enumeration stays linear. `maxDist < bands` keeps
+    * the pigeonhole recall guarantee regardless of width.
+    *
+    * One column-pruned count job picks the width; the signature frame is
+    * pinned (it feeds both sides of the bucket self-join) under the
+    * session-sweep cache contract. */
+  def simhashPairsAdaptive(df: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Int = 2, bands: Int = 4, minWidth: Int = 8): DataFrame = {
+    val w = Similarity.adaptiveBits(df.count(), minWidth)
+    val sig = simhash(df, idCol, textCol, bands * w).cache()
+    simhashPairs(sig, maxDist, bands * w, bands)
   }
 }

@@ -76,16 +76,17 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  /** SimHash near-dup MATCHING: banded bucket join over 32-BIT
-    * signatures (8-bit bands discriminate where 16-bit buckets on a
-    * same-vocabulary corpus degenerate toward all-pairs) + native
-    * `hamming_dist` verification at radius 2. The signature frame is
-    * pinned — it feeds both sides of the bucket self-join (same caller
-    * cache contract as minhash). */
+  /** SimHash near-dup MATCHING: banded bucket join over CORPUS-ADAPTIVE
+    * signatures (4 bands of ⌈log₂ n⌉ ≥ 8 bits each — a fixed 32-bit
+    * signature's 4·2⁸ bucket space saturates as the corpus grows;
+    * ScaleGrowth measured occupancy 10.5 → 22.3 over a 10× clone, the
+    * road to all-pairs) + native `hamming_dist` verification at radius
+    * 2. The signature frame is pinned inside the adaptive wrapper (it
+    * feeds both sides of the bucket self-join; same caller cache
+    * contract as minhash). */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(
-      Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text"), bits = 32).cache(),
-      maxDist = 2, sigLen = 32)
+    Dedup.simhashPairsAdaptive(
+      Tables.documents(spark, sfDir), col("doc_id"), col("text"), maxDist = 2)
       .orderBy("id_a", "id_b")
 
   /** The end-to-end "dedup the corpus" step: drop every document that
@@ -275,6 +276,30 @@ object DedupQueries extends QueryModule {
        |s AS (SELECT id, ${simhashBitsSql(bits)} FROM h GROUP BY id),
        |sig AS (SELECT id, ${simhashConcatSql(bits)} AS simhash FROM s)""".stripMargin
 
+  /** Corpus-adaptive simhash chain: band width w = GREATEST(minWidth,
+    * ⌈log₂ n⌉) via the integer-shift rule (bit-for-bit
+    * Similarity.adaptiveBits), signature = bands·w bit-votes in LONG
+    * form (one row per (id, bit) — the width is data-dependent, so the
+    * per-bit-column spelling can't be generated statically). Bit j's
+    * vote comes from hex nibble j%32 of md5 block j/32; block 0 is the
+    * unsalted token hash (the narrow chain's), block k is
+    * md5('sh<k>:' || tok) — mirroring Dedup.simhash exactly. */
+  private def simhashAdaptiveChainSql(bands: Int, minWidth: Int) =
+    s"""t AS (SELECT DISTINCT id, tok FROM
+       |  (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+       |pl AS (SELECT GREATEST($minWidth, MIN(p)) AS w FROM range(1, 63) r(p)
+       |  WHERE (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM documents)),
+       |bv AS (SELECT id, j,
+       |    SUM(CASE WHEN substr(CASE WHEN j < 32 THEN md5(tok)
+       |          ELSE md5('sh' || CAST(j // 32 AS VARCHAR) || ':' || tok) END,
+       |        (j % 32) + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+       |  FROM t, range(0, 256) jj(j)
+       |  WHERE j < $bands * (SELECT w FROM pl)
+       |  GROUP BY id, j),
+       |sig AS (SELECT id,
+       |    STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+       |  FROM bv GROUP BY id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows,
@@ -322,16 +347,16 @@ object DedupQueries extends QueryModule {
       s"""WITH ${simhashChainSql(16)}
          |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash_pairs" ->
-      s"""WITH ${simhashChainSql(32)},
+      s"""WITH ${simhashAdaptiveChainSql(4, 8)},
          |bands AS (SELECT id, simhash, bx AS band_idx,
-         |    substr(simhash, bx * 8 + 1, 8) AS band_val
+         |    substr(simhash, bx * (SELECT w FROM pl) + 1, (SELECT w FROM pl)) AS band_val
          |  FROM sig, range(0, 4) r(bx)),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |    a.simhash AS sa, b.simhash AS sb
          |  FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
          |d AS (SELECT id_a, id_b,
-         |    CAST(list_sum(list_transform(range(1, 33),
+         |    CAST(list_sum(list_transform(range(1, 4 * (SELECT w FROM pl) + 1),
          |      i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
          |  FROM cand)
          |SELECT id_a, id_b, dist FROM d WHERE dist <= 2

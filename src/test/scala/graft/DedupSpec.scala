@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -209,5 +209,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
     assert(out(1L).length == 16 && out(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("simhash: widening the signature never rewrites the prefix (salted block continuity)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa lambda mu nu"))
+      .toDF("id", "text")
+    def sigs(bits: Int) = Dedup.simhash(df, col("id"), col("text"), bits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s16 = sigs(16); val s32 = sigs(32); val s52 = sigs(52)
+    Seq(1L, 2L).foreach { id =>
+      assert(s52(id).length == 52)
+      // block 0 is unsalted in every width — narrow signatures are
+      // literal prefixes of wide ones
+      assert(s52(id).take(32) == s32(id))
+      assert(s32(id).take(16) == s16(id))
+      // the salted tail is real signal, not padding
+      assert(s52(id).drop(32).exists(_ == '1') || s52(id).drop(32).exists(_ == '0'))
+    }
+    assert(s52(1L).drop(32) != s52(2L).drop(32))
+  }
+
+  test("simhashPairsAdaptive: corpus-derived width, same pairs as the explicit-width call") {
+    // 40 docs: 5 planted dup pairs (same token SET, reordered — simhash
+    // distance exactly 0, immune to vote-margin noise) + 30 distinct
+    val near = (0 until 5).flatMap { i =>
+      Seq((100L + i, s"common base text block$i payload alpha beta gamma"),
+        (200L + i, s"gamma beta alpha payload block$i text base common"))
+    }
+    val rest = (0 until 30).map(i => (300L + i, s"unique$i tokens$i only$i here$i words$i"))
+    val df = (near ++ rest).toDF("id", "text")
+    val w = Similarity.adaptiveBits(40L, 8) // 8-bit floor at this size
+    assert(w == 8)
+    val adaptive = Dedup.simhashPairsAdaptive(df, col("id"), col("text"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.simhashPairs(
+      Dedup.simhash(df, col("id"), col("text"), bits = 4 * w), maxDist = 2, sigLen = 4 * w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == explicit)
+    // planted near-dups survive the radius; disjoint docs don't flood in
+    val planted = (0 until 5).map(i => (100L + i, 200L + i)).toSet
+    assert(planted.subsetOf(adaptive), s"missing planted pairs: ${planted -- adaptive}")
   }
 }
