@@ -158,14 +158,13 @@ object Dedup {
   }
 
   /** Candidate pairs = ids sharing any (band_idx, band_val) bucket;
-    * the self-join shuffles once on the bucket key — never all-pairs. */
-  def candidatePairs(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    * the bucket join shuffles once on the bucket key — never all-pairs,
+    * and never one task per CONTENT CLUSTER either: enumeration rides
+    * [[PairEnum.bucketPairs]], so a boilerplate bucket beyond the block
+    * size splits into bounded triangular cells instead of handing one
+    * task c²/2 pairs. */
+  def candidatePairs(bands: DataFrame, blockSize: Int = 4096): DataFrame =
+    PairEnum.bucketPairs(bands, Seq("band_idx", "band_val"), blockSize = blockSize)
       .distinct()
 
   /** Exact n-gram Jaccard for candidate pairs only; keeps pairs with
@@ -276,13 +275,9 @@ object Dedup {
             col("simhash")))).as("simhash"))
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        call_function("hamming_dist", col("a.simhash"), col("b.simhash")).as("dist"))
+    PairEnum.bucketPairs(banded, Seq("band_idx", "band_val"), payloadCols = Seq("simhash"))
+      .select(col("id_a"), col("id_b"),
+        call_function("hamming_dist", col("simhash_a"), col("simhash_b")).as("dist"))
       // radius filter BEFORE the pair dedup: dist is a pure function of
       // the pair, so the order is semantics-free, but filtering first
       // means only WITHIN-RADIUS pairs pay the distinct exchange — the

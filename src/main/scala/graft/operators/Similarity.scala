@@ -464,11 +464,13 @@ object Similarity {
     // both sides of the bucket self-join — pin so quantization + the
     // signature compute once per row, not twice
     val sig = prepped.withColumn("sig", lshSignature(col("q"), planes, dim)).cache()
-    sig.as("a")
-      .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    // blocked triangular enumeration: a content cluster (identical
+    // vectors → identical signature) beyond the block size splits into
+    // bounded cells instead of one c²/2 task (PairEnum rationale)
+    PairEnum.bucketPairs(sig, Seq("sig"), payloadCols = Seq("q", "norm"))
       .select(
-        col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        (dotQ(col("a.q"), col("b.q")).cast("double") / (col("a.norm") * col("b.norm"))).as("cos"))
+        col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        (dotQ(col("q_a"), col("q_b")).cast("double") / (col("norm_a") * col("norm_b"))).as("cos"))
   }
 
   /** [[lshPairs]] with the plane count derived from the corpus size:
@@ -504,11 +506,8 @@ object Similarity {
           struct(lit(b).as("band"), substring(col("sig"), b * width + 1, width).as("bsig"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .cache() // both sides of the bucket self-join
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+    val cand = PairEnum.bucketPairs(banded, Seq("band", "bsig"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       .distinct()
     val va = prepped.select(col("id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
     val vb = prepped.select(col("id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
