@@ -101,4 +101,52 @@ object Sample {
       .withColumn("epoch", explode(sequence(lit(0L), col("__r") - 1L)))
       .drop("__g", "__r")
   }
+
+  /** Training-mix construction from EXPLICIT per-source weights — the
+    * "sampling proportions" step that turns curated corpora into a
+    * training multiset (web×0.5, code×2.5, books×1.0, …). Weight w
+    * means: ⌊w⌋ full epochs of the source plus one FRACTIONAL epoch
+    * kept per-row with probability w−⌊w⌋; sources absent from the map
+    * are dropped. Rows gain an `epoch` column ∈ [0, ⌈w⌉).
+    *
+    * Fully deterministic, float-free at evaluation time: the fractional
+    * gate is the exact integer compare u32 < ⌊frac·2³²⌋ where u32 =
+    * hex32(md5('mix:' || key)) — the salt decorrelates it from
+    * [[hashSample]]'s unsalted draw — and the per-source thresholds are
+    * driver-computed constants, so any engine (and the DuckDB oracle)
+    * reproduces the multiset from the same constants. (Contrast
+    * [[balanceByUpsampling]], which DERIVES integer factors from group
+    * counts; here the caller declares the proportions, fractions
+    * included.)
+    *
+    * Plan shape: weight lookup is a literal when-chain (no join), epoch
+    * replication is a map-side explode, the gate is a narrow filter —
+    * the corpus never shuffles. Order the result with the md5-of-
+    * (key, epoch) rank (see q_corpus_mix) for the interleaved training
+    * order. */
+  def mixByWeights(df: DataFrame, keyCol: Column, sourceCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixByWeights: empty weight map")
+    require(weights.values.forall(w => w > 0 && w <= 64),
+      s"mixByWeights: weights must be in (0, 64], got $weights")
+    require(!df.columns.contains("epoch"), "mixByWeights: column name epoch is reserved")
+    val full = weights.map { case (s, w) => s -> math.floor(w).toLong }
+    val gate = weights.map { case (s, w) =>
+      s -> math.floor((w - math.floor(w)) * 4294967296d).toLong
+    }
+    def chain(m: Map[String, Long]): Column =
+      m.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+        case (acc, (s, v)) => when(sourceCol === s, lit(v)).otherwise(acc)
+      }
+    val u32 = conv(substring(
+      md5(concat(lit("mix:"), keyCol.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.withColumn("__full", chain(full))
+      .withColumn("__gate", chain(gate))
+      .filter(col("__full").isNotNull) // unlisted sources leave the mix
+      // ⌊w⌋+1 candidate epochs; the last is the fractional one
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      .filter(col("epoch") < col("__full") || u32 < col("__gate"))
+      .drop("__full", "__gate")
+  }
 }

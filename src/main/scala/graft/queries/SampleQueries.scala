@@ -59,6 +59,32 @@ object SampleQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), col("epoch"))
       .orderBy("doc_id", "epoch")
 
+  /** q_corpus_mix weights: multi-epoch sources, an exact 1.0, pure
+    * fractions, and 15 unlisted sources that must vanish from the mix.
+    * Both the Spark plan and the DuckDB oracle derive their integer
+    * gate constants from THIS map, so the multiset is engine-exact. */
+  private val MixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 3.0, "src4" -> 0.5)
+
+  /** Training-mix construction: per-source target weights (fractional
+    * epochs included) + the deterministic interleaved order — the
+    * "sampling proportions" step between curation and the data loader.
+    * Weight lookup is a literal when-chain, replication a map-side
+    * explode, the gate a narrow filter; only the order rank exchanges
+    * ([[graft.operators.DenseId]] range-sort, never a 1-partition
+    * window). */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val mixed = Sample.mixByWeights(docs, col("doc_id"), col("source"), MixWeights.toMap)
+    graft.operators.DenseId.withDenseId(
+      mixed.withColumn("__key",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))
+          .cast("binary"))),
+      Seq(col("__key"), col("doc_id"), col("epoch")), "pos")
+      .select(col("doc_id"), col("source"), col("epoch"), col("pos"))
+      .orderBy("pos")
+  }
+
   /** Deterministic corpus SHUFFLE for training order: position = dense
     * rank in md5-of-id order — the distributed spelling of a data
     * loader's seeded permutation (every engine and every re-run agrees
@@ -76,6 +102,7 @@ object SampleQueries extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_mix" -> corpusMix,
     "q_corpus_shuffle" -> corpusShuffle,
     "q_sample_hash" -> sampleHash,
     "q_sample_strat" -> sampleStrat,
@@ -83,7 +110,26 @@ object SampleQueries extends QueryModule {
     "q_sample_balance" -> sampleBalance,
     "q_pack_sequences" -> packSequences)
 
+  /** (source, full epochs, fractional-gate threshold) VALUES rows for
+    * the oracle — the SAME driver-computed constants the plan uses. */
+  private val mixValuesSql = MixWeights.map { case (s, w) =>
+    val full = math.floor(w).toLong
+    val gate = math.floor((w - math.floor(w)) * 4294967296d).toLong
+    s"('$s', $full, $gate)"
+  }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q_corpus_mix" ->
+      s"""WITH w(source, f, gate) AS (VALUES $mixValuesSql),
+         |m AS (SELECT d.doc_id, d.source, r.epoch
+         |  FROM documents d JOIN w ON d.source = w.source
+         |  JOIN range(0, 65) r(epoch) ON r.epoch <= w.f
+         |  WHERE r.epoch < w.f
+         |     OR CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < w.gate)
+         |SELECT doc_id, source, epoch,
+         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+         |                     doc_id, epoch) AS pos
+         |FROM m ORDER BY pos""".stripMargin,
     "q_corpus_shuffle" ->
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos

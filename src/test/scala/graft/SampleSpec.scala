@@ -82,6 +82,35 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("mixByWeights: full epochs exact, fractional gate monotone in w, unlisted sources vanish") {
+    val docs = (0 until 120).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    def mix(w: Map[String, Double]) =
+      Sample.mixByWeights(docs, col("id"), col("src"), w)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // integer weights: every row of the source appears in exactly w epochs
+    val m = mix(Map("s0" -> 3.0, "s1" -> 1.0, "s2" -> 0.25))
+    val byId = m.groupBy(_._1)
+    (0 until 120 by 4).foreach { i => // s0 rows
+      assert(byId(i.toLong).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L), s"id $i epochs wrong")
+    }
+    (1 until 120 by 4).foreach { i => assert(byId(i.toLong).map(_._3).toSeq == Seq(0L)) }
+    // s3 unlisted — absent entirely
+    assert(m.forall(_._2 != "s3"))
+    // fractional gates: kept set is a deterministic, w-monotone subset
+    val q = m.filter(_._2 == "s2").map(_._1).toSet
+    assert(q.nonEmpty && q.size < 30, s"0.25 gate kept ${q.size}/30")
+    val half = mix(Map("s2" -> 0.5)).map(_._1).toSet
+    assert(q.subsetOf(half), "0.25 selection must nest inside 0.5 (same draw, higher gate)")
+    assert(mix(Map("s0" -> 3.0, "s1" -> 1.0, "s2" -> 0.25)).sorted.toSeq == m.sorted.toSeq)
+    // fractional epoch index is the one past the full epochs: w=1.5 → epoch 1 for gated rows
+    val oneHalf = mix(Map("s1" -> 1.5))
+    assert(oneHalf.map(_._3).toSet.subsetOf(Set(0L, 1L)))
+    assert(oneHalf.count(_._3 == 0L) == 30 && oneHalf.count(_._3 == 1L) > 0)
+    intercept[IllegalArgumentException](Sample.mixByWeights(docs, col("id"), col("src"), Map.empty))
+    intercept[IllegalArgumentException](
+      Sample.mixByWeights(docs, col("id"), col("src"), Map("s0" -> 0.0)))
+  }
+
   test("balanceByUpsampling: r = max div n per group, epochs dense from 0, majority group untouched") {
     // a:5 → r=1, b:2 → r=2, c:1 → r=5
     val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
