@@ -102,6 +102,33 @@ object Sample {
       .drop("__g", "__r")
   }
 
+  /** Quality pruning at a target fraction WITHOUT a corpus sort: keep
+    * every row whose integer score clears the exact histogram threshold
+    * thr = max t such that |{score ≥ t}| ≥ ⌈p·n⌉ — at least the target
+    * fraction survives, overshooting only by the tie mass at the
+    * threshold (the production quality-gate contract: a cut score, not
+    * a per-row lottery).
+    *
+    * Requires a BOUNDED integer score domain (e.g.
+    * [[TextStats.withQualityInt]]'s [0, 3000] permille scale): the
+    * histogram aggregate collapses map-side to |domain| rows, the
+    * cumulative + argmax run as a window over that tiny frame, and the
+    * 1-row threshold broadcasts back as a crossJoin — so the corpus
+    * pays one combine-collapsed aggregate pass and one narrow filter.
+    * Contrast the alternatives at 100 TB: a global sort-and-take
+    * shuffles everything; a quantile sketch gives an approximate,
+    * engine-specific cut. The bounded-domain histogram is both exact
+    * and cheaper than either. */
+  def topFractionByScore(df: DataFrame, scoreCol: Column, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"topFractionByScore: fraction must be in (0,1], got $p")
+    val thr = df.groupBy(scoreCol.as("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__s").desc)))
+      .withColumn("__total", sum(col("__c")).over(Window.partitionBy()))
+      .filter(col("__cum") >= ceil(col("__total") * lit(p)))
+      .agg(max(col("__s")).as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(scoreCol >= col("__thr")).drop("__thr")
+  }
+
   /** Training-mix construction from EXPLICIT per-source weights — the
     * "sampling proportions" step that turns curated corpora into a
     * training multiset (web×0.5, code×2.5, books×1.0, …). Weight w

@@ -42,6 +42,31 @@ object TextStats {
         (col("len_score") + col("distinct_ratio") + col("stop_ratio")) / 3.0)
   }
 
+  /** Exact integer floor division for positive operands: (a − a mod b) ∕ b
+    * — the subtraction makes the double division exact (the result is an
+    * integer ≤ 2^53), where a bare `a / b` could round UP across an
+    * integer boundary and break floor semantics cross-engine. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** [[withQuality]]'s EXACT-INTEGER counterpart for threshold work: the
+    * three components as permille (floor) integers, summed to a
+    * `quality_pm` score ∈ [0, 3000]. Integer scores make downstream
+    * selection thresholds bit-exact across engines (no float ratio ever
+    * compares against a cut), and the bounded domain is what lets
+    * [[Sample.topFractionByScore]] find an exact threshold from a
+    * 3001-row histogram instead of a corpus sort. */
+  def withQualityInt(df: DataFrame, textCol: Column, stopwords: Seq[String],
+      lenCap: Int = 200): DataFrame = {
+    val toks = tokens(textCol)
+    val nTok = size(toks).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("quality_pm",
+      least(idiv(length(textCol).cast("long") * 1000L, lit(lenCap.toLong)), lit(1000L)) +
+        idiv(size(array_distinct(toks)).cast("long") * 1000L, nTok) +
+        idiv(size(filter(toks, t => array_contains(stopArr, t))).cast("long") * 1000L, nTok))
+  }
+
   /** Stopword-profile language ID: count marker-token hits per language,
     * predict the argmax with an alphabetical tie-break. (The real thing
     * uses char-n-gram profiles — same operator shape: per-language score

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.TextStats
+import graft.operators.{Sample, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,22 @@ object TextQueries extends QueryModule {
       col("fp_md5"), col("fp_poly"))
       .orderBy("doc_id")
   }
+
+  /** Target fraction for q_quality_prune — the same literal feeds both
+    * engines' ⌈n·p⌉. */
+  private val PruneFraction = 0.3
+
+  /** Quality pruning at fraction ≥ 0.3 via the EXACT bounded-domain
+    * histogram threshold: the integer permille score ([0, 3000]) makes
+    * the cut a 3001-row histogram problem — one combine-collapsed
+    * aggregate pass + a narrow filter, no corpus sort, no sketch
+    * ([[graft.operators.Sample.topFractionByScore]]). */
+  def qualityPrune(spark: SparkSession, sfDir: String): DataFrame =
+    Sample.topFractionByScore(
+      TextStats.withQualityInt(Tables.documents(spark, sfDir), col("text"), Stopwords),
+      col("quality_pm"), PruneFraction)
+      .select(col("doc_id"), col("lang"), col("quality_pm"))
+      .orderBy("doc_id")
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.withLangId(Tables.documents(spark, sfDir), col("text"), Profiles)
@@ -175,6 +191,7 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "chunk_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_prune" -> qualityPrune,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_redact" -> textRedact,
@@ -202,6 +219,20 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_quality_prune" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |    LEAST((length(text) * 1000) // 200, 1000)
+         |    + (len(list_distinct($toksSql)) * 1000) // len($toksSql)
+         |    + (len(list_filter($toksSql, t -> t IN (${stopListSql(Stopwords)}))) * 1000)
+         |      // len($toksSql) AS quality_pm
+         |  FROM documents),
+         |h AS (SELECT quality_pm AS sc, COUNT(*) AS c FROM s GROUP BY 1),
+         |cum AS (SELECT sc, SUM(c) OVER (ORDER BY sc DESC) AS cm FROM h),
+         |t AS (SELECT MAX(sc) AS thr FROM cum
+         |  WHERE cm >= CEIL((SELECT COUNT(*) FROM s) * $PruneFraction))
+         |SELECT doc_id, lang, quality_pm FROM s
+         |WHERE quality_pm >= (SELECT thr FROM t)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

@@ -82,6 +82,24 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("topFractionByScore: exact histogram threshold — at least ceil(p*n), only tie-mass overshoot") {
+    // scores: 10 rows of 5, 10 of 3, 10 of 1 (n = 30)
+    val df = ((0 until 10).map(i => (i.toLong, 5L)) ++
+      (10 until 20).map(i => (i.toLong, 3L)) ++
+      (20 until 30).map(i => (i.toLong, 1L))).toDF("id", "score")
+    def kept(p: Double) = Sample.topFractionByScore(df, col("score"), p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p=0.3: ceil=10 → thr=5, exactly the ten 5s
+    assert(kept(0.3) == (0 until 10).map(i => (i.toLong, 5L)).toSet)
+    // p=0.4: ceil=12 → thr drops to 3; the WHOLE tie mass at 3 survives (20 rows)
+    val k4 = kept(0.4)
+    assert(k4.size == 20 && k4.forall(_._2 >= 3L))
+    // p=1.0 keeps everything; determinism across runs
+    assert(kept(1.0).size == 30)
+    assert(kept(0.4) == k4)
+    intercept[IllegalArgumentException](Sample.topFractionByScore(df, col("score"), 0.0))
+  }
+
   test("mixByWeights: full epochs exact, fractional gate monotone in w, unlisted sources vanish") {
     val docs = (0 until 120).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
     def mix(w: Map[String, Double]) =
