@@ -167,6 +167,31 @@ object Dedup {
     PairEnum.bucketPairs(bands, Seq("band_idx", "band_val"), blockSize = blockSize)
       .distinct()
 
+  /** INCREMENTAL candidate generation: pairs touching the NEW batch
+    * only — new×new plus new×old, never old×old. This is how dedup has
+    * to run at ingestion scale: the corpus's band assignments are a
+    * persisted state table (parquet of (id, band_idx, band_val) — tiny
+    * next to the text), and each arriving batch pays its own banding
+    * plus one probe join, instead of re-pairing the full corpus whose
+    * old×old work grows with history.
+    *
+    * `newBands` must carry ids disjoint from `oldBands` (ingestion
+    * guarantees it; ids are not re-checked here). The new self-pairs
+    * ride [[candidatePairs]] (blocked, skew-robust); the cross join
+    * broadcasts the batch side by default — a batch's bands fit in
+    * memory by construction; pass `broadcastNew = false` for backfills
+    * where the "batch" is itself corpus-sized. */
+  def incrementalCandidates(newBands: DataFrame, oldBands: DataFrame,
+      broadcastNew: Boolean = true): DataFrame = {
+    val n = if (broadcastNew) broadcast(newBands) else newBands
+    val cross = n.as("n").join(oldBands.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_val") === col("o.band_val"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"))
+    candidatePairs(newBands).union(cross).distinct()
+  }
+
   /** Exact n-gram Jaccard for candidate pairs only; keeps pairs with
     * similarity ≥ threshold.
     *

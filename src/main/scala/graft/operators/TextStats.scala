@@ -42,6 +42,18 @@ object TextStats {
         (col("len_score") + col("distinct_ratio") + col("stop_ratio")) / 3.0)
   }
 
+  /** Canonical text for dedup: lowercase, punctuation → space, runs of
+    * spaces collapsed, ends trimmed. Reformatted copies (case changes,
+    * punctuation swaps, whitespace reflow) collapse to one canonical
+    * form, so a digest over THIS catches the trivially-edited
+    * duplicates a raw digest misses — the standard normalize-then-hash
+    * first stage of a dedup pipeline. Dialect-neutral character-class
+    * regex (the q_text_redact precedent): Spark replaces globally by
+    * default, DuckDB mirrors with the 'g' flag. Pure narrow per-row
+    * compute — composes into any scan. */
+  def normalized(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]+", " "), " +", " "))
+
   /** Exact integer floor division for positive operands: (a − a mod b) ∕ b
     * — the subtraction makes the double division exact (the result is an
     * integer ≤ 2^53), where a bare `a / b` could round UP across an

@@ -36,8 +36,44 @@ object DedupQueries extends QueryModule {
     Dedup.exactByDigest(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
       .orderBy("keep_id")
 
+  /** Exact dedup over NORMALIZED text (lowercase, punctuation →
+    * space, whitespace collapsed): reformatted copies collapse to one
+    * canonical digest — the normalize-then-hash first stage every
+    * production dedup pipeline runs before near-dup detection. Same
+    * digest-only exchange as q_dedup_exact_text. */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactByDigest(Tables.documents(spark, sfDir), col("doc_id"),
+      graft.operators.TextStats.normalized(col("text")))
+      .orderBy("keep_id")
+
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     verifiedPairs(spark, sfDir).orderBy("id_a", "id_b")
+
+  /** Incremental ingestion dedup: the corpus splits 80/20 by
+    * doc_id mod 10 into OLD state and the NEW batch; output = verified
+    * near-dup pairs TOUCHING the batch. The old side contributes only
+    * its (persisted-state-shaped) band assignments to one probe join —
+    * no old×old pairing ever happens
+    * ([[graft.operators.Dedup.incrementalCandidates]]). Per-doc MinHash
+    * signatures are corpus-independent, so the incremental pair set
+    * equals the full-corpus pair set restricted to the batch — which is
+    * exactly what the oracle computes. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val sigNew = Dedup.minhashSignatureArr(
+      docs.filter(isNew), col("doc_id"), col("text"), n = 3, k = K).cache()
+    val sigOld = Dedup.minhashSignatureArr(
+      docs.filter(!isNew), col("doc_id"), col("text"), n = 3, k = K).cache()
+    val cands = Dedup.incrementalCandidates(
+      Dedup.lshBands(sigNew, K, BandWidth), Dedup.lshBands(sigOld, K, BandWidth)).cache()
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerify(
+      cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), Threshold)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Canonicalization over the verified near-dup pairs: connected
     * components → (doc_id, canon_id = min doc of the cluster) — the
@@ -211,6 +247,8 @@ object DedupQueries extends QueryModule {
     "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
+    "q_dedup_normalized" -> dedupNormalized,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
@@ -311,9 +349,19 @@ object DedupQueries extends QueryModule {
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
+        |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $pairChainSql
          |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $pairChainSql
+         |SELECT id_a, id_b, jaccard FROM ver
+         |WHERE (id_a % 10) >= 8 OR (id_b % 10) >= 8
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $pairChainSql,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM ver

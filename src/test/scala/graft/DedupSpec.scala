@@ -198,6 +198,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 2L, 1000L)))
   }
 
+  test("incrementalCandidates: full candidate set minus old-x-old, both broadcast modes") {
+    // three near-dup families straddling the old/new boundary + noise
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // old, dup of 2 and 11
+      (2L, "alpha beta gamma delta epsilon zeta"),   // old  → pair (1,2) is old-old: EXCLUDED
+      (11L, "alpha beta gamma delta epsilon zeta"),  // new  → (1,11),(2,11) included
+      (3L, "one two three four five six seven"),     // old, dup of 12
+      (12L, "one two three four five six seven"),    // new  → (3,12)
+      (13L, "red orange yellow green blue indigo"),  // new, dup of 14
+      (14L, "red orange yellow green blue indigo"),  // new  → (13,14)
+      (4L, "lonely words that match nothing else")).toDF("doc_id", "text")
+    val isNew = col("doc_id") >= 10
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatureArr(df, col("doc_id"), col("text"), n = 3, k = 8), 8, 2)
+    val full = Dedup.candidatePairs(bands(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantTouchingNew = full.filter { case (a, b) => a >= 10 || b >= 10 }
+    Seq(true, false).foreach { bc =>
+      val inc = Dedup.incrementalCandidates(
+        bands(docs.filter(isNew)), bands(docs.filter(!isNew)), broadcastNew = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc == wantTouchingNew, s"broadcastNew=$bc: $inc != $wantTouchingNew")
+      assert(!inc.contains((1L, 2L)), "old-x-old pair leaked into the incremental set")
+    }
+    assert(Set((1L, 11L), (2L, 11L), (3L, 12L), (13L, 14L)).subsetOf(wantTouchingNew))
+  }
+
   test("simhash: identical token sets get identical signatures, disjoint sets differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
