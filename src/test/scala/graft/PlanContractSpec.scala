@@ -284,4 +284,26 @@ class PlanContractSpec extends AnyFunSuite {
     // per-user aggregate all reuse the first partitioning
     assert(shuffles(plan).size <= 2, s"funnel grew an exchange:\n$plan")
   }
+
+  test("q_quality_prune: the corpus never joins or sorts — histogram threshold broadcasts back") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+    val plan = staticPlan(graft.queries.TextQueries.qualityPrune(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"quality_prune sort-merge-joins the corpus:\n$plan")
+    // the 1-row threshold rides the MinMax crossJoin pattern
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size == 1)
+    // histogram agg + the two tiny window exchanges + output sort; the
+    // corpus side contributes its aggregate map pass only
+    assert(shuffles(plan).size <= 4, s"quality_prune grew an exchange:\n$plan")
+  }
+
+  test("q_corpus_mix: weight lookup and epoch fan-out are map-side — no join in the plan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = staticPlan(graft.queries.SampleQueries.corpusMix(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"corpus_mix joins for its weights:\n$plan")
+    // the interleave rank's range sort + the output sort only
+    assert(shuffles(plan).size <= 2, s"corpus_mix grew an exchange:\n$plan")
+  }
 }
