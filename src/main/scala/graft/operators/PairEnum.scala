@@ -64,6 +64,9 @@ object PairEnum {
       payloadCols: Seq[String] = Nil,
       blockSize: Int = 4096): DataFrame = {
     require(blockSize >= 2, s"bucketPairs: blockSize must be >= 2, got $blockSize")
+    val reserved = Seq("__g", "__blk", "__c", "__i", "__j")
+    val clash = assign.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty, s"bucketPairs: reserved column names in input: $clash")
     val bcols = bucketCols.map(col)
     // oversized buckets only: one row per bucket after map-side combine,
     // then filtered — tiny by construction, safe to broadcast

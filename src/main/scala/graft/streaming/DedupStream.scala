@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{CacheScope, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -71,9 +71,15 @@ object DedupStream {
             .union(cands.select(col("id_b").as("doc_id"))).distinct()
           val candDocs = spark.read.parquet(s"$corpusDir/*")
             .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          Dedup.jaccardVerify(cands,
-              Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), shingleN), threshold)
+          // jaccardVerify's internal candidate-shingle pin rides a
+          // batch-owned scope — a long-running stream must not
+          // accumulate one cache entry per micro-batch
+          val scope = new CacheScope
+          try Dedup.jaccardVerify(cands,
+              Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), shingleN), threshold,
+              scope)
             .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+          finally scope.close()
           bands.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
           bands.unpersist(blocking = false)
         }

@@ -73,6 +73,14 @@ class PairEnumSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved internal column names are rejected loudly") {
+    val df = Seq((1L, "x")).toDF("id", "bv")
+    intercept[IllegalArgumentException](
+      PairEnum.bucketPairs(df.withColumn("__i", lit(1)), Seq("bv")))
+    intercept[IllegalArgumentException](
+      PairEnum.bucketPairs(df, Seq("bv"), blockSize = 1))
+  }
+
   test("no task owns a full heavy bucket: per-cell pair volume is bounded") {
     // 64-row single bucket at blockSize 8 → g = 8: the largest triangular
     // cell enumerates at most ~2·8 rows → ≤ 8·8 pairs, vs 2016 naive
