@@ -497,14 +497,56 @@ object Similarity {
     * candidate set then re-joins the vectors by id. Callers should
     * cache `prepped` (it backs the signature pass and both scoring
     * sides; same caller-owned-lifetime contract as [[lshPairs]]). */
-  def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
-    require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
-    val width = adaptiveBits(prepped.count(), minWidth)
-    val banded = prepped
+  /** Banded hyperplane assignments at an EXPLICIT width: (id, band,
+    * bsig) — the persisted ANN band-state shape. The width is a state
+    * property: an incremental consumer must band new vectors at the
+    * width the state was built with (bands at different widths never
+    * co-bucket), and re-derives the state — cheap, it's derived data —
+    * when the corpus doubles past the next power of two. */
+  def bandAssignments(prepped: DataFrame, dim: Int, bands: Int, width: Int): DataFrame = {
+    require(bands >= 1 && width >= 1, s"bandAssignments: bad bands=$bands width=$width")
+    prepped
       .select(col("id"), lshSignature(col("q"), bands * width, dim).as("sig"))
       .select(col("id"), explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), substring(col("sig"), b * width + 1, width).as("bsig"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  /** INCREMENTAL banded ANN: cosine-scored candidate pairs touching the
+    * NEW vector batch only — new×new (blocked self-join) plus new×STATE
+    * (probe join, batch side broadcast) — never old×old. The vector-side
+    * twin of [[Dedup.incrementalCandidates]]: the persisted band table is
+    * the ANN index, each arriving batch pays its own banding plus one
+    * probe, and per-batch cost stays flat as the corpus grows. Old
+    * vectors are read back ONLY for candidate scoring (`oldPrepped` —
+    * the embedding store in [[prep]]ped shape; the candidate semi-join
+    * confines the read). Signatures are per-vector, so the result equals
+    * the full-corpus [[lshBandedPairs]] at the same width restricted to
+    * pairs touching the batch (pinned by SimilaritySpec). */
+  def incrementalBandedPairs(
+      newPrepped: DataFrame, oldPrepped: DataFrame, stateBanded: DataFrame,
+      dim: Int, bands: Int, width: Int, broadcastNew: Boolean = true): DataFrame = {
+    val newBanded = bandAssignments(newPrepped, dim, bands, width).cache()
+    val n = if (broadcastNew) broadcast(newBanded) else newBanded
+    val cross = n.as("n").join(stateBanded.as("o"),
+        col("n.band") === col("o.band") && col("n.bsig") === col("o.bsig"))
+      .select(least(col("n.id"), col("o.id")).as("vec_a"),
+        greatest(col("n.id"), col("o.id")).as("vec_b"))
+    val cand = PairEnum.bucketPairs(newBanded, Seq("band", "bsig"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .union(cross).distinct()
+    val vecs = newPrepped.unionByName(oldPrepped)
+    val va = vecs.select(col("id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
+    val vb = vecs.select(col("id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotQ(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos"))
+  }
+
+  def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
+    require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
+    val width = adaptiveBits(prepped.count(), minWidth)
+    val banded = bandAssignments(prepped, dim, bands, width)
       .cache() // both sides of the bucket self-join
     val cand = PairEnum.bucketPairs(banded, Seq("band", "bsig"))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))

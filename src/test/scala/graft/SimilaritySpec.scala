@@ -112,6 +112,41 @@ class SimilaritySpec extends AnyFunSuite {
     p.unpersist(); spark.catalog.clearCache()
   }
 
+  test("incremental banded ANN equals the full pair set restricted to the batch; no old-x-old") {
+    val dim = 8
+    // old corpus: a dup family (0,1) + scatter; new batch: a dup of old
+    // vector 0 (id 100) + an internal new dup pair (101,102) + scatter
+    def v(seed: Double) = Array.tabulate(dim)(j => math.sin(seed * 3.77 + j * 1.31).toFloat)
+    val dupDir = Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.01f)
+    val newDir = Array.tabulate(dim)(j => if (j == 1) 1.0f else 0.02f)
+    val oldRows = Seq((0L, dupDir), (1L, dupDir)) ++ (10L until 40L).map(i => (i, v(i.toDouble)))
+    val newRows = Seq((100L, dupDir), (101L, newDir), (102L, newDir)) ++
+      (110L until 120L).map(i => (i, v(i.toDouble)))
+    val oldP = Similarity.prep(oldRows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding")).cache()
+    val newP = Similarity.prep(newRows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding")).cache()
+    val allP = Similarity.prep((oldRows ++ newRows).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).cache()
+    val w = Similarity.adaptiveBits(oldRows.size + newRows.size, 4)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))).toSet
+    val full = pairSet(Similarity.lshBandedPairs(allP, dim, bands = 4, minWidth = 4))
+    val newIds = newRows.map(_._1).toSet
+    val wantTouchingNew = full.filter { case (a, b, _) => newIds(a) || newIds(b) }
+    val state = Similarity.bandAssignments(oldP, dim, 4, w)
+    Seq(true, false).foreach { bc =>
+      val inc = pairSet(Similarity.incrementalBandedPairs(
+        newP, oldP, state, dim, 4, w, broadcastNew = bc))
+      assert(inc == wantTouchingNew, s"broadcastNew=$bc:\n inc=$inc\n want=$wantTouchingNew")
+      assert(inc.forall { case (a, b, _) => newIds(a) || newIds(b) })
+    }
+    // the planted relationships specifically
+    val incKeys = pairSet(Similarity.incrementalBandedPairs(newP, oldP, state, dim, 4, w))
+      .map { case (a, b, _) => (a, b) }
+    assert(Set((0L, 100L), (1L, 100L), (101L, 102L)).subsetOf(incKeys))
+    assert(!incKeys.contains((0L, 1L)), "old-x-old pair leaked")
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopKProbe: nprobe=1 matches the single-cell probe; nprobe=#cells recovers brute force") {
     // 40 vectors in 4 orthogonal-ish blobs; stride 10 → 4 centroids
     val pts = (0L until 40L).map { i =>
