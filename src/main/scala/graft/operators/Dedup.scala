@@ -326,11 +326,13 @@ object Dedup {
     *    construction (LSH buckets → Jaccard threshold), so even a 100 TB
     *    corpus typically yields a pair list that fits in driver memory
     *    with a wide margin (the default 4M-edge bound is ~64 MiB of
-    *    longs). Collecting it once and running union-find replaces an
-    *    O(diameter) sequence of Spark jobs — each dominated by fixed
-    *    scheduling/checkpoint overhead, not data — with two small jobs
-    *    (count + collect). The bound is a hard memory guarantee, checked
-    *    against the materialized count, never assumed.
+    *    longs; STRING ids additionally gate on measured total id bytes,
+    *    since a hash/URL key makes per-edge size unbounded). Collecting
+    *    it once and running union-find replaces an O(diameter) sequence
+    *    of Spark jobs — each dominated by fixed scheduling/checkpoint
+    *    overhead, not data — with two small jobs (count/byte-measure +
+    *    collect). The bound is a hard memory guarantee, checked against
+    *    the materialized sizes, never assumed.
     * 2. **Distributed min-label propagation** (bigger graphs, or id
     *    types without a driver-side ordering): each round joins the
     *    label frame to the (bidirected) edge list and takes the per-node
@@ -343,6 +345,12 @@ object Dedup {
     * component) frame — the driver path's string ordering compares UTF-8
     * bytes unsigned, matching Spark's UTF8String ordering exactly.
     */
+  /** Driver-drain byte cap for STRING-id edge lists: total measured
+    * id bytes must stay under this (≈256 MiB of raw characters) in
+    * addition to the edge-count bound — string keys make per-edge size
+    * unbounded, and the count bound alone is no memory guarantee. */
+  val DriverDrainMaxStringBytes: Long = 256L << 20
+
   def clusters(pairs: DataFrame, maxIters: Int = 50,
                driverDrainMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -376,7 +384,18 @@ object Dedup {
     // count() over the just-checkpointed blocks is a cheap local scan;
     // the drain decision is made against the MEASURED size, never a
     // stats estimate, so the driver-memory bound is a hard guarantee.
-    if (drainable && p.count() <= driverDrainMaxEdges) {
+    // STRING ids make per-edge size unbounded (URL/hash keys), so they
+    // additionally gate on the measured total id bytes — a 4M-edge
+    // string graph can be multi-GB where the long graph is ~64 MiB.
+    val fitsDriver = drainable && {
+      if (idType == org.apache.spark.sql.types.StringType) {
+        val r = p.agg(count(lit(1)),
+          sum(length(col("id_a")) + length(col("id_b")))).head()
+        r.getLong(0) <= driverDrainMaxEdges &&
+          (r.isNullAt(1) || r.getLong(1) <= DriverDrainMaxStringBytes)
+      } else p.count() <= driverDrainMaxEdges
+    }
+    if (fitsDriver) {
       val out = driverUnionFind(p, idType)
       free(pIds)
       return out

@@ -126,6 +126,11 @@ object Enrich {
       assemble: (Seq[Row], Seq[Row], Int, Int) => Seq[Row]): DataFrame = {
     val spark = items.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
+    // withColumn would silently REPLACE a caller's __batch_id and the
+    // carry path's row patch would then mis-assemble — reject loudly
+    // (the PairEnum/mixByWeights reserved-name rule)
+    require(!items.columns.contains("__batch_id"),
+      "enrich: column name __batch_id is reserved")
     val withBatch = items.withColumn("__batch_id", batchId(col("item_id"), cfg.batchSize))
     val batchIdIdx = withBatch.schema.fieldIndex("__batch_id")
     val itemIdIdx = withBatch.schema.fieldIndex("item_id")

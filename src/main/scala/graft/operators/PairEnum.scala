@@ -69,8 +69,13 @@ object PairEnum {
     require(clash.isEmpty, s"bucketPairs: reserved column names in input: $clash")
     val bcols = bucketCols.map(col)
     // oversized buckets only: one row per bucket after map-side combine,
-    // then filtered — tiny by construction, safe to broadcast
-    val heavy = assign.groupBy(bcols: _*).agg(count(lit(1)).as("__c"))
+    // then filtered — tiny by construction, safe to broadcast. NULL
+    // bucket keys never equi-join (shingle-less docs from the signature
+    // paths), so a large null group must not trip the gate onto the
+    // blocked plan — it pairs with nothing either way.
+    val heavy = assign
+      .filter(bcols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(bcols: _*).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > blockSize)
       .select(bcols :+ ceil(col("__c") / blockSize).cast("int").as("__g"): _*)
     if (heavy.isEmpty) {

@@ -525,8 +525,12 @@ object Similarity {
     * pairs touching the batch (pinned by SimilaritySpec). */
   def incrementalBandedPairs(
       newPrepped: DataFrame, oldPrepped: DataFrame, stateBanded: DataFrame,
-      dim: Int, bands: Int, width: Int, broadcastNew: Boolean = true): DataFrame = {
-    val newBanded = bandAssignments(newPrepped, dim, bands, width).cache()
+      dim: Int, bands: Int, width: Int, broadcastNew: Boolean = true,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // per-call pin: a streaming consumer calls this once per micro-batch
+    // and must pass a batch-owned scope (the jaccardVerify contract) —
+    // the default keeps the session-sweep convention for one-shot callers
+    val newBanded = scope.pin(bandAssignments(newPrepped, dim, bands, width))
     val n = if (broadcastNew) broadcast(newBanded) else newBanded
     val cross = n.as("n").join(stateBanded.as("o"),
         col("n.band") === col("o.band") && col("n.bsig") === col("o.bsig"))

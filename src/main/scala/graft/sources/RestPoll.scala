@@ -37,9 +37,12 @@ object RestPoll {
 
   /** One GET with bounded retries. Returns the body string; throws
     * after `retries` failed attempts. A 204 returns "". Only TRANSPORT
-    * errors and 5xx are retried: a 4xx is a [[ClientError]] thrown
-    * immediately — a permanent client error (401/404) would burn every
-    * retry with backoff and fail identically. Error bodies are drained
+    * errors, 5xx, and the two explicitly-transient client codes — 408
+    * Request Timeout and 429 Too Many Requests — are retried: any other
+    * 4xx is a [[ClientError]] thrown immediately, since a permanent
+    * client error (401/404) would burn every retry with backoff and
+    * fail identically. (429 is the normal weather of a polling source;
+    * failing a stream on it would be wrong.) Error bodies are drained
     * before disconnect so keep-alive connections stay reusable. */
   def getOnce(url: String, headers: Map[String, String] = Map.empty,
               timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): String = {
@@ -61,7 +64,8 @@ object RestPoll {
             // drain the error stream (connection-reuse hygiene)
             val err = conn.getErrorStream
             if (err != null) try { err.readAllBytes(); () } finally err.close()
-            if (code < 500) throw new ClientError(s"RestPoll: HTTP $code from $url")
+            if (code < 500 && code != 408 && code != 429)
+              throw new ClientError(s"RestPoll: HTTP $code from $url")
             throw new java.io.IOException(s"RestPoll: HTTP $code from $url")
           }
           val in = conn.getInputStream

@@ -58,12 +58,24 @@ object DedupStream {
           val bands = Dedup.lshBands(
             Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), shingleN, k),
             k, bandWidth).cache()
-          val fs = new org.apache.hadoop.fs.Path(stateDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val stateExists = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+          // CRASH-REPLAY GUARD: a crash between this batch's state write
+          // and the checkpoint commit replays the batch with its OWN
+          // bands already persisted — reading them back as "old" state
+          // would violate incrementalCandidates' disjoint-id contract
+          // and emit self-pairs. Enumerate the state dirs and exclude
+          // batch_<id> explicitly, so a replay sees exactly the state
+          // the original run saw.
+          val statePath = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val priorState: Seq[String] =
+            if (fs.exists(statePath))
+              fs.listStatus(statePath).toSeq.map(_.getPath)
+                .filter(p => p.getName.startsWith("batch_") && p.getName != s"batch_$batchId")
+                .map(_.toString)
+            else Seq.empty
           val cands =
-            if (stateExists)
-              Dedup.incrementalCandidates(bands, spark.read.parquet(s"$stateDir/*"))
+            if (priorState.nonEmpty)
+              Dedup.incrementalCandidates(bands, spark.read.parquet(priorState: _*))
             else Dedup.candidatePairs(bands)
           // verification text comes from the corpus store (batch
           // included — written first), confined to candidate ids

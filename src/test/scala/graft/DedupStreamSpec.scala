@@ -61,5 +61,28 @@ class DedupStreamSpec extends AnyFunSuite {
 
     // corpus store holds all text, per-batch
     assert(spark.read.parquet(s"$base/corpus/*").count() == 8)
+
+    // CRASH REPLAY: a crash between the state write and the checkpoint
+    // commit leaves the replaying batch's OWN bands in the state dir.
+    // Plant exactly that (batch 2's bands under state/batch_2) before
+    // batch 2 runs: the replay guard must exclude them, or every doc
+    // would self-pair at jaccard 1.0.
+    import org.apache.spark.sql.functions.col
+    val b3 = Seq(
+      docJson(21, "completely fresh content for the third batch"),
+      docJson(22, "another unique line of text right here"))
+    val preDocs = {
+      import spark.implicits._
+      Seq((21L, "completely fresh content for the third batch"),
+        (22L, "another unique line of text right here")).toDF("doc_id", "text")
+    }
+    graft.operators.Dedup.lshBands(
+      graft.operators.Dedup.minhashSignatureArr(preDocs, col("doc_id"), col("text"), 3, 8), 8, 2)
+      .write.mode("overwrite").parquet(s"$base/state/batch_2")
+    Files.write(java.nio.file.Paths.get(bronze, "b3.json"), b3.mkString("\n").getBytes)
+    run()
+    val p2 = pairs(s"$base/pairs/batch_2")
+    assert(p2.forall { case (a, b) => a != b }, s"self-pairs leaked on replay: $p2")
+    assert(p2.isEmpty, s"batch 3 has no dups anywhere, got: $p2")
   }
 }
