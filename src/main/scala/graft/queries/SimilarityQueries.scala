@@ -146,8 +146,37 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  /** ANN quality harness: per-query recall@3 of the IVF index against
+    * the brute-force ground truth — the measurement an index rollout
+    * gates on. Both legs are the exact quantized-integer arithmetic of
+    * q_sim_topk / q_sim_ivf, so the intersection (and the recall) is
+    * deterministic and fully oracled, not a flaky float compare.
+    * Scale: ground truth cost is bounded by the QUERY SAMPLE (10 ids
+    * broadcast against the corpus, one pass); the approx leg reuses the
+    * IVF plan unchanged; the final joins touch ≤ k·|sample| rows. */
+  def simRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // one pinned scan feeds ground truth (both sides) and the IVF leg
+    val p = prepped(spark, sfDir).cache()
+    val truth = Similarity.bruteTopK(p, p.filter(col("id") < 10), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(Similarity.ivfCellsMapSide(p, IvfStride),
+        id => id < 10, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    // base the output on the truth's query set: a query whose IVF cell
+    // is otherwise empty still reports recall 0, not a missing row
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Rnd.r(coalesce(col("hits"), lit(0L)).cast("double") / lit(3.0), 6).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> simTopK,
+    "q_sim_recall" -> simRecall,
     "q_sim_lsh" -> simLsh,
     "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
@@ -240,6 +269,57 @@ object SimilarityQueries extends QueryModule {
          |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
          |FROM cosv WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // recall@3 = |brute top-3 ∩ IVF top-3| / 3 per query: the `tr` chain
+    // is q_sim_topk's at k=3, the `ar` chain is q_sim_ivf's, and both
+    // rank with the same (cos DESC, neighbor_id) tie rule, so the
+    // intersection is exact
+    "q_sim_recall" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |bcos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM bcos) WHERE rk <= 3),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 10),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qs q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM ncos) WHERE rk <= 3),
+         |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
+         |  FROM ar a LEFT JOIN tr t
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "q_sim_ivf_probe" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),

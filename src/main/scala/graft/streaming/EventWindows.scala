@@ -104,6 +104,72 @@ object EventWindows {
         follows.withWatermark("f_ts", delay),
         expr(s"a_key = f_key AND f_ts >= a_ts AND f_ts <= a_ts + INTERVAL $window"))
 
+  /** Input / state / output rows for [[customSessionize]]. Session
+    * bounds are epoch MICROSECONDS, matching [[sessionKpis]]. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSess(startUs: Long, lastUs: Long, n: Long, total: Double)
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, raw_total: Double)
+
+  /** Hand-rolled event-time sessionizer on flatMapGroupsWithState — the
+    * escape hatch for session semantics `session_window` can't express
+    * (dynamic gaps, per-session caps, custom merge logic). This default
+    * configuration reproduces the native contract exactly (verified
+    * against [[sessionKpis]] in EventStreamSpec): events whose
+    * [ts, ts+gap] intervals TOUCH merge, a session spans
+    * [first event, last event + gap], and append-mode emission happens
+    * once the watermark reaches the session end.
+    *
+    * State per key is a list of OPEN sessions (not raw events) — a
+    * late-but-in-watermark event may extend or bridge them, so more
+    * than one can be in flight; memory is O(open sessions), bounded by
+    * the watermark delay, never O(events). Eviction is two-pronged:
+    * keys receiving data evict inline against the current watermark;
+    * silent keys wake via an event-time timeout pinned to the earliest
+    * session close. Both prongs are micro-batch-driven — at 100 TB/day
+    * the state store shards by key across executors and this function
+    * only ever sees one key's bounded list.
+    */
+  def customSessionize(events: Dataset[SessEvent],
+                       gapUs: Long = 30L * 60 * 1000000L,
+                       delay: String = "1 hour"): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[List[OpenSess]]) => {
+          val incoming = rows.map { e =>
+            val us = e.ts.getTime * 1000L
+            OpenSess(us, us, 1L, e.value)
+          }.toList
+          // Merge point-sessions into gap-separated runs: after sorting
+          // by start, a session fuses into the previous one iff its
+          // start touches [start, last + gap] (closed boundary — the
+          // EventStreamSpec boundary witness applies here too).
+          val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.startUs, s.lastUs))
+            .foldLeft(List.empty[OpenSess]) { (acc, s) =>
+              acc match {
+                case h :: t if s.startUs <= h.lastUs + gapUs =>
+                  OpenSess(h.startUs, math.max(h.lastUs, s.lastUs),
+                    h.n + s.n, h.total + s.total) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => s.lastUs + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake at the earliest close; the API requires a timestamp
+            // strictly beyond the current watermark
+            val wakeMs = open.map(s => (s.lastUs + gapUs) / 1000L).min
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.map(s => SessOut(user, s.startUs, s.lastUs + gapUs, s.n, s.total)).iterator
+        })
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user across micro-batches (the KeyValueGroupedDataset state API the
     * collector's accumulation loop would use for per-key state). */

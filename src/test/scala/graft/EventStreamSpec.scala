@@ -159,6 +159,71 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: merges across batches, emits on watermark, times out silent keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventWindows.SessEvent]
+    val sessions = EventWindows.customSessionize(in.toDS(), delay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(EventWindows.SessEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // cross-batch merge into the open session, not a new one
+      in.addData(EventWindows.SessEvent(1L, ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("custom_sessions").count() == 0, "session emitted while still open")
+      // silence pushes the watermark past session 1's end; the user-1
+      // key gets NO new data here, so only the event-time TIMEOUT can
+      // emit it (user 2 carries the watermark forward)
+      in.addData(EventWindows.SessEvent(2L, ts("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(EventWindows.SessEvent(2L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("custom_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("raw_total"))).toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got == Set(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 2L, 3.0),
+        (2L, us("2024-01-01 12:30:00"), us("2024-01-01 13:00:00"), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with native session_window on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // interleaved multi-user events, out of order ACROSS batches (user 3
+    // arrives 2.5h behind the batch-1 maximum — inside the 3h delay)
+    val batch1 = Seq((1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 10:05:00", 4.0),
+      (1L, "2024-01-01 10:29:00", 2.0), (1L, "2024-01-01 11:30:00", 3.0))
+    val batch2 = Seq((2L, "2024-01-01 10:40:00", 1.5), (3L, "2024-01-01 09:00:00", 7.0))
+    val all = batch1 ++ batch2
+    val in = MemoryStream[EventWindows.SessEvent]
+    val sessions = EventWindows.customSessionize(in.toDS(), delay = "3 hours")
+    val q = sessions.writeStream.format("memory").queryName("custom_vs_native")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1.map(e => EventWindows.SessEvent(e._1, ts(e._2), e._3)))
+      q.processAllAvailable()
+      in.addData(batch2.map(e => EventWindows.SessEvent(e._1, ts(e._2), e._3)))
+      q.processAllAvailable()
+      // far-future sentinel closes every real session via timeout
+      in.addData(EventWindows.SessEvent(999L, ts("2024-01-02 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("custom_vs_native").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("raw_total")))
+        .filter(_._1 != 999L).toSet
+      val native = EventWindows.sessionKpis(
+          all.map(e => (e._1, ts(e._2), e._3)).toDF("user_id", "ts", "value"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("raw_total"))).toSet
+      assert(streamed == native)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
