@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EnrichQueries, EventQueries, IngestQueries, JoinQueries, KpiQueries, MediaQueries, RelationalQueries, SampleQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EnrichQueries, EventQueries, IngestQueries, JoinQueries, KpiQueries, MediaQueries, ProfileQueries, RelationalQueries, SampleQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (MediaQueries.queries, MediaQueries.oracles),
       (SampleQueries.queries, SampleQueries.oracles),
-      (JoinQueries.queries, JoinQueries.oracles))
+      (JoinQueries.queries, JoinQueries.oracles),
+      (ProfileQueries.queries, ProfileQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the whole reference spine END TO END, including the real

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass column profiler — the data-validation step a training
+  * pipeline runs before pointing a 100 TB corpus at a trainer: per
+  * column, row/null/distinct counts plus typed min/max, in ONE pass
+  * over the data.
+  *
+  * Scale design: all statistics for all columns ride a single global
+  * aggregate. The exact-distinct spelling makes Spark plan ONE Expand
+  * (k replicas map-side, one per distinct group), but partial
+  * aggregation collapses each replica to its column's distinct values
+  * before anything shuffles — the exchange carries Σ per-column
+  * distinct cardinalities, not k× the corpus. That is the right trade
+  * for dimension-like columns; for high-cardinality columns (ids, free
+  * text) use [[columnsApprox]], whose HLL sketches keep the shuffle at
+  * KB per column with no Expand at all.
+  *
+  * Output is long format, one row per column:
+  * `(column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+  * min_str, max_str)` — numeric legs null for string columns and vice
+  * versa. Numeric legs are doubles; timestamps profile as epoch
+  * milliseconds (exact in a double through 2^53); both choices keep
+  * the output engine-portable.
+  */
+object Profile {
+
+  /** Exact profile of `cols` (default: every column) in one aggregate. */
+  def columns(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    profile(df, cols, c => count_distinct(c))
+
+  /** Profile with `approx_count_distinct` (HyperLogLog++, default rsd
+    * 5%) in place of the exact distinct: a plain single aggregate — no
+    * Expand, KB-sized sketch partials per column — for corpora whose id
+    * or text columns would make the exact exchange carry the column's
+    * whole value domain. Not DuckDB-oracle-able (estimator-specific);
+    * ProfileSpec bounds it against [[columns]]. */
+  def columnsApprox(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    profile(df, cols, c => approx_count_distinct(c))
+
+  /** How one column enters the numeric or string min/max leg. */
+  private def legs(f: StructField): (Option[Column], Option[Column]) = f.dataType match {
+    case _: NumericType => (Some(col(f.name).cast("double")), None)
+    // epoch millis, not CAST(ts AS STRING): integer rendering is
+    // engine-stable, timestamp-to-text formatting is not. NTZ converts
+    // through the session timezone — pinned UTC in every harness
+    // session — which matches DuckDB's naive-as-UTC epoch_ms.
+    case _: TimestampType | _: TimestampNTZType =>
+      (Some(unix_millis(col(f.name).cast("timestamp")).cast("double")), None)
+    case _: StringType => (None, Some(col(f.name)))
+    case other => throw new IllegalArgumentException(
+      s"Profile: unsupported type ${other.simpleString} for column ${f.name}")
+  }
+
+  private def profile(df: DataFrame, cols: Seq[String],
+                      distinctAgg: Column => Column): DataFrame = {
+    val want = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
+    val fields = want.map(n => df.schema(n))
+    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val (num, str) = legs(f)
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        distinctAgg(c).as(s"__nd_${f.name}"),
+        num.map(min).getOrElse(lit(null).cast("double")).as(s"__mn_${f.name}"),
+        num.map(max).getOrElse(lit(null).cast("double")).as(s"__mx_${f.name}"),
+        str.map(min).getOrElse(lit(null).cast("string")).as(s"__sn_${f.name}"),
+        str.map(max).getOrElse(lit(null).cast("string")).as(s"__sx_${f.name}"))
+    }
+    // pivot the single wide aggregate row to one row per column —
+    // driver-trivial (the frame is exactly one row by construction);
+    // uniform struct field names make the array element types unify
+    val entries = fields.map { f =>
+      val n = f.name
+      struct(
+        lit(n).as("column_name"),
+        col(s"__nn_$n").as("nn"), col(s"__nd_$n").as("nd"),
+        col(s"__mn_$n").as("mn"), col(s"__mx_$n").as("mx"),
+        col(s"__sn_$n").as("sn"), col(s"__sx_$n").as("sx"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), explode(array(entries: _*)).as("e"))
+      .select(
+        col("e.column_name").as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col("e.nn")).as("n_nulls"),
+        col("e.nd").as("n_distinct"),
+        col("e.mn").as("min_num"),
+        col("e.mx").as("max_num"),
+        col("e.sn").as("min_str"),
+        col("e.sx").as("max_str"))
+  }
+}

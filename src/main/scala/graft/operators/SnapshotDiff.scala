@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC-style snapshot diff: classify every key of two table versions as
+  * added / removed / changed, emitting only the changes (the feed an
+  * incremental downstream — index refresh, re-embedding, cache
+  * invalidation — consumes).
+  *
+  * Scale design: each side reduces to `(key, 16-byte md5 digest)`
+  * BEFORE the full-outer join, so the join exchange carries digests,
+  * never full rows — the same trade as [[Dedup.exactByDigest]] (at a
+  * 2^-64-scale collision risk a changed row could digest-collide and
+  * read as unchanged; swap in the raw-column comparison where that is
+  * unacceptable). The join shuffles both sides by key once; with the
+  * snapshots bucketed by key on disk it is exchange-free.
+  *
+  * Digest canonicalization (`rowDigest`) is engine-portable BY
+  * CONSTRUCTION so the operator stays on the DuckDB-oracled path:
+  * every value is rendered to text with engine-stable formats
+  * (integers/strings as-is; money through DECIMAL, timestamps through
+  * epoch millis — double/timestamp native text rendering differs
+  * between engines) and nulls become an explicit 0x02 sentinel —
+  * `concat_ws` SKIPS nulls, so without the sentinel ("a", null) and
+  * ("a") would collide — before md5 over a 0x01-joined byte string.
+  */
+object SnapshotDiff {
+
+  /** md5 hex digest over canonicalized value columns. Callers pass the
+    * values already rendered engine-stable (see class doc); this adds
+    * the null sentinel and the field separator. */
+  def rowDigest(values: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      values.map(v => coalesce(v.cast("string"), lit("\u0002"))): _*).cast("binary"))
+
+  /** Diff two snapshots on `keys`, with `digest` the canonicalized
+    * row-content digest present in both inputs. Emits one row per
+    * changed key: `(keys..., change_type ∈ added|removed|changed)`.
+    * Unchanged keys are filtered before anything leaves the join. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+           keys: Seq[String], digest: Column): DataFrame = {
+    val o = oldSnap.select(keys.map(col) :+ digest.as("__d_old"): _*)
+    val n = newSnap.select(keys.map(col) :+ digest.as("__d_new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__d_old").isNull, lit("added"))
+          .when(col("__d_new").isNull, lit("removed"))
+          .when(col("__d_old") =!= col("__d_new"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Profile, SnapshotDiff}
+
+/** Corpus-management queries: single-pass column profiling and
+  * CDC-style snapshot diff — the validate-before-train and
+  * what-changed-since-last-run primitives of a production data
+  * pipeline (operators in [[graft.operators.Profile]] /
+  * [[graft.operators.SnapshotDiff]]).
+  */
+object ProfileQueries extends QueryModule {
+
+  /** One-pass profile of every `orders` column: counts, nulls, exact
+    * distinct, typed min/max (timestamps as epoch millis). */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.columns(Tables.orders(spark, sfDir)).orderBy("column_name")
+
+  /** Diff two deterministic snapshots of `orders`: the old snapshot
+    * drops keys ≡3 (mod 10), the new drops keys ≡7 (mod 10) and doubles
+    * `o_totalprice` on keys ≡0 (mod 5) — so the diff must classify
+    * exactly those keys as added / removed / changed. Money enters the
+    * digest through DECIMAL(18,2) and the date through epoch millis
+    * (engine-stable renderings; see [[SnapshotDiff]] doc). */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    def digest(df: DataFrame) = SnapshotDiff.rowDigest(Seq(
+      df("o_custkey"),
+      df("o_orderstatus"),
+      df("o_totalprice").cast("decimal(18,2)"),
+      unix_millis(df("o_orderdate").cast("timestamp")),
+      df("o_orderpriority")))
+    SnapshotDiff.diff(oldSnap.withColumn("__d", digest(oldSnap)),
+        newSnap.withColumn("__d", digest(newSnap)),
+        Seq("o_orderkey"), col("__d"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> profileOrders,
+    "q_snapshot_diff" -> snapshotDiff)
+
+  /** One UNION ALL leg per orders column, mirroring Profile's typed
+    * legs: numeric/timestamp columns fill min_num/max_num (timestamps
+    * via epoch millis), string columns fill min_str/max_str. */
+  private def profileLeg(name: String, kind: String): String = {
+    val (mn, mx, sn, sx) = kind match {
+      case "num" => (s"CAST(MIN($name) AS DOUBLE)", s"CAST(MAX($name) AS DOUBLE)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "ts" => (s"CAST(epoch_ms(MIN($name)) AS DOUBLE)",
+        s"CAST(epoch_ms(MAX($name)) AS DOUBLE)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "str" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"MIN($name)", s"MAX($name)")
+    }
+    s"""SELECT '$name' AS column_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) - COUNT($name) AS BIGINT) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+       |  $mn AS min_num, $mx AS max_num,
+       |  $sn AS min_str, $sx AS max_str
+       |FROM orders""".stripMargin
+  }
+
+  private val digestSql =
+    """md5(concat_ws(chr(1),
+      |    COALESCE(CAST(o_custkey AS VARCHAR), chr(2)),
+      |    COALESCE(o_orderstatus, chr(2)),
+      |    COALESCE(CAST(CAST(__price AS DECIMAL(18,2)) AS VARCHAR), chr(2)),
+      |    COALESCE(CAST(epoch_ms(o_orderdate) AS VARCHAR), chr(2)),
+      |    COALESCE(o_orderpriority, chr(2))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" -> Seq(
+      profileLeg("o_orderkey", "num"),
+      profileLeg("o_custkey", "num"),
+      profileLeg("o_orderstatus", "str"),
+      profileLeg("o_totalprice", "num"),
+      profileLeg("o_orderdate", "ts"),
+      profileLeg("o_orderpriority", "str"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // classification parity needs only WITHIN-engine digest
+    // consistency: 'changed' means old and new canonical rows differ,
+    // which both engines decide over their own renderings
+    "q_snapshot_diff" ->
+      s"""WITH oldd AS (
+         |  SELECT o_orderkey AS k, ${digestSql.replace("__price", "o_totalprice")} AS d
+         |  FROM orders WHERE o_orderkey % 10 <> 3),
+         |newd AS (
+         |  SELECT o_orderkey AS k, ${digestSql.replace("__price",
+                "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")} AS d
+         |  FROM orders WHERE o_orderkey % 10 <> 7)
+         |SELECT COALESCE(o.k, n.k) AS o_orderkey,
+         |  CASE WHEN o.k IS NULL THEN 'added'
+         |       WHEN n.k IS NULL THEN 'removed'
+         |       WHEN o.d <> n.d THEN 'changed' END AS change_type
+         |FROM oldd o FULL OUTER JOIN newd n ON o.k = n.k
+         |WHERE o.k IS NULL OR n.k IS NULL OR o.d <> n.d
+         |ORDER BY o_orderkey""".stripMargin)
+}

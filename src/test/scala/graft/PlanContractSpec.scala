@@ -306,4 +306,28 @@ class PlanContractSpec extends AnyFunSuite {
     // the interleave rank's range sort + the output sort only
     assert(shuffles(plan).size <= 2, s"corpus_mix grew an exchange:\n$plan")
   }
+
+  test("q_profile: ONE scan, ONE Expand, one aggregation tree — a single pass") {
+    val plan = staticPlan(graft.queries.ProfileQueries.profileOrders(spark, sf))
+    assert(scans(plan).size == 1, s"profile re-scans the table:\n$plan")
+    val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1,
+      s"exact multi-distinct should plan exactly one Expand, got ${expands.size}:\n$plan")
+    // distinct-group exchange + final single-partition agg + output sort
+    assert(shuffles(plan).size <= 3, s"profile grew an exchange:\n$plan")
+  }
+
+  test("q_snapshot_diff: digests computed below the join — the join carries key+digest only") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = staticPlan(graft.queries.ProfileQueries.snapshotDiff(spark, sf))
+    val joins = plan.collect { case j: SortMergeJoinExec => j }
+    assert(joins.size == 1, s"expected the one full-outer key join:\n$plan")
+    // every join input column is a key or a digest: full rows never shuffle
+    joins.head.children.foreach { side =>
+      val cols = side.output.map(_.name)
+      assert(cols.forall(c => c == "o_orderkey" || c.startsWith("__d")),
+        s"full row columns reached the diff join: $cols")
+    }
+    assert(shuffles(plan).size <= 3, s"diff grew an exchange:\n$plan")
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Profile, SnapshotDiff}
+
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame = Seq(
+    (1L, Some("a"), Some(2.5)),
+    (2L, Some("b"), None),
+    (3L, None, Some(2.5)),
+    (4L, Some("a"), Some(-1.0))
+  ).toDF("id", "s", "x")
+
+  test("Profile.columns: exact counts, nulls, distinct, typed min/max legs") {
+    val rows = Profile.columns(frame).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("id", "s", "x"))
+    val id = rows("id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_nulls") == 0)
+    assert(id.getAs[Long]("n_distinct") == 4)
+    assert(id.getAs[Double]("min_num") == 1.0 && id.getAs[Double]("max_num") == 4.0)
+    assert(id.isNullAt(id.fieldIndex("min_str")))
+    val s = rows("s")
+    assert(s.getAs[Long]("n_nulls") == 1 && s.getAs[Long]("n_distinct") == 2)
+    assert(s.getAs[String]("min_str") == "a" && s.getAs[String]("max_str") == "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    val x = rows("x")
+    assert(x.getAs[Long]("n_nulls") == 1 && x.getAs[Long]("n_distinct") == 2)
+    assert(x.getAs[Double]("min_num") == -1.0 && x.getAs[Double]("max_num") == 2.5)
+  }
+
+  test("Profile.columnsApprox: same counts/min/max, distinct within HLL error") {
+    val n = 5000
+    val df = spark.range(n.toLong).select(
+      col("id"), (col("id") % 97).cast("string").as("s"))
+    val exact = Profile.columns(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val approx = Profile.columnsApprox(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    for (c <- Seq("id", "s")) {
+      assert(approx(c).getAs[Long]("n_rows") == exact(c).getAs[Long]("n_rows"))
+      assert(approx(c).getAs[Long]("n_nulls") == exact(c).getAs[Long]("n_nulls"))
+      val (e, a) = (exact(c).getAs[Long]("n_distinct"), approx(c).getAs[Long]("n_distinct"))
+      assert(math.abs(a - e) <= math.max(1L, (e * 0.15).toLong),
+        s"$c: approx $a vs exact $e")
+    }
+    assert(approx("id").getAs[Double]("max_num") == (n - 1).toDouble)
+  }
+
+  test("Profile.columns rejects unsupported column types with a clear error") {
+    val df = Seq((1L, Array(1, 2))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException](Profile.columns(df))
+    assert(e.getMessage.contains("arr"))
+  }
+
+  private def snap(rows: Seq[(Long, Option[String], Option[String])]) =
+    rows.toDF("k", "v1", "v2")
+
+  test("SnapshotDiff: classifies added/removed/changed, drops unchanged") {
+    val oldS = snap(Seq(
+      (1L, Some("a"), Some("b")),   // unchanged
+      (2L, Some("a"), Some("b")),   // changed (v2)
+      (3L, Some("x"), None),        // removed
+      (5L, Some("a"), None)))       // changed (null -> value)
+    val newS = snap(Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("a"), Some("c")),
+      (4L, Some("y"), Some("z")),   // added
+      (5L, Some("a"), Some("q"))))
+    def d(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__d", SnapshotDiff.rowDigest(Seq(df("v1"), df("v2"))))
+    val got = SnapshotDiff.diff(d(oldS), d(newS), Seq("k"), col("__d"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
+  }
+
+  test("rowDigest: null position matters (no concat_ws null-skip collision)") {
+    val df = Seq(
+      (1L, Some("a"), Option.empty[String]),
+      (2L, Option.empty[String], Some("a"))
+    ).toDF("k", "v1", "v2")
+    val ds = df.select(SnapshotDiff.rowDigest(Seq(col("v1"), col("v2"))).as("d"))
+      .collect().map(_.getString(0))
+    assert(ds(0) != ds(1), "null-position collision: (a,null) digests equal (null,a)")
+  }
+}
