@@ -42,15 +42,15 @@ object Profile {
     profile(df, cols, c => approx_count_distinct(c))
 
   /** How one column enters the numeric or string min/max leg. */
-  private def legs(f: StructField): (Option[Column], Option[Column]) = f.dataType match {
-    case _: NumericType => (Some(col(f.name).cast("double")), None)
+  private def legs(f: StructField, c: Column): (Option[Column], Option[Column]) = f.dataType match {
+    case _: NumericType => (Some(c.cast("double")), None)
     // epoch millis, not CAST(ts AS STRING): integer rendering is
-    // engine-stable, timestamp-to-text formatting is not. NTZ converts
-    // through the session timezone — pinned UTC in every harness
-    // session — which matches DuckDB's naive-as-UTC epoch_ms.
-    case _: TimestampType | _: TimestampNTZType =>
-      (Some(unix_millis(col(f.name).cast("timestamp")).cast("double")), None)
-    case _: StringType => (None, Some(col(f.name)))
+    // engine-stable, timestamp/date-to-text formatting is not. NTZ and
+    // DATE convert through the session timezone — pinned UTC in every
+    // harness session — which matches DuckDB's naive-as-UTC epoch_ms.
+    case _: TimestampType | _: TimestampNTZType | _: DateType =>
+      (Some(unix_millis(c.cast("timestamp")).cast("double")), None)
+    case _: StringType => (None, Some(c))
     case other => throw new IllegalArgumentException(
       s"Profile: unsupported type ${other.simpleString} for column ${f.name}")
   }
@@ -59,27 +59,31 @@ object Profile {
                       distinctAgg: Column => Column): DataFrame = {
     val want = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
     val fields = want.map(n => df.schema(n))
-    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
-      val c = col(f.name)
-      val (num, str) = legs(f)
+    // generated identifiers are INDEX-based and input references are
+    // backquoted, so dotted column names (flattened JSON) profile fine;
+    // a backtick in a name would break its own quoting — reject it
+    fields.foreach(f => require(!f.name.contains("`"),
+      s"Profile: column name with backtick unsupported: ${f.name}"))
+    val aggs = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val (num, str) = legs(f, c)
       Seq(
-        count(c).as(s"__nn_${f.name}"),
-        distinctAgg(c).as(s"__nd_${f.name}"),
-        num.map(min).getOrElse(lit(null).cast("double")).as(s"__mn_${f.name}"),
-        num.map(max).getOrElse(lit(null).cast("double")).as(s"__mx_${f.name}"),
-        str.map(min).getOrElse(lit(null).cast("string")).as(s"__sn_${f.name}"),
-        str.map(max).getOrElse(lit(null).cast("string")).as(s"__sx_${f.name}"))
+        count(c).as(s"__nn_$i"),
+        distinctAgg(c).as(s"__nd_$i"),
+        num.map(min).getOrElse(lit(null).cast("double")).as(s"__mn_$i"),
+        num.map(max).getOrElse(lit(null).cast("double")).as(s"__mx_$i"),
+        str.map(min).getOrElse(lit(null).cast("string")).as(s"__sn_$i"),
+        str.map(max).getOrElse(lit(null).cast("string")).as(s"__sx_$i"))
     }
     // pivot the single wide aggregate row to one row per column —
     // driver-trivial (the frame is exactly one row by construction);
     // uniform struct field names make the array element types unify
-    val entries = fields.map { f =>
-      val n = f.name
+    val entries = fields.zipWithIndex.map { case (f, i) =>
       struct(
-        lit(n).as("column_name"),
-        col(s"__nn_$n").as("nn"), col(s"__nd_$n").as("nd"),
-        col(s"__mn_$n").as("mn"), col(s"__mx_$n").as("mx"),
-        col(s"__sn_$n").as("sn"), col(s"__sx_$n").as("sx"))
+        lit(f.name).as("column_name"),
+        col(s"__nn_$i").as("nn"), col(s"__nd_$i").as("nd"),
+        col(s"__mn_$i").as("mn"), col(s"__mx_$i").as("mx"),
+        col(s"__sn_$i").as("sn"), col(s"__sx_$i").as("sx"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("__n"), explode(array(entries: _*)).as("e"))

@@ -29,10 +29,20 @@ object SnapshotDiff {
 
   /** md5 hex digest over canonicalized value columns. Callers pass the
     * values already rendered engine-stable (see class doc); this adds
-    * the null sentinel and the field separator. */
+    * the null sentinel and the field separator.
+    *
+    * Each non-null value is length-prefixed (`<len>:<value>`,
+    * netstring-style) so free text CONTAINING the separator or
+    * sentinel cannot shift field boundaries into a deterministic
+    * collision — ("ab\u0001c") vs ("a", "b\u0001c") digest
+    * differently — and a literal "\u0002" value ("1:\u0002") never
+    * collides with NULL (the bare un-prefixed sentinel). */
   def rowDigest(values: Seq[Column]): Column =
     md5(concat_ws("\u0001",
-      values.map(v => coalesce(v.cast("string"), lit("\u0002"))): _*).cast("binary"))
+      values.map { v =>
+        val s = v.cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("\u0002"))
+      }: _*).cast("binary"))
 
   /** Diff two snapshots on `keys`, with `digest` the canonicalized
     * row-content digest present in both inputs. Emits one row per

@@ -69,13 +69,18 @@ object ProfileQueries extends QueryModule {
        |FROM orders""".stripMargin
   }
 
+  /** One digest field: the netstring length prefix + null sentinel of
+    * [[SnapshotDiff.rowDigest]], over an already-VARCHAR expression. */
+  private def dfield(e: String): String =
+    s"COALESCE(CAST(LENGTH($e) AS VARCHAR) || ':' || ($e), chr(2))"
+
   private val digestSql =
-    """md5(concat_ws(chr(1),
-      |    COALESCE(CAST(o_custkey AS VARCHAR), chr(2)),
-      |    COALESCE(o_orderstatus, chr(2)),
-      |    COALESCE(CAST(CAST(__price AS DECIMAL(18,2)) AS VARCHAR), chr(2)),
-      |    COALESCE(CAST(epoch_ms(o_orderdate) AS VARCHAR), chr(2)),
-      |    COALESCE(o_orderpriority, chr(2))))""".stripMargin
+    s"""md5(concat_ws(chr(1),
+       |    ${dfield("CAST(o_custkey AS VARCHAR)")},
+       |    ${dfield("o_orderstatus")},
+       |    ${dfield("CAST(CAST(__price AS DECIMAL(18,2)) AS VARCHAR)")},
+       |    ${dfield("CAST(epoch_ms(o_orderdate) AS VARCHAR)")},
+       |    ${dfield("o_orderpriority")}))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> Seq(

@@ -159,7 +159,9 @@ object SimilarityQueries extends QueryModule {
     val p = prepped(spark, sfDir).cache()
     val truth = Similarity.bruteTopK(p, p.filter(col("id") < 10), 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.ivfTopK(Similarity.ivfCellsMapSide(p, IvfStride),
+    // pin the cell assignments too — ivfTopK reads them on both the
+    // query and the candidate side (the simIvf idiom)
+    val approx = Similarity.ivfTopK(Similarity.ivfCellsMapSide(p, IvfStride).cache(),
         id => id < 10, k = 3)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")

@@ -139,7 +139,10 @@ object EventWindows {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[SessEvent], state: GroupState[List[OpenSess]]) => {
           val incoming = rows.map { e =>
-            val us = e.ts.getTime * 1000L
+            // getTime truncates to millis; restore the sub-ms micros
+            // from getNanos or boundary events land one session off
+            // the microsecond-precision native session_window
+            val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
             OpenSess(us, us, 1L, e.value)
           }.toList
           // Merge point-sessions into gap-separated runs: after sorting

@@ -224,6 +224,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: microsecond boundary agrees with native session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // B sits 500 MICROSECONDS past A's closed gap boundary: natively a
+    // NEW session — a millisecond-truncating sessionizer would merge
+    val all = Seq((1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:30:00.0005", 2.0))
+    val in = MemoryStream[EventWindows.SessEvent]
+    val sessions = EventWindows.customSessionize(in.toDS(), delay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("micro_boundary")
+      .outputMode("append").start()
+    try {
+      in.addData(all.map(e => EventWindows.SessEvent(e._1, ts(e._2), e._3)))
+      q.processAllAvailable()
+      in.addData(EventWindows.SessEvent(999L, ts("2024-01-02 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("micro_boundary").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("raw_total")))
+        .filter(_._1 != 999L).toSet
+      val native = EventWindows.sessionKpis(
+          all.map(e => (e._1, ts(e._2), e._3)).toDF("user_id", "ts", "value"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Double]("raw_total"))).toSet
+      assert(streamed.size == 2, s"micros truncated: $streamed")
+      assert(streamed == native)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

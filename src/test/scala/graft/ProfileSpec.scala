@@ -58,6 +58,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("arr"))
   }
 
+  test("Profile.columns: dotted column names and DATE columns profile correctly") {
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-02")),
+      (2L, java.sql.Date.valueOf("2024-03-04"))
+    ).toDF("a.b", "d")
+    val rows = Profile.columns(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows("a.b").getAs[Long]("n_distinct") == 2)
+    assert(rows("a.b").getAs[Double]("max_num") == 2.0)
+    // dates profile as epoch millis (UTC midnight)
+    assert(rows("d").getAs[Double]("min_num") ==
+      java.time.LocalDate.parse("2024-01-02").toEpochDay * 86400000.0)
+  }
+
   private def snap(rows: Seq[(Long, Option[String], Option[String])]) =
     rows.toDF("k", "v1", "v2")
 
@@ -87,5 +101,20 @@ class ProfileSpec extends AnyFunSuite {
     val ds = df.select(SnapshotDiff.rowDigest(Seq(col("v1"), col("v2"))).as("d"))
       .collect().map(_.getString(0))
     assert(ds(0) != ds(1), "null-position collision: (a,null) digests equal (null,a)")
+  }
+
+  test("rowDigest: length prefix blocks separator/sentinel injection") {
+    // without netstring framing these three pairs concat identically
+    val df = Seq(
+      (1L, Some("a\u0001b"), Some("c")),
+      (2L, Some("a"), Some("b\u0001c")),
+      (3L, Some("\u0002"), Option.empty[String]),
+      (4L, Option.empty[String], Option.empty[String])
+    ).toDF("k", "v1", "v2")
+    val ds = df.orderBy("k")
+      .select(SnapshotDiff.rowDigest(Seq(col("v1"), col("v2"))).as("d"))
+      .collect().map(_.getString(0))
+    assert(ds(0) != ds(1), "separator injection shifted field boundaries undetected")
+    assert(ds(2) != ds(3), "literal sentinel value collides with NULL")
   }
 }
