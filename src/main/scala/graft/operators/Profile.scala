@@ -30,7 +30,7 @@ object Profile {
 
   /** Exact profile of `cols` (default: every column) in one aggregate. */
   def columns(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
-    profile(df, cols, c => count_distinct(c))
+    profile(df, cols, (_, c) => count_distinct(c))
 
   /** Profile with `approx_count_distinct` (HyperLogLog++, default rsd
     * 5%) in place of the exact distinct: a plain single aggregate — no
@@ -39,7 +39,51 @@ object Profile {
     * whole value domain. Not DuckDB-oracle-able (estimator-specific);
     * ProfileSpec bounds it against [[columns]]. */
   def columnsApprox(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
-    profile(df, cols, c => approx_count_distinct(c))
+    profile(df, cols, (_, c) => approx_count_distinct(c))
+
+  /** MERGEABLE profile slice: identical to [[columnsApprox]] but the
+    * distinct leg is the raw Datasketches HLL sketch (`nd_sketch`
+    * BINARY) instead of a point estimate. Profile each corpus slice
+    * (day, partition, ingest batch) once, store the KB-per-column
+    * result, and [[mergeProfiles]] combines any subset WITHOUT
+    * rescanning data — the incremental statistics pattern: at 100 TB
+    * a full-history profile refresh costs slices × columns ROWS, not a
+    * corpus pass. The sketch hashes a canonical per-type encoding
+    * (integrals as long, strings as-is, fractional/temporal as the
+    * canonical double's text — Datasketches HLL takes no double
+    * input), fixed per column, so slice sketches union losslessly. */
+  def columnsSketch(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    profile(df, cols, (f, c) => hll_sketch_agg(sketchInput(f, c)),
+      ndName = "nd_sketch")
+
+  /** Canonical sketch-domain encoding per column type. */
+  private def sketchInput(f: StructField, c: Column): Column = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+    case _: StringType => c
+    case _ => legs(f, c)._1.getOrElse(throw new IllegalArgumentException(
+      s"Profile: unsupported type ${f.dataType.simpleString} for column ${f.name}"))
+      .cast("string")
+  }
+
+  /** Merge [[columnsSketch]] slices (a union of slice outputs) into the
+    * [[columnsApprox]]-shaped whole-corpus profile: counts add, min/max
+    * fold, sketches union then estimate. One tiny aggregate over
+    * slices × columns rows. */
+  def mergeProfiles(slices: DataFrame): DataFrame =
+    slices.groupBy("column_name")
+      .agg(
+        sum("n_rows").as("n_rows"),
+        sum("n_nulls").as("n_nulls"),
+        // all-null slices carry a null sketch; estimate then reads 0
+        // distinct values, matching the exact path
+        coalesce(hll_sketch_estimate(hll_union_agg(col("nd_sketch"))), lit(0L))
+          .as("n_distinct"),
+        min("min_num").as("min_num"),
+        max("max_num").as("max_num"),
+        min("min_str").as("min_str"),
+        max("max_str").as("max_str"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str")
 
   /** How one column enters the numeric or string min/max leg. */
   private def legs(f: StructField, c: Column): (Option[Column], Option[Column]) = f.dataType match {
@@ -56,7 +100,8 @@ object Profile {
   }
 
   private def profile(df: DataFrame, cols: Seq[String],
-                      distinctAgg: Column => Column): DataFrame = {
+                      distinctAgg: (StructField, Column) => Column,
+                      ndName: String = "n_distinct"): DataFrame = {
     val want = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
     val fields = want.map(n => df.schema(n))
     // generated identifiers are INDEX-based and input references are
@@ -69,7 +114,7 @@ object Profile {
       val (num, str) = legs(f, c)
       Seq(
         count(c).as(s"__nn_$i"),
-        distinctAgg(c).as(s"__nd_$i"),
+        distinctAgg(f, c).as(s"__nd_$i"),
         num.map(min).getOrElse(lit(null).cast("double")).as(s"__mn_$i"),
         num.map(max).getOrElse(lit(null).cast("double")).as(s"__mx_$i"),
         str.map(min).getOrElse(lit(null).cast("string")).as(s"__sn_$i"),
@@ -91,7 +136,7 @@ object Profile {
         col("e.column_name").as("column_name"),
         col("__n").as("n_rows"),
         (col("__n") - col("e.nn")).as("n_nulls"),
-        col("e.nd").as("n_distinct"),
+        col("e.nd").as(ndName),
         col("e.mn").as("min_num"),
         col("e.mx").as("max_num"),
         col("e.sn").as("min_str"),

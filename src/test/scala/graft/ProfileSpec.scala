@@ -72,6 +72,31 @@ class ProfileSpec extends AnyFunSuite {
       java.time.LocalDate.parse("2024-01-02").toEpochDay * 86400000.0)
   }
 
+  test("columnsSketch + mergeProfiles: disjoint slice profiles merge to the whole-frame profile") {
+    val df = spark.range(4000L).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, (col("id") % 321).cast("string")).as("s"),
+      (col("id") % 77 + 0.5).as("x"))
+    val whole = Profile.columns(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    // two disjoint slices (e.g. two ingest days), profiled separately
+    val slices = Profile.columnsSketch(df.filter(col("id") < 1500))
+      .unionAll(Profile.columnsSketch(df.filter(col("id") >= 1500)))
+    val merged = Profile.mergeProfiles(slices).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(merged.keySet == whole.keySet)
+    for (c <- merged.keySet) {
+      // counts and min/max fold exactly; distinct is the HLL estimate
+      assert(merged(c).getAs[Long]("n_rows") == whole(c).getAs[Long]("n_rows"))
+      assert(merged(c).getAs[Long]("n_nulls") == whole(c).getAs[Long]("n_nulls"))
+      val (e, a) = (whole(c).getAs[Long]("n_distinct"), merged(c).getAs[Long]("n_distinct"))
+      assert(math.abs(a - e) <= math.max(2L, (e * 0.05).toLong), s"$c: merged $a vs exact $e")
+    }
+    assert(merged("x").getAs[Double]("min_num") == 0.5)
+    assert(merged("x").getAs[Double]("max_num") == 76.5)
+    assert(merged("s").getAs[String]("max_str") == whole("s").getAs[String]("max_str"))
+  }
+
   private def snap(rows: Seq[(Long, Option[String], Option[String])]) =
     rows.toDF("k", "v1", "v2")
 
