@@ -307,6 +307,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffles(plan).size <= 2, s"corpus_mix grew an exchange:\n$plan")
   }
 
+  test("date-partitioned layout: a partition-key filter prunes to one partition's files at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/events"
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toLong, s"2024-01-0${i % 5 + 1}"))
+      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+    val plan = staticPlan(
+      spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("day") === "2024-01-03"))
+    val scan = scans(plan).head
+    // the predicate must reach the scan as a PARTITION filter (directory
+    // pruning — no data file of the other four days is even opened),
+    // not a post-scan Filter over a full-table read
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      s"day filter not a partition filter: ${scan.metadata}")
+    plan.executeCollect()
+    assert(scan.metrics("numFiles").value < 5,
+      s"scan read ${scan.metrics("numFiles").value} files — partition pruning lost")
+  }
+
   test("q_profile: ONE scan, ONE Expand, one aggregation tree — a single pass") {
     val plan = staticPlan(graft.queries.ProfileQueries.profileOrders(spark, sf))
     assert(scans(plan).size == 1, s"profile re-scans the table:\n$plan")
