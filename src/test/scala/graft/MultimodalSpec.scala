@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaFeatures, MediaRecord}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -96,6 +97,38 @@ class MultimodalSpec extends AnyFunSuite {
     val v = Multimodal.MediaFeatures(3L, "video", 10L, 1, 1, 10, 0, 0, 0, 0)
     assert(Multimodal.sampleFrames(v, 3) == Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrames(v.copy(n_frames = 1), 5) == Seq(0))
+  }
+
+  test("binaryFile ingestion: directory of real files -> glob-pruned records -> header-true features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_")
+    def write(name: String, bytes: Array[Byte]) =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    write("a.png", pngBytes(640, 480))
+    write("b.jpg", jpegBytes(333, 77))
+    write("c.mp4", Array.fill(250)(7.toByte))
+    write("notes.txt", "not media".getBytes("UTF-8"))   // excluded by glob
+    write("_tmp.png.crc", Array[Byte](1, 2))            // excluded by glob
+
+    val files = graft.sources.MediaFiles.read(spark, dir.toString)
+    assert(files.count() == 3, "glob should prune non-media at LISTING time")
+    // metadata predicates gate which files are read, not just rows
+    assert(files.filter(col("length") > 100).count() == 1)
+
+    val recs = graft.sources.MediaFiles.records(files)
+    val feats = Multimodal.extractFeatures(recs, Multimodal.HeaderDecoder)
+      .collect().map(f => f.kind -> f).toMap
+    assert(feats.keySet == Set("image", "video"))
+    // real container dimensions, not stub pseudo-dims
+    val dims = Multimodal.extractFeatures(recs.filter(col("kind") === "image"),
+        Multimodal.HeaderDecoder).collect().map(f => (f.width, f.height)).toSet
+    assert(dims == Set((640, 480), (333, 77)))
+    // video payload takes the stub frame count (1 per started 100 bytes)
+    assert(feats("video").n_frames == 3)
+    // ids are path-hash stable: re-reading yields the same id set
+    val again = graft.sources.MediaFiles.records(
+      graft.sources.MediaFiles.read(spark, dir.toString))
+    assert(recs.select("media_id").collect().map(_.getLong(0)).toSet ==
+      again.select("media_id").collect().map(_.getLong(0)).toSet)
   }
 }
 
