@@ -49,9 +49,20 @@ object SnapshotDiff {
     * changed key: `(keys..., change_type ∈ added|removed|changed)`.
     * Unchanged keys are filtered before anything leaves the join. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
-           keys: Seq[String], digest: Column): DataFrame = {
-    val o = oldSnap.select(keys.map(col) :+ digest.as("__d_old"): _*)
-    val n = newSnap.select(keys.map(col) :+ digest.as("__d_new"): _*)
+           keys: Seq[String], digest: Column): DataFrame =
+    diffDigests(
+      oldSnap.select(keys.map(col) :+ digest.as("digest"): _*),
+      newSnap.select(keys.map(col) :+ digest.as("digest"): _*), keys)
+
+  /** Same classification over already-digested tables
+    * `(keys..., digest)` — the form a persisted digest STATE table
+    * takes (see [[graft.streaming.CdcStream]]): the expensive
+    * canonicalization runs once per snapshot generation, and
+    * successive diffs join 24-byte rows only. */
+  def diffDigests(oldDig: DataFrame, newDig: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val o = oldDig.select(keys.map(col) :+ col("digest").as("__d_old"): _*)
+    val n = newDig.select(keys.map(col) :+ col("digest").as("__d_new"): _*)
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__d_old").isNull, lit("added"))
