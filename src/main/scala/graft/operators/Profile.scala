@@ -60,6 +60,9 @@ object Profile {
   private def sketchInput(f: StructField, c: Column): Column = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType => c.cast("long")
     case _: StringType => c
+    // decimals sketch their EXACT text — the double path would collapse
+    // values that differ beyond 53-bit precision into one sketch entry
+    case _: DecimalType => c.cast("string")
     case _ => legs(f, c)._1.getOrElse(throw new IllegalArgumentException(
       s"Profile: unsupported type ${f.dataType.simpleString} for column ${f.name}"))
       .cast("string")

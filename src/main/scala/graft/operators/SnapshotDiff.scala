@@ -61,6 +61,10 @@ object SnapshotDiff {
     * successive diffs join 24-byte rows only. */
   def diffDigests(oldDig: DataFrame, newDig: DataFrame,
                   keys: Seq[String]): DataFrame = {
+    // "digest" names the content column of the digested form; a key of
+    // that name would alias-collide into an ambiguous reference
+    require(!keys.contains("digest"),
+      "SnapshotDiff: 'digest' is reserved for the content digest column")
     val o = oldDig.select(keys.map(col) :+ col("digest").as("__d_old"): _*)
     val n = newDig.select(keys.map(col) :+ col("digest").as("__d_new"): _*)
     o.join(n, keys, "full_outer")

@@ -19,20 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object MediaFiles {
 
-  /** Raw file frame: (path, modificationTime, length, content). */
-  def read(spark: SparkSession, dir: String,
-           glob: String = "*.{png,jpg,jpeg,gif,wav,mp3,mp4}"): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
-      .load(dir)
-
   /** Kind classification by extension — the coarse routing key the
     * decode stage batches by. */
   private val KindByExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
     "wav" -> "audio", "mp3" -> "audio", "flac" -> "audio",
     "mp4" -> "video", "avi" -> "video", "mkv" -> "video")
+
+  /** Default glob derives from [[KindByExt]] (both letter cases — the
+    * glob is case-sensitive, routing is not), so every kind the router
+    * advertises is actually listable and the two can never drift. */
+  val DefaultGlob: String = KindByExt.keys.toSeq.sorted
+    .flatMap(e => Seq(e, e.toUpperCase)).mkString("*.{", ",", "}")
+
+  /** Raw file frame: (path, modificationTime, length, content). */
+  def read(spark: SparkSession, dir: String,
+           glob: String = DefaultGlob): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
 
   /** Map a [[read]] frame to the Multimodal record shape
     * `(media_id, kind, media)`: media_id = xxhash64(path) — stable

@@ -29,7 +29,19 @@ import org.apache.spark.sql.types.StructType
   * generation is the HIGHEST `batch_<id>` below the current batch — a
   * replayed micro-batch that already wrote its own state diffs against
   * exactly what the original run saw, and rewrites exactly its own
-  * output.
+  * output. One dump file per trigger is ENFORCED (maxFilesPerTrigger=1)
+  * so two queued generations can never merge into one batch. State
+  * generations below the prior are pruned after each commit — disk
+  * holds at most two digest tables, however long the stream runs (the
+  * `changes/batch_<id>` FEED is the consumer-owned output and is never
+  * touched).
+  *
+  * Limitation (by contract, not accident): a ZERO-ROW dump is
+  * indistinguishable from "no data arrived" inside foreachBatch, so
+  * empty batches are skipped — truncating the source to nothing must
+  * ship a tombstone generation (e.g. one sentinel row) rather than an
+  * empty file, or the removals will be emitted only on the next
+  * non-empty generation.
   */
 object CdcStream {
 
@@ -43,26 +55,21 @@ object CdcStream {
       checkpointDir: String,
       keys: Seq[String],
       digestOf: DataFrame => Column,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger) {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(!keys.contains("digest"),
+      "CdcStream: 'digest' is reserved for the state-table digest column")
+    FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger,
+      maxFilesPerTrigger = 1) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // read twice (diff + state write) — pin per batch
           val newDig = batch
             .select(keys.map(col) :+ digestOf(batch).as("digest"): _*)
             .cache()
-          val statePath = new org.apache.hadoop.fs.Path(stateDir)
-          val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val prior: Option[String] =
-            if (fs.exists(statePath))
-              fs.listStatus(statePath).toSeq.map(_.getPath.getName)
-                .filter(_.startsWith("batch_"))
-                .map(_.stripPrefix("batch_").toLong)
-                .filter(_ < batchId)
-                .sorted.lastOption.map(id => s"$stateDir/batch_$id")
-            else None
+          val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
+            .filter(_._1 < batchId).sortBy(_._1).lastOption
           val changes = prior match {
-            case Some(p) =>
+            case Some((_, p)) =>
               SnapshotDiff.diffDigests(spark.read.parquet(p), newDig, keys)
             case None => // first generation: everything is an add
               newDig.select(keys.map(col) :+ lit("added").as("change_type"): _*)
@@ -70,6 +77,12 @@ object CdcStream {
           changes.write.mode("overwrite").parquet(s"$changesDir/batch_$batchId")
           newDig.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
           newDig.unpersist(blocking = false)
+          // retention: once this generation's state is committed, only
+          // the prior can ever be read again (and only by a replay of
+          // THIS batch) — everything below it is dead weight
+          prior.foreach { case (id, _) =>
+            FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id) }
         }
     }
+  }
 }

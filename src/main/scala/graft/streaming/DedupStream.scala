@@ -62,17 +62,10 @@ object DedupStream {
           // and the checkpoint commit replays the batch with its OWN
           // bands already persisted — reading them back as "old" state
           // would violate incrementalCandidates' disjoint-id contract
-          // and emit self-pairs. Enumerate the state dirs and exclude
-          // batch_<id> explicitly, so a replay sees exactly the state
-          // the original run saw.
-          val statePath = new org.apache.hadoop.fs.Path(stateDir)
-          val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val priorState: Seq[String] =
-            if (fs.exists(statePath))
-              fs.listStatus(statePath).toSeq.map(_.getPath)
-                .filter(p => p.getName.startsWith("batch_") && p.getName != s"batch_$batchId")
-                .map(_.toString)
-            else Seq.empty
+          // and emit self-pairs. Exclude batch_<id> explicitly, so a
+          // replay sees exactly the state the original run saw.
+          val priorState: Seq[String] = FileQueue.batchDirs(spark, stateDir)
+            .filter(_._1 != batchId).map(_._2)
           val cands =
             if (priorState.nonEmpty)
               Dedup.incrementalCandidates(bands, spark.read.parquet(priorState: _*))

@@ -21,11 +21,14 @@ object FileQueue {
       schema: StructType,
       archiveDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow())(
+      trigger: Trigger = Trigger.AvailableNow(),
+      // reference wave of 10; generation-delimited consumers
+      // (CdcStream) pin 1 so distinct dumps never merge into one batch
+      maxFilesPerTrigger: Int = 10)(
       process: (DataFrame, Long) => Unit): StreamingQuery = {
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 10)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
@@ -35,5 +38,34 @@ object FileQueue {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) => process(batch, id) }
       .start()
+  }
+
+  /** Enumerate a state directory's `batch_<id>` generation subdirs as
+    * (id, path) pairs — the shared primitive of the crash-replay
+    * discipline: a replaying batch must see exactly the state the
+    * original run saw, so every call site filters these ids against
+    * its own batch id (DedupStream excludes its own; CdcStream takes
+    * the highest below it). */
+  def batchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch_"))
+      .flatMap(p => scala.util.Try(p.getName.stripPrefix("batch_").toLong)
+        .toOption.map(id => (id, p.toString)))
+  }
+
+  /** Delete generation dirs with id strictly below `keepFrom` — state
+    * retention for streams where only the latest prior generation is
+    * ever read. Safe order: call AFTER the current generation's state
+    * write commits; a crash replay then still finds its prior (the
+    * highest id below current survives every prune). */
+  def pruneBatchDirsBelow(spark: SparkSession, dir: String, keepFrom: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batchDirs(spark, dir).filter(_._1 < keepFrom).foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
   }
 }

@@ -68,5 +68,35 @@ class CdcStreamSpec extends AnyFunSuite {
     val state2 = spark.read.parquet(s"$base/state/batch_2")
       .select("k").collect().map(_.getLong(0)).toSet
     assert(state2 == Set(2L, 4L, 5L))
+    // retention: only the prior (batch_1) and current (batch_2) digest
+    // tables survive — batch_0 was pruned after batch_2 committed
+    val stateDirs = new java.io.File(s"$base/state").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).toSet
+    assert(stateDirs == Set("batch_1", "batch_2"), s"state dirs: $stateDirs")
+  }
+
+  test("two dumps queued before one start become two generations, never one merged batch") {
+    val base = Files.createTempDirectory("graft_cdcqueue_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    // both generations pending when the stream starts: a key present in
+    // both with different values would corrupt the diff if they merged
+    Files.write(java.nio.file.Paths.get(bronze, "snap1.json"),
+      Seq(rowJson(1, "a"), rowJson(2, "b")).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(bronze, "snap2.json"),
+      Seq(rowJson(1, "A!"), rowJson(3, "c")).mkString("\n").getBytes)
+    // unambiguous arrival order even on coarse-mtime filesystems
+    new java.io.File(bronze, "snap1.json")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val q = CdcStream.start(spark, bronze, schema, s"$base/archive",
+      s"$base/state", s"$base/changes", s"$base/ckpt",
+      keys = Seq("k"), digestOf = df => SnapshotDiff.rowDigest(Seq(df("v"))))
+    assert(q.awaitTermination(120000))
+    def changes(dir: String): Set[(Long, String)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+    assert(changes(s"$base/changes/batch_0") == Set((1L, "added"), (2L, "added")))
+    assert(changes(s"$base/changes/batch_1") ==
+      Set((1L, "changed"), (2L, "removed"), (3L, "added")))
   }
 }

@@ -310,8 +310,10 @@ class PlanContractSpec extends AnyFunSuite {
   test("date-partitioned layout: a partition-key filter prunes to one partition's files at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/events"
     import spark.implicits._
+    // one writer partition → exactly one file per day directory, so the
+    // file-count assertion pins pruning itself, not the test parallelism
     (0 until 1000).map(i => (i.toLong, s"2024-01-0${i % 5 + 1}"))
-      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+      .toDF("id", "day").repartition(1).write.partitionBy("day").parquet(dir)
     val plan = staticPlan(
       spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("day") === "2024-01-03"))
     val scan = scans(plan).head
@@ -321,8 +323,8 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scan.metadata("PartitionFilters").contains("day"),
       s"day filter not a partition filter: ${scan.metadata}")
     plan.executeCollect()
-    assert(scan.metrics("numFiles").value < 5,
-      s"scan read ${scan.metrics("numFiles").value} files — partition pruning lost")
+    assert(scan.metrics("numFiles").value == 1,
+      s"scan read ${scan.metrics("numFiles").value} of 5 files — partition pruning lost")
   }
 
   test("q_profile: ONE scan, ONE Expand, one aggregation tree — a single pass") {
