@@ -75,4 +75,30 @@ object SnapshotDiff {
       .filter(col("change_type").isNotNull)
       .select(keys.map(col) :+ col("change_type"): _*)
   }
+
+  /** [[diff]] carrying the NEW row content for added/changed keys
+    * (removed keys carry nulls) — the feed a replication consumer can
+    * actually APPLY. Payload attaches by a second key join confined to
+    * the change set: the full snapshot's content never rides the diff
+    * exchange, only the (typically tiny) changed fraction's. */
+  def diffWithPayload(oldSnap: DataFrame, newSnap: DataFrame,
+                      keys: Seq[String], digest: Column): DataFrame =
+    diff(oldSnap, newSnap, keys, digest)
+      .join(newSnap, keys, "left")
+
+  /** Reconstruct snapshot N+1 from snapshot N plus a
+    * [[diffWithPayload]] feed: surviving old rows (key not in the
+    * feed) union the feed's added/changed payloads. The inverse
+    * property `applyChanges(old, diffWithPayload(old, new)) == new`
+    * is pinned exactly in ProfileSpec and against the DuckDB oracle
+    * (q_snapshot_apply). At scale the anti-join ships only the feed's
+    * keys; old rows move within their existing partitions. */
+  def applyChanges(oldSnap: DataFrame, feed: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val payloadCols = oldSnap.columns.toSeq
+    oldSnap.join(feed.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        feed.filter(col("change_type") =!= "removed")
+          .select(payloadCols.map(col): _*))
+  }
 }

@@ -43,9 +43,39 @@ object ProfileQueries extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** The replication ROUND TRIP: reconstruct the new snapshot from the
+    * old one plus the payload change feed, and emit the result — the
+    * oracle is simply the new snapshot itself, so the whole
+    * diff-with-payload → apply machinery must reproduce ground truth
+    * row for row. Timestamps leave as epoch millis (engine-stable). */
+  def snapshotApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    // unresolved refs: the digest resolves against whichever snapshot
+    // side selects it inside diff()
+    val digest = SnapshotDiff.rowDigest(Seq(
+      col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)"),
+      unix_millis(col("o_orderdate").cast("timestamp")),
+      col("o_orderpriority")))
+    val feed = SnapshotDiff.diffWithPayload(oldSnap, newSnap, Seq("o_orderkey"), digest)
+    SnapshotDiff.applyChanges(oldSnap, feed, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
-    "q_snapshot_diff" -> snapshotDiff)
+    "q_snapshot_diff" -> snapshotDiff,
+    "q_snapshot_apply" -> snapshotApply)
 
   /** One UNION ALL leg per orders column, mirroring Profile's typed
     * legs: numeric/timestamp columns fill min_num/max_num (timestamps
@@ -108,5 +138,15 @@ object ProfileQueries extends QueryModule {
          |       WHEN o.d <> n.d THEN 'changed' END AS change_type
          |FROM oldd o FULL OUTER JOIN newd n ON o.k = n.k
          |WHERE o.k IS NULL OR n.k IS NULL OR o.d <> n.d
-         |ORDER BY o_orderkey""".stripMargin)
+         |ORDER BY o_orderkey""".stripMargin,
+    // ground truth for the apply round trip IS the new snapshot — no
+    // diff machinery on the oracle side at all
+    "q_snapshot_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_ms,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -128,6 +128,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(ds(0) != ds(1), "null-position collision: (a,null) digests equal (null,a)")
   }
 
+  test("applyChanges(old, diffWithPayload(old, new)) reconstructs new EXACTLY") {
+    val oldS = snap(Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("a"), Some("b")),
+      (3L, Some("x"), None)))
+    val newS = snap(Seq(
+      (1L, Some("a"), Some("b")),       // unchanged
+      (2L, Some("a"), Some("c")),       // changed
+      (4L, Some("y"), Option.empty[String])))  // added (with a null field)
+    val dig = SnapshotDiff.rowDigest(Seq(col("v1"), col("v2")))
+    val feed = SnapshotDiff.diffWithPayload(oldS, newS, Seq("k"), dig)
+    // removed keys carry null payload; added/changed carry the new row
+    val byKey = feed.collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[String]("change_type"), r.getAs[String]("v1"))).toMap
+    assert(byKey(3L) == ("removed", null) && byKey(4L) == ("added", "y"))
+    val applied = SnapshotDiff.applyChanges(oldS, feed, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v1"), r.getAs[String]("v2"))).toSet
+    val expected = newS.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v1"), r.getAs[String]("v2"))).toSet
+    assert(applied == expected)
+  }
+
   test("rowDigest: length prefix blocks separator/sentinel injection") {
     // without netstring framing these three pairs concat identically
     val df = Seq(
