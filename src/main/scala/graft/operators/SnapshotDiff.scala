@@ -61,10 +61,13 @@ object SnapshotDiff {
     * successive diffs join 24-byte rows only. */
   def diffDigests(oldDig: DataFrame, newDig: DataFrame,
                   keys: Seq[String]): DataFrame = {
-    // "digest" names the content column of the digested form; a key of
-    // that name would alias-collide into an ambiguous reference
+    // "digest" names the content column of the digested form and
+    // "change_type" the classification output; a key of either name
+    // would alias-collide or be silently overwritten
     require(!keys.contains("digest"),
       "SnapshotDiff: 'digest' is reserved for the content digest column")
+    require(!keys.contains("change_type"),
+      "SnapshotDiff: 'change_type' is reserved for the classification column")
     val o = oldDig.select(keys.map(col) :+ col("digest").as("__d_old"): _*)
     val n = newDig.select(keys.map(col) :+ col("digest").as("__d_new"): _*)
     o.join(n, keys, "full_outer")
@@ -82,9 +85,12 @@ object SnapshotDiff {
     * the change set: the full snapshot's content never rides the diff
     * exchange, only the (typically tiny) changed fraction's. */
   def diffWithPayload(oldSnap: DataFrame, newSnap: DataFrame,
-                      keys: Seq[String], digest: Column): DataFrame =
+                      keys: Seq[String], digest: Column): DataFrame = {
+    require(!newSnap.columns.contains("change_type"),
+      "SnapshotDiff: snapshot column 'change_type' would collide with the feed's classification")
     diff(oldSnap, newSnap, keys, digest)
       .join(newSnap, keys, "left")
+  }
 
   /** Reconstruct snapshot N+1 from snapshot N plus a
     * [[diffWithPayload]] feed: surviving old rows (key not in the
