@@ -227,3 +227,48 @@ object JdbcMergeProps extends Properties("JdbcMerge") {
       got == want
     }
 }
+
+object SnapshotDiffProps extends Properties("SnapshotDiff") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // values stress the digest framing: nulls, empties, the separator and
+  // sentinel characters themselves, and ':' digits (netstring noise)
+  private val valueGen: Gen[Option[String]] = Gen.oneOf(
+    Gen.const(None), Gen.const(Some("")), Gen.const(Some("\u0001")),
+    Gen.const(Some("\u0002")), Gen.const(Some("1:")),
+    Gen.alphaNumStr.map(s => Some(s.take(6))))
+  private val snapGen: Gen[Map[Long, (Option[String], Option[String])]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.zip(valueGen, valueGen)))
+      .map(_.toMap)
+
+  private def toDf(m: Map[Long, (Option[String], Option[String])]) =
+    m.toSeq.map { case (k, (a, b)) => (k, a, b) } match {
+      case Nil => Seq.empty[(Long, Option[String], Option[String])].toDF("k", "v1", "v2")
+      case rows => rows.toDF("k", "v1", "v2")
+    }
+  private def dig = graft.operators.SnapshotDiff.rowDigest(
+    Seq(org.apache.spark.sql.functions.col("v1"), org.apache.spark.sql.functions.col("v2")))
+
+  property("applyChanges(old, diffWithPayload(old,new)) == new, for any snapshots") =
+    Prop.forAll(snapGen, snapGen) { (oldM, newM) =>
+      val feed = graft.operators.SnapshotDiff.diffWithPayload(toDf(oldM), toDf(newM), Seq("k"), dig)
+      val applied = graft.operators.SnapshotDiff.applyChanges(toDf(oldM), feed, Seq("k"))
+        .collect().map(r => (r.getLong(0), (Option(r.getString(1)), Option(r.getString(2))))).toMap
+      applied == newM
+    }
+
+  property("diff classification matches the reference map compare") =
+    Prop.forAll(snapGen, snapGen) { (oldM, newM) =>
+      val got = graft.operators.SnapshotDiff.diff(toDf(oldM), toDf(newM), Seq("k"), dig)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want =
+        (newM.keySet -- oldM.keySet).map(_ -> "added").toMap ++
+        (oldM.keySet -- newM.keySet).map(_ -> "removed").toMap ++
+        (oldM.keySet & newM.keySet).filter(k => oldM(k) != newM(k)).map(_ -> "changed").toMap
+      got == want
+    }
+}
