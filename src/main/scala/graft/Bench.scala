@@ -95,16 +95,32 @@ object Bench {
     // a query failing k of n repeats must appear once, not k times
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full per-query record: the driver's stdout tail is
-    // fixed-size and truncates the first ~10 queries, so round-over-round
-    // comparison reads this file instead. One file per scale factor,
-    // overwritten per run (only full runs — a SPARK_GRAFT_ONLY subset
-    // would clobber the complete record with a partial one).
+    // Persist the full per-query record (the driver's stdout tail is
+    // fixed-size and truncates the first ~10 queries). Write path is
+    // deliberately two-tier: every full run lands in a timestamped side
+    // file under bench_runs/, and the COMMITTED record bench_<sf>.json is
+    // only overwritten under an explicit SPARK_GRAFT_RECORD=1. Rationale:
+    // in four separate rounds (2/4/6/7) a bench run under concurrent
+    // driver load silently clobbered the committed record with 2-4×
+    // load-inflated numbers; defaulting to a side file makes a loaded run
+    // unable to shadow the protocol-validated baseline. A SPARK_GRAFT_ONLY
+    // subset never records (a partial run must not clobber the full one).
     if (only.isEmpty) {
       val base = new java.io.File(sfDir).getName
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_$base.json"), line + "\n")
+      val runsDir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      java.nio.file.Files.writeString(runsDir.resolve(s"bench_${base}_$stamp.json"), line + "\n")
+      if (sys.env.get("SPARK_GRAFT_RECORD").contains("1"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_$base.json"), line + "\n")
     }
     spark.stop()
+    // Emit the JSON line LAST, after Spark's shutdown chatter (which goes
+    // to stderr) and alone on its own stdout line, so a driver that tails
+    // stdout and parses the final line gets clean JSON.
+    println(line)
+    System.out.flush()
   }
 }
