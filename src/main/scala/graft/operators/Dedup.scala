@@ -677,12 +677,16 @@ object Dedup {
     * the pigeonhole recall guarantee regardless of width.
     *
     * One column-pruned count job picks the width; the signature frame is
-    * pinned (it feeds both sides of the bucket self-join) under the
-    * session-sweep cache contract. */
+    * pinned (it feeds both sides of the bucket self-join) through `scope`
+    * — pass a tracking [[CacheScope]] and `close()` it after consuming
+    * the pairs to release the pin in a long-lived session (the default
+    * keeps the session-sweep contract, matching
+    * [[Similarity.incrementalBandedPairs]]). */
   def simhashPairsAdaptive(df: DataFrame, idCol: Column, textCol: Column,
-      maxDist: Int = 2, bands: Int = 4, minWidth: Int = 8): DataFrame = {
+      maxDist: Int = 2, bands: Int = 4, minWidth: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val w = Similarity.adaptiveBits(df.count(), minWidth)
-    val sig = simhash(df, idCol, textCol, bands * w).cache()
+    val sig = scope.pin(simhash(df, idCol, textCol, bands * w))
     simhashPairs(sig, maxDist, bands * w, bands)
   }
 }

@@ -71,7 +71,11 @@ object TextStats {
   def withQualityInt(df: DataFrame, textCol: Column, stopwords: Seq[String],
       lenCap: Int = 200): DataFrame = {
     val toks = tokens(textCol)
-    val nTok = size(toks).cast("long")
+    // Divisor floor at 1: a zero token count would make Spark's integer
+    // division yield NULL while DuckDB's `//` raises — a single degenerate
+    // doc would desync the oracle. greatest(n, 1) is mirrored verbatim in
+    // the q_quality_prune SQL so both engines stay on the exact-hash path.
+    val nTok = greatest(size(toks).cast("long"), lit(1L))
     val stopArr = array(stopwords.map(lit): _*)
     df.withColumn("quality_pm",
       least(idiv(length(textCol).cast("long") * 1000L, lit(lenCap.toLong)), lit(1000L)) +

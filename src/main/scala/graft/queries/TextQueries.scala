@@ -222,9 +222,9 @@ object TextQueries extends QueryModule {
     "q_quality_prune" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |    LEAST((length(text) * 1000) // 200, 1000)
-         |    + (len(list_distinct($toksSql)) * 1000) // len($toksSql)
+         |    + (len(list_distinct($toksSql)) * 1000) // greatest(len($toksSql), 1)
          |    + (len(list_filter($toksSql, t -> t IN (${stopListSql(Stopwords)}))) * 1000)
-         |      // len($toksSql) AS quality_pm
+         |      // greatest(len($toksSql), 1) AS quality_pm
          |  FROM documents),
          |h AS (SELECT quality_pm AS sc, COUNT(*) AS c FROM s GROUP BY 1),
          |cum AS (SELECT sc, SUM(c) OVER (ORDER BY sc DESC) AS cm FROM h),

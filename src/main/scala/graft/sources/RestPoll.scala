@@ -35,6 +35,31 @@ object RestPoll {
     * path), so retrying it verbatim cannot succeed. */
   final class ClientError(msg: String) extends java.io.IOException(msg)
 
+  /** Marks a throttle/timeout response (408/429), carrying the server's
+    * `Retry-After` delay when it sent one. */
+  private final class Throttled(msg: String, val retryAfterMs: Option[Long])
+    extends java.io.IOException(msg)
+
+  /** Longest single sleep honored from `Retry-After` — a misbehaving
+    * server saying "retry in an hour" must not hang the poll loop. */
+  private val MaxRetryAfterMs = 30000L
+
+  /** Default per-attempt backoff for 408/429 when the caller set
+    * `backoffMs = 0`: re-polling a rate-limited endpoint immediately
+    * just burns the remaining retries inside the same throttle window. */
+  private val ThrottleBackoffMs = 500L
+
+  /** `Retry-After` per RFC 9110: either delta-seconds or an HTTP-date. */
+  private def retryAfterMsOf(conn: java.net.HttpURLConnection): Option[Long] = {
+    val raw = Option(conn.getHeaderField("Retry-After")).map(_.trim).filter(_.nonEmpty)
+    raw.flatMap { v =>
+      v.toLongOption.map(_ * 1000L).orElse {
+        val at = conn.getHeaderFieldDate("Retry-After", -1L)
+        if (at > 0) Some(at - System.currentTimeMillis()) else None
+      }
+    }.map(ms => math.min(math.max(ms, 0L), MaxRetryAfterMs))
+  }
+
   /** One GET with bounded retries. Returns the body string; throws
     * after `retries` failed attempts. A 204 returns "". Only TRANSPORT
     * errors, 5xx, and the two explicitly-transient client codes — 408
@@ -42,8 +67,12 @@ object RestPoll {
     * 4xx is a [[ClientError]] thrown immediately, since a permanent
     * client error (401/404) would burn every retry with backoff and
     * fail identically. (429 is the normal weather of a polling source;
-    * failing a stream on it would be wrong.) Error bodies are drained
-    * before disconnect so keep-alive connections stay reusable. */
+    * failing a stream on it would be wrong.) Throttle retries honor the
+    * server's `Retry-After` (capped at [[MaxRetryAfterMs]]) and fall back
+    * to a nonzero per-attempt delay even when `backoffMs = 0` — an
+    * immediate re-poll of a rate-limited endpoint burns every retry
+    * inside the same throttle window. Error bodies are drained before
+    * disconnect so keep-alive connections stay reusable. */
   def getOnce(url: String, headers: Map[String, String] = Map.empty,
               timeoutMs: Int = 10000, retries: Int = 3, backoffMs: Long = 0): String = {
     require(retries >= 1, s"RestPoll: retries must be >= 1, got $retries")
@@ -66,6 +95,8 @@ object RestPoll {
             if (err != null) try { err.readAllBytes(); () } finally err.close()
             if (code < 500 && code != 408 && code != 429)
               throw new ClientError(s"RestPoll: HTTP $code from $url")
+            if (code == 408 || code == 429)
+              throw new Throttled(s"RestPoll: HTTP $code from $url", retryAfterMsOf(conn))
             throw new java.io.IOException(s"RestPoll: HTTP $code from $url")
           }
           val in = conn.getInputStream
@@ -74,6 +105,14 @@ object RestPoll {
         } finally conn.disconnect()
       } catch {
         case e: ClientError => throw e // 4xx: fail fast, no retry
+        case e: Throttled =>
+          last = e
+          // Honor the server's Retry-After; without one, throttle codes
+          // still back off (never hot-spin inside the throttle window).
+          if (attempt < retries) {
+            val base = if (backoffMs > 0) backoffMs else ThrottleBackoffMs
+            Thread.sleep(e.retryAfterMs.getOrElse(base * attempt))
+          }
         case e: java.io.IOException =>
           last = e
           if (attempt < retries && backoffMs > 0) Thread.sleep(backoffMs * attempt)

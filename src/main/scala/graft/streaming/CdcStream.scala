@@ -36,6 +36,19 @@ import org.apache.spark.sql.types.StructType
   * `changes/batch_<id>` FEED is the consumer-owned output and is never
   * touched).
   *
+  * Generation-integrity contract: ONE dump = ONE file. A dump exported
+  * as several files would be split across triggers and each piece
+  * diffed as a full snapshot, emitting bogus removed/added churn — so
+  * the splits are DETECTED, not trusted to documentation: each file's
+  * generation id (its parent-directory name for files dropped as
+  * `srcDir/<export>/part-*`, else its filename with any `part-<n>`
+  * segment stripped) is recorded in the state generation (`_GENERATION`
+  * marker, invisible to the parquet reader), and a batch whose id
+  * matches the prior generation's fails the stream loudly instead of
+  * emitting a corrupt diff. Producers of multi-file exports must
+  * coalesce to one file (or repack) before enqueueing; distinct dumps
+  * must carry distinct names.
+  *
   * Limitation (by contract, not accident): a ZERO-ROW dump is
   * indistinguishable from "no data arrived" inside foreachBatch, so
   * empty batches are skipped — truncating the source to nothing must
@@ -44,6 +57,21 @@ import org.apache.spark.sql.types.StructType
   * non-empty generation.
   */
 object CdcStream {
+
+  /** Generation id of a queued dump file: the parent-directory name when
+    * the file sits below a subdirectory of `srcDir` (directory-per-export
+    * producers — Spark itself writes `out/part-00000-…`), else the bare
+    * filename with any `part-<n>` segment removed (so `dump7-part-001
+    * .json` and `dump7-part-002.json` collide to `dump7.json` and the
+    * split is caught). Well-behaved producers — one uniquely-named file
+    * per dump — map 1:1. */
+  private[streaming] def generationOf(srcDir: String, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val parentName = Option(p.getParent).map(_.getName).getOrElse("")
+    val srcName = new org.apache.hadoop.fs.Path(srcDir).getName
+    if (parentName.nonEmpty && parentName != srcName) parentName
+    else p.getName.replaceAll("(?i)[-_.]?part[-_]?\\d+", "")
+  }
 
   def start(
       spark: SparkSession,
@@ -68,6 +96,21 @@ object CdcStream {
             .cache()
           val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
             .filter(_._1 < batchId).sortBy(_._1).lastOption
+          // Generation-integrity check: the batch's source file must not
+          // belong to the same dump as the prior generation (a multi-file
+          // export split across triggers). Replays pass: the replayed
+          // batch compares against the generation BELOW it, not itself.
+          // one file per trigger, so one log entry decides the generation
+          val gen = FileQueue.batchSourceFiles(spark, checkpointDir, batchId)
+            .headOption.map(f => generationOf(srcDir, f)).getOrElse("")
+          for {
+            (_, priorPath) <- prior if gen.nonEmpty
+            priorGen <- readMarker(spark, priorPath) if priorGen == gen
+          } throw new IllegalStateException(
+            s"CdcStream: batch $batchId file belongs to generation '$gen', same as the " +
+              "previous snapshot — the dump was exported as multiple files and would be " +
+              "diffed piecewise, emitting spurious added/removed rows. Coalesce each " +
+              "export to ONE uniquely-named file before enqueueing.")
           val changes = prior match {
             case Some((_, p)) =>
               SnapshotDiff.diffDigests(spark.read.parquet(p), newDig, keys)
@@ -76,6 +119,7 @@ object CdcStream {
           }
           changes.write.mode("overwrite").parquet(s"$changesDir/batch_$batchId")
           newDig.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+          writeMarker(spark, s"$stateDir/batch_$batchId", gen)
           newDig.unpersist(blocking = false)
           // retention: once this generation's state is committed, only
           // the prior can ever be read again (and only by a replay of
@@ -84,5 +128,30 @@ object CdcStream {
             FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id) }
         }
     }
+  }
+
+  /** `_GENERATION` marker inside a state generation dir — underscore
+    * prefix keeps it invisible to the parquet reader. Written AFTER the
+    * parquet commit (overwrite wipes the dir first); a missing marker
+    * (pre-upgrade state) just skips the integrity check once. */
+  private def markerPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "_GENERATION")
+
+  private def readMarker(spark: SparkSession, dir: String): Option[String] = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String, gen: String): Unit = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

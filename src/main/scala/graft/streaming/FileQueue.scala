@@ -56,6 +56,32 @@ object FileQueue {
         .toOption.map(id => (id, p.toString)))
   }
 
+  /** The source files that make up micro-batch `batchId`, read from the
+    * file source's own checkpoint log (`sources/0/<batchId>`, or the
+    * `.compact` rollup that replaces it every 10 batches) — the ONLY
+    * authoritative record: the foreachBatch frame is a LogicalRDD with no
+    * file lineage (`inputFiles` is empty, `_metadata` unresolvable), and
+    * the srcDir listing races with archival. Entries are one JSON object
+    * per line with `path` and `batchId` fields; a compact file carries
+    * the whole history, so entries are filtered to the asked-for batch.
+    * Replay-stable: the log is written before the batch first runs and
+    * survives it. */
+  def batchSourceFiles(spark: SparkSession, checkpointDir: String, batchId: Long): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates = Seq(
+      new org.apache.hadoop.fs.Path(dir, batchId.toString),
+      new org.apache.hadoop.fs.Path(dir, s"$batchId.compact"))
+    candidates.find(fs.exists).toSeq.flatMap { p =>
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                 finally in.close()
+      val entry = ("\"path\":\"([^\"]+)\"".r, s"\"batchId\":$batchId\\b".r)
+      text.linesIterator.filter(l => entry._2.findFirstIn(l).isDefined)
+        .flatMap(l => entry._1.findFirstMatchIn(l).map(_.group(1))).toSeq
+    }
+  }
+
   /** Delete generation dirs with id strictly below `keepFrom` — state
     * retention for streams where only the latest prior generation is
     * ever read. Safe order: call AFTER the current generation's state

@@ -75,6 +75,37 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(stateDirs == Set("batch_1", "batch_2"), s"state dirs: $stateDirs")
   }
 
+  test("a dump exported as multiple part files fails the stream, not diffed piecewise") {
+    val base = Files.createTempDirectory("graft_cdcsplit_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def start() = CdcStream.start(spark, bronze, schema, s"$base/archive",
+      s"$base/state", s"$base/changes", s"$base/ckpt",
+      keys = Seq("k"), digestOf = df => SnapshotDiff.rowDigest(Seq(df("v"))))
+    // generation 1: a well-formed single-file dump
+    Files.write(java.nio.file.Paths.get(bronze, "snap1.json"),
+      Seq(rowJson(1, "a"), rowJson(2, "b")).mkString("\n").getBytes)
+    val q1 = start()
+    assert(q1.awaitTermination(120000))
+    // generation 2 arrives SPLIT in two part files — with one file per
+    // trigger each piece would otherwise be diffed as a full snapshot,
+    // emitting a bogus removal of every row in the other piece
+    Files.write(java.nio.file.Paths.get(bronze, "dump7-part-001.json"),
+      Seq(rowJson(1, "a")).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(bronze, "dump7-part-002.json"),
+      Seq(rowJson(3, "c")).mkString("\n").getBytes)
+    new java.io.File(bronze, "snap1.json")
+      .setLastModified(System.currentTimeMillis() - 120000)
+    new java.io.File(bronze, "dump7-part-001.json")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q2.awaitTermination(120000))
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("multiple files"), s"unexpected failure: $messages")
+  }
+
   test("two dumps queued before one start become two generations, never one merged batch") {
     val base = Files.createTempDirectory("graft_cdcqueue_").toString
     val bronze = s"$base/bronze/new"

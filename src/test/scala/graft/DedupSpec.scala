@@ -279,4 +279,19 @@ class DedupSpec extends AnyFunSuite {
     val planted = (0 until 5).map(i => (100L + i, 200L + i)).toSet
     assert(planted.subsetOf(adaptive), s"missing planted pairs: ${planted -- adaptive}")
   }
+
+  test("simhashPairsAdaptive pins its signature frame through the caller's CacheScope") {
+    val df = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "p q r s")).toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.operators.CacheScope
+    assert(Dedup.simhashPairsAdaptive(df, col("id"), col("text"), scope = scope).count() >= 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected the signature pin to be live")
+    scope.close()
+    val deadline = System.currentTimeMillis() + 10000
+    while ((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "scope.close() must release the adaptive signature pin")
+  }
 }

@@ -127,6 +127,36 @@ class RestPollSpec extends AnyFunSuite {
     }
   }
 
+  test("429 honors Retry-After; throttle codes back off even with backoffMs=0") {
+    // server says "retry in 1 s": the client must wait it out, not burn
+    // the remaining retries inside the throttle window
+    val calls = new AtomicInteger(0)
+    withServer { ex =>
+      if (calls.incrementAndGet() == 1) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        (429, "slow down")
+      } else (200, """[{"item_id": 1}]""")
+    } { url =>
+      val t0 = System.nanoTime()
+      val body = RestPoll.getOnce(url, retries = 2, backoffMs = 0)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(body.contains("item_id") && calls.get() == 2)
+      assert(elapsedMs >= 900, s"Retry-After: 1 ignored (elapsed ${elapsedMs}ms)")
+    }
+    // no Retry-After header: the nonzero default throttle backoff applies
+    // (500 ms, then 1000 ms) even though the caller left backoffMs=0
+    val calls2 = new AtomicInteger(0)
+    withServer { _ =>
+      if (calls2.incrementAndGet() <= 2) (429, "slow down") else (200, "[]")
+    } { url =>
+      val t0 = System.nanoTime()
+      RestPoll.getOnce(url, retries = 3, backoffMs = 0)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(calls2.get() == 3)
+      assert(elapsedMs >= 1400, s"default throttle backoff missing (elapsed ${elapsedMs}ms)")
+    }
+  }
+
   test("4xx fails FAST (no retry burn); 5xx still consumes the retry budget") {
     val calls = new AtomicInteger(0)
     withServer { _ => { calls.incrementAndGet(); (404, "no such key") } } { url =>

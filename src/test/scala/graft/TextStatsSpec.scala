@@ -16,6 +16,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stop_ratio") == 3.0 / 6)     // the, on, the
   }
 
+  test("withQualityInt never yields NULL on degenerate text (zero-token guard)") {
+    // empty / whitespace-only docs must score, not divide by zero: a NULL
+    // quality_pm here is a Spark/DuckDB desync (integer // 0 RAISES in
+    // DuckDB) and would crash q_quality_prune on a real corpus
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the cat")).toDF("id", "text")
+    val rows = TextStats.withQualityInt(df, col("text"), Seq("the"))
+      .select("id", "quality_pm").collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), s"quality_pm NULL for id ${r.getLong(0)}")
+      val pm = r.getLong(1)
+      assert(pm >= 0 && pm <= 3000, s"quality_pm out of range: $pm")
+    }
+  }
+
   test("regex sub-tokens split words, numbers, and punctuation marks") {
     val df = Seq((1L, "hello, world 42!")).toDF("id", "text")
     val r = df.select(TextStats.regexTokenCount(col("text")).as("n")).head()
