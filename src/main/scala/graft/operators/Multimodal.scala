@@ -11,12 +11,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * batches, letting a native decoder amortize per-call setup), and a
   * typed `Dataset[MediaFeatures]` out.
   *
-  * Dimension extraction is REAL for PNG/JPEG payloads
-  * ([[HeaderDecoder]] parses the container headers — pure JVM, no
-  * codec); PIXEL work (feature nets, rescale) is stubbed:
-  * [[StubDecoder]] derives deterministic pseudo-features from the raw
-  * bytes (documented per field). Production swaps in a codec-backed
-  * [[MediaDecoder]] with the same contract; nothing else changes.
+  * Decode depth is tiered, all pure JVM:
+  *  - [[HeaderDecoder]] — REAL container parses (PNG/JPEG dimensions,
+  *    WAV/RIFF rate + duration), no pixel work; what the oracled
+  *    queries run.
+  *  - [[PixelDecoder]] — REAL pixel decode for images via
+  *    `javax.imageio` (content mean-RGB/intensity features) on top of
+  *    the header tier; [[PixelOps.resize]] does real aspect-fit pixel
+  *    rescale. Video frame decode is the one codec-bound step still
+  *    stubbed.
+  *  - [[StubDecoder]] — deterministic byte-derived pseudo-features
+  *    (documented per field), the SQL-mirrorable fallback for payloads
+  *    that are not a recognized container.
   */
 object Multimodal {
 
@@ -24,12 +30,16 @@ object Multimodal {
     * raw payload bytes. */
   final case class MediaRecord(media_id: Long, kind: String, media: Array[Byte])
 
-  /** Extracted features; in production width/height/frames come from
-    * the codec, f0..f3 from a real feature net. */
+  /** Extracted features. width/height/frames come from the container
+    * (real for PNG/JPEG/WAV); f0..f3 are content features (real mean-RGB
+    * and mean-intensity for decoded images, byte-derived pseudo-features
+    * otherwise); sample_rate/duration_ms are real for parsed WAV audio,
+    * byte-derived stubs for other audio, 0 for non-audio. */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int,
-      f0: Double, f1: Double, f2: Double, f3: Double)
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      sample_rate: Int, duration_ms: Long)
 
   trait MediaDecoder extends Serializable {
     /** Decode one bounded batch (vectorized-call contract). */
@@ -41,7 +51,9 @@ object Multimodal {
     *  - width/height: first/second byte mod 64, 1-based
     *  - n_frames: 1 per started 100 bytes for video, else 1
     *    (the frame-sample stub)
-    *  - f0..f3: bytes at positions 0/7/14/21 (mod length), scaled /255.
+    *  - f0..f3: bytes at positions 0/7/14/21 (mod length), scaled /255
+    *  - audio: sample_rate 8/16/24 kHz from the third byte,
+    *    duration_ms = one ms per payload byte; 0/0 for other kinds.
     */
   object StubDecoder extends MediaDecoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
@@ -52,7 +64,9 @@ object Multimodal {
         width = 1 + b(0) % 64,
         height = 1 + b(1) % 64,
         n_frames = if (r.kind == "video") 1 + r.media.length / 100 else 1,
-        f0 = b(0) / 255.0, f1 = b(7) / 255.0, f2 = b(14) / 255.0, f3 = b(21) / 255.0)
+        f0 = b(0) / 255.0, f1 = b(7) / 255.0, f2 = b(14) / 255.0, f3 = b(21) / 255.0,
+        sample_rate = if (r.kind == "audio") 8000 * (1 + b(2) % 3) else 0,
+        duration_ms = if (r.kind == "audio") r.media.length.toLong else 0L)
     }
   }
 
@@ -125,29 +139,189 @@ object Multimodal {
       ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
         ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) |
+        ((b(off + 3) & 0xffL) << 24)) & 0xffffffffL
+
+    /** A parsed WAV container: channel layout, rate, and the `data`
+      * chunk size (payload truncation caps it at the bytes present). */
+    final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+        blockAlign: Int, dataBytes: Long) {
+      /** Sample frames in the data chunk (one frame = one sample across
+        * all channels). */
+      def frames: Long = dataBytes / blockAlign
+      def durationMs: Long = frames * 1000L / sampleRate
+    }
+
+    /** WAV/RIFF: `RIFF <size> WAVE`, then a chunk walk for `fmt ` (PCM
+      * layout: format/channels/rate/align/bits at LE offsets 0-15) and
+      * `data` (payload size). Chunks are word-aligned; unknown chunks
+      * (LIST, fact, cue) are skipped by size. "RIFF" is printable, so —
+      * per this object's no-misparse rule — the parse only succeeds on
+      * the FULL structure: both fourccs, a fmt chunk with a known format
+      * code (PCM/float/extensible), a sane rate, and a blockAlign
+      * consistent with channels×bits; callers additionally route by the
+      * record's declared kind, so prose never reaches this parser. */
+    def wavHeader(b: Array[Byte]): Option[WavInfo] = {
+      if (b.length < 44) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, align, bits
+      var data: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+          val code = le16(b, i + 8)
+          val ch = le16(b, i + 10)
+          val rate = le32(b, i + 12).toInt
+          val align = le16(b, i + 20)
+          val bits = le16(b, i + 22)
+          val codeOk = code == 1 || code == 3 || code == 0xFFFE // PCM / float / extensible
+          val layoutOk = ch >= 1 && ch <= 64 && rate >= 1 && rate <= 1000000 &&
+            bits % 8 == 0 && bits >= 8 && bits <= 64 && align == ch * bits / 8
+          if (!codeOk || !layoutOk) return None
+          fmt = Some((ch, rate, align, bits))
+        } else if (id == "data") {
+          // truncated payloads cap at what is actually present
+          data = Some(math.min(size, (b.length - i - 8).toLong))
+        }
+        if (size > Int.MaxValue - 16) return None
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      for ((ch, rate, align, bits) <- fmt; d <- data)
+        yield WavInfo(ch, rate, bits, align, d)
+    }
+
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
-      imageHeader(r.media) match {
-        case Some((_, w, h)) =>
-          // real dimensions; f0..f3 stay the stub's byte-derived values
-          // (pixel decode is the one genuinely codec-bound step)
-          StubDecoder.decodeBatch(Seq(r)).head.copy(width = w, height = h)
-        case None => StubDecoder.decodeBatch(Seq(r)).head
+      val stub = StubDecoder.decodeBatch(Seq(r)).head
+      r.kind match {
+        case "image" =>
+          imageHeader(r.media) match {
+            // real dimensions; f0..f3 stay the stub's byte-derived values
+            // (pixel decode lives in PixelDecoder)
+            case Some((_, w, h)) => stub.copy(width = w, height = h)
+            case None => stub
+          }
+        case "audio" =>
+          wavHeader(r.media) match {
+            case Some(w) => stub.copy(
+              sample_rate = w.sampleRate, duration_ms = w.durationMs,
+              n_frames = math.min(w.frames, Int.MaxValue.toLong).toInt)
+            case None => stub
+          }
+        case _ => stub
       }
     }
   }
 
-  /** Resize stub: production rescales pixel buffers; the stub rescales
-    * the METADATA with the same contract — aspect-preserving fit into a
-    * `maxW`×`maxH` box (exact integer arithmetic, floor semantics). */
-  def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
-    if (f.width <= maxW && f.height <= maxH) f
+  /** Aspect-preserving fit of `w`×`h` into a `maxW`×`maxH` box — exact
+    * integer arithmetic, floor semantics, no floats (the cross-product
+    * compare picks the binding dimension). Shared by the metadata-only
+    * [[resizeStub]] and the real pixel [[PixelOps.resize]], so the two
+    * always agree on target dimensions. */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
     else {
-      // scale = min(maxW/w, maxH/h) without floats: compare cross products
-      val byWidth = f.height.toLong * maxW <= f.width.toLong * maxH
-      val (w2, h2) =
-        if (byWidth) (maxW, math.max(1, (f.height.toLong * maxW / f.width).toInt))
-        else (math.max(1, (f.width.toLong * maxH / f.height).toInt), maxH)
-      f.copy(width = w2, height = h2)
+      val byWidth = h.toLong * maxW <= w.toLong * maxH
+      if (byWidth) (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+      else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+    }
+
+  /** Resize stub: rescales the METADATA only, via [[fitBox]] — the
+    * contract [[PixelOps.resize]] applies to actual pixel buffers. */
+  def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
+    val (w2, h2) = fitBox(f.width, f.height, maxW, maxH)
+    if (w2 == f.width && h2 == f.height) f else f.copy(width = w2, height = h2)
+  }
+
+  /** REAL pixel work — `javax.imageio` (pure JVM, in every JRE): decode
+    * PNG/JPEG payloads to pixel buffers, compute content features, and
+    * rescale. Used by [[PixelDecoder]] and directly by resize queries. */
+  object PixelOps extends Serializable {
+
+    /** Decode to a pixel buffer; None when no installed reader claims
+      * the bytes. Memory-cached ImageIO input (no temp-file spill) —
+      * payloads already sit in executor memory. */
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    }
+
+    /** Content features from the decoded pixels: mean R, G, B and mean
+      * intensity ((r+g+b)/3), each scaled to [0,1]. Integer channel sums
+      * (exact — no float accumulation order to drift), one double
+      * division at the end: deterministic for a given decoded buffer. */
+    def meanRgb(img: java.awt.image.BufferedImage): (Double, Double, Double, Double) = {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      // divide by the pixel count FIRST: a solid-color image's channel
+      // sum is an exact multiple of n, so the mean is the exact channel
+      // value before the one lossy /255 step
+      val n = (w.toLong * h).toDouble
+      (sr / n / 255.0, sg / n / 255.0, sb / n / 255.0, (sr + sg + sb) / n / 3.0 / 255.0)
+    }
+
+    /** Aspect-fit pixel resize into `maxW`×`maxH` (target dims from
+      * [[fitBox]] — identical to the metadata stub), bilinear filtering,
+      * re-encoded as PNG. Images already inside the box pass through
+      * byte-identical. None when the payload doesn't decode. */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Array[Byte], Int, Int)] =
+      decode(bytes).map { img =>
+        val (w2, h2) = fitBox(img.getWidth, img.getHeight, maxW, maxH)
+        if (w2 == img.getWidth && h2 == img.getHeight) (bytes, w2, h2)
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w2, h2, null)
+          } finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          (baos.toByteArray, w2, h2)
+        }
+      }
+  }
+
+  /** The production-shaped decoder: REAL pixel decode for image
+    * payloads (javax.imageio), REAL WAV header audio, stub only for
+    * video (frame decode is the one genuinely codec-bound step left).
+    * Image rows get content-derived features — mean R/G/B and mean
+    * intensity — instead of the stub's byte probes; the container
+    * header still gates the decode, so prose-as-bytes never reaches
+    * ImageIO and falls back to the stub's SQL-mirrorable fields. */
+  object PixelDecoder extends MediaDecoder {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
+      val base = HeaderDecoder.decodeBatch(Seq(r)).head
+      if (r.kind == "image" && HeaderDecoder.imageHeader(r.media).isDefined)
+        PixelOps.decode(r.media) match {
+          case Some(img) =>
+            val (f0, f1, f2, f3) = PixelOps.meanRgb(img)
+            base.copy(width = img.getWidth, height = img.getHeight,
+              f0 = f0, f1 = f1, f2 = f2, f3 = f3)
+          case None => base
+        }
+      else base
     }
   }
 

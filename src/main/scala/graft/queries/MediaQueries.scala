@@ -90,6 +90,8 @@ object MediaQueries extends QueryModule {
          |  1 + ${by(1)} % 64 AS height,
          |  CASE WHEN doc_id % 3 = 2 THEN 1 + CAST(FLOOR(length(text) / 100.0) AS INTEGER) ELSE 1 END AS n_frames,
          |  ${by(0)} / 255.0 AS f0, ${by(7)} / 255.0 AS f1,
-         |  ${by(14)} / 255.0 AS f2, ${by(21)} / 255.0 AS f3
+         |  ${by(14)} / 255.0 AS f2, ${by(21)} / 255.0 AS f3,
+         |  CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + ${by(2)} % 3) ELSE 0 END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 1 THEN CAST(length(text) AS BIGINT) ELSE 0 END AS duration_ms
          |FROM documents ORDER BY media_id""".stripMargin)
 }

@@ -39,11 +39,11 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize stub: aspect-preserving fit, no-op when already inside the box") {
-    val f = Multimodal.MediaFeatures(1L, "image", 10L, 64, 32, 1, 0, 0, 0, 0)
+    val f = Multimodal.MediaFeatures(1L, "image", 10L, 64, 32, 1, 0, 0, 0, 0, 0, 0L)
     val r = Multimodal.resizeStub(f, 16, 16)
     assert(r.width == 16 && r.height == 8) // 2:1 aspect kept
     assert(Multimodal.resizeStub(f, 100, 100) eq f)
-    val tall = Multimodal.MediaFeatures(2L, "image", 10L, 10, 60, 1, 0, 0, 0, 0)
+    val tall = Multimodal.MediaFeatures(2L, "image", 10L, 10, 60, 1, 0, 0, 0, 0, 0, 0L)
     val r2 = Multimodal.resizeStub(tall, 16, 12)
     assert(r2.height == 12 && r2.width == 2)
   }
@@ -93,8 +93,112 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.HeaderDecoder.imageHeader("GIF89a pretend".getBytes("US-ASCII")).isEmpty)
   }
 
+  // --- real pixel decode + resize (PixelDecoder / PixelOps) ---
+
+  /** A real encoded image: solid rgb fill, any size, png or jpeg. */
+  private def realImage(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  test("PixelDecoder: content-derived mean-RGB features from real decoded pixels") {
+    val png = realImage(80, 40, 0xC86432, "png") // r=200 g=100 b=50
+    val jpg = realImage(33, 77, 0x808080, "jpg") // gray — JPEG-stable
+    val out = Multimodal.PixelDecoder.decodeBatch(Seq(
+        MediaRecord(1L, "image", png), MediaRecord(2L, "image", jpg),
+        MediaRecord(3L, "image", "prose payload, not an image".getBytes("UTF-8"))))
+      .map(f => f.media_id -> f).toMap
+    // PNG is lossless: means are EXACT channel values
+    assert(out(1L).width == 80 && out(1L).height == 40)
+    assert(out(1L).f0 == 200 / 255.0 && out(1L).f1 == 100 / 255.0 && out(1L).f2 == 50 / 255.0)
+    assert(out(1L).f3 == (200 + 100 + 50) / 3.0 / 255.0)
+    // JPEG is lossy: solid gray survives within a small tolerance
+    assert(out(2L).width == 33 && out(2L).height == 77)
+    assert(math.abs(out(2L).f0 - 128 / 255.0) < 0.02 && math.abs(out(2L).f2 - 128 / 255.0) < 0.02)
+    // non-image payloads keep the stub's documented fields
+    assert(out(3L) == Multimodal.StubDecoder.decodeBatch(
+      Seq(MediaRecord(3L, "image", "prose payload, not an image".getBytes("UTF-8")))).head)
+  }
+
+  test("PixelOps.resize: real pixels through an aspect-fit rescale, re-decodable") {
+    val png = realImage(64, 32, 0x3264C8, "png")
+    val (bytes2, w2, h2) = Multimodal.PixelOps.resize(png, 16, 16).get
+    assert((w2, h2) == ((16, 8)), "fitBox dims must match the metadata stub")
+    // the resized payload is a real image with those dimensions
+    val back = Multimodal.PixelOps.decode(bytes2).get
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // solid color survives bilinear rescale exactly
+    val (f0, f1, f2, _) = Multimodal.PixelOps.meanRgb(back)
+    assert(f0 == 0x32 / 255.0 && f1 == 0x64 / 255.0 && f2 == 0xC8 / 255.0)
+    // already inside the box: byte-identical pass-through
+    val small = realImage(10, 10, 0xFFFFFF, "png")
+    assert(Multimodal.PixelOps.resize(small, 16, 16).get._1 eq small)
+    // undecodable payloads say so instead of guessing
+    assert(Multimodal.PixelOps.resize("not an image".getBytes, 16, 16).isEmpty)
+  }
+
+  test("PixelDecoder end-to-end through extractFeatures (mapPartitions contract)") {
+    val rows = Seq(
+      (1L, "image", realImage(80, 40, 0xC86432, "png")),
+      (2L, "image", "prose".getBytes("UTF-8")),
+      (3L, "video", Array.fill(250)(7.toByte)))
+      .toDF("media_id", "kind", "media")
+    val out = Multimodal.extractFeatures(rows.repartition(2), Multimodal.PixelDecoder, 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 80 && out(1L).f0 == 200 / 255.0)
+    assert(out(2L).width <= 64, "stub fallback for non-container payloads")
+    assert(out(3L).n_frames == 3, "video stays on the documented stub")
+  }
+
+  // --- real WAV/RIFF audio headers ---
+
+  /** A real little-endian WAV: PCM fmt chunk + data chunk of `dataBytes`. */
+  private def wavBytes(channels: Int, rate: Int, bits: Int, dataBytes: Int,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val align = channels * bits / 8
+    val extra = if (extraChunk) 8 + 4 else 0
+    val out = java.nio.ByteBuffer.allocate(44 + extra + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * align).putShort(align.toShort).putShort(bits.toShort)
+    if (extraChunk) out.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      .put(Array.fill(dataBytes)(0x11.toByte))
+    out.array()
+  }
+
+  test("HeaderDecoder: real WAV rate/duration/frames; corrupt audio falls back to the stub") {
+    // mono 8 kHz 16-bit, 16000 data bytes = 8000 frames = exactly 1 s
+    val wav = wavBytes(channels = 1, rate = 8000, bits = 16, dataBytes = 16000)
+    val out = Multimodal.HeaderDecoder.decodeBatch(Seq(MediaRecord(1L, "audio", wav))).head
+    assert(out.sample_rate == 8000 && out.duration_ms == 1000 && out.n_frames == 8000)
+    // unknown chunks (LIST) are skipped by size, stereo layout honored
+    val st = wavBytes(channels = 2, rate = 44100, bits = 16, dataBytes = 44100 * 4 / 2, extraChunk = true)
+    val f2 = Multimodal.HeaderDecoder.decodeBatch(Seq(MediaRecord(2L, "audio", st))).head
+    assert(f2.sample_rate == 44100 && f2.duration_ms == 500)
+    // prose starting with RIFF letters is NOT audio: full structure required
+    val prose = MediaRecord(3L, "audio", "RIFF raff prose that is not a wave file at all, honest".getBytes)
+    assert(Multimodal.HeaderDecoder.decodeBatch(Seq(prose)).head ==
+      Multimodal.StubDecoder.decodeBatch(Seq(prose)).head)
+    // truncated header: stub fallback, no guessing
+    val trunc = MediaRecord(4L, "audio", wav.take(30))
+    assert(Multimodal.HeaderDecoder.decodeBatch(Seq(trunc)).head ==
+      Multimodal.StubDecoder.decodeBatch(Seq(trunc)).head)
+    // a truncated DATA payload caps duration at the bytes present
+    val cut = Multimodal.HeaderDecoder.decodeBatch(
+      Seq(MediaRecord(5L, "audio", wav.take(44 + 8000)))).head
+    assert(cut.duration_ms == 500, s"expected capped 500ms, got ${cut.duration_ms}")
+  }
+
   test("frame-sample stub: every nth index, bounded by frame count") {
-    val v = Multimodal.MediaFeatures(3L, "video", 10L, 1, 1, 10, 0, 0, 0, 0)
+    val v = Multimodal.MediaFeatures(3L, "video", 10L, 1, 1, 10, 0, 0, 0, 0, 0, 0L)
     assert(Multimodal.sampleFrames(v, 3) == Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrames(v.copy(n_frames = 1), 5) == Seq(0))
   }
@@ -106,18 +210,21 @@ class MultimodalSpec extends AnyFunSuite {
     write("a.png", pngBytes(640, 480))
     write("b.jpg", jpegBytes(333, 77))
     write("c.mp4", Array.fill(250)(7.toByte))
+    write("d.wav", wavBytes(channels = 1, rate = 16000, bits = 16, dataBytes = 8000))
     write("notes.txt", "not media".getBytes("UTF-8"))   // excluded by glob
     write("_tmp.png.crc", Array[Byte](1, 2))            // excluded by glob
 
     val files = graft.sources.MediaFiles.read(spark, dir.toString)
-    assert(files.count() == 3, "glob should prune non-media at LISTING time")
+    assert(files.count() == 4, "glob should prune non-media at LISTING time")
     // metadata predicates gate which files are read, not just rows
-    assert(files.filter(col("length") > 100).count() == 1)
+    assert(files.filter(col("length") > 100).count() == 2)
 
     val recs = graft.sources.MediaFiles.records(files)
     val feats = Multimodal.extractFeatures(recs, Multimodal.HeaderDecoder)
       .collect().map(f => f.kind -> f).toMap
-    assert(feats.keySet == Set("image", "video"))
+    assert(feats.keySet == Set("image", "audio", "video"))
+    // real WAV container values through the file route
+    assert(feats("audio").sample_rate == 16000 && feats("audio").duration_ms == 250)
     // real container dimensions, not stub pseudo-dims
     val dims = Multimodal.extractFeatures(recs.filter(col("kind") === "image"),
         Multimodal.HeaderDecoder).collect().map(f => (f.width, f.height)).toSet
