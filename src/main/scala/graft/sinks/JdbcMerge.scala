@@ -155,4 +155,100 @@ object JdbcMerge {
   def foreachBatchMerge(url: String, table: String, keys: Seq[String],
                         props: Properties = new Properties): (DataFrame, Long) => Unit =
     (batch, _) => mergeInto(batch, url, table, keys, props)
+
+  /** Name of the exactly-once ledger table (see [[mergeIntoLedgered]]). */
+  val LedgerTable = "graft_batch_ledger"
+
+  /** EXACTLY-ONCE upsert: [[mergeInto]] plus a batch ledger consulted
+    * and written in the SAME transaction as the merge.
+    *
+    * Plain [[mergeInto]] is replay-idempotent only when the replayed
+    * batch carries the SAME rows — true under Structured Streaming's
+    * deterministic-replay contract, but NOT when the source can't
+    * replay deterministically (compacted topic, re-run over mutated
+    * input) or an operator upstream is nondeterministic: the replay
+    * then re-merges DIFFERENT rows over the originals. The ledger makes
+    * the decision explicit: a `(sink_table, batch_id)` row is inserted
+    * in the merge's transaction, so the merge and its ledger mark
+    * commit or roll back ATOMICALLY; a batch id already in the ledger
+    * is skipped wholesale (before any staging write), and a concurrent
+    * duplicate apply loses the primary-key race and rolls back its
+    * merge. This upgrades the reference's at-least-once file queue
+    * (`models_schema.py:31-33` dedups keys, not deliveries) to
+    * exactly-once delivery per batch id.
+    *
+    * The ledger table is created on first use (create-then-swallow —
+    * portable across Derby/Postgres, which lack a common IF NOT
+    * EXISTS); one ledger serves every sink table in the database. */
+  def mergeIntoLedgered(batch: DataFrame, url: String, table: String, keys: Seq[String],
+                        batchId: Long, props: Properties = new Properties,
+                        ledger: String = LedgerTable): Boolean = {
+    require(keys.nonEmpty, "JdbcMerge: at least one key column required")
+    val cols = batch.columns.toSeq
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty, s"JdbcMerge: key column(s) ${missing.mkString(", ")} not in batch")
+    (table +: ledger +: cols).foreach(checkIdent)
+    val d = UpsertDialect.forUrl(url)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      try exec(conn, s"CREATE TABLE $ledger (" +
+        "sink_table VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL, " +
+        "applied_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP, " +
+        "PRIMARY KEY (sink_table, batch_id))")
+      catch { case _: java.sql.SQLException => () } // exists (or SELECT below fails loudly)
+      def applied(): Boolean = {
+        val st = conn.prepareStatement(
+          s"SELECT 1 FROM $ledger WHERE sink_table = ? AND batch_id = ?")
+        try {
+          st.setString(1, table); st.setLong(2, batchId)
+          val rs = st.executeQuery()
+          try rs.next() finally rs.close()
+        } finally st.close()
+      }
+      if (applied()) return false // replay of a committed batch: skip wholesale
+      val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dups = pinned.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+        require(dups == 0,
+          s"JdbcMerge: batch has multiple rows per key (${keys.mkString(", ")}) — " +
+            "aggregate to one row per key before upserting")
+        val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        exec(conn, s"CREATE TABLE $staging AS SELECT * FROM $table WITH NO DATA")
+        try {
+          pinned.write.mode("append").jdbc(url, staging, props)
+          // merge + ledger mark: ONE transaction — commit both or neither
+          conn.setAutoCommit(false)
+          try {
+            exec(conn, d match {
+              case UpsertDialect.AnsiMerge => mergeStatement(table, staging, cols, keys)
+              case UpsertDialect.PostgresOnConflict => onConflictStatement(table, staging, cols, keys)
+            })
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $ledger (sink_table, batch_id) VALUES (?, ?)")
+            try { ins.setString(1, table); ins.setLong(2, batchId); ins.executeUpdate() }
+            finally ins.close()
+            conn.commit()
+            true
+          } catch {
+            case e: java.sql.SQLException =>
+              conn.rollback()
+              // lost the PK race to a concurrent apply of the same batch:
+              // its commit carries the rows; ours correctly vanishes
+              if (applied()) false else throw e
+          } finally conn.setAutoCommit(true)
+        } finally {
+          try exec(conn, s"DROP TABLE $staging")
+          catch { case _: java.sql.SQLException => () }
+        }
+      } finally pinned.unpersist(blocking = false)
+    } finally conn.close()
+  }
+
+  /** [[foreachBatchMerge]] upgraded to exactly-once: the micro-batch id
+    * IS the ledger id, so a foreachBatch replay (same id) is skipped
+    * even if the recomputed batch differs from the committed one. */
+  def foreachBatchMergeLedgered(url: String, table: String, keys: Seq[String],
+                                props: Properties = new Properties): (DataFrame, Long) => Unit =
+    (batch, id) => { mergeIntoLedgered(batch, url, table, keys, id, props); () }
 }

@@ -152,28 +152,32 @@ object EtlPipeline {
           // K2/K3 serving leg — the reference's actual endpoint (its
           // THREE KPI tables land in Postgres with on-conflict-update;
           // `main.py:53-55`): each batch's user/shop/date KPI frames
-          // ride the staged JDBC MERGE, so the serving store converges
-          // to the same keyed state as the gold path and batch replay
-          // is idempotent (JdbcMerge contract). Decimals serve as
+          // ride the staged JDBC MERGE under the batch-id ledger, so the
+          // serving store converges to the same keyed state as the gold
+          // path and a batch replay is skipped outright (EXACTLY-once —
+          // even a replay that recomputes different rows cannot
+          // double-apply; ledger ids are scoped to this pipeline's
+          // checkpoint, so resetting the checkpoint means clearing the
+          // ledger). Decimals serve as
           // double — the exact decimal stays in gold; a serving store
           // is a consumer surface, not the analytic source of truth.
           // `date` is renamed `day`: DATE is a reserved word in most
           // serving dialects and JdbcMerge interpolates identifiers
           // unquoted by design.
           servingUrl.foreach { url =>
-            graft.sinks.JdbcMerge.mergeInto(
+            graft.sinks.JdbcMerge.mergeIntoLedgered(
               kpis.drop("kbucket")
                 .withColumn("average_spent", col("average_spent").cast("double")),
-              url, "user_kpis", Seq("id"))
-            graft.sinks.JdbcMerge.mergeInto(
+              url, "user_kpis", Seq("id"), batchId)
+            graft.sinks.JdbcMerge.mergeIntoLedgered(
               Kpis.shopKpis(enriched)
                 .withColumn("average_profit", col("average_profit").cast("double")),
-              url, "shop_kpis", Seq("shop_id"))
-            graft.sinks.JdbcMerge.mergeInto(
+              url, "shop_kpis", Seq("shop_id"), batchId)
+            graft.sinks.JdbcMerge.mergeIntoLedgered(
               Kpis.dateKpis(enriched).withColumnRenamed("date", "day")
                 .withColumn("average_profit_per_day",
                   col("average_profit_per_day").cast("double")),
-              url, "date_kpis", Seq("day"))
+              url, "date_kpis", Seq("day"), batchId)
           }
           // (the dynamic path's checkpoint blocks are freed by the RDD
           // sweep below — Dataset.unpersist is a no-op for

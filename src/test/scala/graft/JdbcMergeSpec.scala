@@ -109,6 +109,47 @@ class JdbcMergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ledgered merge is EXACTLY-once: a replayed batch id with DIFFERENT rows is skipped") {
+    ddl("CREATE TABLE ledger_kpis (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    assert(JdbcMerge.mergeIntoLedgered(b0, url, "ledger_kpis", Seq("k"), batchId = 0L),
+      "first apply of batch 0 must merge")
+    // plain mergeInto would happily re-apply this; the ledger must not —
+    // a nondeterministic recompute of batch 0 produced different rows
+    val b0Corrupt = Seq((1L, 666.0), (9L, 9.0)).toDF("k", "v")
+    assert(!JdbcMerge.mergeIntoLedgered(b0Corrupt, url, "ledger_kpis", Seq("k"), batchId = 0L),
+      "replayed batch id must be skipped")
+    val got = readTable("ledger_kpis").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0),
+      "the replayed batch's rows leaked into the table")
+    // a NEW batch id still merges
+    assert(JdbcMerge.mergeIntoLedgered(
+      Seq((2L, 5.0), (3L, 3.0)).toDF("k", "v"), url, "ledger_kpis", Seq("k"), batchId = 1L))
+    assert(readTable("ledger_kpis").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 1.0, 2L -> 5.0, 3L -> 3.0))
+    // the ledger is per sink table: the same ids are fresh elsewhere
+    ddl("CREATE TABLE ledger_kpis2 (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    assert(JdbcMerge.mergeIntoLedgered(b0, url, "ledger_kpis2", Seq("k"), batchId = 0L))
+    assert(readTable("ledger_kpis2").count() == 2)
+  }
+
+  test("ledgered foreachBatch: crash-replay with a mutated source cannot double-apply") {
+    ddl("CREATE TABLE ledger_stream (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val sink = JdbcMerge.foreachBatchMergeLedgered(url, "ledger_stream", Seq("k"))
+    val q = in.toDF().toDF("k", "v").writeStream.foreachBatch(sink).start()
+    try {
+      in.addData((1L, 1.0)); q.processAllAvailable()
+      in.addData((2L, 2.0)); q.processAllAvailable()
+    } finally q.stop()
+    // simulate the post-crash replay of batch 1 where the recomputed
+    // batch no longer matches what was committed
+    sink(Seq((2L, 777.0), (8L, 8.0)).toDF("k", "v"), 1L)
+    assert(readTable("ledger_stream").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 1.0, 2L -> 2.0))
+  }
+
   test("statement builders: ANSI MERGE vs Postgres ON CONFLICT, same upsert algebra") {
     val cols = Seq("id", "average_spent", "positive_reviews")
     assert(JdbcMerge.mergeStatement("user_kpis", "stg1", cols, Seq("id")) ==
