@@ -56,7 +56,15 @@ object Sinks {
 
   /** K5 — move-after-processing archive (`data_loader.py:38-51`,
     * `loader.go:116-154`): rename each consumed file into the archive
-    * dir, keep failures in place for retry. Returns (moved, failed). */
+    * dir, keep failures in place for retry. Returns (moved, failed).
+    *
+    * Object-store note: where rename is copy+delete (S3-class), a crash
+    * between the copy and the delete leaves the file in BOTH places —
+    * the source copy is re-listed and reprocessed (at-least-once, the
+    * same contract the reference's list→move loop has) and the archive
+    * copy is overwritten by the retry's rename. No atomic rename is
+    * required for correctness, only for exactly-once, which the
+    * streaming path gets from the checkpoint WAL instead. */
   def archive(spark: SparkSession, files: Seq[String], archiveDir: String): (Seq[String], Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(archiveDir)
@@ -94,7 +102,15 @@ object Sinks {
     * this codebase call [[healSwap]] first, which repairs both the
     * crash-window state and the cleanup-skipped state; external readers
     * must tolerate/retry a missing-path instant or read via healSwap.
-    * Shared by the gold-table bucketing migration and [[compact]]. */
+    * Shared by the gold-table bucketing migration and [[compact]].
+    *
+    * ATOMIC-RENAME CONTRACT: this swap (and [[healSwap]]'s repair) is
+    * correct only on filesystems with atomic directory rename — HDFS,
+    * POSIX local. On S3-class object stores, where rename is a per-
+    * object copy+delete, a crash mid-rename leaves a half-copied dir at
+    * the LIVE path; use [[GenTable.publish]]/[[GenTable.resolve]] there
+    * (generation dirs + commit marker, no rename of the live table,
+    * spec'd against a non-atomic-rename filesystem). */
   def swapIn(fs: FileSystem, staged: Path, target: Path, backup: Path): Unit = {
     require(fs.rename(target, backup), s"swap: rename $target -> $backup failed")
     require(fs.rename(staged, target), s"swap: rename $staged -> $target failed")
