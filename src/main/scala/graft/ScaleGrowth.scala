@@ -5,13 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: MEASURE (not argue) the scale-growth claims behind the
-  * LSH-family candidate generation — VERDICT r6 gap #3.
+  * LSH-family candidate generation — VERDICT r6 gap #3, extended to
+  * 100× clones in round 8 (VERDICT r7 #5).
   *
   * Builds an `R`-times-larger corpus with the SAME duplicate rate as
   * the input (each replica is token-perturbed for text / element-rotated
   * for vectors, so documents are near-dups only WITHIN a replica and the
   * near-dup structure of each replica is exactly the original's), then
-  * records, at 1× and R×:
+  * records, at each requested scale:
   *
   *  - band-bucket count, mean/max occupancy, and the within-bucket pair
   *    total (what the bucket self-join enumerates);
@@ -19,19 +20,149 @@ import org.apache.spark.sql.functions._
   *
   * A linear engine shows ~R× pairs and ~flat occupancy (the adaptive
   * families grow their bucket space with log₂ n precisely so occupancy
-  * stays put; the fixed-band MinHash/SimHash families keep occupancy
-  * flat because bucket keys are content hashes and the vocabulary grows
-  * with the corpus). Super-linear growth in any row is a design bug.
-  * Output is a markdown table pasted into PLANS.md per round.
+  * stays put; banded MinHash keeps occupancy flat because bucket keys
+  * are content hashes and the vocabulary grows with the corpus).
+  * Super-linear growth in any row is a design bug. The fixed-width
+  * simhash family is the KNOWN counterexample kept as the control: its
+  * 1024-bucket space saturates, so it only runs at scale ≤ 10 — at 100×
+  * merely COUNTING its ~10¹¹ bucket pairs is infeasible, which is the
+  * point the adaptive family exists to fix.
+  *
+  * Output is a markdown table pasted into PLANS.md per round; the
+  * occupancy-band regression gate lives in ScaleGrowthSpec and reuses
+  * these measurement functions, so the gate cannot drift from the
+  * published methodology.
+  *
+  * Usage: `runMain graft.ScaleGrowth [sfDir] [scalesCsv] [docs|emb|all]`,
+  * e.g. `runMain graft.ScaleGrowth /root/testdata/sf0.1 1,10,100 all` —
+  * the third arg restricts to the document families (minhash/simhash) or
+  * the embedding families (ann-lsh/embed-banded) so a partial run can be
+  * completed without re-measuring the other half.
   */
 object ScaleGrowth {
 
   /** doc/vec id offset between replicas — far above any real id. */
   private val ReplicaOffset = 100000000L
 
+  /** One family's measurements at one scale. */
+  final case class FamilyStats(rows: Long, buckets: Long, meanOcc: Double,
+      maxOcc: Long, bucketPairs: Long, candidates: Long, verified: Long)
+
+  /** Replica r of a (doc_id, text) corpus: every token suffixed `_r<r>`
+    * — all shingles distinct across replicas (cross-replica Jaccard =
+    * 0), so the scaled corpus duplicates the original's near-dup
+    * structure exactly `s` times and a linear candidate generator must
+    * emit ~s× the pairs. */
+  def scaledDocs(docs: DataFrame, s: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_r$r")))).as("text"))
+    }.reduce(_ union _)
+
+  /** Replica r of a (vec_id, embedding) table: elements rotated by
+    * `r % dim` positions, then sign-flipped by a per-replica pattern
+    * drawn from `hash(r, i)`. Both transforms cancel inside a dot
+    * product taken within one replica (rotation moves both sides the
+    * same way; s_i² = 1), so within-replica cosines are EXACTLY the
+    * original's; across replicas the relative transform is a rotation
+    * composed with a ~half-coordinate sign flip — generic noise even
+    * when the rotations coincide (r ≡ r′ mod dim), which is what lets
+    * the clone factor exceed dim. */
+  def scaledEmb(emb: DataFrame, s: Int, dim: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) emb
+      else {
+        val rot = r % dim
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot))
+        emb.select(
+          (col("vec_id") + lit(r * ReplicaOffset)).as("vec_id"),
+          transform(rotated, (x, i) =>
+            (x * (pmod(hash(lit(r), i), lit(2)) * 2 - 1).cast("float")).cast("float"))
+            .as("embedding"))
+      }
+    }.reduce(_ union _)
+
+  /** (buckets, mean occupancy, max occupancy, Σ c·(c−1)/2). */
+  def bucketStats(assignments: DataFrame, keyCols: Seq[String]): (Long, Double, Long, Long) = {
+    val r = assignments
+      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), avg("c"), max("c"),
+        sum(expr("c * (c - 1) / 2")).cast("long")).head()
+    (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** MinHash banded LSH at the q_dedup_minhash operating point. */
+  def minhashStats(docs: DataFrame, nDocs: Long): FamilyStats = {
+    val sig = Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = 8).cache()
+    val bands = Dedup.lshBands(sig, 8, 2).cache()
+    val (b, mo, mx, bp) = bucketStats(bands, Seq("band_idx", "band_val"))
+    val cands = Dedup.candidatePairs(bands).cache()
+    val nCand = cands.count()
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val nVer = Dedup.jaccardVerify(
+      cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), 0.6).count()
+    FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+  }
+
+  /** SimHash at an EXPLICIT width (bands × w bits) — `w = 8` is the
+    * fixed-width control row; [[simhashAdaptiveStats]] passes the
+    * corpus-derived width. */
+  def simhashStats(docs: DataFrame, nDocs: Long, w: Int, bands: Int = 4): FamilyStats = {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"), bits = bands * w).cache()
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map(bx =>
+        struct(lit(bx).as("band_idx"),
+          substring(col("simhash"), bx * w + 1, w).as("band_val"))): _*)).as("b"))
+      .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val (b, mo, mx, bp) = bucketStats(banded, Seq("band_idx", "band_val"))
+    val pairs = Dedup.simhashPairs(sig, maxDist = 2, sigLen = bands * w).count()
+    FamilyStats(nDocs, b, mo, mx, bp, pairs, pairs)
+  }
+
+  def simhashAdaptiveStats(docs: DataFrame, nDocs: Long): (Int, FamilyStats) = {
+    val w = Similarity.adaptiveBits(nDocs, 8)
+    (w, simhashStats(docs, nDocs, w))
+  }
+
+  /** Adaptive hyperplane LSH over prepped embeddings (q_sim_lsh). */
+  def annLshStats(p: DataFrame, nVec: Long, dim: Int): (Int, FamilyStats) = {
+    val bits = Similarity.adaptiveBits(nVec, 8)
+    val sig = p.select(col("id"), Similarity.lshSignature(col("q"), bits, dim).as("sig"))
+    val (b, mo, mx, bp) = bucketStats(sig, Seq("sig"))
+    val pairs = Similarity.lshPairsAdaptive(p, dim).count()
+    (bits, FamilyStats(nVec, b, mo, mx, bp, pairs, pairs))
+  }
+
+  /** Banded embedding LSH + cosine threshold (q_dedup_embed). */
+  def embedBandedStats(p: DataFrame, nVec: Long, dim: Int): (Int, FamilyStats) = {
+    val width = Similarity.adaptiveBits(nVec, 4)
+    val banded = p
+      .select(col("id"), Similarity.lshSignature(col("q"), 4 * width, dim).as("sig"))
+      .select(col("id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          substring(col("sig"), b * width + 1, width).as("band_val"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band_idx").as("band_idx"), col("bb.band_val").as("band_val"))
+    val (b, mo, mx, bp) = bucketStats(banded, Seq("band_idx", "band_val"))
+    val pairs = Similarity.lshBandedPairs(p, dim).cache()
+    val cand = pairs.count()
+    val ver = pairs.filter(col("cos") >= 0.25).count()
+    (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
+    val families = args.drop(2).headOption.getOrElse("all")
+    require(Set("docs", "emb", "all")(families), s"families must be docs|emb|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,116 +170,35 @@ object ScaleGrowth {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    /** Replica r of the corpus: every token suffixed `_r<r>` — all
-      * shingles distinct across replicas (cross-replica Jaccard = 0), so
-      * the scaled corpus duplicates the original's near-dup structure
-      * exactly R times and a linear candidate generator must emit ~R×
-      * the pairs. */
-    def scaledDocs(s: Int): DataFrame = {
-      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      (0 until s).map { r =>
-        if (r == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"),
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit(s"_r$r")))).as("text"))
-      }.reduce(_ union _)
-    }
-
-    /** Replica r of the embeddings: elements rotated by r positions —
-      * within-replica cosines are EXACTLY the original's (both sides
-      * rotate), cross-replica correlation is generic noise. */
-    def scaledEmb(s: Int, dim: Int): DataFrame = {
-      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      (0 until s).map { r =>
-        if (r == 0) emb
-        else emb.select(
-          (col("vec_id") + lit(r * ReplicaOffset)).as("vec_id"),
-          concat(slice(col("embedding"), r + 1, dim - r),
-            slice(col("embedding"), 1, r)).as("embedding"))
-      }.reduce(_ union _)
-    }
-
-    /** (buckets, mean occupancy, max occupancy, Σ c·(c−1)/2). */
-    def bucketStats(assignments: DataFrame, keyCols: Seq[String]): (Long, Double, Long, Long) = {
-      val r = assignments
-        .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
-        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)), avg("c"), max("c"),
-          sum(expr("c * (c - 1) / 2")).cast("long")).head()
-      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
-    }
-
-    def row(family: String, scale: Int, n: Long,
-        st: (Long, Double, Long, Long), cand: Long, ver: Long): Unit =
-      println(f"| $family | ${scale}x | $n | ${st._1} | ${st._2}%.2f | ${st._3} | ${st._4} | $cand | $ver |")
+    def row(family: String, scale: Int, st: FamilyStats): Unit =
+      println(f"| $family | ${scale}x | ${st.rows} | ${st.buckets} | ${st.meanOcc}%.2f | " +
+        f"${st.maxOcc} | ${st.bucketPairs} | ${st.candidates} | ${st.verified} |")
 
     println("| family | scale | rows | buckets | mean occ | max occ | bucket pairs | candidates | verified |")
     println("|---|---|---|---|---|---|---|---|---|")
 
-    Seq(1, replicas).foreach { s =>
-      // --- MinHash banded LSH (q_dedup_minhash operating point) ---
-      val docs = scaledDocs(s).cache()
-      val nDocs = docs.count()
-      val sig = Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = 8).cache()
-      val bands = Dedup.lshBands(sig, 8, 2).cache()
-      val mhStats = bucketStats(bands, Seq("band_idx", "band_val"))
-      val cands = Dedup.candidatePairs(bands).cache()
-      val nCand = cands.count()
-      val candIds = cands.select(col("id_a").as("doc_id"))
-        .union(cands.select(col("id_b").as("doc_id"))).distinct()
-      val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      val nVer = Dedup.jaccardVerify(
-        cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), 0.6).count()
-      row("minhash-lsh (k=8,w=2)", s, nDocs, mhStats, nCand, nVer)
-
-      // --- SimHash banded (q_dedup_simhash_pairs operating point) ---
-      val ssig = Dedup.simhash(docs, col("doc_id"), col("text"), bits = 32).cache()
-      val sBanded = ssig.select(col("id"),
-        explode(array((0 until 4).map(bx =>
-          struct(lit(bx).as("band_idx"),
-            substring(col("simhash"), bx * 8 + 1, 8).as("band_val"))): _*)).as("b"))
-        .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-      val shStats = bucketStats(sBanded, Seq("band_idx", "band_val"))
-      val shPairs = Dedup.simhashPairs(ssig, maxDist = 2, sigLen = 32).count()
-      row("simhash-fixed (4x8b)", s, nDocs, shStats, shPairs, shPairs)
-
-      // --- corpus-adaptive simhash (the fix the fixed row motivates) ---
-      val wS = Similarity.adaptiveBits(nDocs, 8)
-      val asig = Dedup.simhash(docs, col("doc_id"), col("text"), bits = 4 * wS).cache()
-      val aBanded = asig.select(col("id"),
-        explode(array((0 until 4).map(bx =>
-          struct(lit(bx).as("band_idx"),
-            substring(col("simhash"), bx * wS + 1, wS).as("band_val"))): _*)).as("b"))
-        .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-      val aStats = bucketStats(aBanded, Seq("band_idx", "band_val"))
-      val aPairs = Dedup.simhashPairs(asig, maxDist = 2, sigLen = 4 * wS).count()
-      row(s"simhash-adaptive (4x${wS}b)", s, nDocs, aStats, aPairs, aPairs)
-
-      // --- adaptive hyperplane LSH over embeddings (q_sim_lsh) ---
-      val dim = 64
-      val p = Similarity.prep(scaledEmb(s, dim), col("vec_id"), col("embedding")).cache()
-      val nVec = p.count()
-      val bits = Similarity.adaptiveBits(nVec, 8)
-      val annSig = p.select(col("id"), Similarity.lshSignature(col("q"), bits, dim).as("sig"))
-      val annStats = bucketStats(annSig, Seq("sig"))
-      val annPairs = Similarity.lshPairsAdaptive(p, dim).count()
-      row(s"ann-lsh (adaptive ${bits}b)", s, nVec, annStats, annPairs, annPairs)
-
-      // --- banded embedding LSH + cosine threshold (q_dedup_embed) ---
-      val width = Similarity.adaptiveBits(nVec, 4)
-      val bandedEmb = p
-        .select(col("id"), Similarity.lshSignature(col("q"), 4 * width, dim).as("sig"))
-        .select(col("id"), explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band_idx"),
-            substring(col("sig"), b * width + 1, width).as("band_val"))): _*)).as("bb"))
-        .select(col("id"), col("bb.band_idx").as("band_idx"), col("bb.band_val").as("band_val"))
-      val embStats = bucketStats(bandedEmb, Seq("band_idx", "band_val"))
-      val embPairs = Similarity.lshBandedPairs(p, dim).cache()
-      val embCand = embPairs.count()
-      val embVer = embPairs.filter(col("cos") >= 0.25).count()
-      row(s"embed-banded (4x${width}b)", s, nVec, embStats, embCand, embVer)
-
+    scales.foreach { s =>
+      if (families != "emb") {
+        val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val nDocs = docs.count()
+        row("minhash-lsh (k=8,w=2)", s, minhashStats(docs, nDocs))
+        // the saturating control: quadratic by design, unmeasurable at 100×
+        if (s <= 10) row("simhash-fixed (4x8b)", s, simhashStats(docs, nDocs, w = 8))
+        else println(s"| simhash-fixed (4x8b) | ${s}x | $nDocs | (skipped: 1024-bucket space saturates — ~n²/2048 pairs) | | | | | |")
+        val (wS, aStats) = simhashAdaptiveStats(docs, nDocs)
+        row(s"simhash-adaptive (4x${wS}b)", s, aStats)
+      }
+      if (families != "docs") {
+        val dim = 64
+        val p = Similarity.prep(
+          scaledEmb(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), s, dim),
+          col("vec_id"), col("embedding")).cache()
+        val nVec = p.count()
+        val (bits, annStats) = annLshStats(p, nVec, dim)
+        row(s"ann-lsh (adaptive ${bits}b)", s, annStats)
+        val (width, embStats) = embedBandedStats(p, nVec, dim)
+        row(s"embed-banded (4x${width}b)", s, embStats)
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
