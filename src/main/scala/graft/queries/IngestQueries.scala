@@ -176,7 +176,34 @@ object IngestQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** Zone-map data skipping end to end: events re-laid-out Z-ordered
+    * on (user_id, event_id), footer-only stats sidecar, then a pruned
+    * read under range predicates on a clustered dim (user_id) AND an
+    * unclustered one (value). Pruning opens only rectangle-overlapping
+    * files (StatsIndexSpec pins the file counts); the oracle applies
+    * the same ranges to the ORIGINAL events table, so a wrongly
+    * skipped file — the only way zone maps can corrupt a result —
+    * loses rows and hash-fails. */
+  def statsSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.StatsIndex
+    import graft.sources.StatsIndex.ColRange
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val tmp = s"$scratchRoot/zskip_${java.util.UUID.randomUUID()}"
+    Sinks.writeZOrdered(ev, tmp, col("user_id"), col("event_id"), files = 16)
+    StatsIndex.writeSidecar(
+      StatsIndex.fromFooters(spark, tmp, Seq("user_id", "event_id", "value")), tmp)
+    StatsIndex.prunedRead(spark, tmp, Seq(
+        ColRange("user_id", Some(10L), Some(49L)),
+        ColRange("value", Some(0.5), Some(50.0))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Rnd.r(StableAgg.ssum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_skip" -> statsSkip,
     "q_bronze_roundtrip" -> bronzeRoundtrip,
     "q_gold_roundtrip" -> goldRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
@@ -187,6 +214,12 @@ object IngestQueries extends QueryModule {
     "q_file_accounting" -> fileAccounting)
 
   val oracles: Map[String, String] = Map(
+    "q_stats_skip" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Rnd.sql(StableAgg.ssumSql("value"), 4)} AS sum_value
+         |FROM events
+         |WHERE user_id BETWEEN 10 AND 49 AND value BETWEEN 0.5 AND 50.0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_bronze_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
