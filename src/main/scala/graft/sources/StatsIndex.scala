@@ -62,12 +62,27 @@ import org.apache.spark.sql.functions._
   * layout opens O(matching) files instead of O(all). Range predicates
   * are null-excluding by SQL semantics, which is what lets an all-null
   * file skip.
+  *
+  * Staleness contract: the sidecar describes the file set it was built
+  * from. Any rewrite of the table ([[graft.sinks.Sinks.compact]],
+  * re-clustering) must rebuild it — a stale sidecar names files that no
+  * longer exist, so [[prunedRead]] fails LOUDLY on the missing paths
+  * rather than silently mis-skipping (part-file names carry write-UUIDs
+  * and are never reused). The clean deployment shape is a
+  * [[graft.sinks.GenTable]] generation dir carrying its own `_stats`:
+  * publish stages data + sidecar together, so readers always resolve a
+  * (files, stats) pair that was written as one unit (GenTableSpec pins
+  * the round trip).
   */
 object StatsIndex {
 
   /** One zone-map row. `kind` ∈ long | double | string | opaque;
     * opaque rows (untyped or untrusted stats) always keep their file.
-    * An all-null column has `nulls == rows` and empty min/max. */
+    * An all-null column has `nulls == rows` and empty min/max.
+    * `file` is the BASENAME relative to the table dir (flat layout
+    * contract) — the sidecar stays valid when the whole dir moves,
+    * which is what lets a [[graft.sinks.GenTable]] publish relocate
+    * data + stats as one unit. */
   final case class FileColStats(
       file: String, column: String, kind: String, rows: Long, nulls: Long,
       lmin: Option[Long], lmax: Option[Long],
@@ -121,6 +136,7 @@ object StatsIndex {
         val c = ser.conf
         paths.flatMap(p => footerStats(c, p, colList))
       }
+      .map(s => s.copy(file = s.file.substring(s.file.lastIndexOf('/') + 1)))
   }
 
   /** The same zone maps from one data scan — the leg for stores whose
@@ -151,7 +167,8 @@ object StatsIndex {
     val agg = df.groupBy(input_file_name().as("file"))
       .agg(allAggs.head, allAggs.tail: _*)
     agg.collect().toSeq.flatMap { r =>
-      val file = r.getAs[String]("file")
+      val full = r.getAs[String]("file")
+      val file = full.substring(full.lastIndexOf('/') + 1)
       val rows = r.getAs[Long]("rows")
       fields.map { f =>
         val kind = r.schema.fieldNames.find(_.startsWith(s"min__${f.name}__")).get.split("__").last
@@ -196,15 +213,15 @@ object StatsIndex {
     require(preds.nonEmpty, "StatsIndex.prunedRead: no predicates — use spark.read.parquet")
     val st = stats.orElse(readSidecar(spark, dir))
       .getOrElse(fromFooters(spark, dir, preds.map(_.column).distinct))
-    val kept = pruneFiles(st.collect().toSeq, preds)
+    val kept = pruneFiles(st.collect().toSeq, preds).map(f => s"$dir/$f")
     val base =
       if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(kept: _*)
     preds.foldLeft(base)((df, p) => df.where(predFilter(p)))
   }
 
-  /** Files that survive pruning, sorted. Collecting `stats` is bounded
-    * by index size (#files × #cols), never corpus rows. */
+  /** File basenames that survive pruning, sorted. Collecting `stats`
+    * is bounded by index size (#files × #cols), never corpus rows. */
   def pruneFiles(stats: Seq[FileColStats], preds: Seq[ColRange]): Seq[String] =
     stats.groupBy(_.file).collect {
       case (file, cs) if preds.forall(p => keepFile(cs, p)) => file

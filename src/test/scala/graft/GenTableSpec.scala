@@ -113,6 +113,29 @@ class GenTableSpec extends AnyFunSuite {
     assert(liveValues(fs, root).contains(Set(6)))
   }
 
+  test("a generation carries its _stats sidecar: publish stages data + zone maps as one unit") {
+    import graft.sources.StatsIndex
+    import org.apache.spark.sql.functions.col
+    // staged dir = clustered parquet + its stats sidecar, published
+    // together; a resolved reader gets a (files, stats) pair that can
+    // never be mutually stale (the StatsIndex staleness contract)
+    val stagedDir = Files.createTempDirectory("graft_gentable_stats_").toString + "/staged"
+    graft.sinks.Sinks.writeClustered(
+      spark.range(0, 400).toDF("v"), stagedDir, Seq("v"), files = 4)
+    StatsIndex.writeSidecar(StatsIndex.fromFooters(spark, stagedDir, Seq("v")), stagedDir)
+    val fs = new Path(stagedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(Files.createTempDirectory("graft_gentable_").toString, "table")
+    GenTable.publish(fs, root, new Path(stagedDir))
+    val gen = GenTable.resolve(fs, root).get.toString
+    // sidecar resolved from the LIVE generation path; reads prune there
+    assert(StatsIndex.readSidecar(spark, gen).isDefined)
+    val pruned = StatsIndex.prunedRead(spark, gen,
+      Seq(StatsIndex.ColRange("v", Some(0L), Some(99L))))
+    assert(pruned.collect().map(_.getLong(0)).toSet == (0L until 100L).toSet)
+    // and the sidecar stays invisible to a plain read of the generation
+    assert(spark.read.parquet(gen).count() == 400)
+  }
+
   test("crash AFTER marker, before prune: newest committed generation wins; prune heals later") {
     val (fs, root) = newTable()
     GenTable.publish(fs, root, stage(Seq(1)), keep = 1)

@@ -41,10 +41,6 @@ class StatsIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  /** input_file_name gives `file:///x`, footer listing `file:/x` or
-    * `/x` — compare as plain paths. */
-  private def normFile(s: String): String =
-    "/" + s.replaceFirst("^file:", "").dropWhile(_ == '/')
 
   test("fromFooters matches fromScan on every lane (long, date, timestamp, double, string)") {
     val dir = tmp("lanes")
@@ -64,8 +60,8 @@ class StatsIndexSpec extends AnyFunSuite {
     val cols = Seq("id", "small", "day", "ts", "score", "name")
     val foot = StatsIndex.fromFooters(spark, dir, cols).collect().toSet
     val scan = StatsIndex.fromScan(spark, dir, cols).collect().toSet
-    def norm(s: Set[FileColStats]) = s.map(r => r.copy(file = normFile(r.file)))
-    assert(norm(foot) == norm(scan))
+    // both carry relocatable basenames — directly comparable
+    assert(foot == scan)
     // and the lanes actually landed where expected (ts must be laned,
     // not opaque — Spark writes annotated INT64 timestamps here)
     val kinds = foot.map(r => r.column -> r.kind).toMap
@@ -233,6 +229,34 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(pruned.collect().toSet == full.collect().toSet)
     assert(pruned.count() > 0)
     assert(scannedFiles(pruned) <= 2)
+  }
+
+  test("whole-table COUNT/MIN/MAX answers from footers via v2 aggregate pushdown") {
+    // the same footer statistics StatsIndex indexes also serve Spark's
+    // own aggregate pushdown: on the v2 parquet source, a bare
+    // COUNT/MIN/MAX never touches data pages — the 100-TB "how many
+    // rows" query costs #files metadata reads. Pinned here because it
+    // needs TWO non-default confs a deployment must know about.
+    val dir = tmp("aggpush")
+    spark.range(0, 100000).select(col("id"), (col("id") % 7).as("k")).write.parquet(dir)
+    val (aggConf, v1Conf) = ("spark.sql.parquet.aggregatePushdown", "spark.sql.sources.useV1SourceList")
+    val oldV1 = spark.conf.get(v1Conf)
+    spark.conf.set(aggConf, "true"); spark.conf.set(v1Conf, "")
+    try {
+      // literally count(*): count(lit(1)) does not match the pushdown
+      // pattern (V2ScanRelationPushDown translates COUNT(*)/COUNT(col)/
+      // MIN/MAX only)
+      val df = spark.read.parquet(dir)
+        .selectExpr("count(*) as n", "min(id) as mn", "max(id) as mx")
+      val explained = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains("PushedAggregation"),
+        s"aggregate not pushed to the parquet scan:\n$explained")
+      assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        == Seq((100000L, 0L, 99999L)))
+    } finally {
+      spark.conf.set(aggConf, "false"); spark.conf.set(v1Conf, oldV1)
+    }
   }
 
   test("empty prune result returns an empty frame with the table schema") {
