@@ -30,11 +30,20 @@ object Tables {
     * flake at any value near a window/session boundary. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // `timestamp[us]` without a zone reads as TIMESTAMP_NTZ, which
+      // time-arithmetic functions (unix_micros & co) reject; with the
+      // session zone pinned to UTC this cast maps wall-clock micros to
+      // the same instant micros, exactly what DuckDB's naive TIMESTAMP
+      // arithmetic computes on the oracle side
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
