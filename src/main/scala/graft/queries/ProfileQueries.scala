@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Profile, SnapshotDiff}
+import graft.operators.{MatView, Profile, SnapshotDiff, StableAgg}
 
 /** Corpus-management queries: single-pass column profiling and
   * CDC-style snapshot diff — the validate-before-train and
@@ -25,21 +25,8 @@ object ProfileQueries extends QueryModule {
     * digest through DECIMAL(18,2) and the date through epoch millis
     * (engine-stable renderings; see [[SnapshotDiff]] doc). */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
-    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
-          .otherwise(col("o_totalprice")))
-    def digest(df: DataFrame) = SnapshotDiff.rowDigest(Seq(
-      df("o_custkey"),
-      df("o_orderstatus"),
-      df("o_totalprice").cast("decimal(18,2)"),
-      unix_millis(df("o_orderdate").cast("timestamp")),
-      df("o_orderpriority")))
-    SnapshotDiff.diff(oldSnap.withColumn("__d", digest(oldSnap)),
-        newSnap.withColumn("__d", digest(newSnap)),
-        Seq("o_orderkey"), col("__d"))
+    val (oldSnap, newSnap) = snapshotPair(spark, sfDir)
+    SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"), ordersDigest)
       .orderBy("o_orderkey")
   }
 
@@ -49,21 +36,8 @@ object ProfileQueries extends QueryModule {
     * diff-with-payload → apply machinery must reproduce ground truth
     * row for row. Timestamps leave as epoch millis (engine-stable). */
   def snapshotApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
-    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
-          .otherwise(col("o_totalprice")))
-    // unresolved refs: the digest resolves against whichever snapshot
-    // side selects it inside diff()
-    val digest = SnapshotDiff.rowDigest(Seq(
-      col("o_custkey"),
-      col("o_orderstatus"),
-      col("o_totalprice").cast("decimal(18,2)"),
-      unix_millis(col("o_orderdate").cast("timestamp")),
-      col("o_orderpriority")))
-    val feed = SnapshotDiff.diffWithPayload(oldSnap, newSnap, Seq("o_orderkey"), digest)
+    val (oldSnap, newSnap) = snapshotPair(spark, sfDir)
+    val feed = SnapshotDiff.diffWithPayload(oldSnap, newSnap, Seq("o_orderkey"), ordersDigest)
     SnapshotDiff.applyChanges(oldSnap, feed, Seq("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),
@@ -72,10 +46,76 @@ object ProfileQueries extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** The deterministic snapshot pair every CDC query in this module
+    * shares: old drops keys ≡3 (mod 10); new drops ≡7 (mod 10) and
+    * doubles `o_totalprice` on keys ≡0 (mod 5). */
+  private def snapshotPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val orders = Tables.orders(spark, sfDir)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    (oldSnap, newSnap)
+  }
+
+  private def ordersDigest: Column = SnapshotDiff.rowDigest(Seq(
+    col("o_custkey"),
+    col("o_orderstatus"),
+    col("o_totalprice").cast("decimal(18,2)"),
+    unix_millis(col("o_orderdate").cast("timestamp")),
+    col("o_orderpriority")))
+
+  /** Incremental MATERIALIZED-VIEW maintenance, delta strategy: a
+    * per-(status, priority) count + exact revenue sum view built on the
+    * OLD snapshot is rolled forward to the new one purely from the
+    * change feed ([[MatView.deltaRefresh]] — base table touched only by
+    * a feed-confined semi-join, no re-aggregation). The oracle is the
+    * full GROUP BY over the new snapshot, so any delta error — a missed
+    * retraction, a double-counted changed key, a group that should have
+    * vanished — mismatches. */
+  def matviewDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshotPair(spark, sfDir)
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val sums = Seq("revenue" -> col("o_totalprice").cast("decimal(18,2)"))
+    val view = MatView.build(oldSnap, keys, sums)
+    val feed = SnapshotDiff.diffWithPayload(oldSnap, newSnap, Seq("o_orderkey"), ordersDigest)
+    MatView.deltaRefresh(view, oldSnap, feed, Seq("o_orderkey"), keys, sums)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt").as("n_orders"), col("revenue").cast("double").as("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** The non-self-maintainable half ([[MatView.affectedRefresh]]):
+    * MIN/MAX views survive deletion by recomputing ONLY the groups the
+    * feed touches from the new snapshot. The snapshot pair retracts
+    * rows (keys ≡7 leave) and changes values (≡0 mod 5 double), so
+    * current maxima genuinely disappear — the case delta arithmetic
+    * cannot handle. Oracle: full GROUP BY over the new snapshot. */
+  def matviewMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshotPair(spark, sfDir)
+    val keys = Seq("o_orderpriority")
+    val aggs = Seq(
+      count(lit(1)).as("n_orders"),
+      min(col("o_totalprice").cast("decimal(18,2)")).as("min_price"),
+      max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"),
+      StableAgg.ssum(col("o_totalprice")).as("revenue"))
+    val view = MatView.buildAggs(oldSnap, keys, aggs)
+    val feed = SnapshotDiff.diffWithPayload(oldSnap, newSnap, Seq("o_orderkey"), ordersDigest)
+    MatView.affectedRefresh(view, oldSnap, newSnap, feed, Seq("o_orderkey"), keys, aggs)
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_price").cast("double").as("max_price"),
+        Rnd.r(col("revenue"), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_snapshot_diff" -> snapshotDiff,
-    "q_snapshot_apply" -> snapshotApply)
+    "q_snapshot_apply" -> snapshotApply,
+    "q_matview_delta" -> matviewDelta,
+    "q_matview_minmax" -> matviewMinmax)
 
   /** One UNION ALL leg per orders column, mirroring Profile's typed
     * legs: numeric/timestamp columns fill min_num/max_num (timestamps
@@ -139,6 +179,35 @@ object ProfileQueries extends QueryModule {
          |FROM oldd o FULL OUTER JOIN newd n ON o.k = n.k
          |WHERE o.k IS NULL OR n.k IS NULL OR o.d <> n.d
          |ORDER BY o_orderkey""".stripMargin,
+    // ground truth for a maintained view IS the full aggregate of the
+    // new snapshot — the oracle never sees the delta machinery, so any
+    // maintenance error hash-fails
+    "q_matview_delta" ->
+      """WITH newsnap AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(price AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+        |FROM newsnap
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_matview_minmax" ->
+      s"""WITH newsnap AS (
+         |  SELECT o_orderpriority,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS price
+         |  FROM orders WHERE o_orderkey % 10 <> 7)
+         |SELECT o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  CAST(MIN(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+         |  CAST(MAX(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+         |  ${Rnd.sql(StableAgg.ssumSql("price"), 4)} AS revenue
+         |FROM newsnap
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     // ground truth for the apply round trip IS the new snapshot — no
     // diff machinery on the oracle side at all
     "q_snapshot_apply" ->

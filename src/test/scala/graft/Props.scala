@@ -272,3 +272,42 @@ object SnapshotDiffProps extends Properties("SnapshotDiff") {
       got == want
     }
 }
+
+object MatViewProps extends Properties("MatView") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // snapshots: key -> (group, cents). Few groups + a small value range
+  // force group birth/death, moves, and genuine-zero sums to occur.
+  private val snapGen: Gen[Map[Long, (String, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L),
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.chooseNum(-300L, 300L))))
+      .map(_.toMap)
+
+  private def toDf(m: Map[Long, (String, Long)]) =
+    m.toSeq.map { case (k, (g, c)) => (k, g, BigDecimal(c) / 100) } match {
+      case Nil => Seq.empty[(Long, String, BigDecimal)].toDF("id", "grp", "v")
+      case rows => rows.toDF("id", "grp", "v")
+    }
+  private def dig = graft.operators.SnapshotDiff.rowDigest(
+    Seq(col("grp"), col("v").cast("decimal(18,2)")))
+  private val sums = Seq("sv" -> col("v").cast("decimal(18,2)"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("grp"), col("cnt"), col("sv").cast("decimal(28,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+
+  property("deltaRefresh(view(old), feed) == build(new), for any snapshots") =
+    Prop.forAll(snapGen, snapGen) { (oldM, newM) =>
+      val (o, n) = (toDf(oldM), toDf(newM))
+      val feed = graft.operators.SnapshotDiff.diffWithPayload(o, n, Seq("id"), dig)
+      val view = graft.operators.MatView.build(o, Seq("grp"), sums)
+      val refreshed = graft.operators.MatView
+        .deltaRefresh(view, o, feed, Seq("id"), Seq("grp"), sums)
+      canon(refreshed) == canon(graft.operators.MatView.build(n, Seq("grp"), sums))
+    }
+}
