@@ -202,8 +202,35 @@ object IngestQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Bucketed CO-LOCATED join: both sides land as 16-bucket catalog
+    * tables hashed on the order key, so the subsequent sort-merge join
+    * reads matching buckets side by side with NO per-query shuffle of
+    * either table — the write-once/join-forever layout for a 100 TB
+    * fact table every query joins on the same key. `hint("merge")`
+    * keeps the broadcast path from masking what's on trial; the plan
+    * contract (PlanContractSpec) pins zero exchanges below the join.
+    * The oracle runs the plain join on the ORIGINAL parquet, so any
+    * row lost or duplicated by the bucketed write/read mismatches. */
+  def bucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ot, lt) = (s"bkt_orders_$tag", s"bkt_lineitem_$tag")
+    Sinks.writeBucketed(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", 16, Some(s"$scratchRoot/$ot"))
+    Sinks.writeBucketed(Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice"),
+      lt, "l_orderkey", 16, Some(s"$scratchRoot/$lt"))
+    spark.table(ot).hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Rnd.r(StableAgg.ssum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_skip" -> statsSkip,
+    "q_bucket_join" -> bucketJoin,
     "q_bronze_roundtrip" -> bronzeRoundtrip,
     "q_gold_roundtrip" -> goldRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
@@ -214,6 +241,11 @@ object IngestQueries extends QueryModule {
     "q_file_accounting" -> fileAccounting)
 
   val oracles: Map[String, String] = Map(
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${Rnd.sql(StableAgg.ssumSql("l_extendedprice"), 4)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats_skip" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Rnd.sql(StableAgg.ssumSql("value"), 4)} AS sum_value

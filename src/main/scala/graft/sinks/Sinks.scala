@@ -81,13 +81,17 @@ object Sinks {
     * later equi-join/aggregation on `key` is co-located — the 100 TB
     * answer to a fact table joined on the same key by every query
     * (bucket-pruned scans, no per-query Exchange). Requires a catalog
-    * table (bucket metadata lives there), hence `saveAsTable`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    * table (bucket metadata lives there), hence `saveAsTable`; pass
+    * `path` to land the data at an explicit location (external table)
+    * instead of the session warehouse. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** K6 — unique upload name `{iso_ts}_{uuid}` (`collector.py:89-99`,
     * F2+F3). Pass a fixed `now` for deterministic tests. */

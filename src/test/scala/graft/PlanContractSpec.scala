@@ -350,4 +350,16 @@ class PlanContractSpec extends AnyFunSuite {
     }
     assert(shuffles(plan).size <= 3, s"diff grew an exchange:\n$plan")
   }
+
+  test("q_bucket_join: co-bucketed SMJ — zero exchanges below the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = staticPlan(graft.queries.IngestQueries.bucketJoin(spark, sf))
+    val joins = plan.collect { case j: SortMergeJoinExec => j }
+    assert(joins.size == 1, s"expected one sort-merge join:\n$plan")
+    // the whole point of the bucketed layout: both join inputs read
+    // their buckets in place — any Exchange here re-pays the shuffle
+    // the write already paid
+    assert(joins.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed join shuffled an input:\n$plan")
+  }
 }
