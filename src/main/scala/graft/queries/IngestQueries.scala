@@ -16,20 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object IngestQueries extends QueryModule {
 
-  /** Per-JVM scratch root: previous processes' leftovers are removed on
-    * first use, and this process cleans its own on exit — repeated
-    * Verify/Bench rounds must not accumulate /tmp garbage. */
-  private lazy val scratchRoot: String = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bronze_scratch")
-    if (root.exists()) rm(root)
-    root.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(root)))
-    root.toString
-  }
+  private def scratchRoot: String = Scratch.root
 
   /** Write docs as chunked JSON plus a POISON sentinel file whose row
     * would corrupt the counts if the sentinel filter ever broke. */

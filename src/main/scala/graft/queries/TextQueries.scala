@@ -190,7 +190,27 @@ object TextQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_id")
 
+  /** The search query's fixed term list and result size — literals the
+    * DuckDB oracle mirrors. */
+  private val SearchTerms = Seq("vector", "scan", "merge")
+  private val SearchK = 20
+
+  /** Inverted-index keyword search end to end: build the on-disk index
+    * (clustered postings + zone-map sidecar + term/corpus stats), then
+    * answer a 3-term query through per-term PRUNED posting reads and
+    * the integer-exact BM25 ranker ([[graft.operators.TextIndex]]).
+    * The oracle recomputes the same ranking from the raw documents
+    * table in plain SQL — a posting lost to wrong clustering, a
+    * mis-pruned file, or any scoring drift mismatches. */
+  def textSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${Scratch.root}/tindex_${java.util.UUID.randomUUID()}"
+    graft.operators.TextIndex.buildIndex(spark,
+      Tables.documents(spark, sfDir), dir)
+    graft.operators.TextIndex.search(spark, dir, SearchTerms, SearchK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_search" -> textSearch,
     "q_quality_prune" -> qualityPrune,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
@@ -255,6 +275,27 @@ object TextQueries extends QueryModule {
          |  $langHitsSql,
          |  $langCaseSql AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // full-SQL replay of the indexed search: same tokenization, same
+    // scaled-integer BM25 (log-free rational idf), same tie-break
+    "q_text_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS l FROM tok),
+         |m AS (SELECT tf.doc_id, tf.tf, dl.dl, dfx.df, c.n, c.l
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term), c
+         |  WHERE tf.term IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+         |s AS (SELECT doc_id,
+         |    ((2 * (n - df) + 1) * 1000000) // (2 * df + 1) AS idf_s,
+         |    (2200000 * tf * 1000000) //
+         |      (1000000 * tf + 300000 + (900000 * dl * n) // l) AS tfc_s
+         |  FROM m)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  CAST(SUM((idf_s * tfc_s) // 1000000) AS BIGINT) AS score_scaled
+         |FROM s GROUP BY doc_id
+         |ORDER BY score_scaled DESC, doc_id LIMIT $SearchK""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

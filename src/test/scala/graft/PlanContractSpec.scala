@@ -351,6 +351,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffles(plan).size <= 3, s"diff grew an exchange:\n$plan")
   }
 
+  test("q_text_search: broadcast stats join + bounded top-k, no global sort") {
+    val plan = staticPlan(graft.queries.TextQueries.textSearch(spark, sf))
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded TakeOrdered, not a global sort:\n$plan")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"query-term stats must broadcast, not shuffle-join:\n$plan")
+  }
+
   test("q_bucket_join: co-bucketed SMJ — zero exchanges below the join") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val plan = staticPlan(graft.queries.IngestQueries.bucketJoin(spark, sf))
