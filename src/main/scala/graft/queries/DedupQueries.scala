@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, StableAgg}
+import graft.operators.{Dedup, SetSimJoin, StableAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -243,7 +243,22 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** EXACT similarity self-join ([[SetSimJoin]], prefix filtering):
+    * every 3-gram-Jaccard >= 0.6 pair, deterministically — the
+    * no-false-negative counterpart of the minhash path. The oracle is
+    * BRUTE FORCE (all shingle-sharing pairs verified in SQL, no
+    * LSH replay), so a candidate the prefix filter wrongly skips is a
+    * missing row, not a reproduced bug. */
+  def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Dedup.shingles(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), n = 3)
+      .withColumnRenamed("shingle", "token")
+    SetSimJoin.similarPairs(toks, Threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simjoin" -> simJoin,
     "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
@@ -357,6 +372,18 @@ object DedupQueries extends QueryModule {
     "q_dedup_minhash" ->
       s"""WITH $pairChainSql
          |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,
+    // brute force on purpose: candidates from ALL shingle-sharing
+    // pairs, not a prefix-filter replay — exactness is what's on trial
+    "q_simjoin" ->
+      s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS i
+         |  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+         |  GROUP BY sa.id, sb.id),
+         |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= $Threshold
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $pairChainSql
          |SELECT id_a, id_b, jaccard FROM ver

@@ -311,3 +311,34 @@ object MatViewProps extends Properties("MatView") {
       canon(refreshed) == canon(graft.operators.MatView.build(n, Seq("grp"), sums))
     }
 }
+
+object SetSimJoinProps extends Properties("SetSimJoin") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // small vocab + small sets: high collision rate stresses every branch
+  // (dense buckets, boundary ratios, singleton sets)
+  private val corpusGen: Gen[Map[Long, Set[String]]] =
+    Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 9L),
+      Gen.nonEmptyContainerOf[Set, String](Gen.oneOf("a", "b", "c", "d", "e", "f"))))
+  private val thresholdGen: Gen[Double] = Gen.oneOf(0.3, 0.5, 0.6, 0.75, 1.0)
+
+  property("pair set equals brute force at any threshold") =
+    Prop.forAll(corpusGen, thresholdGen) { (sets, t) =>
+      val df = sets.toSeq.flatMap { case (id, ts) => ts.map(id -> _) } match {
+        case Nil => Seq.empty[(Long, String)].toDF("id", "token")
+        case rows => rows.toDF("id", "token")
+      }
+      val got = graft.operators.SetSimJoin.similarPairs(df, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      got == want
+    }
+}
