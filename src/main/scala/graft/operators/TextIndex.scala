@@ -2,42 +2,63 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 import graft.sources.StatsIndex
 import graft.sources.StatsIndex.ColRange
 
-/** Inverted text index: persisted posting lists with an integer-exact
-  * BM25-style ranker — keyword search over a corpus without scanning
-  * the corpus at query time.
+/** Inverted text index: persisted, INCREMENTALLY MAINTAINED posting
+  * lists with an integer-exact BM25-style ranker — keyword search over
+  * a corpus without scanning the corpus at query time, and index
+  * refresh from a CDC feed without rebuilding the index.
   *
-  * Layout ([[buildIndex]]): one postings table `(term, doc_id, tf, dl)`
-  * written CLUSTERED on `term` (range-partitioned + sorted, the
-  * [[graft.sinks.Sinks.writeClustered]] layout) with a
-  * [[StatsIndex]] zone-map sidecar, plus a tiny `(term, df)` term-stats
-  * table and a one-row corpus-stats table. Doc length is denormalized
-  * into the posting row — the classic posting-list trade: +8 bytes/row
-  * buys query-time freedom from a per-doc join.
+  * Layout (the Lucene segment model re-based onto parquet dirs):
+  * {{{
+  * dir/segments/seg_<n>/postings/    (term, doc_id, tf, dl, seg) — term-clustered + zone-map sidecar
+  * dir/segments/seg_<n>/tombstones/  (doc_id) — postings of this doc in segments < n are dead
+  * dir/terms/                        (term, df) — maintained by delta, swap-replaced
+  * dir/corpus/                       (n_docs, total_tokens) — ditto
+  * }}}
   *
-  * Query ([[search]]): each query term resolves through the zone maps
-  * to the files whose `[min_term, max_term]` rectangle contains it —
-  * at 100 TB a 5-term query opens a handful of files, never the
-  * corpus. Term stats for the query terms are a broadcast-sized
-  * lookup; scoring is a map over the matched postings, one aggregate
-  * per candidate doc, and a bounded top-k (TakeOrdered — no global
-  * sort).
+  * [[buildIndex]] writes segment 0; [[applyDelta]] turns a
+  * [[SnapshotDiff.diffWithPayload]] feed into segment n+1: new/changed
+  * docs' postings are APPENDED (immutable segment, term-clustered,
+  * zone-mapped like any other), changed/removed docs are TOMBSTONED,
+  * and the tiny term/corpus stats roll forward by [[MatView]]-style
+  * delta arithmetic — the old snapshot is touched only by a
+  * feed-confined semi-join, the index never rewrites a segment. A
+  * query reads every segment's zone-map-admitted files and drops
+  * tombstoned (doc, seg<asof) rows via one broadcast join — tombstone
+  * volume is churn-bounded; [[compactIndex]] folds segments back to
+  * one and empties it.
+  *
+  * Crash contract (single writer, like every maintenance loop here):
+  * segment data lands before the stats swap, so a crash between them
+  * leaves aux tables one delta behind the authoritative segments —
+  * [[compactIndex]] rebuilds both exactly from postings. Stats swaps
+  * ride [[graft.sinks.Sinks.swapIn]]/healSwap; on object stores use a
+  * [[graft.sinks.GenTable]]-rooted `dir`.
+  *
+  * Query ([[search]]): each term resolves through the zone maps to the
+  * files whose `[min_term, max_term]` range contains it — at 100 TB a
+  * 5-term query opens a handful of files per segment, never the
+  * corpus. Query-term stats are a broadcast lookup; scoring is a map
+  * over matched postings, one aggregate per candidate doc, and a
+  * bounded top-k (TakeOrdered — no global sort).
   *
   * Scoring is BM25 (k1=1.2, b=0.75) with one deliberate divergence:
   * the idf LOG is replaced by its rational argument
-  * `(2(N-df)+1)/(2df+1)` — same ordering per term (both monotone
-  * decreasing in df), but every operation stays 64-bit integer
-  * (scaled by 1e6, integral division), so scores are bit-identical in
-  * any engine and the whole ranker is DuckDB-oracle-able — the same
-  * exact-integer-ranking trade the ANN family makes
-  * (SimilarityQueries). Swap `ln` in where cross-engine bit parity is
-  * not required. Bounds: the scaled product stays under 2^63 for
-  * corpora to ~5e6 docs × doc length 1e4; beyond that, drop Scale to
-  * 1e4.
+  * `(2(N-df)+1)/(2df+1)` — same per-term ordering (both monotone
+  * decreasing in df), but every operation stays 64-bit integer (scaled
+  * by 1e6, integral division), so scores are bit-identical in any
+  * engine and the whole ranker is DuckDB-oracle-able — the same
+  * exact-integer-ranking trade the ANN family makes. Swap `ln` in
+  * where cross-engine bit parity is not required. Bounds: the scaled
+  * product stays under 2^63 for corpora to ~5e6 docs × doc length
+  * 1e4; beyond that, drop the 1e6 scale to 1e4.
   */
 object TextIndex {
+
+  private val SegPrefix = "seg_"
 
   /** Posting rows from a document table: `(term, doc_id, tf, dl)`.
     * Tokenization is the corpus contract shared with TextQueries:
@@ -54,40 +75,176 @@ object TextIndex {
       .select("term", "doc_id", "tf", "dl")
   }
 
-  /** Build + persist the index under `dir`: clustered postings with a
-    * zone-map sidecar (`dir/postings`), per-term document frequency
-    * (`dir/terms`), and the corpus constants (`dir/corpus`). `files`
-    * bounds the posting table's file count — at scale size it so one
-    * term's postings span few files. */
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (segId, segPath) pairs, ascending. */
+  private def segments(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val root = new Path(s"$dir/segments")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(SegPrefix))
+      .flatMap(p => p.getName.stripPrefix(SegPrefix).toLongOption
+        .map(id => (id, p.toString)))
+      .sortBy(_._1)
+  }
+
+  private def writeSegment(spark: SparkSession, dir: String, segId: Long,
+                           post: DataFrame, tombstones: Option[DataFrame],
+                           files: Int): Unit = {
+    val seg = f"$dir/segments/$SegPrefix$segId%09d"
+    graft.sinks.Sinks.writeClustered(post.withColumn("seg", lit(segId)),
+      s"$seg/postings", Seq("term"), files)
+    StatsIndex.writeSidecar(
+      StatsIndex.fromFooters(spark, s"$seg/postings", Seq("term")), s"$seg/postings")
+    tombstones.foreach(_.select("doc_id").write.mode("overwrite")
+      .parquet(s"$seg/tombstones"))
+  }
+
+  /** Swap-replace a tiny stats table (terms/corpus): stage, then the
+    * two-rename swap with heal on the next read. */
+  private def replaceStats(spark: SparkSession, target: String, df: DataFrame): Unit = {
+    val fs = fsOf(spark, target)
+    val staged = new Path(s"$target.__staged")
+    fs.delete(staged, true)
+    df.write.parquet(staged.toString)
+    if (fs.exists(new Path(target)))
+      graft.sinks.Sinks.swapIn(fs, staged, new Path(target), new Path(s"$target.__backup"))
+    else { fs.rename(staged, new Path(target)); () }
+  }
+
+  private def readStats(spark: SparkSession, target: String): DataFrame = {
+    graft.sinks.Sinks.healSwap(fsOf(spark, target),
+      new Path(target), new Path(s"$target.__backup"))
+    spark.read.parquet(target)
+  }
+
+  /** Build + persist the index under `dir` as segment 0. `files`
+    * bounds each segment's posting file count — at scale size it so
+    * one term's postings span few files. */
   def buildIndex(spark: SparkSession, docs: DataFrame, dir: String,
                  files: Int = 16, idCol: String = "doc_id",
                  textCol: String = "text"): Unit = {
     val post = postings(docs, idCol, textCol)
-    graft.sinks.Sinks.writeClustered(post, s"$dir/postings", Seq("term"), files)
-    StatsIndex.writeSidecar(
-      StatsIndex.fromFooters(spark, s"$dir/postings", Seq("term")), s"$dir/postings")
-    post.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/terms")
-    post.agg(countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("tf")).as("total_tokens"))
-      .write.mode("overwrite").parquet(s"$dir/corpus")
+    writeSegment(spark, dir, 0L, post, None, files)
+    statsFrom(spark, post, dir)
   }
 
-  /** Top-`k` docs for `terms` against the index at `dir`:
-    * `(doc_id, n_terms, score_scaled)`, ranked by the integer BM25
-    * score then doc_id. Each term reads only its zone-map-admitted
-    * posting files; the corpus constants and query-term stats are a
-    * bounded driver/broadcast model (two longs + |terms| rows). */
+  private def statsFrom(spark: SparkSession, post: DataFrame, dir: String): Unit = {
+    replaceStats(spark, s"$dir/terms",
+      post.groupBy("term").agg(count(lit(1)).as("df")))
+    replaceStats(spark, s"$dir/corpus",
+      post.agg(countDistinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("tf")), lit(0L)).as("total_tokens")))
+  }
+
+  /** Fold a [[SnapshotDiff.diffWithPayload]] feed over the documents
+    * into the index: one new segment (postings of added/changed docs +
+    * tombstones for changed/removed), term/corpus stats rolled forward
+    * by delta — `oldDocs` (the snapshot the index currently reflects)
+    * is read only through a feed-confined semi-join for the retracted
+    * postings. Equivalent to rebuilding on the new snapshot, which
+    * TextIndexSpec pins search-for-search. */
+  def applyDelta(spark: SparkSession, dir: String, oldDocs: DataFrame,
+                 feed: DataFrame, files: Int = 4, idCol: String = "doc_id",
+                 textCol: String = "text"): Unit = {
+    val segId = segments(spark, dir).lastOption.map(_._1 + 1).getOrElse(
+      throw new IllegalStateException(s"TextIndex.applyDelta: no index at $dir"))
+    val retractIds = broadcast(
+      feed.filter(col("change_type").isin("removed", "changed"))
+        .select(col(idCol)))
+    val minusPost = postings(
+      oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol)
+    val plusPost = postings(
+      feed.filter(col("change_type") =!= "removed")
+        .select(col(idCol), col(textCol)), idCol, textCol)
+    writeSegment(spark, dir, segId, plusPost,
+      Some(retractIds.select(col(idCol).as("doc_id"))), files)
+    // (term, df) rolls forward by weighted counts — exact integers
+    val delta = plusPost.select(col("term"), lit(1L).as("__w"))
+      .unionByName(minusPost.select(col("term"), lit(-1L).as("__w")))
+      .groupBy("term").agg(sum(col("__w")).as("__d"))
+    val terms = readStats(spark, s"$dir/terms").join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .localCheckpoint(true) // cut lineage off the path being replaced
+    replaceStats(spark, s"$dir/terms", terms)
+    // corpus constants: two bounded aggregates (driver-side longs)
+    def tok(p: DataFrame) = p.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0)
+    val dDocs = feed.agg(coalesce(sum(
+      when(col("change_type") === "added", 1L)
+        .when(col("change_type") === "removed", -1L).otherwise(0L)), lit(0L)))
+      .head.getLong(0)
+    val c = readStats(spark, s"$dir/corpus").head
+    replaceStats(spark, s"$dir/corpus",
+      spark.range(1).select(
+        lit(c.getAs[Long]("n_docs") + dDocs).as("n_docs"),
+        lit(c.getAs[Long]("total_tokens") + tok(plusPost) - tok(minusPost)).as("total_tokens")))
+  }
+
+  /** Live postings across all segments: every segment's rows minus
+    * those a LATER segment tombstoned. `preds` confines each segment
+    * read through its zone maps. */
+  private def livePostings(spark: SparkSession, dir: String,
+                           preds: Seq[ColRange]): DataFrame = {
+    val segs = segments(spark, dir)
+    require(segs.nonEmpty, s"TextIndex: no index at $dir")
+    val post = segs.map { case (_, p) =>
+      if (preds.isEmpty) spark.read.parquet(s"$p/postings")
+      else StatsIndex.prunedRead(spark, s"$p/postings", preds)
+    }.reduce(_ unionByName _)
+    val fs = fsOf(spark, dir)
+    val tombs = segs.filter { case (_, p) => fs.exists(new Path(s"$p/tombstones")) }
+      .map { case (id, p) => spark.read.parquet(s"$p/tombstones")
+        .select(col("doc_id"), lit(id).as("__asof")) }
+    if (tombs.isEmpty) post
+    else {
+      val dead = broadcast(tombs.reduce(_ unionByName _)
+        .groupBy("doc_id").agg(max(col("__asof")).as("__asof")))
+      post.join(dead, Seq("doc_id"), "left")
+        .filter(col("__asof").isNull || col("seg") >= col("__asof"))
+        .drop("__asof")
+    }
+  }
+
+  /** Fold every segment back into one and clear tombstones; term and
+    * corpus stats are recomputed exactly from the authoritative
+    * postings (also the crash-repair path — see class doc). */
+  def compactIndex(spark: SparkSession, dir: String, files: Int = 16): Unit = {
+    val live = livePostings(spark, dir, Seq.empty).drop("seg")
+      .localCheckpoint(true) // materialize before the dirs it reads are replaced
+    val fs = fsOf(spark, dir)
+    val staged = new Path(s"$dir/segments.__staged")
+    fs.delete(staged, true)
+    graft.sinks.Sinks.writeClustered(live.withColumn("seg", lit(0L)),
+      s"$staged/${SegPrefix}000000000/postings", Seq("term"), files)
+    StatsIndex.writeSidecar(
+      StatsIndex.fromFooters(spark, s"$staged/${SegPrefix}000000000/postings", Seq("term")),
+      s"$staged/${SegPrefix}000000000/postings")
+    graft.sinks.Sinks.swapIn(fs, staged, new Path(s"$dir/segments"),
+      new Path(s"$dir/segments.__backup"))
+    statsFrom(spark, live, dir)
+  }
+
+  /** Top-`k` docs for `terms`: `(doc_id, n_terms, score_scaled)`,
+    * ranked by the integer BM25 score then doc_id. Each term reads
+    * only its zone-map-admitted posting files per segment; corpus
+    * constants and query-term stats are a bounded driver/broadcast
+    * model (two longs + |terms| rows). */
   def search(spark: SparkSession, dir: String, terms: Seq[String],
              k: Int): DataFrame = {
     require(terms.nonEmpty, "TextIndex.search: empty term list")
-    val c = spark.read.parquet(s"$dir/corpus").head()
+    graft.sinks.Sinks.healSwap(fsOf(spark, dir),
+      new Path(s"$dir/segments"), new Path(s"$dir/segments.__backup"))
+    val c = readStats(spark, s"$dir/corpus").head()
     val (n, l) = (c.getAs[Long]("n_docs"), c.getAs[Long]("total_tokens"))
-    val stats = broadcast(spark.read.parquet(s"$dir/terms")
+    val stats = broadcast(readStats(spark, s"$dir/terms")
       .filter(col("term").isin(terms: _*)))
     val matched = terms.map { t =>
-      StatsIndex.prunedRead(spark, s"$dir/postings",
-        Seq(ColRange("term", Some(t), Some(t))))
+      livePostings(spark, dir, Seq(ColRange("term", Some(t), Some(t))))
     }.reduce(_ unionByName _)
     score(matched, stats, n, l, k)
   }

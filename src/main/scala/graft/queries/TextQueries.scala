@@ -209,8 +209,31 @@ object TextQueries extends QueryModule {
     graft.operators.TextIndex.search(spark, dir, SearchTerms, SearchK)
   }
 
+  /** INCREMENTAL index maintenance end to end: index the old corpus
+    * snapshot, roll a CDC feed (removals, text edits, additions) into
+    * it as a segment + tombstones + stats deltas
+    * ([[graft.operators.TextIndex.applyDelta]]), and answer the same
+    * search — while the oracle recomputes the ranking from the NEW
+    * corpus from scratch. A stale posting surviving its tombstone, a
+    * missed new segment, or a drifted df/corpus stat all mismatch. */
+  def textSearchIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{SnapshotDiff, TextIndex}
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val oldC = docs.filter(col("doc_id") % 10 =!= 3)
+    val newC = docs.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" vector vector merge"))).otherwise(col("text")))
+    val dir = s"${Scratch.root}/tindex_incr_${java.util.UUID.randomUUID()}"
+    TextIndex.buildIndex(spark, oldC, dir)
+    TextIndex.applyDelta(spark, dir, oldC,
+      SnapshotDiff.diffWithPayload(oldC, newC, Seq("doc_id"),
+        SnapshotDiff.rowDigest(Seq(col("text")))))
+    TextIndex.search(spark, dir, SearchTerms, SearchK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_search" -> textSearch,
+    "q_text_search_incr" -> textSearchIncr,
     "q_quality_prune" -> qualityPrune,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
@@ -225,6 +248,30 @@ object TextQueries extends QueryModule {
     "q_chunk_overlap" -> chunkOverlap)
 
   private val toksSql = "string_split(lower(text), ' ')"
+
+  /** The scaled-integer BM25 search over an arbitrary corpus relation
+    * (`doc_id, text`) — shared by the full and incremental index
+    * oracles. */
+  private def searchSql(corpusSql: String): String =
+    s"""WITH src AS ($corpusSql),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM src),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |c AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS l FROM tok),
+       |m AS (SELECT tf.doc_id, tf.tf, dl.dl, dfx.df, c.n, c.l
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term), c
+       |  WHERE tf.term IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |s AS (SELECT doc_id,
+       |    ((2 * (n - df) + 1) * 1000000) // (2 * df + 1) AS idf_s,
+       |    (2200000 * tf * 1000000) //
+       |      (1000000 * tf + 300000 + (900000 * dl * n) // l) AS tfc_s
+       |  FROM m)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM((idf_s * tfc_s) // 1000000) AS BIGINT) AS score_scaled
+       |FROM s GROUP BY doc_id
+       |ORDER BY score_scaled DESC, doc_id LIMIT $SearchK""".stripMargin
   private def stopListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   private val langHitsSql = Profiles.keys.toSeq.sorted.map { l =>
@@ -277,25 +324,15 @@ object TextQueries extends QueryModule {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // full-SQL replay of the indexed search: same tokenization, same
     // scaled-integer BM25 (log-free rational idf), same tie-break
-    "q_text_search" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |c AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS l FROM tok),
-         |m AS (SELECT tf.doc_id, tf.tf, dl.dl, dfx.df, c.n, c.l
-         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term), c
-         |  WHERE tf.term IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-         |s AS (SELECT doc_id,
-         |    ((2 * (n - df) + 1) * 1000000) // (2 * df + 1) AS idf_s,
-         |    (2200000 * tf * 1000000) //
-         |      (1000000 * tf + 300000 + (900000 * dl * n) // l) AS tfc_s
-         |  FROM m)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  CAST(SUM((idf_s * tfc_s) // 1000000) AS BIGINT) AS score_scaled
-         |FROM s GROUP BY doc_id
-         |ORDER BY score_scaled DESC, doc_id LIMIT $SearchK""".stripMargin,
+    "q_text_search" -> searchSql("SELECT doc_id, text FROM documents"),
+    // ground truth for the delta-maintained index is a from-scratch
+    // ranking over the NEW corpus — no segment/tombstone machinery on
+    // the oracle side at all
+    "q_text_search_incr" -> searchSql(
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' vector vector merge'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7""".stripMargin),
     "q_vocab_topk" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

@@ -1,14 +1,17 @@
 package graft
 
-import graft.operators.TextIndex
+import graft.operators.{SnapshotDiff, TextIndex}
 import graft.sources.StatsIndex
 import graft.sources.StatsIndex.ColRange
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The inverted index must answer exactly like the index-free ranker
-  * over the full posting set (pruning is a pure optimization), and the
-  * zone maps must actually prune: a term's postings live in few of the
-  * clustered files.
+  * over the full posting set (pruning and segmenting are pure
+  * optimizations), a delta-maintained index must answer exactly like
+  * one rebuilt on the new corpus, and compaction must change nothing
+  * but the segment count.
   */
 class TextIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -24,22 +27,22 @@ class TextIndexSpec extends AnyFunSuite {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("graft_tindex_").toString
 
+  private def searchRows(dir: String, terms: Seq[String]) =
+    TextIndex.search(spark, dir, terms, 10).collect().toSeq
+
   test("indexed search == index-free ranker over all postings") {
     val dir = tmp()
     TextIndex.buildIndex(spark, corpus, dir, files = 4)
     val terms = Seq("beta", "delta", "nosuchterm")
-    val indexed = TextIndex.search(spark, dir, terms, 10).collect().toSeq
+    val indexed = searchRows(dir, terms)
 
     val post = TextIndex.postings(corpus)
-    val stats = post.groupBy("term")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("df"))
-      .filter(org.apache.spark.sql.functions.col("term").isin(terms: _*))
+    val stats = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("term").isin(terms: _*))
     val n = post.select("doc_id").distinct().count()
-    val l = post.agg(org.apache.spark.sql.functions.sum("tf")).head.getLong(0)
+    val l = post.agg(sum("tf")).head.getLong(0)
     val brute = TextIndex.score(
-      post.filter(org.apache.spark.sql.functions.col("term").isin(terms: _*)),
-      stats, n, l, 10).collect().toSeq
+      post.filter(col("term").isin(terms: _*)), stats, n, l, 10).collect().toSeq
     assert(indexed == brute)
     // every doc containing beta or delta matches; doc 3 (alpha only) not
     assert(indexed.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
@@ -59,12 +62,64 @@ class TextIndexSpec extends AnyFunSuite {
   test("zone maps prune posting files for a point term") {
     val dir = tmp()
     TextIndex.buildIndex(spark, corpus, dir, files = 4)
-    val stats = StatsIndex.readSidecar(spark, s"$dir/postings").get.collect().toSeq
+    val seg = s"$dir/segments/seg_000000000/postings"
+    val stats = StatsIndex.readSidecar(spark, seg).get.collect().toSeq
     val total = stats.map(_.file).distinct.size
     val kept = StatsIndex.pruneFiles(stats,
       Seq(ColRange("term", Some("zeta"), Some("zeta"))))
     assert(kept.size < total,
       s"term lookup opened all $total files — clustering/sidecar broken")
+  }
+
+  private def feedOf(o: DataFrame, n: DataFrame): DataFrame =
+    SnapshotDiff.diffWithPayload(o, n, Seq("doc_id"),
+      SnapshotDiff.rowDigest(Seq(col("text"))))
+
+  test("applyDelta == rebuild on the new corpus (add, change, remove)") {
+    // vs corpus: doc 2 changed, doc 4 removed, doc 6 added, rest kept
+    val newCorpus = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "omega omega beta"),
+      (3L, "alpha alpha alpha"),
+      (5L, "zeta zeta beta alpha gamma"),
+      (6L, "delta zeta omega")).toDF("doc_id", "text")
+    val incr = tmp(); val rebuilt = tmp()
+    TextIndex.buildIndex(spark, corpus, incr, files = 3)
+    TextIndex.applyDelta(spark, incr, corpus, feedOf(corpus, newCorpus), files = 2)
+    TextIndex.buildIndex(spark, newCorpus, rebuilt, files = 3)
+    for (terms <- Seq(Seq("beta"), Seq("omega", "delta"), Seq("alpha", "zeta", "omega")))
+      assert(searchRows(incr, terms) == searchRows(rebuilt, terms),
+        s"delta-maintained index diverged from rebuild for $terms")
+    // removed doc 4 must be gone even though its postings still sit in seg 0
+    assert(!searchRows(incr, Seq("epsilon")).exists(_.getLong(0) == 4L))
+    // stats rolled forward exactly
+    def corpusRow(d: String) = spark.read.parquet(s"$d/corpus").head
+    assert(corpusRow(incr).getLong(0) == corpusRow(rebuilt).getLong(0))
+    assert(corpusRow(incr).getLong(1) == corpusRow(rebuilt).getLong(1))
+  }
+
+  test("chained deltas then compaction preserve answers and fold segments") {
+    val s0 = corpus
+    val s1 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (3L, "alpha alpha alpha"), (5L, "zeta zeta beta alpha gamma"),
+      (6L, "delta zeta omega")).toDF("doc_id", "text")
+    val s2 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (6L, "delta zeta omega gamma gamma")).toDF("doc_id", "text")
+    val dir = tmp()
+    TextIndex.buildIndex(spark, s0, dir, files = 2)
+    TextIndex.applyDelta(spark, dir, s0, feedOf(s0, s1), files = 2)
+    TextIndex.applyDelta(spark, dir, s1, feedOf(s1, s2), files = 2)
+    val terms = Seq("gamma", "omega", "beta")
+    val before = searchRows(dir, terms)
+    TextIndex.compactIndex(spark, dir, files = 2)
+    assert(searchRows(dir, terms) == before, "compaction changed answers")
+    val segDirs = new java.io.File(s"$dir/segments").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segDirs.length == 1, s"expected one folded segment, got ${segDirs.length}")
+    // and the folded index still equals a from-scratch build
+    val rebuilt = tmp()
+    TextIndex.buildIndex(spark, s2, rebuilt, files = 2)
+    assert(searchRows(dir, terms) == searchRows(rebuilt, terms))
   }
 
   test("k bounds the result and empty term lists are rejected") {
