@@ -126,9 +126,13 @@ object TextIndex {
   def buildIndex(spark: SparkSession, docs: DataFrame, dir: String,
                  files: Int = 16, idCol: String = "doc_id",
                  textCol: String = "text"): Unit = {
-    val post = postings(docs, idCol, textCol)
-    writeSegment(spark, dir, 0L, post, None, files)
-    statsFrom(spark, post, dir)
+    // three consumers (segment write, term stats, corpus stats) — pin
+    // so tokenization runs once
+    val post = postings(docs, idCol, textCol).cache()
+    try {
+      writeSegment(spark, dir, 0L, post, None, files)
+      statsFrom(spark, post, dir)
+    } finally { post.unpersist(false); () }
   }
 
   private def statsFrom(spark: SparkSession, post: DataFrame, dir: String): Unit = {
@@ -151,14 +155,19 @@ object TextIndex {
                  textCol: String = "text"): Unit = {
     val segId = segments(spark, dir).lastOption.map(_._1 + 1).getOrElse(
       throw new IllegalStateException(s"TextIndex.applyDelta: no index at $dir"))
+    // the feed is consumed three times (retractions, additions, the
+    // doc-count delta) and is typically the product of a diff chain —
+    // pin it for the duration of the delta
+    val feedC = feed.cache()
     val retractIds = broadcast(
-      feed.filter(col("change_type").isin("removed", "changed"))
+      feedC.filter(col("change_type").isin("removed", "changed"))
         .select(col(idCol)))
+    // each side feeds the segment write and/or both stats deltas — pin
     val minusPost = postings(
-      oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol)
+      oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol).cache()
     val plusPost = postings(
-      feed.filter(col("change_type") =!= "removed")
-        .select(col(idCol), col(textCol)), idCol, textCol)
+      feedC.filter(col("change_type") =!= "removed")
+        .select(col(idCol), col(textCol)), idCol, textCol).cache()
     writeSegment(spark, dir, segId, plusPost,
       Some(retractIds.select(col(idCol).as("doc_id"))), files)
     // (term, df) rolls forward by weighted counts — exact integers
@@ -174,7 +183,7 @@ object TextIndex {
     // corpus constants: two bounded aggregates (driver-side longs)
     def tok(p: DataFrame) = p.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0)
-    val dDocs = feed.agg(coalesce(sum(
+    val dDocs = feedC.agg(coalesce(sum(
       when(col("change_type") === "added", 1L)
         .when(col("change_type") === "removed", -1L).otherwise(0L)), lit(0L)))
       .head.getLong(0)
@@ -183,18 +192,34 @@ object TextIndex {
       spark.range(1).select(
         lit(c.getAs[Long]("n_docs") + dDocs).as("n_docs"),
         lit(c.getAs[Long]("total_tokens") + tok(plusPost) - tok(minusPost)).as("total_tokens")))
+    plusPost.unpersist(false); minusPost.unpersist(false)
+    feedC.unpersist(false); ()
   }
 
   /** Live postings across all segments: every segment's rows minus
-    * those a LATER segment tombstoned. `preds` confines each segment
-    * read through its zone maps. */
+    * those a LATER segment tombstoned. A non-empty `terms` list
+    * confines each segment read through its zone maps — ONE sidecar
+    * read and ONE scan per segment, keeping the union of each term's
+    * admitted files (point ranges share the sidecar; per-term scans
+    * would pay |terms| jobs for the same files). */
   private def livePostings(spark: SparkSession, dir: String,
-                           preds: Seq[ColRange]): DataFrame = {
+                           terms: Seq[String]): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"TextIndex: no index at $dir")
     val post = segs.map { case (_, p) =>
-      if (preds.isEmpty) spark.read.parquet(s"$p/postings")
-      else StatsIndex.prunedRead(spark, s"$p/postings", preds)
+      val seg = s"$p/postings"
+      if (terms.isEmpty) spark.read.parquet(seg)
+      else StatsIndex.readSidecar(spark, seg) match {
+        case None => spark.read.parquet(seg).filter(col("term").isin(terms: _*))
+        case Some(stats) =>
+          val st = stats.collect().toSeq
+          val kept = terms.flatMap(t => StatsIndex.pruneFiles(st,
+            Seq(ColRange("term", Some(t), Some(t))))).distinct.sorted
+          val base =
+            if (kept.isEmpty) spark.read.parquet(seg).where(lit(false))
+            else spark.read.parquet(kept.map(f => s"$seg/$f"): _*)
+          base.filter(col("term").isin(terms: _*))
+      }
     }.reduce(_ unionByName _)
     val fs = fsOf(spark, dir)
     val tombs = segs.filter { case (_, p) => fs.exists(new Path(s"$p/tombstones")) }
@@ -243,10 +268,7 @@ object TextIndex {
     val (n, l) = (c.getAs[Long]("n_docs"), c.getAs[Long]("total_tokens"))
     val stats = broadcast(readStats(spark, s"$dir/terms")
       .filter(col("term").isin(terms: _*)))
-    val matched = terms.map { t =>
-      livePostings(spark, dir, Seq(ColRange("term", Some(t), Some(t))))
-    }.reduce(_ unionByName _)
-    score(matched, stats, n, l, k)
+    score(livePostings(spark, dir, terms), stats, n, l, k)
   }
 
   /** The ranker alone, over already-matched postings — the leg
