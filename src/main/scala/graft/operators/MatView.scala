@@ -82,17 +82,28 @@ object MatView {
   def deltaRefresh(view: DataFrame, oldSnap: DataFrame, feed: DataFrame,
                    rowKeys: Seq[String], groupKeys: Seq[String],
                    sums: Sums): DataFrame = {
-    checkNames(groupKeys, sums)
-    require(!oldSnap.columns.contains("__w"), "MatView: column name __w is reserved")
     // the feed's key set is the changed fraction — broadcast it so the
     // base-table semi-join ships no base rows at all
     val retractKeys = broadcast(
       feed.filter(col("change_type").isin("removed", "changed"))
         .select(rowKeys.map(col): _*))
-    val minus = oldSnap.join(retractKeys, rowKeys, "left_semi")
-      .withColumn("__w", lit(-1L))
-    val plus = feed.filter(col("change_type") =!= "removed")
-      .withColumn("__w", lit(1L))
+    refreshFromRows(view,
+      oldSnap.join(retractKeys, rowKeys, "left_semi"),
+      feed.filter(col("change_type") =!= "removed"),
+      groupKeys, sums)
+  }
+
+  /** The delta-merge core: subtract `minusRows`' contributions, add
+    * `plusRows`' — the leg [[deltaRefresh]] (rows from the old
+    * snapshot) and [[graft.streaming.MatViewStream]] (rows from the
+    * persisted state table, no base access at all) share. */
+  def refreshFromRows(view: DataFrame, minusRows: DataFrame, plusRows: DataFrame,
+                      groupKeys: Seq[String], sums: Sums): DataFrame = {
+    checkNames(groupKeys, sums)
+    require(!minusRows.columns.contains("__w") && !plusRows.columns.contains("__w"),
+      "MatView: column name __w is reserved")
+    val minus = minusRows.withColumn("__w", lit(-1L))
+    val plus = plusRows.withColumn("__w", lit(1L))
     // group deltas: one narrow union of the two change-row sets; sums
     // stay exact because weight * DECIMAL is DECIMAL
     val proj = (df: DataFrame) => df.select(
