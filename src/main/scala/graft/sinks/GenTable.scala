@@ -67,6 +67,21 @@ object GenTable {
     generations(fs, root).reverseIterator
       .map(_._2).find(isCommitted(fs, _))
 
+  /** All committed generation ids, ascending — the table's retained
+    * history (bounded by `publish`'s `keep`). */
+  def committed(fs: FileSystem, root: Path): Seq[Long] =
+    generations(fs, root).collect { case (id, p) if isCommitted(fs, p) => id }
+
+  /** TIME TRAVEL: the dir of committed generation `gen`, if still
+    * retained. With `keep >= 2` the previous generation is always
+    * readable, so a consumer can diff table versions (feed
+    * [[graft.operators.SnapshotDiff]]) or re-run against the exact
+    * input a job saw — the lakehouse `VERSION AS OF` contract, bounded
+    * by the retention window. */
+  def resolveAt(fs: FileSystem, root: Path, gen: Long): Option[Path] =
+    generations(fs, root)
+      .collectFirst { case (id, p) if id == gen && isCommitted(fs, p) => p }
+
   /** Publish the directory at `staged` as the next generation of the
     * table at `root`; returns the live generation path. `staged` is
     * consumed. Keeps the newest `keep` committed generations. */

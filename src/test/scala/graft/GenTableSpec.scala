@@ -153,4 +153,21 @@ class GenTableSpec extends AnyFunSuite {
       "prune must eventually drop all older generations")
     assert(liveValues(fs, root).contains(Set(3)))
   }
+
+  test("time travel: resolveAt reads a retained prior generation; history is bounded") {
+    val (fs, root) = newTable()
+    GenTable.publish(fs, root, stage(Seq(1)), keep = 2)
+    GenTable.publish(fs, root, stage(Seq(2)), keep = 2)
+    assert(GenTable.committed(fs, root) == Seq(0L, 1L))
+    def at(gen: Long): Option[Set[Int]] =
+      GenTable.resolveAt(fs, root, gen).map(p =>
+        spark.read.parquet(p.toString).collect().map(_.getInt(0)).toSet)
+    assert(at(0L).contains(Set(1)) && at(1L).contains(Set(2)))
+    assert(liveValues(fs, root).contains(Set(2)), "live read unaffected")
+    // a third publish prunes generation 0 out of the retention window
+    GenTable.publish(fs, root, stage(Seq(3)), keep = 2)
+    assert(at(0L).isEmpty, "pruned generation must not time-travel")
+    assert(at(1L).contains(Set(2)) && at(2L).contains(Set(3)))
+    assert(GenTable.committed(fs, root) == Seq(1L, 2L))
+  }
 }
