@@ -36,16 +36,70 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  private def checkInput(tokens: DataFrame, threshold: Double): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"SetSimJoin: threshold must be in (0,1], got $threshold")
+    Seq("__freq", "__toks", "__s", "__rk").foreach(c =>
+      require(!tokens.columns.contains(c), s"SetSimJoin: column name $c is reserved"))
+  }
+
+  /** Per-doc rarest-first sorted token array + set size under the
+    * given global frequency order. */
+  private def orderedDocs(tokens: DataFrame, freq: DataFrame): DataFrame =
+    tokens.join(freq, "token")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__freq"), col("token")))).as("__toks"),
+        count(lit(1)).as("__s"))
+
+  /** Prefix rows `(token, id, __rk, __s)` — see the class doc for the
+    * epsilon discipline. */
+  private def prefixRows(docs: DataFrame, threshold: Double): DataFrame = {
+    val p = (col("__s") - ceil(col("__s") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    docs.select(col("id"), col("__s"), posexplode(slice(col("__toks"), lit(1), p)))
+      .select(col("col.token").as("token"), col("id"),
+        (col("pos") + 1).as("__rk"), col("__s"))
+  }
+
+  /** The PPJoin positional + length filter over carried
+    * `__rk_a/__rk_b/__s_a/__s_b`, then dedup to bare pairs. */
+  private def filterCandidates(cand: DataFrame, threshold: Double): DataFrame = {
+    val alpha = ceil((col("__s_a") + col("__s_b")) * lit(threshold / (1 + threshold))
+      - lit(1e-9))
+    cand.filter((least(col("__s_a") - col("__rk_a"), col("__s_b") - col("__rk_b")) +
+        lit(1) >= alpha) &&
+        (least(col("__s_a"), col("__s_b")).cast("double") >=
+          greatest(col("__s_a"), col("__s_b")) * lit(threshold) - lit(1e-9)))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** In-row exact verification: attach each side's token array
+    * (candidate-confined) and intersect per pair. */
+  private def verifyPairs(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                          threshold: Double): DataFrame = {
+    def confined(docs: DataFrame, side: String) = {
+      val ids = cand.select(col(side).as("id")).distinct()
+      docs.join(broadcast(ids), Seq("id"), "left_semi")
+        .select(col("id"),
+          transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
+    }
+    cand
+      .join(confined(docsA, "id_a").as("da"), col("id_a") === col("da.id"))
+      .join(confined(docsB, "id_b").as("db"), col("id_b") === col("db.id"))
+      .withColumn("__i", size(array_intersect(col("da.__set"), col("db.__set"))))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") /
+          (col("da.__s") + col("db.__s") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** All (id_a < id_b, jaccard) pairs with Jaccard >= `threshold` over
     * `tokens` = (id, token) SET rows (dedupe upstream — positional
     * duplicates would corrupt set sizes). */
   def similarPairs(tokens: DataFrame, threshold: Double,
                    blockSize: Int = 4096,
                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"SetSimJoin: threshold must be in (0,1], got $threshold")
-    Seq("__freq", "__toks", "__s", "__rk").foreach(c =>
-      require(!tokens.columns.contains(c), s"SetSimJoin: column name $c is reserved"))
+    checkInput(tokens, threshold)
     // the token stream feeds three consumers (frequency aggregate, the
     // ordering join, exact verification) — pin it so the upstream
     // tokenization/shingling runs once, not per consumer
@@ -57,22 +111,8 @@ object SetSimJoin {
     val freq = toks.groupBy("token").agg(count(lit(1)).as("__freq"))
     // per-doc: in-row rarest-first sort + set size; |docs| rows out.
     // Pinned: feeds the prefix explode AND the verification arrays.
-    val docs = scope.pin(toks.join(freq, "token")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("__freq"), col("token")))).as("__toks"),
-        count(lit(1)).as("__s")))
-    // prefix length p = s - ceil(t*s) + 1, with an epsilon on the ceil:
-    // double t*s landing a hair ABOVE the exact product would shorten
-    // the prefix and silently drop a boundary pair — the epsilon can
-    // only lengthen it (a superset of candidates, never a miss)
-    val p = (col("__s") - ceil(col("__s") * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    // each prefix row carries its 1-based rank and the set size — the
-    // payload the positional filter below needs on both pair sides
-    val prefixes = docs
-      .select(col("id"), col("__s"), posexplode(slice(col("__toks"), lit(1), p)))
-      .select(col("col.token").as("token"), col("id"),
-        (col("pos") + 1).as("__rk"), col("__s"))
-    val cand = PairEnum.bucketPairs(prefixes, Seq("token"),
+    val docs = scope.pin(orderedDocs(toks, freq))
+    val cand = PairEnum.bucketPairs(prefixRows(docs, threshold), Seq("token"),
       payloadCols = Seq("__rk", "__s"), blockSize = blockSize)
     // PPJoin positional filter: common tokens all rank >= this shared
     // one in the global order, so overlap <= min(sa-rka, sb-rkb) + 1;
@@ -80,34 +120,38 @@ object SetSimJoin {
     // FIRST common token satisfies both, so per-row filtering + distinct
     // loses nothing (epsilons again only widen). The length filter
     // (t*max <= min) rides the same carried sizes — no sizes join.
-    val alpha = ceil((col("__s_a") + col("__s_b")) * lit(threshold / (1 + threshold))
-      - lit(1e-9))
-    val candFiltered = cand
-      .filter((least(col("__s_a") - col("__rk_a"), col("__s_b") - col("__rk_b")) +
-        lit(1) >= alpha) &&
-        (least(col("__s_a"), col("__s_b")).cast("double") >=
-          greatest(col("__s_a"), col("__s_b")) * lit(threshold) - lit(1e-9)))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // exact verification IN-ROW: each doc's token set is already an
-    // array in `docs`, so intersection is one array_intersect per pair —
-    // no pair×token explode, no per-pair aggregate (the
-    // Dedup.jaccardVerify join chain exists for callers who only have a
-    // token STREAM). Array frames are confined to candidate docs first
-    // (broadcast semi-join), so at scale the two attach joins move a
-    // vanishing fraction of the corpus.
-    val candIds = candFiltered.select(col("id_a").as("id"))
-      .union(candFiltered.select(col("id_b").as("id"))).distinct()
-    val candDocs = docs.join(broadcast(candIds), Seq("id"), "left_semi")
-      .select(col("id"),
-        transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
-    candFiltered
-      .join(candDocs.as("da"), col("id_a") === col("da.id"))
-      .join(candDocs.as("db"), col("id_b") === col("db.id"))
-      .withColumn("__i", size(array_intersect(col("da.__set"), col("db.__set"))))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (col("da.__s") + col("db.__s") - col("__i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(filterCandidates(cand, threshold), docs, docs, threshold)
+  }
+
+  /** Cross-collection (R-S) variant — ENTITY RESOLUTION between two
+    * different tables: every (left id_a, right id_b, jaccard) pair
+    * with Jaccard >= `threshold`, exactly. Both inputs are
+    * `(id, token)` SET rows; ids need not be disjoint (sides are
+    * distinguished by position, and no self-pair constraint applies).
+    *
+    * One global rarest-first order over the UNION of both sides'
+    * frequencies drives both prefixes — the prefix theorem only needs
+    * the order to be shared and total, and union-rarity keeps both
+    * sides' prefix buckets on the frequency tail. Candidates come from
+    * a plain prefix-token equi-join (no self-pairing, so no triangular
+    * blocking needed; a skewed token still splits across tasks because
+    * neither side self-pairs), filtered by the same positional +
+    * length bounds, verified in-row. */
+  def similarJoin(leftTokens: DataFrame, rightTokens: DataFrame,
+                  threshold: Double,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    checkInput(leftTokens, threshold)
+    checkInput(rightTokens, threshold)
+    val lt = scope.pin(leftTokens)
+    val rt = scope.pin(rightTokens)
+    val freq = lt.unionByName(rt)
+      .groupBy("token").agg(count(lit(1)).as("__freq"))
+    val ldocs = scope.pin(orderedDocs(lt, freq))
+    val rdocs = scope.pin(orderedDocs(rt, freq))
+    def side(docs: DataFrame, s: String) =
+      prefixRows(docs, threshold).select(col("token"),
+        col("id").as(s"id_$s"), col("__rk").as(s"__rk_$s"), col("__s").as(s"__s_$s"))
+    val cand = side(ldocs, "a").join(side(rdocs, "b"), "token")
+    verifyPairs(filterCandidates(cand, threshold), ldocs, rdocs, threshold)
   }
 }

@@ -257,8 +257,23 @@ object DedupQueries extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-collection entity resolution ([[SetSimJoin.similarJoin]]):
+    * even-id docs vs odd-id docs, every cross pair at 3-gram Jaccard
+    * >= 0.6 — the catalog-vs-scrape matching shape. Brute-force oracle
+    * again (all cross shingle-sharing pairs). */
+  def simJoinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Dedup.shingles(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), n = 3)
+      .withColumnRenamed("shingle", "token")
+    SetSimJoin.similarJoin(
+      toks.filter(col("id") % 2 === 0), toks.filter(col("id") % 2 === 1),
+      Threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simjoin" -> simJoin,
+    "q_simjoin_cross" -> simJoinCross,
     "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
@@ -372,6 +387,17 @@ object DedupQueries extends QueryModule {
     "q_dedup_minhash" ->
       s"""WITH $pairChainSql
          |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,
+    "q_simjoin_cross" ->
+      s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS i
+         |  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+         |  WHERE sa.id % 2 = 0 AND sb.id % 2 = 1
+         |  GROUP BY sa.id, sb.id),
+         |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= $Threshold
+         |ORDER BY id_a, id_b""".stripMargin,
     // brute force on purpose: candidates from ALL shingle-sharing
     // pairs, not a prefix-filter replay — exactness is what's on trial
     "q_simjoin" ->

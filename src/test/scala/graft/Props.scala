@@ -342,3 +342,34 @@ object SetSimJoinProps extends Properties("SetSimJoin") {
       got == want
     }
 }
+
+object SetSimJoinCrossProps extends Properties("SetSimJoinCross") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpusGen: Gen[Map[Long, Set[String]]] =
+    Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 7L),
+      Gen.nonEmptyContainerOf[Set, String](Gen.oneOf("a", "b", "c", "d", "e"))))
+  private val thresholdGen: Gen[Double] = Gen.oneOf(0.3, 0.5, 0.6, 1.0)
+
+  private def toDf(sets: Map[Long, Set[String]]) =
+    sets.toSeq.flatMap { case (id, ts) => ts.map(id -> _) } match {
+      case Nil => Seq.empty[(Long, String)].toDF("id", "token")
+      case rows => rows.toDF("id", "token")
+    }
+
+  property("cross-join pair set equals brute force (overlapping ids allowed)") =
+    Prop.forAll(corpusGen, corpusGen, thresholdGen) { (l, r, t) =>
+      val got = graft.operators.SetSimJoin.similarJoin(toDf(l), toDf(r), t)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        a <- l.keys; b <- r.keys
+        j = l(a).intersect(r(b)).size.toDouble / l(a).union(r(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      got == want
+    }
+}
