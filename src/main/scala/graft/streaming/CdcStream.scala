@@ -58,6 +58,31 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcStream {
 
+  /** Generation-integrity check shared by every full-dump consumer
+    * ([[CdcStream]], [[MatViewStream]]): resolve the batch's dump
+    * generation from the checkpoint source log, and fail the stream
+    * loudly if it matches the PRIOR state generation's marker — a dump
+    * exported as multiple files would otherwise be consumed piecewise,
+    * each piece diffed as a full snapshot. Returns the generation id
+    * to record with this batch's state. Replays pass: the replayed
+    * batch compares against the generation BELOW it, not itself. */
+  private[streaming] def checkGeneration(
+      spark: SparkSession, srcDir: String, checkpointDir: String,
+      batchId: Long, priorStatePath: Option[String],
+      consumer: String): String = {
+    val gen = FileQueue.batchSourceFiles(spark, checkpointDir, batchId)
+      .headOption.map(f => generationOf(srcDir, f)).getOrElse("")
+    for {
+      priorPath <- priorStatePath if gen.nonEmpty
+      priorGen <- readMarker(spark, priorPath) if priorGen == gen
+    } throw new IllegalStateException(
+      s"$consumer: batch $batchId file belongs to generation '$gen', same as the " +
+        "previous snapshot — the dump was exported as multiple files and would be " +
+        "consumed piecewise, corrupting the output. Coalesce each " +
+        "export to ONE uniquely-named file before enqueueing.")
+    gen
+  }
+
   /** Generation id of a queued dump file: the parent-directory name when
     * the file sits below a subdirectory of `srcDir` (directory-per-export
     * producers — Spark itself writes `out/part-00000-…`), else the bare
@@ -96,21 +121,8 @@ object CdcStream {
             .cache()
           val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
             .filter(_._1 < batchId).sortBy(_._1).lastOption
-          // Generation-integrity check: the batch's source file must not
-          // belong to the same dump as the prior generation (a multi-file
-          // export split across triggers). Replays pass: the replayed
-          // batch compares against the generation BELOW it, not itself.
-          // one file per trigger, so one log entry decides the generation
-          val gen = FileQueue.batchSourceFiles(spark, checkpointDir, batchId)
-            .headOption.map(f => generationOf(srcDir, f)).getOrElse("")
-          for {
-            (_, priorPath) <- prior if gen.nonEmpty
-            priorGen <- readMarker(spark, priorPath) if priorGen == gen
-          } throw new IllegalStateException(
-            s"CdcStream: batch $batchId file belongs to generation '$gen', same as the " +
-              "previous snapshot — the dump was exported as multiple files and would be " +
-              "diffed piecewise, emitting spurious added/removed rows. Coalesce each " +
-              "export to ONE uniquely-named file before enqueueing.")
+          val gen = checkGeneration(spark, srcDir, checkpointDir, batchId,
+            prior.map(_._2), "CdcStream")
           val changes = prior match {
             case Some((_, p)) =>
               SnapshotDiff.diffDigests(spark.read.parquet(p), newDig, keys)
@@ -136,7 +148,7 @@ object CdcStream {
     * (pre-upgrade state) just skips the integrity check once. */
   private def markerPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "_GENERATION")
 
-  private def readMarker(spark: SparkSession, dir: String): Option[String] = {
+  private[streaming] def readMarker(spark: SparkSession, dir: String): Option[String] = {
     val p = markerPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -147,7 +159,7 @@ object CdcStream {
     }
   }
 
-  private def writeMarker(spark: SparkSession, dir: String, gen: String): Unit = {
+  private[streaming] def writeMarker(spark: SparkSession, dir: String, gen: String): Unit = {
     val p = markerPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

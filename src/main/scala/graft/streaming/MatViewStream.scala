@@ -39,8 +39,12 @@ import org.apache.spark.sql.types.StructType
   * micro-batch diffs against exactly what the original run saw and
   * rewrites exactly its own output.
   *
-  * Same empty-dump limitation as CdcStream: a zero-row dump is
-  * skipped; ship a tombstone generation to truncate.
+  * Generation integrity: [[CdcStream.checkGeneration]] — a dump
+  * exported as multiple files would be consumed piecewise and each
+  * piece's "removals" would wrongly retract live keys from the view,
+  * so the split fails the stream loudly, exactly like CdcStream.
+  * Same empty-dump limitation too: a zero-row dump is skipped; ship a
+  * tombstone generation to truncate.
   */
 object MatViewStream {
 
@@ -87,6 +91,10 @@ object MatViewStream {
             .cache()
           val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
             .filter(_._1 < batchId).sortBy(_._1).lastOption
+          // a multi-file dump split across triggers would double-count
+          // its pieces into the view — same loud failure as CdcStream
+          val gen = CdcStream.checkGeneration(spark, srcDir, checkpointDir,
+            batchId, prior.map(_._2), "MatViewStream")
           val priorState = prior.map { case (_, p) => spark.read.parquet(p) }
           val feed = priorState match {
             case Some(st) => SnapshotDiff.diffDigests(
@@ -111,6 +119,7 @@ object MatViewStream {
             groupKeys, stateSums)
           refreshed.write.mode("overwrite").parquet(s"$viewDir/batch_$batchId")
           newState.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+          CdcStream.writeMarker(spark, s"$stateDir/batch_$batchId", gen)
           newState.unpersist(blocking = false)
           prior.foreach { case (id, _) =>
             FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id)

@@ -89,4 +89,33 @@ class MatViewStreamSpec extends AnyFunSuite {
     assert(MatViewStream.currentView(spark, s"$base/view").get
       .select("grp").as[String].collect().toSet == Set("a", "d"))
   }
+
+  test("a dump split into part files fails the stream instead of corrupting the view") {
+    val base = Files.createTempDirectory("graft_mvsplit_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def start() = MatViewStream.start(spark, bronze, schema, s"$base/archive",
+      s"$base/state", s"$base/view", s"$base/ckpt",
+      keys = Seq("k"),
+      digestOf = df => SnapshotDiff.rowDigest(Seq(df("grp"), df("v").cast("decimal(18,2)"))),
+      groups = Seq("grp" -> col("grp")),
+      sums = Seq("sv" -> col("v").cast("decimal(18,2)")))
+    Files.write(java.nio.file.Paths.get(bronze, "snap1.json"),
+      rowJson(1L, "a", 1.0).getBytes)
+    val q1 = start(); assert(q1.awaitTermination(120000))
+    // generation 2 split across two part files: piece 1 lands as a full
+    // "snapshot" (k1 would read as removed), piece 2 must KILL the query
+    Files.write(java.nio.file.Paths.get(bronze, "snap2-part-001.json"),
+      rowJson(2L, "a", 2.0).getBytes)
+    Files.write(java.nio.file.Paths.get(bronze, "snap2-part-002.json"),
+      rowJson(3L, "b", 3.0).getBytes)
+    val q2 = start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(failed).exists(_.contains("exported as multiple files")),
+      s"expected the generation-integrity failure, got: ${rootMessages(failed)}")
+  }
 }
