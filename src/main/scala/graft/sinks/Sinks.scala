@@ -151,8 +151,16 @@ object Sinks {
     * quiescing (a commit can still land between the re-list and the
     * rename). Run compaction from the single writer's own maintenance
     * loop, as Delta OPTIMIZE does. */
+  /** `clusterCols` non-empty preserves a clustered/Z-ordered layout:
+    * the rewrite range-partitions + sorts on those columns instead of
+    * round-robin (which would scatter every file's key range across
+    * the whole domain and kill min/max skipping). If the table carried
+    * a [[graft.sources.StatsIndex]] zone-map sidecar, it is REBUILT
+    * for the new files after the swap — a stale sidecar would point
+    * pruned reads at files that no longer exist. */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20,
-              onBeforeSwap: () => Unit = () => ()): (Int, Int) = {
+              onBeforeSwap: () => Unit = () => (),
+              clusterCols: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,7 +179,15 @@ object Sinks {
         "partitioned table, compact each partition directory")
     val n = math.max(1L, math.ceil(
       dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
-    spark.read.parquet(dir).repartition(n).write.parquet(staged.toString)
+    // remember the sidecar's indexed columns BEFORE the swap destroys it
+    val sidecarCols = graft.sources.StatsIndex.readSidecar(spark, dir)
+      .map(_.collect().map(_.column).distinct.toSeq.sorted)
+    val table = spark.read.parquet(dir)
+    val laidOut =
+      if (clusterCols.isEmpty) table.repartition(n)
+      else table.repartitionByRange(n, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    laidOut.write.parquet(staged.toString)
     onBeforeSwap() // test seam: lets specs inject a concurrent commit here
     // abort-don't-lose backstop: if a writer committed between the
     // snapshot and now, swapping would drop its files — fail instead.
@@ -187,6 +203,10 @@ object Sinks {
           "aborted without touching the live table; quiesce writers and retry")
     }
     swapIn(fs, staged, target, backup)
+    sidecarCols.foreach { cols =>
+      graft.sources.StatsIndex.writeSidecar(
+        graft.sources.StatsIndex.fromFooters(spark, dir, cols), dir)
+    }
     (dataFiles.length, n)
   }
 

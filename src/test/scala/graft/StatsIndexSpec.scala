@@ -266,4 +266,36 @@ class StatsIndexSpec extends AnyFunSuite {
       stats = Some(StatsIndex.fromFooters(spark, dir, Seq("k"))))
     assert(pruned.columns.toSeq == Seq("k") && pruned.count() == 0)
   }
+
+  test("clustered compaction preserves layout and rebuilds the sidecar") {
+    val dir = tmp("compact")
+    val df = spark.range(0, 800).select(col("id"), (col("id") * 3).as("v"))
+    // many small clustered files + sidecar
+    Sinks.writeClustered(df.toDF(), dir, Seq("id"), files = 16)
+    StatsIndex.writeSidecar(StatsIndex.fromFooters(spark, dir, Seq("id")), dir)
+    val (before, after) = Sinks.compact(spark, dir,
+      targetFileBytes = 64L << 10, clusterCols = Seq("id"))
+    assert(before == 16 && after < before, s"compaction $before -> $after")
+    // sidecar references exactly the NEW files (a stale one would point
+    // pruned reads at deleted files)
+    val side = StatsIndex.readSidecar(spark, dir).get.collect().map(_.file).toSet
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(side == live, s"sidecar files $side != live files $live")
+    // layout preserved: a narrow range still prunes, and content is intact
+    val pred = Seq(ColRange("id", Some(0L), Some(99L)))
+    val pruned = StatsIndex.prunedRead(spark, dir, pred)
+    assert(pruned.collect().map(_.getLong(0)).toSet == (0L to 99L).toSet)
+    if (after > 1)
+      assert(scannedFiles(pruned) < after, "clustered compaction lost the layout")
+    assert(spark.read.parquet(dir).count() == 800)
+  }
+
+  test("round-robin compaction of an unindexed table grows no sidecar") {
+    val dir = tmp("compact_plain")
+    spark.range(0, 100).toDF().write.parquet(dir)
+    Sinks.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(StatsIndex.readSidecar(spark, dir).isEmpty)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }
