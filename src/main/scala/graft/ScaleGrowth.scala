@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, PairEnum, SetSimJoin, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,26 @@ object ScaleGrowth {
     (w, simhashStats(docs, nDocs, w))
   }
 
+  /** Prefix-filtered exact similarity join (q_simjoin operating point:
+    * 3-gram shingles, t=0.6). Buckets = prefix TOKENS: replicas carry
+    * disjoint token spaces, so buckets must grow ~s× with occupancy
+    * flat, and candidates/verified ~s× — the linearity the prefix
+    * filter promises (an all-pairs generator would go s²). */
+  def simjoinStats(docs: DataFrame, nDocs: Long): FamilyStats = {
+    val toks = Dedup.shingles(docs, col("doc_id"), col("text"), n = 3)
+      .withColumnRenamed("shingle", "token").cache()
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("__freq"))
+    val ordered = SetSimJoin.orderedDocs(toks, freq).cache()
+    val prefixes = SetSimJoin.prefixRows(ordered, 0.6)
+    val (b, mo, mx, bp) = bucketStats(prefixes, Seq("token"))
+    val cand = SetSimJoin.filterCandidates(
+      PairEnum.bucketPairs(prefixes, Seq("token"),
+        payloadCols = Seq("__rk", "__s")), 0.6).cache()
+    val nCand = cand.count()
+    val nVer = SetSimJoin.verifyPairs(cand, ordered, ordered, 0.6).count()
+    FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+  }
+
   /** Adaptive hyperplane LSH over prepped embeddings (q_sim_lsh). */
   def annLshStats(p: DataFrame, nVec: Long, dim: Int): (Int, FamilyStats) = {
     val bits = Similarity.adaptiveBits(nVec, 8)
@@ -187,6 +207,7 @@ object ScaleGrowth {
         else println(s"| simhash-fixed (4x8b) | ${s}x | $nDocs | (skipped: 1024-bucket space saturates — ~n²/2048 pairs) | | | | | |")
         val (wS, aStats) = simhashAdaptiveStats(docs, nDocs)
         row(s"simhash-adaptive (4x${wS}b)", s, aStats)
+        row("simjoin-prefix (3gram,t=0.6)", s, simjoinStats(docs, nDocs))
       }
       if (families != "docs") {
         val dim = 64

@@ -45,7 +45,7 @@ object SetSimJoin {
 
   /** Per-doc rarest-first sorted token array + set size under the
     * given global frequency order. */
-  private def orderedDocs(tokens: DataFrame, freq: DataFrame): DataFrame =
+  private[graft] def orderedDocs(tokens: DataFrame, freq: DataFrame): DataFrame =
     tokens.join(freq, "token")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("__freq"), col("token")))).as("__toks"),
@@ -53,7 +53,7 @@ object SetSimJoin {
 
   /** Prefix rows `(token, id, __rk, __s)` — see the class doc for the
     * epsilon discipline. */
-  private def prefixRows(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixRows(docs: DataFrame, threshold: Double): DataFrame = {
     val p = (col("__s") - ceil(col("__s") * lit(threshold) - lit(1e-9)) + 1).cast("int")
     docs.select(col("id"), col("__s"), posexplode(slice(col("__toks"), lit(1), p)))
       .select(col("col.token").as("token"), col("id"),
@@ -62,7 +62,7 @@ object SetSimJoin {
 
   /** The PPJoin positional + length filter over carried
     * `__rk_a/__rk_b/__s_a/__s_b`, then dedup to bare pairs. */
-  private def filterCandidates(cand: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def filterCandidates(cand: DataFrame, threshold: Double): DataFrame = {
     val alpha = ceil((col("__s_a") + col("__s_b")) * lit(threshold / (1 + threshold))
       - lit(1e-9))
     cand.filter((least(col("__s_a") - col("__rk_a"), col("__s_b") - col("__rk_b")) +
@@ -75,7 +75,7 @@ object SetSimJoin {
 
   /** In-row exact verification: attach each side's token array
     * (candidate-confined) and intersect per pair. */
-  private def verifyPairs(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
+  private[graft] def verifyPairs(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
                           threshold: Double): DataFrame = {
     def confined(docs: DataFrame, side: String) = {
       val ids = cand.select(col(side).as("id")).distinct()

@@ -48,6 +48,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val (_, saN) = ScaleGrowth.simhashAdaptiveStats(docsN, nN)
     occBand("simhash-adaptive", sa1.meanOcc, saN.meanOcc)
 
+    // prefix-filter join: replicas carry disjoint token spaces, so
+    // bucket count grows with the factor, occupancy stays flat, and
+    // the VERIFIED pair set scales exactly linearly
+    val sj1 = ScaleGrowth.simjoinStats(docs1, n1)
+    val sjN = ScaleGrowth.simjoinStats(docsN, nN)
+    occBand("simjoin-prefix", sj1.meanOcc, sjN.meanOcc)
+    assert(sjN.verified == sj1.verified * Factor,
+      s"simjoin verified pairs ${sj1.verified} -> ${sjN.verified}: not linear")
+
     val dim = 64
     val emb1 = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val p1 = Similarity.prep(emb1, col("vec_id"), col("embedding")).cache()
