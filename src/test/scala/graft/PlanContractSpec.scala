@@ -360,6 +360,30 @@ class PlanContractSpec extends AnyFunSuite {
       s"query-term stats must broadcast, not shuffle-join:\n$plan")
   }
 
+  test("q_simjoin: candidate-confined — every join broadcast, no corpus pair join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = staticPlan(graft.queries.DedupQueries.simJoin(spark, sf))
+    // the token stream must never be pair-joined: candidates and the
+    // verification attaches ride broadcast joins over candidate-sized
+    // frames; an SMJ here means a corpus-sized side started shuffling
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"simjoin grew a shuffled join:\n$plan")
+    assert(!plan.toString.contains("Cartesian") &&
+      !plan.toString.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+    assert(shuffles(plan).size <= 4, s"simjoin grew an exchange:\n$plan")
+    spark.catalog.clearCache() // similarPairs pins toks + docs
+  }
+
+  test("q_matview_delta: retraction rides a broadcast semi-join, bounded exchanges") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = staticPlan(graft.queries.ProfileQueries.matviewDelta(spark, sf))
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j }
+    assert(semis.nonEmpty,
+      s"the base-table retraction must be a feed-confined broadcast semi-join:\n$plan")
+    assert(shuffles(plan).size <= 5, s"matview refresh grew an exchange:\n$plan")
+  }
+
   test("q_bucket_join: co-bucketed SMJ — zero exchanges below the join") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val plan = staticPlan(graft.queries.IngestQueries.bucketJoin(spark, sf))
