@@ -223,6 +223,38 @@ object Sinks {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
 
+  /** STREAMING-INGESTION leg of [[writeClustered]] + zone maps: append
+    * a batch clustered on `clusterCols` and extend the table's
+    * [[graft.sources.StatsIndex]] sidecar with footer stats for
+    * exactly the files this append created. Each batch's files carry
+    * tight disjoint ranges (the batch is range-partitioned + sorted),
+    * so data skipping survives continuous ingestion — ranges may
+    * overlap ACROSS batches, which degrades pruning gradually, never
+    * correctness; periodic [[compact]] with the same `clusterCols`
+    * restores disjointness and folds the sidecar. Single-writer, like
+    * every maintenance loop here. */
+  def appendClustered(spark: SparkSession, df: DataFrame, dir: String,
+                      clusterCols: Seq[String], files: Int,
+                      statCols: Seq[String]): Unit = {
+    import graft.sources.StatsIndex
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Set[String] =
+      if (!fs.exists(target)) Set.empty
+      else fs.listStatus(target)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSet
+    val before = listing()
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("append").parquet(dir)
+    val added = (listing() -- before).toSeq.sorted
+    if (added.nonEmpty)
+      StatsIndex.appendSidecar(
+        StatsIndex.fromFootersOf(spark, added, statCols), dir)
+  }
+
   /** Two-dimensional variant of [[writeClustered]]: cluster by the
     * Morton interleave of `x` and `y` (graft.functions.ZOrder) so each
     * file covers a small RECTANGLE of (x, y) space and parquet min/max

@@ -123,11 +123,19 @@ object StatsIndex {
     * Footer reads run on executors (#files tasks of metadata I/O).
     * Nested columns are out of contract (flat names only). */
   def fromFooters(spark: SparkSession, dir: String, cols: Seq[String]): Dataset[FileColStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fromFootersOf(spark, dataFiles(conf, dir), cols)
+  }
+
+  /** [[fromFooters]] over an EXPLICIT file list (full paths) — the leg
+    * for incremental sidecar maintenance, where only a batch's newly
+    * appended files need footer reads. */
+  def fromFootersOf(spark: SparkSession, files: Seq[String],
+                    cols: Seq[String]): Dataset[FileColStats] = {
     require(cols.nonEmpty, "StatsIndex: no columns to index")
     require(cols.forall(!_.contains(".")), s"StatsIndex: flat column names only, got $cols")
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = dataFiles(conf, dir)
     val ser = new SerConf(conf)
     val colList = cols.toList
     spark.createDataset(files)
@@ -196,6 +204,16 @@ object StatsIndex {
     * table it describes. One small file — it's an index. */
   def writeSidecar(stats: Dataset[FileColStats], dir: String): Unit =
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+
+  /** EXTEND the sidecar with stats for newly appended files — the
+    * streaming-ingestion leg: each micro-batch appends its files' zone
+    * maps (one small parquet file per batch; [[readSidecar]] reads the
+    * whole `_stats` dir, so per-batch files just union). Callers own
+    * the files-appear-once contract: pass stats for the NEW files
+    * only ([[fromFootersOf]]); periodic [[graft.sinks.Sinks.compact]]
+    * folds both data and sidecar back to one file each. */
+  def appendSidecar(stats: Dataset[FileColStats], dir: String): Unit =
+    stats.coalesce(1).write.mode("append").parquet(s"$dir/_stats")
 
   def readSidecar(spark: SparkSession, dir: String): Option[Dataset[FileColStats]] = {
     import spark.implicits._

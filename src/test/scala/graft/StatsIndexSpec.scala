@@ -298,4 +298,31 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(StatsIndex.readSidecar(spark, dir).isEmpty)
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("appendClustered: per-batch sidecar extension keeps pruning correct under ingestion") {
+    val dir = tmp("append")
+    // three micro-batches over disjoint-ish key ranges
+    for (b <- 0 until 3) {
+      val batch = spark.range(b * 300, (b + 1) * 300)
+        .select(col("id"), (col("id") * 7).as("v"))
+      Sinks.appendClustered(spark, batch.toDF(), dir, Seq("id"), files = 4,
+        statCols = Seq("id"))
+    }
+    // sidecar covers every live file exactly once
+    val side = StatsIndex.readSidecar(spark, dir).get.collect().map(_.file).toSeq
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(side.toSet == live && side.distinct.size == side.size,
+      s"sidecar drifted: ${side.size} rows over ${live.size} files")
+    // pruned read: correct and confined to one batch's files
+    val pred = Seq(ColRange("id", Some(300L), Some(399L)))
+    val pruned = StatsIndex.prunedRead(spark, dir, pred)
+    assert(pruned.collect().map(_.getLong(0)).toSet == (300L to 399L).toSet)
+    assert(scannedFiles(pruned) <= 4, "append batches must keep per-batch pruning")
+    // compaction folds data + sidecar and preserves the contract
+    Sinks.compact(spark, dir, targetFileBytes = 1L << 20, clusterCols = Seq("id"))
+    val pruned2 = StatsIndex.prunedRead(spark, dir, pred)
+    assert(pruned2.collect().map(_.getLong(0)).toSet == (300L to 399L).toSet)
+    assert(spark.read.parquet(dir).count() == 900)
+  }
 }
