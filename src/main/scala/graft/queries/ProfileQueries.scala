@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{MatView, Profile, SnapshotDiff, StableAgg}
+import graft.operators.{Constraints, MatView, Profile, SnapshotDiff, StableAgg}
+import graft.operators.Constraints.{References, Satisfies, Unique}
 
 /** Corpus-management queries: single-pass column profiling and
   * CDC-style snapshot diff — the validate-before-train and
@@ -110,7 +111,33 @@ object ProfileQueries extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Declarative data-quality gate ([[Constraints]]) over a
+    * deliberately DIRTIED orders frame — nulls injected on keys ≡0
+    * (mod 7), duplicate rows for keys ≡0 (mod 5), orphaned negative
+    * custkeys on ≡0 (mod 11) — so every rule reports a non-trivial
+    * violation count: all row-level rules in ONE aggregate pass, one
+    * groupBy for uniqueness, one anti-join for the FK. */
+  def constraintsReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    def proj(df: DataFrame) = df.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 11 === 0, -col("o_custkey"))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      col("o_totalprice"))
+    val dirty = proj(orders)
+      .unionByName(proj(orders.filter(col("o_orderkey") % 5 === 0)))
+    Constraints.check(dirty, Seq(
+      Satisfies.notNull("o_orderstatus"),
+      Satisfies.isIn("o_orderstatus", Seq("O", "F", "P")),
+      Satisfies.inRange("o_totalprice", 1.0, 600000.0),
+      Unique(Seq("o_orderkey")),
+      References("o_custkey", Tables.customer(spark, sfDir), "c_custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraints" -> constraintsReport,
     "q_profile" -> profileOrders,
     "q_snapshot_diff" -> snapshotDiff,
     "q_snapshot_apply" -> snapshotApply,
@@ -179,6 +206,48 @@ object ProfileQueries extends QueryModule {
          |FROM oldd o FULL OUTER JOIN newd n ON o.k = n.k
          |WHERE o.k IS NULL OR n.k IS NULL OR o.d <> n.d
          |ORDER BY o_orderkey""".stripMargin,
+    // each constraint leg recomputed independently in SQL over the
+    // same dirtied frame; "constraint" needs quoting (reserved word)
+    "q_constraints" ->
+      """WITH dirty AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN -o_custkey ELSE o_custkey END,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |legs AS (
+        |  SELECT 'not_null(o_orderstatus)' AS "constraint",
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    COUNT(*) AS total FROM dirty
+        |  UNION ALL
+        |  SELECT 'is_in(o_orderstatus)',
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+        |    COUNT(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,1.0,600000.0)',
+        |    CAST(SUM(CASE WHEN o_totalprice >= 1.0 AND o_totalprice <= 600000.0
+        |             THEN 0 ELSE 1 END) AS BIGINT),
+        |    COUNT(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |    COUNT(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'references(o_custkey)',
+        |    CAST((SELECT COUNT(*) FROM dirty d
+        |          WHERE d.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = d.o_custkey)) AS BIGINT),
+        |    COUNT(*) FROM dirty)
+        |SELECT "constraint", violations, total,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM legs ORDER BY "constraint"""".stripMargin,
     // ground truth for a maintained view IS the full aggregate of the
     // new snapshot — the oracle never sees the delta machinery, so any
     // maintenance error hash-fails
