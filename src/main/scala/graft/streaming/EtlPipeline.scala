@@ -46,10 +46,35 @@ object EtlPipeline {
       cfg: EnrichConfig = EnrichConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
       servingUrl: Option[String] = None,
-      scoreCols: Seq[String] = Seq("signal")): StreamingQuery =
+      scoreCols: Seq[String] = Seq("signal"),
+      validate: Seq[graft.operators.Constraints.Check] = Nil,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    require(validate.isEmpty || quarantineDir.nonEmpty,
+      "EtlPipeline: validation needs a quarantineDir for failing batches")
     FileQueue.start(spark, bronzeDir, Bronze.productSchema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // VALIDATE-BEFORE-PUBLISH: declared constraints run on the RAW
+          // bronze batch (before any LLM spend); a failing batch is
+          // QUARANTINED — raw rows + the violation report land under
+          // quarantineDir/batch_<id> and nothing publishes — while the
+          // stream keeps consuming (one bad export must not wedge the
+          // pipeline). The report is one row per check; checking it is a
+          // bounded action. Replay-idempotent: overwrite dirs keyed by
+          // batch id, like every per-batch write here.
+          val violationReport: Option[DataFrame] =
+            if (validate.isEmpty) None
+            else {
+              val report = graft.operators.Constraints.check(batch, validate)
+                .localCheckpoint(true)
+              if (report.filter(col("passed") === 0).isEmpty) None else Some(report)
+            }
+          violationReport.foreach { report =>
+            val qd = quarantineDir.get
+            batch.write.mode("overwrite").json(s"$qd/batch_$batchId")
+            report.write.mode("overwrite").parquet(s"$qd/batch_${batchId}_report")
+          }
+          if (violationReport.isEmpty) {
           // operator-internal caches created by THIS batch are released
           // at the end of it; a snapshot keeps caller-owned caches alive
           // (clearCache() here would evict the whole session's pins)
@@ -197,6 +222,8 @@ object EtlPipeline {
           val persisted = spark.sparkContext.getPersistentRDDs
           persisted.keys.filterNot(cachedBefore)
             .foreach(id => persisted(id).unpersist(blocking = false))
+          }
         }
     }
+  }
 }

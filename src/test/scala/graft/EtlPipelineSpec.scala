@@ -241,6 +241,58 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(gold.select("id").collect().map(_.getString(0)).toSet ==
       Set("user_0", "user_1", "user_2", "user_3"))
   }
+
+  test("validate-before-publish: a bad batch is quarantined, the stream and good batches proceed") {
+    import graft.operators.Constraints.Satisfies
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_etl_validate_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def start() = EtlPipeline.start(spark, bronze, s"$base/archive", s"$base/silver",
+      s"$base/gold", s"$base/ckpt",
+      SentimentScorer("signal", failEvery = 0, flakyEvery = 0),
+      EnrichConfig(batchSize = 25),
+      validate = Seq(
+        Satisfies.notNull("product_name"),
+        Satisfies.inRange("price", 0.0, 1e6)),
+      quarantineDir = Some(s"$base/quarantine"))
+
+    // batch 0: clean
+    Files.write(java.nio.file.Paths.get(bronze, "good.json"),
+      (0 until 10).map(productJson).mkString("\n").getBytes)
+    val q1 = start(); assert(q1.awaitTermination(120000))
+    val goldCount = spark.read.parquet(s"$base/gold/user_kpis").count()
+    assert(goldCount > 0)
+
+    // batch 1: one row violates each rule (null name; negative price)
+    val bad = Seq(
+      """{"product_name":null,"price":5.0,"quantity":1,"category":"c","description":"x","availability":true,"discount_percentage":0.0,"date":"2024-01-01","id":"user_9","shop_id":"shop_9"}""",
+      """{"product_name":"ok","price":-3.0,"quantity":1,"category":"c","description":"x","availability":true,"discount_percentage":0.0,"date":"2024-01-01","id":"user_9","shop_id":"shop_9"}""")
+    Files.write(java.nio.file.Paths.get(bronze, "bad.json"), bad.mkString("\n").getBytes)
+    val q2 = start(); assert(q2.awaitTermination(120000))
+
+    // quarantined: raw rows + report with the exact violation counts
+    val qRows = spark.read.json(s"$base/quarantine/batch_1")
+    assert(qRows.count() == 2)
+    val report = spark.read.parquet(s"$base/quarantine/batch_1_report")
+      .collect().map(r => r.getAs[String]("constraint") ->
+        ((r.getAs[Long]("violations"), r.getAs[Int]("passed")))).toMap
+    assert(report("not_null(product_name)") == ((1L, 0)))
+    assert(report("in_range(price,0.0,1000000.0)") == ((1L, 0)))
+    // nothing published: gold unchanged, no silver for batch 1, user_9 absent
+    assert(spark.read.parquet(s"$base/gold/user_kpis").count() == goldCount)
+    assert(!new java.io.File(s"$base/silver/batch_1").exists())
+    assert(spark.read.parquet(s"$base/gold/user_kpis")
+      .filter(col("id") === "user_9").count() == 0)
+    // the stream is not wedged: a following good batch publishes
+    // normally (the bad file was consumed and left behind; archival
+    // itself is cleanSource's async business)
+    Files.write(java.nio.file.Paths.get(bronze, "good2.json"),
+      (10 until 20).map(productJson).mkString("\n").getBytes)
+    val q3 = start(); assert(q3.awaitTermination(120000))
+    assert(new java.io.File(s"$base/silver/batch_2").exists())
+    assert(spark.read.parquet(s"$base/gold/user_kpis").count() >= goldCount)
+  }
 }
 
 /** Echoes the signal and counts score() invocations (local-mode static —
