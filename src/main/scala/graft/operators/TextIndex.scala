@@ -162,6 +162,14 @@ object TextIndex {
     val retractIds = broadcast(
       feedC.filter(col("change_type").isin("removed", "changed"))
         .select(col(idCol)))
+    // tombstones cover EVERY feed key, not just changed/removed: a doc
+    // labeled 'added' by an upsert-style producer that already lives in
+    // an earlier segment would otherwise keep both copies and
+    // double-count in scoring — an all-keys tombstone is the same
+    // bounded size and makes the segment self-healing (stats deltas
+    // still follow the labels; a mislabeled add skews df/corpus stats
+    // only, never posting content)
+    val tombstoneIds = broadcast(feedC.select(col(idCol)))
     // each side feeds the segment write and/or both stats deltas — pin
     val minusPost = postings(
       oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol).cache()
@@ -169,7 +177,7 @@ object TextIndex {
       feedC.filter(col("change_type") =!= "removed")
         .select(col(idCol), col(textCol)), idCol, textCol).cache()
     writeSegment(spark, dir, segId, plusPost,
-      Some(retractIds.select(col(idCol).as("doc_id"))), files)
+      Some(tombstoneIds.select(col(idCol).as("doc_id"))), files)
     // (term, df) rolls forward by weighted counts — exact integers
     val delta = plusPost.select(col("term"), lit(1L).as("__w"))
       .unionByName(minusPost.select(col("term"), lit(-1L).as("__w")))

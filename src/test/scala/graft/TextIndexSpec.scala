@@ -122,6 +122,29 @@ class TextIndexSpec extends AnyFunSuite {
     assert(searchRows(dir, terms) == searchRows(rebuilt, terms))
   }
 
+  test("an upsert-style feed mislabeling an existing doc as 'added' does not double-post") {
+    val dir = tmp()
+    TextIndex.buildIndex(spark, corpus, dir, files = 2)
+    // doc 3 already exists (alpha x3); a producer re-ships it as 'added'
+    val feed = Seq((3L, "added", "alpha omega"))
+      .toDF("doc_id", "change_type", "text")
+    TextIndex.applyDelta(spark, dir, corpus, feed, files = 2)
+    // the OLD copy is present on disk in segment 0 ...
+    val seg0 = spark.read.parquet(s"$dir/segments/seg_000000000/postings")
+    assert(seg0.filter(col("doc_id") === 3L).count() == 1) // (alpha, tf=3)
+    // ... but tombstoned: doc 3's LIVE postings are the new content
+    // only — (alpha,1,2) and (omega,1,2), never the seg-0 row stacked
+    // on top (df/corpus stats still follow the labels, so a mislabeled
+    // add skews STATS, not posting content — the documented contract)
+    val alive = TextIndex.search(spark, dir, Seq("alpha", "omega"), 10)
+      .filter(col("doc_id") === 3L).collect()
+    assert(alive.length == 1 && alive.head.getLong(1) == 2,
+      "doc 3 must match both new terms exactly once")
+    val tomb = spark.read.parquet(s"$dir/segments/seg_000000001/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tomb == Set(3L), "the 'added' key must be tombstoned too")
+  }
+
   test("k bounds the result and empty term lists are rejected") {
     val dir = tmp()
     TextIndex.buildIndex(spark, corpus, dir, files = 2)
