@@ -28,12 +28,15 @@ class ConstraintsSpec extends AnyFunSuite {
     val got = report(df, Seq(
       Satisfies.notNull("name"),
       Satisfies.isIn("name", Seq("a", "b")),
+      Satisfies.matches("name", "^[a-y]+$"),
       Satisfies.inRange("v", 0.0, 100.0),
       Unique(Seq("id")),
       References("fk", dim, "ref_id")))
     assert(got("not_null(name)") == ((1L, 4L, 0)))
     // null name also fails is_in (cannot prove membership)
     assert(got("is_in(name)") == ((2L, 4L, 0)))
+    // "zz" fails the pattern; the null fails as unprovable
+    assert(got("matches(name)") == ((2L, 4L, 0)))
     assert(got("in_range(v,0.0,100.0)") == ((2L, 4L, 0)))
     assert(got("unique(id)") == ((1L, 4L, 0)))
     assert(got("references(fk)") == ((1L, 4L, 0)))
