@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's "[success] Total time: …" footer. graft.Bench emits its
+// machine-readable JSON record as the LAST stdout line; with the footer
+// on, any harness that runs `sbt "runMain graft.Bench"` and parses the
+// final line gets the footer instead of the JSON. Errors still print.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another setting,
+// so the unused-key lint false-positives on it:
+Global / excludeLintKeys += showSuccess
+// Pass the forked run's stdout/stderr through verbatim. The default
+// LoggedOutput re-logs the child's stdout as "[info] …" and its stderr
+// as "[error] …" — both onto sbt's stdout — which (a) prefixes the Bench
+// JSON line and (b) interleaves Spark's shutdown chatter after it. With
+// StdoutOutput the child's streams keep their identity: Bench's JSON is
+// the last raw stdout line, Spark logs stay on stderr.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,12 +58,27 @@ object Constraints {
   }
 
   /** Evaluate all checks: `(constraint, violations, total, passed)`,
-    * one row per check, ordered by constraint name. */
-  def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    * one row per check, ordered by constraint name.
+    *
+    * The report is a UNION of independent subtrees (row-rule aggregate,
+    * one groupBy per Unique, anti-join + total per References), each of
+    * which would otherwise re-scan `df` — and re-run its whole upstream
+    * lineage — once per rule family. When more than one subtree consumes
+    * `df` it is pinned through `scope` (the [[SetSimJoin.similarPairs]]
+    * idiom) so the input materializes once; a single-family report keeps
+    * the pin-free plan. */
+  def check(df: DataFrame, checks: Seq[Check],
+            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(checks.nonEmpty, "Constraints: no checks declared")
     require(checks.map(_.name).distinct.size == checks.size,
       s"Constraints: duplicate check names in ${checks.map(_.name)}")
     val rowChecks = checks.collect { case s: Satisfies => s }
+    // consumers of df: the fused row-rule aggregate (1), each Unique
+    // groupBy (1 apiece), each References anti-join + its total (2)
+    val consumers = (if (rowChecks.isEmpty) 0 else 1) +
+      checks.count(_.isInstanceOf[Unique]) +
+      2 * checks.count(_.isInstanceOf[References])
+    val in = if (consumers > 1) scope.pin(df) else df
     val rowReport: Option[DataFrame] =
       if (rowChecks.isEmpty) None
       else Some {
@@ -76,7 +91,7 @@ object Constraints {
         val aggs = count(lit(1)).as("__total") +:
           rowChecks.zipWithIndex.map { case (s, i) =>
             coalesce(sum(when(s.predicate, 0L).otherwise(1L)), lit(0L)).as(s"__v_$i") }
-        df.agg(aggs.head, aggs.tail: _*)
+        in.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(rowChecks.zipWithIndex.map { case (s, i) =>
             struct(lit(s.name).as("constraint"),
               col(s"__v_$i").as("violations"),
@@ -86,17 +101,17 @@ object Constraints {
 
     val otherReports = checks.collect {
       case u: Unique =>
-        df.groupBy(u.keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+        in.groupBy(u.keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
           .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"),
             coalesce(sum(col("__c")), lit(0L)).as("total"))
           .select(lit(u.name).as("constraint"), col("violations"), col("total"))
       case r: References =>
         // 1×1 crossJoin attaches the total without a driver action
-        df.filter(col(r.fkCol).isNotNull)
+        in.filter(col(r.fkCol).isNotNull)
           .join(r.ref.select(col(r.refCol).as(r.fkCol)).distinct(),
             Seq(r.fkCol), "left_anti")
           .agg(count(lit(1)).as("violations"))
-          .crossJoin(df.agg(count(lit(1)).as("total")))
+          .crossJoin(in.agg(count(lit(1)).as("total")))
           .select(lit(r.name).as("constraint"), col("violations"), col("total"))
     }
 

@@ -13,13 +13,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   *
   * Decode depth is tiered, all pure JVM:
   *  - [[HeaderDecoder]] — REAL container parses (PNG/JPEG dimensions,
-  *    WAV/RIFF rate + duration), no pixel work; what the oracled
-  *    queries run.
-  *  - [[PixelDecoder]] — REAL pixel decode for images via
-  *    `javax.imageio` (content mean-RGB/intensity features) on top of
-  *    the header tier; [[PixelOps.resize]] does real aspect-fit pixel
-  *    rescale. Video frame decode is the one codec-bound step still
-  *    stubbed.
+  *    WAV/RIFF rate + duration, AVI dimensions + frame index + timing),
+  *    no pixel work; what the oracled queries run.
+  *  - [[PixelDecoder]] — REAL pixel decode via `javax.imageio` for
+  *    images (content mean-RGB/intensity features) AND for
+  *    MJPEG-in-AVI video (per-frame JPEGs through the same path,
+  *    features averaged over a bounded frame sample), on top of the
+  *    header tier; [[PixelOps.resize]] does real aspect-fit pixel
+  *    rescale.
   *  - [[StubDecoder]] — deterministic byte-derived pseudo-features
   *    (documented per field), the SQL-mirrorable fallback for payloads
   *    that are not a recognized container.
@@ -31,10 +32,12 @@ object Multimodal {
   final case class MediaRecord(media_id: Long, kind: String, media: Array[Byte])
 
   /** Extracted features. width/height/frames come from the container
-    * (real for PNG/JPEG/WAV); f0..f3 are content features (real mean-RGB
-    * and mean-intensity for decoded images, byte-derived pseudo-features
-    * otherwise); sample_rate/duration_ms are real for parsed WAV audio,
-    * byte-derived stubs for other audio, 0 for non-audio. */
+    * (real for PNG/JPEG/WAV/AVI); f0..f3 are content features (real
+    * mean-RGB and mean-intensity for decoded images and sampled MJPEG
+    * video frames, byte-derived pseudo-features otherwise);
+    * sample_rate/duration_ms are real for parsed WAV audio, duration_ms
+    * is real for parsed AVI video (frame count × frame timing),
+    * byte-derived stubs for unparsed audio, 0 otherwise. */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int,
@@ -197,6 +200,81 @@ object Multimodal {
         yield WavInfo(ch, rate, bits, align, d)
     }
 
+    /** A parsed AVI video stream: real dimensions and frame timing from
+      * the `avih` header, and the byte extent of every video frame
+      * chunk in the `movi` list — so `n_frames` counts ACTUAL frames
+      * present (a lying `dwTotalFrames` cannot inflate it) and frame
+      * sampling can slice real per-frame payloads (MJPEG frames are
+      * standalone JPEGs, decodable by [[PixelOps.decode]]). */
+    final case class AviVideo(width: Int, height: Int, usPerFrame: Long,
+        frames: Vector[(Int, Int)]) {
+      def nFrames: Int = frames.size
+      def durationMs: Long = usPerFrame * frames.size / 1000L
+      /** Frame `i`'s payload bytes (for MJPEG: one complete JPEG). */
+      def frameBytes(media: Array[Byte], i: Int): Array[Byte] = {
+        val (off, len) = frames(i)
+        java.util.Arrays.copyOfRange(media, off, off + len)
+      }
+    }
+
+    /** AVI/RIFF video parse — the same chunk-walk as [[wavHeader]], two
+      * levels deeper: `RIFF…AVI ` wraps `LIST hdrl` (whose `avih` chunk
+      * carries µs-per-frame at LE offset 0 and width/height at 32/36)
+      * and `LIST movi` (whose `NNdc`/`NNdb` chunks are the per-frame
+      * payloads; `rec ` sub-lists are descended). Per this object's
+      * no-misparse rule ("RIFF" is printable), the parse only succeeds
+      * on the full structure: both fourccs, an `avih` with sane
+      * dimensions and timing, and a `movi` list — anything less falls
+      * back to the stub rather than guessing. */
+    def aviVideo(b: Array[Byte]): Option[AviVideo] = {
+      if (b.length < 24) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+      val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+      var width = 0; var height = 0; var usPerFrame = 0L
+      var sawAvih = false; var sawMovi = false
+      val frames = Vector.newBuilder[(Int, Int)]
+      def fourcc(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // video frame chunk: "NNdc" (compressed) / "NNdb" (uncompressed),
+      // NN = two-digit stream number
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      def walk(from: Int, to: Int, depth: Int, inMovi: Boolean): Boolean = {
+        if (depth > 4) return false // spec nesting is 3; deeper = garbage
+        var i = from
+        while (i + 8 <= to) {
+          val id = fourcc(i)
+          val size = le32(b, i + 4)
+          if (size > Int.MaxValue - 16 || i + 8 + size > to) return false
+          val body = i + 8; val bodyEnd = (body + size).toInt
+          if (id == "LIST") {
+            if (size < 4) return false
+            val listType = fourcc(body)
+            if (listType == "movi") { sawMovi = true }
+            if (!walk(body + 4, bodyEnd, depth + 1,
+              inMovi || listType == "movi")) return false
+          } else if (id == "avih" && size >= 40) {
+            usPerFrame = le32(b, body)
+            width = le32(b, body + 32).toInt
+            height = le32(b, body + 36).toInt
+            sawAvih = true
+          } else if (inMovi && isFrameId(id) && id.startsWith("00")) {
+            // stream 00 is the video stream in every MJPEG-AVI layout
+            // this parser claims; other streams' chunks are skipped
+            frames += ((body, size.toInt))
+          }
+          i = bodyEnd + (size.toInt & 1) // chunks are word-aligned
+        }
+        true
+      }
+      if (!walk(12, end, 0, inMovi = false)) return None
+      val sane = sawAvih && sawMovi &&
+        width >= 1 && width <= 65535 && height >= 1 && height <= 65535 &&
+        usPerFrame >= 1 && usPerFrame <= 100000000L
+      if (sane) Some(AviVideo(width, height, usPerFrame, frames.result())) else None
+    }
+
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
       val stub = StubDecoder.decodeBatch(Seq(r)).head
       r.kind match {
@@ -212,6 +290,14 @@ object Multimodal {
             case Some(w) => stub.copy(
               sample_rate = w.sampleRate, duration_ms = w.durationMs,
               n_frames = math.min(w.frames, Int.MaxValue.toLong).toInt)
+            case None => stub
+          }
+        case "video" =>
+          aviVideo(r.media) match {
+            // content-true: n_frames counts the movi chunks actually
+            // present, duration derives from the header's frame timing
+            case Some(v) => stub.copy(width = v.width, height = v.height,
+              n_frames = v.nFrames, duration_ms = v.durationMs)
             case None => stub
           }
         case _ => stub
@@ -303,30 +389,59 @@ object Multimodal {
       }
   }
 
-  /** The production-shaped decoder: REAL pixel decode for image
-    * payloads (javax.imageio), REAL WAV header audio, stub only for
-    * video (frame decode is the one genuinely codec-bound step left).
-    * Image rows get content-derived features — mean R/G/B and mean
-    * intensity — instead of the stub's byte probes; the container
-    * header still gates the decode, so prose-as-bytes never reaches
-    * ImageIO and falls back to the stub's SQL-mirrorable fields. */
+  /** The production-shaped decoder: REAL pixel decode for every kind —
+    * image payloads through `javax.imageio`, WAV audio headers, and
+    * MJPEG-in-AVI video (each sampled `movi` frame is a standalone
+    * JPEG, decoded through the same ImageIO path as images). Image rows
+    * get content-derived features — mean R/G/B and mean intensity —
+    * and video rows the same features averaged over sampled frames,
+    * instead of the stub's byte probes; container signatures still gate
+    * every decode, so prose-as-bytes never reaches ImageIO and falls
+    * back to the stub's SQL-mirrorable fields. */
   object PixelDecoder extends MediaDecoder {
+    /** Frames decoded per video for content features — bounds the pixel
+      * work per row however long the video is (stride spreads the
+      * sample across the whole duration). */
+    val VideoSampleFrames = 8
+
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
       val base = HeaderDecoder.decodeBatch(Seq(r)).head
-      if (r.kind == "image" && HeaderDecoder.imageHeader(r.media).isDefined)
-        PixelOps.decode(r.media) match {
-          case Some(img) =>
-            val (f0, f1, f2, f3) = PixelOps.meanRgb(img)
-            base.copy(width = img.getWidth, height = img.getHeight,
-              f0 = f0, f1 = f1, f2 = f2, f3 = f3)
-          case None => base
-        }
-      else base
+      r.kind match {
+        case "image" if HeaderDecoder.imageHeader(r.media).isDefined =>
+          PixelOps.decode(r.media) match {
+            case Some(img) =>
+              val (f0, f1, f2, f3) = PixelOps.meanRgb(img)
+              base.copy(width = img.getWidth, height = img.getHeight,
+                f0 = f0, f1 = f1, f2 = f2, f3 = f3)
+            case None => base
+          }
+        case "video" =>
+          HeaderDecoder.aviVideo(r.media) match {
+            case Some(v) if v.nFrames > 0 =>
+              // evenly-strided sample of at most VideoSampleFrames
+              // frames; each MJPEG frame decodes like any JPEG
+              val stride = math.max(1, v.nFrames / VideoSampleFrames)
+              val means = (0 until v.nFrames by stride)
+                .flatMap(i => PixelOps.decode(v.frameBytes(r.media, i)))
+                .map(PixelOps.meanRgb)
+              if (means.isEmpty) base
+              else {
+                val n = means.length
+                base.copy(
+                  f0 = means.map(_._1).sum / n, f1 = means.map(_._2).sum / n,
+                  f2 = means.map(_._3).sum / n, f3 = means.map(_._4).sum / n)
+              }
+            case _ => base
+          }
+        case _ => base
+      }
     }
   }
 
-  /** Frame-sample stub: every `stride`-th frame index of a video
-    * (production decodes just those frames; the indices ARE the plan). */
+  /** Frame-sample plan: every `stride`-th frame index of a video — with
+    * a parsed AVI these indices address REAL `movi` chunks
+    * ([[HeaderDecoder.AviVideo.frameBytes]] slices the payload;
+    * production decodes just those frames). */
   def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] = {
     require(stride > 0, s"frame-sample stride must be positive, got $stride")
     (0 until f.n_frames by stride).toSeq

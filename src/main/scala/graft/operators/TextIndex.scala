@@ -34,8 +34,15 @@ import graft.sources.StatsIndex.ColRange
   * Crash contract (single writer, like every maintenance loop here):
   * segment data lands before the stats swap, so a crash between them
   * leaves aux tables one delta behind the authoritative segments —
-  * [[compactIndex]] rebuilds both exactly from postings. Stats swaps
-  * ride [[graft.sinks.Sinks.swapIn]]/healSwap; on object stores use a
+  * and that state is DETECTED, not assumed away: the corpus stats row
+  * carries `asof_seg`, the segment id the stats reflect (written last,
+  * CdcStream generation-marker style). [[search]] refuses loudly when
+  * the marker lags the segment listing; [[applyDelta]] self-repairs by
+  * compacting first ([[compactIndex]] rebuilds both stats tables
+  * exactly from the authoritative postings). Without the marker the
+  * drift would compound silently — every later delta rolling forward
+  * from stale stats. Stats swaps ride
+  * [[graft.sinks.Sinks.swapIn]]/healSwap; on object stores use a
   * [[graft.sinks.GenTable]]-rooted `dir`.
   *
   * Query ([[search]]): each term resolves through the zone maps to the
@@ -131,16 +138,39 @@ object TextIndex {
     val post = postings(docs, idCol, textCol).cache()
     try {
       writeSegment(spark, dir, 0L, post, None, files)
-      statsFrom(spark, post, dir)
+      statsFrom(spark, post, dir, asofSeg = 0L)
     } finally { post.unpersist(false); () }
   }
 
-  private def statsFrom(spark: SparkSession, post: DataFrame, dir: String): Unit = {
+  private def statsFrom(spark: SparkSession, post: DataFrame, dir: String,
+                        asofSeg: Long): Unit = {
     replaceStats(spark, s"$dir/terms",
       post.groupBy("term").agg(count(lit(1)).as("df")))
     replaceStats(spark, s"$dir/corpus",
       post.agg(countDistinct(col("doc_id")).as("n_docs"),
-        coalesce(sum(col("tf")), lit(0L)).as("total_tokens")))
+        coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
+        .withColumn("asof_seg", lit(asofSeg)))
+  }
+
+  /** The segment id the stats tables reflect (rides the corpus row,
+    * which is replaced LAST — so marker == id means every stats swap
+    * for that delta completed). None for a pre-marker index, which
+    * cannot be verified. */
+  private def statsAsof(spark: SparkSession, dir: String): Option[Long] = {
+    val c = readStats(spark, s"$dir/corpus")
+    if (!c.columns.contains("asof_seg")) None
+    else Some(c.head.getAs[Long]("asof_seg"))
+  }
+
+  /** Detect the crash window the class doc describes (segment landed,
+    * stats swap didn't): stats marker behind the last segment. The
+    * drift would otherwise COMPOUND silently — every later delta rolls
+    * forward from already-stale stats and search mis-ranks until some
+    * operator happens to compact. Returns the last segment id when
+    * consistent. */
+  private def staleBy(spark: SparkSession, dir: String): Option[Long] = {
+    val last = segments(spark, dir).lastOption.map(_._1)
+    for (l <- last; asof <- statsAsof(spark, dir) if asof != l) yield l - asof
   }
 
   /** Fold a [[SnapshotDiff.diffWithPayload]] feed over the documents
@@ -153,6 +183,13 @@ object TextIndex {
   def applyDelta(spark: SparkSession, dir: String, oldDocs: DataFrame,
                  feed: DataFrame, files: Int = 4, idCol: String = "doc_id",
                  textCol: String = "text"): Unit = {
+    // self-heal the documented crash window before compounding on it: a
+    // stale stats marker means a prior delta's segment landed without
+    // its stats swap — compaction rebuilds stats exactly from the
+    // authoritative postings (this is a maintenance entry point, so
+    // repairing here is in-contract; the read-only search() refuses
+    // loudly instead)
+    if (staleBy(spark, dir).isDefined) compactIndex(spark, dir, files)
     val segId = segments(spark, dir).lastOption.map(_._1 + 1).getOrElse(
       throw new IllegalStateException(s"TextIndex.applyDelta: no index at $dir"))
     // the feed is consumed three times (retractions, additions, the
@@ -199,7 +236,8 @@ object TextIndex {
     replaceStats(spark, s"$dir/corpus",
       spark.range(1).select(
         lit(c.getAs[Long]("n_docs") + dDocs).as("n_docs"),
-        lit(c.getAs[Long]("total_tokens") + tok(plusPost) - tok(minusPost)).as("total_tokens")))
+        lit(c.getAs[Long]("total_tokens") + tok(plusPost) - tok(minusPost)).as("total_tokens"),
+        lit(segId).as("asof_seg")))
     plusPost.unpersist(false); minusPost.unpersist(false)
     feedC.unpersist(false); ()
   }
@@ -221,8 +259,12 @@ object TextIndex {
         case None => spark.read.parquet(seg).filter(col("term").isin(terms: _*))
         case Some(stats) =>
           val st = stats.collect().toSeq
-          val kept = terms.flatMap(t => StatsIndex.pruneFiles(st,
-            Seq(ColRange("term", Some(t), Some(t))))).distinct.sorted
+          // posting files the sidecar doesn't cover (partial sidecar
+          // write) are kept unconditionally — same conservative-absence
+          // rule as StatsIndex.prunedRead
+          val kept = (terms.flatMap(t => StatsIndex.pruneFiles(st,
+            Seq(ColRange("term", Some(t), Some(t))))) ++
+            StatsIndex.unindexedFiles(spark, seg, st)).distinct.sorted
           val base =
             if (kept.isEmpty) spark.read.parquet(seg).where(lit(false))
             else spark.read.parquet(kept.map(f => s"$seg/$f"): _*)
@@ -259,7 +301,7 @@ object TextIndex {
       s"$staged/${SegPrefix}000000000/postings")
     graft.sinks.Sinks.swapIn(fs, staged, new Path(s"$dir/segments"),
       new Path(s"$dir/segments.__backup"))
-    statsFrom(spark, live, dir)
+    statsFrom(spark, live, dir, asofSeg = 0L)
   }
 
   /** Top-`k` docs for `terms`: `(doc_id, n_terms, score_scaled)`,
@@ -272,6 +314,13 @@ object TextIndex {
     require(terms.nonEmpty, "TextIndex.search: empty term list")
     graft.sinks.Sinks.healSwap(fsOf(spark, dir),
       new Path(s"$dir/segments"), new Path(s"$dir/segments.__backup"))
+    // refuse to rank on stale stats: mis-ranking is silent, this isn't
+    staleBy(spark, dir).foreach { lag =>
+      throw new IllegalStateException(
+        s"TextIndex at $dir: stats lag the segments by $lag delta(s) — a prior " +
+        "applyDelta crashed between its segment write and stats swap. Run " +
+        "compactIndex (or applyDelta, which self-repairs) before searching.")
+    }
     val c = readStats(spark, s"$dir/corpus").head()
     val (n, l) = (c.getAs[Long]("n_docs"), c.getAs[Long]("total_tokens"))
     val stats = broadcast(readStats(spark, s"$dir/terms")

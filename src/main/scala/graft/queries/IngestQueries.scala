@@ -197,10 +197,17 @@ object IngestQueries extends QueryModule {
     * keeps the broadcast path from masking what's on trial; the plan
     * contract (PlanContractSpec) pins zero exchanges below the join.
     * The oracle runs the plain join on the ORIGINAL parquet, so any
-    * row lost or duplicated by the bucketed write/read mismatches. */
+    * row lost or duplicated by the bucketed write/read mismatches.
+    *
+    * FIXED table names + overwrite, deliberately: UUID-per-call names
+    * would accumulate catalog entries across bench/verify runs in one
+    * session and dangle in a persistent metastore once the scratch dir
+    * dies with the JVM; overwriting the same two names keeps the
+    * catalog footprint constant and self-heals stale entries from a
+    * previous session. (The harness runs queries sequentially —
+    * concurrent callers would need per-caller names.) */
   def bucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-    val (ot, lt) = (s"bkt_orders_$tag", s"bkt_lineitem_$tag")
+    val (ot, lt) = ("bkt_orders", "bkt_lineitem")
     Sinks.writeBucketed(Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderpriority"),
       ot, "o_orderkey", 16, Some(s"$scratchRoot/$ot"))

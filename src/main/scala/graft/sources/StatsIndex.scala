@@ -222,16 +222,36 @@ object StatsIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).as[FileColStats]) else None
   }
 
+  /** Data files under `dir` that `stats` carries NO rows for. Unlike
+    * column-level `opaque` (which [[pruneFiles]] keeps), whole-file
+    * absence from a sidecar is not conservative by construction: a
+    * crash between a data append and its sidecar append
+    * ([[appendSidecar]]'s single-writer window, e.g. via
+    * `Sinks.appendClustered`) leaves live files the index has never
+    * heard of. Pruning callers must UNION these into the kept set —
+    * pruning is an optimization, never a correctness input — and the
+    * next `compact`/`writeSidecar` heals the index itself. */
+  def unindexedFiles(spark: SparkSession, dir: String,
+                     stats: Seq[FileColStats]): Seq[String] = {
+    val known = stats.map(_.file).toSet
+    dataFiles(spark.sparkContext.hadoopConfiguration, dir)
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filterNot(known)
+  }
+
   /** Read `dir` keeping only files whose zone maps admit every range,
     * then enforce the ranges as real filters (correctness never rests
     * on the pruning). Stats come from the caller, else the sidecar,
-    * else a fresh footer pass. */
+    * else a fresh footer pass. Files on disk but absent from the stats
+    * are kept unconditionally ([[unindexedFiles]]). */
   def prunedRead(spark: SparkSession, dir: String, preds: Seq[ColRange],
       stats: Option[Dataset[FileColStats]] = None): DataFrame = {
     require(preds.nonEmpty, "StatsIndex.prunedRead: no predicates — use spark.read.parquet")
     val st = stats.orElse(readSidecar(spark, dir))
       .getOrElse(fromFooters(spark, dir, preds.map(_.column).distinct))
-    val kept = pruneFiles(st.collect().toSeq, preds).map(f => s"$dir/$f")
+    val stList = st.collect().toSeq
+    val kept = (pruneFiles(stList, preds) ++ unindexedFiles(spark, dir, stList))
+      .distinct.sorted.map(f => s"$dir/$f")
     val base =
       if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(kept: _*)

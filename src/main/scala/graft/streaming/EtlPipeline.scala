@@ -54,6 +54,17 @@ object EtlPipeline {
     FileQueue.start(spark, bronzeDir, Bronze.productSchema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // Everything THIS batch pins — the validation report's eager
+          // checkpoint included — is released at the end of the batch; a
+          // snapshot taken BEFORE any per-batch work keeps caller-owned
+          // caches alive (clearCache() here would evict the whole
+          // session's pins). The snapshot must precede validation and
+          // the sweep must run on BOTH branches: snapshotting after the
+          // report checkpoint (or sweeping only on publish) leaks one
+          // persisted RDD per micro-batch on a long-running validated
+          // stream.
+          val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+          try {
           // VALIDATE-BEFORE-PUBLISH: declared constraints run on the RAW
           // bronze batch (before any LLM spend); a failing batch is
           // QUARANTINED — raw rows + the violation report land under
@@ -65,8 +76,15 @@ object EtlPipeline {
           val violationReport: Option[DataFrame] =
             if (validate.isEmpty) None
             else {
-              val report = graft.operators.Constraints.check(batch, validate)
-                .localCheckpoint(true)
+              // managed scope: Constraints pins the raw batch so its
+              // rule families share one materialization; the eager
+              // checkpoint means the pin can drop as soon as check()
+              // returns, instead of riding to the end of the batch
+              val cscope = new graft.operators.CacheScope
+              val report =
+                try graft.operators.Constraints.check(batch, validate, cscope)
+                  .localCheckpoint(true)
+                finally cscope.close()
               if (report.filter(col("passed") === 0).isEmpty) None else Some(report)
             }
           violationReport.foreach { report =>
@@ -75,10 +93,6 @@ object EtlPipeline {
             report.write.mode("overwrite").parquet(s"$qd/batch_${batchId}_report")
           }
           if (violationReport.isEmpty) {
-          // operator-internal caches created by THIS batch are released
-          // at the end of it; a snapshot keeps caller-owned caches alive
-          // (clearCache() here would evict the whole session's pins)
-          val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
           // P2: dense ids over the batch's natural unique order
           val items = DenseId.withDenseId(
             batch.withColumn("signal", productSignal),
@@ -219,9 +233,16 @@ object EtlPipeline {
           //  - localCheckpoint blocks (the gold pin) are not cache
           //    entries; the RDD delta sweep frees those.
           spark.catalog.clearCache()
-          val persisted = spark.sparkContext.getPersistentRDDs
-          persisted.keys.filterNot(cachedBefore)
-            .foreach(id => persisted(id).unpersist(blocking = false))
+          }
+          } finally {
+            // Free every RDD this batch persisted. localCheckpoint blocks
+            // (the gold pin, the validation report) are not CacheManager
+            // entries, so clearCache alone leaves them; the delta sweep
+            // runs on QUARANTINED batches too, where the report's
+            // checkpoint would otherwise leak one RDD per bad batch.
+            val persisted = spark.sparkContext.getPersistentRDDs
+            persisted.keys.filterNot(cachedBefore)
+              .foreach(id => persisted(id).unpersist(blocking = false))
           }
         }
     }

@@ -151,7 +151,7 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.media_id -> f).toMap
     assert(out(1L).width == 80 && out(1L).f0 == 200 / 255.0)
     assert(out(2L).width <= 64, "stub fallback for non-container payloads")
-    assert(out(3L).n_frames == 3, "video stays on the documented stub")
+    assert(out(3L).n_frames == 3, "non-AVI video payload falls back to the stub")
   }
 
   // --- real WAV/RIFF audio headers ---
@@ -195,6 +195,83 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = Multimodal.HeaderDecoder.decodeBatch(
       Seq(MediaRecord(5L, "audio", wav.take(44 + 8000)))).head
     assert(cut.duration_ms == 500, s"expected capped 500ms, got ${cut.duration_ms}")
+  }
+
+  // --- real MJPEG-in-AVI video ---
+
+  /** A real MJPEG-in-AVI container: `RIFF('AVI '){ LIST(hdrl){avih},
+    * LIST(movi){00dc × frames} }` — every frame a standalone JPEG, the
+    * layout `aviVideo` claims. `totalFramesInHeader` lets a test LIE in
+    * `dwTotalFrames` to prove the parser counts actual movi chunks. */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       usPerFrame: Long = 40000L,
+                       totalFramesInHeader: Option[Int] = None): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(usPerFrame), 0, avih, 0, 4)
+    System.arraycopy(le32(totalFramesInHeader.getOrElse(frames.size).toLong), 0, avih, 16, 4)
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("HeaderDecoder: real AVI — dims from avih, n_frames from ACTUAL movi chunks") {
+    val frames = Seq(0xC86432, 0x808080, 0x404040, 0x202020, 0xA0A0A0)
+      .map(realImage(48, 32, _, "jpg"))
+    // header LIES (claims 99 frames): the count must come from the movi walk
+    val avi = aviBytes(frames, 48, 32, usPerFrame = 40000L, totalFramesInHeader = Some(99))
+    val f = Multimodal.HeaderDecoder.decodeBatch(Seq(MediaRecord(1L, "video", avi))).head
+    assert(f.width == 48 && f.height == 32)
+    assert(f.n_frames == 5, s"must count movi chunks, got ${f.n_frames}")
+    assert(f.duration_ms == 40000L * 5 / 1000, "duration = frame timing × real frames")
+    // frame sampling addresses REAL per-frame payloads
+    val v = Multimodal.HeaderDecoder.aviVideo(avi).get
+    Multimodal.sampleFrames(f, 2).foreach { i =>
+      val img = Multimodal.PixelOps.decode(v.frameBytes(avi, i))
+      assert(img.isDefined && img.get.getWidth == 48, s"frame $i must be a decodable JPEG")
+    }
+    // corrupt/truncated containers fall back to the stub, never guess
+    val stub = Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(2L, "video", avi.take(40)))).head
+    assert(Multimodal.HeaderDecoder.decodeBatch(
+      Seq(MediaRecord(2L, "video", avi.take(40)))).head == stub)
+    val prose = "RIFF-shaped prose that is not an AVI".getBytes("UTF-8")
+    assert(Multimodal.HeaderDecoder.decodeBatch(Seq(MediaRecord(3L, "video", prose))).head ==
+      Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(3L, "video", prose))).head)
+  }
+
+  test("PixelDecoder: video content features from real decoded MJPEG frames") {
+    // solid gray frames are JPEG-stable; two shades average to their mean
+    val frames = Seq(0x808080, 0x808080, 0x404040, 0x404040).map(realImage(32, 32, _, "jpg"))
+    val avi = aviBytes(frames, 32, 32)
+    val f = Multimodal.PixelDecoder.decodeBatch(Seq(MediaRecord(1L, "video", avi))).head
+    assert(f.n_frames == 4 && f.width == 32)
+    val expected = (0x80 + 0x80 + 0x40 + 0x40) / 4.0 / 255.0
+    Seq(f.f0, f.f1, f.f2, f.f3).foreach(v =>
+      assert(math.abs(v - expected) < 0.02, s"mean over frames: got $v want ~$expected"))
+    // non-AVI video payloads keep the stub features
+    val junk = Array.fill(250)(7.toByte)
+    assert(Multimodal.PixelDecoder.decodeBatch(Seq(MediaRecord(2L, "video", junk))).head ==
+      Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(2L, "video", junk))).head)
+  }
+
+  test("binaryFile ingestion: real .avi file -> content-true frame count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi_")
+    val frames = Seq.fill(6)(realImage(24, 16, 0x606060, "jpg"))
+    java.nio.file.Files.write(dir.resolve("clip.avi"), aviBytes(frames, 24, 16))
+    val recs = graft.sources.MediaFiles.records(
+      graft.sources.MediaFiles.read(spark, dir.toString))
+    val f = Multimodal.extractFeatures(recs, Multimodal.HeaderDecoder).collect().head
+    assert(f.kind == "video" && f.n_frames == 6 && f.width == 24 && f.height == 16)
   }
 
   test("frame-sample stub: every nth index, bounded by frame count") {

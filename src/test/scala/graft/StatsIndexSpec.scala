@@ -325,4 +325,36 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(pruned2.collect().map(_.getLong(0)).toSet == (300L to 399L).toSet)
     assert(spark.read.parquet(dir).count() == 900)
   }
+
+  test("crash between data append and sidecar append: unindexed files are KEPT, not lost") {
+    val dir = tmp("crashwin")
+    val b0 = spark.range(0, 300).select(col("id"), (col("id") * 7).as("v"))
+    Sinks.appendClustered(spark, b0.toDF(), dir, Seq("id"), files = 2, statCols = Seq("id"))
+    // simulate the crash window: batch 1's DATA lands (plain append,
+    // same layout) but its sidecar extension never runs
+    spark.range(300, 600).select(col("id"), (col("id") * 7).as("v"))
+      .repartitionByRange(2, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("append").parquet(dir)
+    val side = StatsIndex.readSidecar(spark, dir).get.collect().toSeq
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(side.map(_.file).toSet != live, "test setup must leave unindexed files")
+    assert(StatsIndex.unindexedFiles(spark, dir, side).toSet == live -- side.map(_.file).toSet)
+    // file-level absence is conservative: rows in the unindexed files
+    // still come back (the crash cannot silently shrink query results)
+    val pruned = StatsIndex.prunedRead(spark, dir, Seq(ColRange("id", Some(250L), Some(449L))))
+    assert(pruned.collect().map(_.getLong(0)).toSet == (250L to 449L).toSet,
+      "rows in sidecar-unknown files must survive pruned reads")
+    // and indexed-file pruning still works around the kept stragglers
+    val prunedLow = StatsIndex.prunedRead(spark, dir, Seq(ColRange("id", Some(0L), Some(99L))))
+    assert(prunedLow.collect().map(_.getLong(0)).toSet == (0L to 99L).toSet)
+    // the next compact heals the index: sidecar covers every file again
+    Sinks.compact(spark, dir, targetFileBytes = 1L << 20, clusterCols = Seq("id"))
+    val side2 = StatsIndex.readSidecar(spark, dir).get.collect().map(_.file).toSet
+    val live2 = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(side2 == live2, "compact must fold the unindexed files into the sidecar")
+    assert(StatsIndex.prunedRead(spark, dir, Seq(ColRange("id", Some(250L), Some(449L))))
+      .collect().map(_.getLong(0)).toSet == (250L to 449L).toSet)
+  }
 }

@@ -122,6 +122,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(searchRows(dir, terms) == searchRows(rebuilt, terms))
   }
 
+  test("stale stats (crash between segment write and stats swap) detected, not compounded") {
+    val s1 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (3L, "alpha alpha alpha"), (5L, "zeta zeta beta alpha gamma"),
+      (6L, "delta zeta omega")).toDF("doc_id", "text")
+    val dir = tmp()
+    TextIndex.buildIndex(spark, corpus, dir, files = 2)
+    TextIndex.applyDelta(spark, dir, corpus, feedOf(corpus, s1), files = 2)
+    // simulate the crash window: segment 1 is on disk but the stats
+    // marker still claims segment 0 (the exact state a crash between
+    // writeSegment and the final stats swap leaves behind)
+    val c = spark.read.parquet(s"$dir/corpus").head
+    spark.range(1).select(lit(c.getLong(0)).as("n_docs"),
+        lit(c.getLong(1)).as("total_tokens"), lit(0L).as("asof_seg"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    // read path: loud refusal, never a silent mis-rank
+    val e = intercept[IllegalStateException] {
+      TextIndex.search(spark, dir, Seq("beta"), 10).collect()
+    }
+    assert(e.getMessage.contains("stats lag the segments"), e.getMessage)
+    // maintenance path: self-repairs (compact rebuilds stats from the
+    // authoritative postings), then the next delta lands cleanly and
+    // the result equals a from-scratch build
+    val s2 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (6L, "delta zeta omega gamma gamma")).toDF("doc_id", "text")
+    TextIndex.applyDelta(spark, dir, s1, feedOf(s1, s2), files = 2)
+    val rebuilt = tmp()
+    TextIndex.buildIndex(spark, s2, rebuilt, files = 2)
+    for (terms <- Seq(Seq("beta"), Seq("gamma", "omega")))
+      assert(searchRows(dir, terms) == searchRows(rebuilt, terms),
+        s"post-repair index diverged from rebuild for $terms")
+  }
+
   test("an upsert-style feed mislabeling an existing doc as 'added' does not double-post") {
     val dir = tmp()
     TextIndex.buildIndex(spark, corpus, dir, files = 2)
