@@ -94,7 +94,14 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // a query failing k of n repeats must appear once, not k times
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Per-query budget flag (VERDICT r8 #6): queries over
+    // SPARK_GRAFT_BUDGET_SEC (default 3 s — calibrated for sf0.1) land
+    // in the record explicitly, so a lifecycle-heavy addition is a
+    // visible, justified choice in PLANS.md rather than silent drift.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "3.0").toDouble
+    val overJson = results.collect { case (k, v) if v > budget => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir"}"""
     // Persist the full per-query record (the driver's stdout tail is
     // fixed-size and truncates the first ~10 queries). Write path is
     // deliberately two-tier: every full run lands in a timestamped side

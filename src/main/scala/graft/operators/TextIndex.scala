@@ -85,8 +85,10 @@ object TextIndex {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (segId, segPath) pairs, ascending. */
-  private def segments(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+  /** (segId, segPath) pairs, ascending. Package-visible so the
+    * scale-growth harness can count segments without a public listing
+    * API. */
+  private[graft] def segments(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val root = new Path(s"$dir/segments")
     val fs = fsOf(spark, dir)
     if (!fs.exists(root)) Seq.empty
@@ -248,8 +250,8 @@ object TextIndex {
     * read and ONE scan per segment, keeping the union of each term's
     * admitted files (point ranges share the sidecar; per-term scans
     * would pay |terms| jobs for the same files). */
-  private def livePostings(spark: SparkSession, dir: String,
-                           terms: Seq[String]): DataFrame = {
+  private[graft] def livePostings(spark: SparkSession, dir: String,
+                                  terms: Seq[String]): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"TextIndex: no index at $dir")
     val post = segs.map { case (_, p) =>

@@ -186,4 +186,38 @@ class OpenAiCompatScorerSpec extends AnyFunSuite {
       assert((System.nanoTime() - t0) / 1e9 < 3.0)
     } finally server.stop(0)
   }
+
+  test("the in-flight window OVERLAPS requests: 4-deep beats sequential on one task") {
+    // The §2.9 concurrency claim as a regression gate (the measured
+    // record lives in PLANS.md via graft.EnrichBench, which this reuses
+    // for the stub): 8 batches of 25 on ONE task against a server whose
+    // only cost is 120 ms of simulated inference — sequential pays
+    // 8 × 120 ms, a genuinely-overlapping 4-deep window pays ~2 waves.
+    // A window that silently serialized (e.g. a one-thread pool or a
+    // blocking submit) fails the 0.7 ratio regardless of JIT noise.
+    val (server, base, calls) = EnrichBench.startStub(120)
+    try {
+      // fresh session conf: shuffle partitions = 1 pins the whole corpus
+      // onto one task, the reference's single-process shape — total
+      // concurrency is then exactly the in-flight window under test
+      val s1 = spark.newSession()
+      s1.conf.set("spark.sql.shuffle.partitions", "1")
+      import s1.implicits._
+      val one = (1 to 200).map(i => (i.toLong, s"review text $i"))
+        .toDF("item_id", "review")
+      def wall(inflight: Int): Double = {
+        calls.set(0)
+        val t0 = System.nanoTime()
+        val out = Enrich.enrich(one, scorer(base),
+          EnrichConfig(batchSize = 25, inflight = inflight))
+        assert(out.filter(out("sentiment").isNotNull).count() == 200)
+        assert(calls.get() == 8, s"expected 8 batch calls, saw ${calls.get()}")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val seq = wall(1) // runs first: any JIT warm-up inflates the SLOW side
+      val four = wall(4)
+      assert(four < seq * 0.7,
+        f"in-flight 4 took $four%.2fs vs sequential $seq%.2fs — the window is not overlapping requests")
+    } finally server.stop(0)
+  }
 }

@@ -75,6 +75,56 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental text index: probe cost flat, per-delta cost tracks churn over a 10x clone") {
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.scaledDocs(docs1, Factor).cache()
+    def scratch(tag: String) = {
+      val f = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_sgspec_index_${tag}_${java.util.UUID.randomUUID()}")
+      f.toString
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val probes = Seq("vector", "scan", "merge")
+    val (d1, dN) = (scratch("1"), scratch("N"))
+    try {
+      // `files` sized with the corpus, like any target-file-size knob —
+      // the flat-admitted claim is tested against a GROWING file count
+      val g1 = ScaleGrowth.textIndexGrowth(spark, docs1, d1, deltas = 3,
+        files = 8, probeTerms = probes)
+      val gN = ScaleGrowth.textIndexGrowth(spark, docsN, dN, deltas = 3,
+        files = 8 * Factor, probeTerms = probes)
+      // per-batch maintenance cost is flat IN HISTORY: every delta's
+      // appended segment tracks that delta's churn, not the index size
+      assert(g1.deltaRowsMax <= g1.deltaRowsMin * 1.5,
+        s"1x delta segments ${g1.deltaRowsMin}-${g1.deltaRowsMax}: cost grows with history")
+      assert(gN.deltaRowsMax <= gN.deltaRowsMin * 1.5,
+        s"10x delta segments ${gN.deltaRowsMin}-${gN.deltaRowsMax}: cost grows with history")
+      // ...and tracks the CHURN (~3%/delta), never the corpus
+      assert(gN.deltaRowsMax * 10 < gN.seg0Rows,
+        s"10x delta segment ${gN.deltaRowsMax} rows vs corpus ${gN.seg0Rows}: not churn-bounded")
+      // probe reads are df-bounded: the clone suffixes every replica's
+      // tokens, so probe df — and the postings a search touches — must
+      // NOT grow with the corpus
+      assert(gN.matchedPostings <= g1.matchedPostings * Band,
+        s"matched postings ${g1.matchedPostings} -> ${gN.matchedPostings} over ${Factor}x: " +
+          "search cost is scaling with the corpus, not the query")
+      // zone maps confine the probe to a constant file set while the
+      // live file count grows with the corpus — the invariant that lets
+      // a 5-term query open a handful of files at 100 TB
+      assert(gN.admittedFiles <= g1.admittedFiles * Band,
+        s"admitted files ${g1.admittedFiles} -> ${gN.admittedFiles} over ${Factor}x: pruning is not corpus-independent")
+      assert(gN.totalFiles >= g1.totalFiles * 5,
+        s"total files ${g1.totalFiles} -> ${gN.totalFiles}: the growing-denominator premise broke")
+    } finally {
+      rm(new java.io.File(d1)); rm(new java.io.File(dN))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("the saturating fixed-width control FAILS the band (the gate detects the bug class)") {
     val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
     val n1 = docs1.count()
