@@ -83,6 +83,51 @@ object TextStats {
         idiv(size(filter(toks, t => array_contains(stopArr, t))).cast("long") * 1000L, nTok))
   }
 
+  /** A Gopher/C4-style document gate: the published doc-level filter
+    * heuristics for LLM pretraining corpora (word-count band, mean-
+    * word-length band, stop-word presence, lexical-diversity floor —
+    * Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2), as declarative
+    * defaults a pipeline overrides per corpus. Thresholds that are
+    * ratios in the papers are permille integers here, the repo-wide
+    * exact-integer trade that keeps the gate bit-identical across
+    * engines. */
+  final case class GateRules(
+      minWords: Int = 30, maxWords: Int = 90,
+      minWordLenPm: Long = 4000, maxWordLenPm: Long = 5000,
+      stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in", "is", "that"),
+      minStopHits: Int = 2,
+      minDistinctPm: Long = 450)
+
+  /** Per-document [[GateRules]] evaluation: the rule inputs (`n_words`,
+    * `mwl_pm` mean word length, `distinct_pm`, `stop_hits`), one
+    * boolean flag per rule, and the conjunction `keep` — so a pipeline
+    * can filter on `keep` AND audit per-rule kill rates from the same
+    * pass. One narrow map over the scan: no shuffle, no UDF, composes
+    * with any downstream gate (the Gopher pipeline shape: rule gate →
+    * dedup → mix). Mean word length uses the corpus's single-space
+    * contract (`chars = length − (n − 1)` — no second tokenization),
+    * and every division is [[idiv]]-floored on positives, so the whole
+    * report replays exactly in DuckDB (q_quality_gate). */
+  def withGateFlags(df: DataFrame, textCol: Column,
+                    rules: GateRules = GateRules()): DataFrame = {
+    val toks = tokens(textCol)
+    // same degenerate-doc floor as withQualityInt (mirrored in the SQL)
+    val nTok = greatest(size(toks).cast("long"), lit(1L))
+    val stopArr = array(rules.stopwords.map(lit): _*)
+    df.withColumn("n_words", size(toks))
+      .withColumn("mwl_pm",
+        idiv((length(textCol).cast("long") - col("n_words") + 1L) * 1000L, nTok))
+      .withColumn("distinct_pm",
+        idiv(size(array_distinct(toks)).cast("long") * 1000L, nTok))
+      .withColumn("stop_hits", size(array_intersect(array_distinct(toks), stopArr)))
+      .withColumn("r_nwords", col("n_words").between(rules.minWords, rules.maxWords))
+      .withColumn("r_wordlen", col("mwl_pm").between(rules.minWordLenPm, rules.maxWordLenPm))
+      .withColumn("r_stop", col("stop_hits") >= rules.minStopHits)
+      .withColumn("r_distinct", col("distinct_pm") >= rules.minDistinctPm)
+      .withColumn("keep",
+        col("r_nwords") && col("r_wordlen") && col("r_stop") && col("r_distinct"))
+  }
+
   /** Stopword-profile language ID: count marker-token hits per language,
     * predict the argmax with an alphabetical tie-break. (The real thing
     * uses char-n-gram profiles — same operator shape: per-language score

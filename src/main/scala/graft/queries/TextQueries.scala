@@ -81,6 +81,22 @@ object TextQueries extends QueryModule {
       .select(col("key").as("token"), col("n"))
       .orderBy("token")
 
+  /** The Gopher/C4-style document gate ([[TextStats.withGateFlags]]):
+    * rule inputs, per-rule flags, and the keep conjunction from ONE
+    * narrow pass — thresholds are the [[TextStats.GateRules]] defaults,
+    * which the DuckDB oracle mirrors literally (all divisions
+    * permille-floored on positives, so every flag is bit-exact). */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.withGateFlags(Tables.documents(spark, sfDir), col("text"))
+      .select(col("doc_id"), col("n_words"), col("mwl_pm"), col("distinct_pm"),
+        col("stop_hits"),
+        col("r_nwords").cast("int").as("r_nwords"),
+        col("r_wordlen").cast("int").as("r_wordlen"),
+        col("r_stop").cast("int").as("r_stop"),
+        col("r_distinct").cast("int").as("r_distinct"),
+        col("keep").cast("int").as("keep"))
+      .orderBy("doc_id")
+
   /** TF-IDF top terms per document, in EXACT integer arithmetic: the
     * keyword-extraction / sparse-retrieval weighting of a text pipeline.
     * `score_scaled = tf·10⁶ div df` is the RATIONAL-idf variant (N/df
@@ -267,6 +283,7 @@ object TextQueries extends QueryModule {
     "q_text_search" -> textSearch,
     "q_text_search_incr" -> textSearchIncr,
     "q_quality_prune" -> qualityPrune,
+    "q_quality_gate" -> qualityGate,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_redact" -> textRedact,
@@ -318,6 +335,26 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // literal mirror of the GateRules defaults: every division is
+    // positive-integer floor (`//` here, idiv there), so flags hash-match
+    "q_quality_gate" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    len($toksSql) AS n_words,
+         |    greatest(len($toksSql), 1) AS n1,
+         |    (length(text) - len($toksSql) + 1) * 1000 AS wc1000,
+         |    len(list_distinct($toksSql)) * 1000 AS d1000,
+         |    len(list_intersect(list_distinct($toksSql),
+         |      ['a','the','and','of','to','in','is','that'])) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, wc1000 // n1 AS mwl_pm, d1000 // n1 AS distinct_pm,
+         |  stop_hits,
+         |  CAST(n_words BETWEEN 30 AND 90 AS INT) AS r_nwords,
+         |  CAST(wc1000 // n1 BETWEEN 4000 AND 5000 AS INT) AS r_wordlen,
+         |  CAST(stop_hits >= 2 AS INT) AS r_stop,
+         |  CAST(d1000 // n1 >= 450 AS INT) AS r_distinct,
+         |  CAST(n_words BETWEEN 30 AND 90 AND wc1000 // n1 BETWEEN 4000 AND 5000
+         |    AND stop_hits >= 2 AND d1000 // n1 >= 450 AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_quality_prune" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |    LEAST((length(text) * 1000) // 200, 1000)

@@ -30,6 +30,32 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("gate flags: hand-computed rule inputs and the keep conjunction") {
+    import graft.operators.TextStats.GateRules
+    val rules = GateRules(minWords = 3, maxWords = 5, minWordLenPm = 3000,
+      maxWordLenPm = 5000, stopwords = Seq("a", "the"), minStopHits = 2,
+      minDistinctPm = 600)
+    val df = Seq(
+      (1L, "the cat saw a cat"),   // 5 words, 13 chars → mwl 2600 fails; stops 2; distinct 4/5=800
+      (2L, "the lion ate a bird"), // 5 words, 15 chars → mwl 3000 ok; all rules pass
+      (3L, "big dog")              // 2 words → word-count and stop rules fail
+    ).toDF("doc_id", "text")
+    val out = TextStats.withGateFlags(df, col("text"), rules)
+      .select("doc_id", "n_words", "mwl_pm", "distinct_pm", "stop_hits",
+        "r_nwords", "r_wordlen", "r_stop", "r_distinct", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_words") == 5 && r1.getAs[Long]("mwl_pm") == 2600)
+    assert(r1.getAs[Long]("distinct_pm") == 800 && r1.getAs[Int]("stop_hits") == 2)
+    assert(!r1.getAs[Boolean]("r_wordlen") && r1.getAs[Boolean]("r_stop")
+      && !r1.getAs[Boolean]("keep"))
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("mwl_pm") == 3000 && r2.getAs[Boolean]("keep"))
+    val r3 = out(3L)
+    assert(!r3.getAs[Boolean]("r_nwords") && !r3.getAs[Boolean]("r_stop")
+      && !r3.getAs[Boolean]("keep"))
+  }
+
   test("regex sub-tokens split words, numbers, and punctuation marks") {
     val df = Seq((1L, "hello, world 42!")).toDF("id", "text")
     val r = df.select(TextStats.regexTokenCount(col("text")).as("n")).head()
