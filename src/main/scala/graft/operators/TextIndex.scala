@@ -209,27 +209,34 @@ object TextIndex {
     // still follow the labels; a mislabeled add skews df/corpus stats
     // only, never posting content)
     val tombstoneIds = broadcast(feedC.select(col(idCol)))
-    // each side feeds the segment write and/or both stats deltas — pin
+    // plusPost feeds the segment write and the stats delta — pin;
+    // minusPost has one consumer (the delta union), no pin needed
     val minusPost = postings(
-      oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol).cache()
+      oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol)
     val plusPost = postings(
       feedC.filter(col("change_type") =!= "removed")
         .select(col(idCol), col(textCol)), idCol, textCol).cache()
     writeSegment(spark, dir, segId, plusPost,
       Some(tombstoneIds.select(col(idCol).as("doc_id"))), files)
-    // (term, df) rolls forward by weighted counts — exact integers
-    val delta = plusPost.select(col("term"), lit(1L).as("__w"))
-      .unionByName(minusPost.select(col("term"), lit(-1L).as("__w")))
-      .groupBy("term").agg(sum(col("__w")).as("__d"))
-    val terms = readStats(spark, s"$dir/terms").join(delta, Seq("term"), "full_outer")
+    // ONE aggregate carries both stats deltas — exact integers: per
+    // term, df rolls forward by the ±1 posting weights (__d); globally,
+    // Σ(±tf) IS added-minus-retracted total tokens (dl = Σ tf per doc),
+    // so the corpus constant needs no second pass over either posting
+    // side. Pinned: the terms join and the token aggregate both read it.
+    val delta = plusPost.select(col("term"), lit(1L).as("__w"), col("tf"))
+      .unionByName(minusPost.select(col("term"), lit(-1L).as("__w"), col("tf")))
+      .groupBy("term").agg(sum(col("__w")).as("__d"),
+        sum(col("__w") * col("tf")).as("__t"))
+      .cache()
+    val terms = readStats(spark, s"$dir/terms")
+      .join(delta.select("term", "__d"), Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("df"))
       .filter(col("df") > 0)
       .localCheckpoint(true) // cut lineage off the path being replaced
     replaceStats(spark, s"$dir/terms", terms)
-    // corpus constants: two bounded aggregates (driver-side longs)
-    def tok(p: DataFrame) = p.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      .agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0)
+    // corpus constants: |terms|-sized and feed-sized aggregates only
+    val dTokens = delta.agg(coalesce(sum(col("__t")), lit(0L))).head.getLong(0)
     val dDocs = feedC.agg(coalesce(sum(
       when(col("change_type") === "added", 1L)
         .when(col("change_type") === "removed", -1L).otherwise(0L)), lit(0L)))
@@ -238,9 +245,9 @@ object TextIndex {
     replaceStats(spark, s"$dir/corpus",
       spark.range(1).select(
         lit(c.getAs[Long]("n_docs") + dDocs).as("n_docs"),
-        lit(c.getAs[Long]("total_tokens") + tok(plusPost) - tok(minusPost)).as("total_tokens"),
+        lit(c.getAs[Long]("total_tokens") + dTokens).as("total_tokens"),
         lit(segId).as("asof_seg")))
-    plusPost.unpersist(false); minusPost.unpersist(false)
+    plusPost.unpersist(false); delta.unpersist(false)
     feedC.unpersist(false); ()
   }
 
