@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.pqAdc)
     ext.injectFunction(GraftFunctions.nearestCentroid)
     ext.injectFunction(GraftFunctions.nearestCentroidDbl)
+    ext.injectFunction(GraftFunctions.bpeEncode)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -120,10 +121,18 @@ object GraftFunctions {
       NearestCentroidDbl(children.head, children(1), children(2), children(3))
     })
 
+  val bpeEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"bpe_encode expects 2 arguments, got ${children.size}")
+      BpeEncode(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
-        pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl).foreach { case (ident, info, builder) =>
+        pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Sample, TextStats}
+import graft.operators.{Bpe, Sample, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -279,7 +279,20 @@ object TextQueries extends QueryModule {
     TextIndex.search(spark, dir, SearchTerms, SearchK)
   }
 
+  /** BPE training's per-iteration aggregate on the RAW vocabulary
+    * (iteration 0 — no merges applied yet, so the count algebra is
+    * SQL-expressible and the oracle replays it exactly): top-50
+    * frequency-weighted adjacent symbol pairs over char+`</w>`
+    * sequences. The iterative argmax loop and the encoder are gated by
+    * BpeSpec (reference-implementation parity); this row keeps the
+    * corpus-pass half of [[Bpe]] on the hash-exact oracle. */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Bpe.pairCounts(Bpe.withSymbols(
+        Bpe.wordFreq(Tables.documents(spark, sfDir), col("text"))))
+      .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> bpePairs,
     "q_text_search" -> textSearch,
     "q_text_search_incr" -> textSearchIncr,
     "q_quality_prune" -> qualityPrune,
@@ -335,6 +348,23 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // literal mirror of Bpe.withSymbols/pairCounts: per-position substr
+    // symbols + '</w>' marker, frequency-weighted adjacent pairs
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT w AS word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |pos AS (
+        |  SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
+        |p AS (
+        |  SELECT substring(word, i, 1) AS lhs,
+        |    CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+        |         ELSE '</w>' END AS rhs,
+        |    freq
+        |  FROM pos)
+        |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
+        |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
     // literal mirror of the GateRules defaults: every division is
     // positive-integer floor (`//` here, idiv there), so flags hash-match
     "q_quality_gate" ->
