@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, PairEnum, SetSimJoin, Similarity, SnapshotDiff, TextIndex}
+import graft.operators.{Bpe, Dedup, PairEnum, SetSimJoin, Similarity, SnapshotDiff, TextIndex}
 import graft.sources.StatsIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -260,12 +260,41 @@ object ScaleGrowth {
     (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
   }
 
+  /** BPE-training measurements over PLAIN clones (ids offset, text
+    * unchanged — so the vocabulary is IDENTICAL at every scale, the way
+    * real corpus growth dwarfs vocabulary growth). The claims measured:
+    *  - `vocab` is flat in the clone factor — so every merge iteration
+    *    (a vocab-sized fold + a bounded pair aggregate) costs the same
+    *    at 1× and 100×; only the single [[Bpe.wordFreq]] corpus pass
+    *    scales with the data;
+    *  - the learned RULE LIST is invariant: uniform R× scaling
+    *    multiplies every pair count by R, so the argmax sequence (and
+    *    its lexicographic tie-breaks) is unchanged — trained merges at
+    *    100× must equal the 1× rules exactly, n scaled by R. */
+  final case class BpeGrowth(rows: Long, vocab: Long, trainWall: Double,
+      rules: Seq[Bpe.MergeRule])
+
+  /** Plain clone r of a (doc_id, text) corpus: new ids, same text. */
+  def clonedDocs(docs: DataFrame, s: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) docs
+      else docs.select((col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"), col("text"))
+    }.reduce(_ union _)
+
+  def bpeGrowth(spark: SparkSession, docs: DataFrame, nMerges: Int): BpeGrowth = {
+    val rows = docs.count()
+    val vocab = Bpe.wordFreq(docs, col("text")).count()
+    val t0 = System.nanoTime()
+    val rules = Bpe.train(spark, docs, col("text"), nMerges)
+    BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "emb", "index", "all")(families),
-      s"families must be docs|emb|index|all, got $families")
+    require(Set("docs", "emb", "index", "bpe", "all")(families),
+      s"families must be docs|emb|index|bpe|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -281,6 +310,7 @@ object ScaleGrowth {
     println("|---|---|---|---|---|---|---|---|---|")
 
     val indexRows = scala.collection.mutable.ArrayBuffer[String]()
+    val bpeRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
       if (families == "docs" || families == "all") {
         val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
@@ -321,8 +351,22 @@ object ScaleGrowth {
           f"${ig.matchedPostings} | ${ig.liveRows} |")
         rm(idxDir)
       }
+      if (families == "bpe" || families == "all") {
+        val docs = clonedDocs(
+          Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val g = bpeGrowth(spark, docs, nMerges = 16)
+        val head = g.rules.take(3).map(r => s"${r.lhs}+${r.rhs}").mkString(" ")
+        bpeRows += (f"| bpe-train (16 merges) | ${s}x | ${g.rows} | ${g.vocab} | " +
+          f"${g.trainWall}%.1f | ${g.rules.size} | $head |")
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    if (bpeRows.nonEmpty) {
+      println()
+      println("| family | scale | rows | vocab | train wall (s) | rules | first merges |")
+      println("|---|---|---|---|---|---|---|")
+      bpeRows.foreach(println)
     }
     if (indexRows.nonEmpty) {
       println()

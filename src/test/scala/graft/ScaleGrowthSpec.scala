@@ -125,6 +125,28 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
+    // plain clones (same text, new ids): the realistic growth shape —
+    // corpus rows scale, vocabulary does not. Train cost per iteration
+    // rides the vocabulary, so flat vocab IS the scale claim; and a
+    // uniform R× on every pair count must leave the argmax sequence
+    // (incl. lexicographic tie-breaks) untouched, so the MODEL is
+    // invariant with n scaled exactly by the factor.
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.bpeGrowth(spark, docs1, nMerges = 8)
+    val gN = ScaleGrowth.bpeGrowth(spark, docsN, nMerges = 8)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.vocab == g1.vocab,
+      s"vocab ${g1.vocab} -> ${gN.vocab} over ${Factor}x plain clone: clone is not vocabulary-preserving")
+    assert(gN.rules.map(r => (r.rank, r.lhs, r.rhs)) ==
+      g1.rules.map(r => (r.rank, r.lhs, r.rhs)),
+      "rule list changed under uniform scaling — argmax/tie-break is not scale-invariant")
+    assert(gN.rules.map(_.n) == g1.rules.map(_.n * Factor),
+      "winning pair counts did not scale exactly with the clone factor")
+    spark.catalog.clearCache()
+  }
+
   test("the saturating fixed-width control FAILS the band (the gate detects the bug class)") {
     val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
     val n1 = docs1.count()
