@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Pq, Similarity}
+import graft.operators.{AnnJoin, Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,7 +176,27 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id")
   }
 
+  /** ANN JOIN of two corpus-scale collections ([[AnnJoin.annJoin]]):
+    * even-id vectors (the "new corpus") each find their top-3 cosine
+    * neighbors among odd-id vectors (the "reference corpus"), both
+    * sides cell-assigned map-side against the shared stride-quantizer
+    * model and joined CO-LOCATED on cell — nothing broadcasts but the
+    * bounded centroid model; ranking is the mergeable bounded
+    * `top_k_by`. The oracle replays the identical quantizer and cell
+    * rule, so the approximate result is exact under the hash compare.
+    * (The adaptive grid-block path is exercised by AnnJoinSpec with a
+    * forced tiny pair budget — same output, bounded tasks.) */
+  def simJoinAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Similarity.ivfCellsMapSide(prepped(spark, sfDir).cache(), IvfStride).cache()
+    AnnJoin.annJoin(cells.filter(col("id") % 2 === 0),
+        cells.filter(col("id") % 2 === 1), k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_join" -> simJoinAnn,
     "q_sim_topk" -> simTopK,
     "q_sim_recall" -> simRecall,
     "q_sim_lsh" -> simLsh,
@@ -199,6 +219,37 @@ object SimilarityQueries extends QueryModule {
   private val nrmSql = "SELECT vec_id, SUM(q*q) AS nn FROM qv GROUP BY vec_id"
 
   val oracles: Map[String, String] = Map(
+    // same quantizer/cell replay as q_sim_ivf, with the collection
+    // split (even = queries, odd = references) instead of a query gate
+    "q_sim_join" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM cells q JOIN cells c ON c.cell = q.cell
+         |  WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM ncos)
+         |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "q_sim_topk" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
