@@ -67,7 +67,16 @@ object AnnJoin {
       .filter(col("nl") * col("nr") > blockPairs)
       .select(col("cell"), greatest(lit(1L), ceil(col("nl") / side)).as("gl"),
         greatest(lit(1L), ceil(col("nr") / side)).as("gr"))
-    val hotRows = hot.collect()
+    // The hot set is bounded by construction — nl·nr > side² forces
+    // max(nl, nr) > side, so hot cells number at most (|L|+|R|)/side —
+    // but a pathological corpus (everything in a handful of giant
+    // cells) with a too-small blockPairs could still flood the driver.
+    // Guard LOUDLY (the Dedup.clusters discipline): the fix is a larger
+    // blockPairs or a better centroid model, not a silent OOM.
+    val hotRows = hot.limit(1000001).collect()
+    require(hotRows.length <= 1000000,
+      "annJoin: over 1e6 hot cells — raise blockPairs or retrain the " +
+        "centroid model (cells this uniform defeat cell co-location)")
     val ql = left.select(col("id").as("query_id"), col("q").as("qq"),
       col("norm").as("qnorm"), col("cell"))
     val scoreOf = Similarity.dotQ(col("qq"), col("q")).cast("double") /
