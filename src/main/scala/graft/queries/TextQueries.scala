@@ -291,8 +291,42 @@ object TextQueries extends QueryModule {
         Bpe.wordFreq(Tables.documents(spark, sfDir), col("text"))))
       .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(50)
 
+  /** Fixed encoder rule list for [[bpeEncode]] — the top measured
+    * character pairs of the corpus, every side a SINGLE character (or
+    * the `</w>` marker). The restriction is what makes the query
+    * oracle-able: single-char-sided rules can never be re-enabled by a
+    * later merge (a merged symbol is multi-char and appears in no
+    * rule), so the encoder's lowest-surviving-rank iteration reduces
+    * to rank-order merge-all passes — exactly a chain of
+    * boundary-delimited `replace` calls in SQL. Rules with shared
+    * characters (e consumed by rank 0 blocks rank 1; w by rank 5
+    * blocks rank 6) keep the order-sensitivity under test. */
+  private val EncRules = Seq(
+    "e" -> "r", "e" -> "</w>", "r" -> "</w>", "n" -> "</w>",
+    "i" -> "n", "o" -> "w", "w" -> "</w>", "o" -> "r")
+
+  /** The native `bpe_encode` expression end-to-end on the oracle: each
+    * document encoded under [[EncRules]], output as token count + the
+    * space-joined token string (hash-exact both ways). The TRAINED
+    * rule path is BpeSpec's reference-parity gate; this row pins the
+    * expression's per-word segmentation, word iteration, empty-word
+    * skip, and marker handling against an independent engine. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val merges = array(EncRules.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("bpe_encode", lower(col("text")), merges).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_encode" -> bpeEncode,
     "q_text_search" -> textSearch,
     "q_text_search_incr" -> textSearchIncr,
     "q_quality_prune" -> qualityPrune,
@@ -347,7 +381,31 @@ object TextQueries extends QueryModule {
     s"CASE $whens END"
   }
 
+  /** The encoder replay: per-char boundary-delimited symbols, the
+    * [[EncRules]] merges as a replace chain in rank order (non-
+    * overlapping left-to-right — DuckDB replace == the expression's
+    * greedy pass), then boundaries collapse to spaces. Generated from
+    * the SAME EncRules constant as the Spark side. */
+  private def encSqlExpr: String = {
+    val base = """regexp_replace(w, '(.)', '|\1', 'g') || '|</w>|'"""
+    val chained = EncRules.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, '|$a|$b|', '|$a$b|')"
+    }
+    s"replace(trim($chained, '|'), '|', ' ')"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_encode" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |      w -> $encSqlExpr), ' ') AS encoded
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN encoded = '' THEN 0
+         |       ELSE len(string_split(encoded, ' ')) END AS BIGINT) AS n_tokens,
+         |  encoded
+         |FROM enc ORDER BY doc_id""".stripMargin,
     // literal mirror of Bpe.withSymbols/pairCounts: per-position substr
     // symbols + '</w>' marker, frequency-weighted adjacent pairs
     "q_bpe_pairs" ->
