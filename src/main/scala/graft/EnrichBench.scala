@@ -86,14 +86,21 @@ object EnrichBench {
       println(s"[enrichbench] $n items, batch 25, ${latencyMs}ms/call, $tasks task(s)")
       println("| mode | items | calls | wall (s) | items/sec |")
       println("|---|---|---|---|---|")
+      // min-of-2 per mode (the EtlGateBench protocol): a one-shot
+      // sequential-then-concurrent comparison charges the first mode
+      // with all JIT/codegen/HTTP warm-up and overstates the speedup
       def run(tag: String, inflight: Int): Double = {
-        calls.set(0)
-        val t0 = System.nanoTime()
-        val out = Enrich.enrich(items, scorer,
-          EnrichConfig(batchSize = 25, inflight = inflight))
-        val scoredRows = out.filter(col("sentiment").isNotNull).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        require(scoredRows == n, s"$tag: $scoredRows of $n rows scored — stub misbehaved")
+        val walls = (1 to 2).map { _ =>
+          calls.set(0)
+          val t0 = System.nanoTime()
+          val out = Enrich.enrich(items, scorer,
+            EnrichConfig(batchSize = 25, inflight = inflight))
+          val scoredRows = out.filter(col("sentiment").isNotNull).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          require(scoredRows == n, s"$tag: $scoredRows of $n rows scored — stub misbehaved")
+          wall
+        }
+        val wall = walls.min
         println(f"| $tag | $n | ${calls.get()} | $wall%.2f | ${n / wall}%.0f |")
         wall
       }

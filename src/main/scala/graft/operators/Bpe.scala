@@ -110,6 +110,12 @@ object Bpe {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     var wf = withSymbols(wordFreq(df, textCol)).localCheckpoint(true)
+    // track exactly which persisted RDDs back the CURRENT snapshot so
+    // each superseded one is freed inside the loop — otherwise all
+    // nMerges vocabulary materializations stay pinned simultaneously
+    // and a real (thousands-of-rules) training run exhausts storage
+    // mid-loop; the finally sweep alone only helps after the fact
+    var wfIds = sc.getPersistentRDDs.keySet -- before
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     try {
       var dry = false
@@ -121,14 +127,20 @@ object Bpe {
           val (a, b, n) = (top(0).getAs[String]("lhs"),
             top(0).getAs[String]("rhs"), top(0).getAs[Long]("n"))
           rules += MergeRule(rules.size, a, b, n)
+          val pre = sc.getPersistentRDDs.keySet
           val next = wf.withColumn("syms", mergeOnce(col("syms"), a, b))
             .localCheckpoint(true)
+          val nextIds = sc.getPersistentRDDs.keySet -- pre
+          val persisted = sc.getPersistentRDDs
+          wfIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
           wf = next
+          wfIds = nextIds
         }
       }
       rules.toSeq
     } finally {
-      // sweep every snapshot this loop pinned (incl. intermediate wf's)
+      // safety net: whatever the loop still pins (the final snapshot,
+      // or everything on an abnormal exit)
       val persisted = sc.getPersistentRDDs
       persisted.keys.filterNot(before)
         .foreach(id => persisted(id).unpersist(blocking = false))

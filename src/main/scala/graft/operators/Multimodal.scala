@@ -419,8 +419,12 @@ object Multimodal {
           HeaderDecoder.aviVideo(r.media) match {
             case Some(v) if v.nFrames > 0 =>
               // evenly-strided sample of at most VideoSampleFrames
-              // frames; each MJPEG frame decodes like any JPEG
-              val stride = math.max(1, v.nFrames / VideoSampleFrames)
+              // frames; each MJPEG frame decodes like any JPEG. The
+              // stride must round UP: floor division decodes up to
+              // 2×VideoSampleFrames−1 frames (e.g. 15 frames → stride
+              // 1 → all 15), breaking the stated per-row decode bound
+              val stride = math.max(1,
+                (v.nFrames + VideoSampleFrames - 1) / VideoSampleFrames)
               val means = (0 until v.nFrames by stride)
                 .flatMap(i => PixelOps.decode(v.frameBytes(r.media, i)))
                 .map(PixelOps.meanRgb)

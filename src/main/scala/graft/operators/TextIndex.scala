@@ -101,7 +101,7 @@ object TextIndex {
 
   private def writeSegment(spark: SparkSession, dir: String, segId: Long,
                            post: DataFrame, tombstones: Option[DataFrame],
-                           files: Int): Unit = {
+                           files: Int, feedMark: Option[String] = None): Unit = {
     val seg = f"$dir/segments/$SegPrefix$segId%09d"
     graft.sinks.Sinks.writeClustered(post.withColumn("seg", lit(segId)),
       s"$seg/postings", Seq("term"), files)
@@ -109,6 +109,38 @@ object TextIndex {
       StatsIndex.fromFooters(spark, s"$seg/postings", Seq("term")), s"$seg/postings")
     tombstones.foreach(_.select("doc_id").write.mode("overwrite")
       .parquet(s"$seg/tombstones"))
+    // the feed marker lands AFTER the segment data commits and BEFORE
+    // any stats swap — see applyDelta's exactly-once contract
+    feedMark.foreach(d => writeFeedMarker(spark, seg, d))
+  }
+
+  /** Order-independent digest of a CDC feed — the applyDelta replay
+    * detector. bit_xor of per-row hashes (commutative, overflow-free
+    * under ANSI) plus the row count; nulls in removed rows' payload
+    * fold as absent, which is fine for a retry detector. */
+  private def feedDigest(feedC: DataFrame, idCol: String, textCol: String): String = {
+    val r = feedC.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(`$idCol`, change_type, `$textCol`))"),
+        lit(0L)).as("x")).head
+    s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}"
+  }
+
+  private def writeFeedMarker(spark: SparkSession, segPath: String, digest: String): Unit = {
+    val fs = fsOf(spark, segPath)
+    val out = fs.create(new Path(s"$segPath/_feed"), true)
+    try out.write(digest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFeedMarker(spark: SparkSession, segPath: String): Option[String] = {
+    val fs = fsOf(spark, segPath)
+    val p = new Path(s"$segPath/_feed")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** Swap-replace a tiny stats table (terms/corpus): stage, then the
@@ -185,6 +217,47 @@ object TextIndex {
   def applyDelta(spark: SparkSession, dir: String, oldDocs: DataFrame,
                  feed: DataFrame, files: Int = 4, idCol: String = "doc_id",
                  textCol: String = "text"): Unit = {
+    // every pin this delta creates (feed cache, the delta aggregate,
+    // the terms localCheckpoint, compaction's fold) is swept on exit —
+    // a sustained CDC loop must not accumulate one pinned stats table
+    // per applied delta
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try applyDeltaInner(spark, dir, oldDocs, feed, files, idCol, textCol)
+    finally {
+      val persisted = spark.sparkContext.getPersistentRDDs
+      persisted.keys.filterNot(pinnedBefore)
+        .foreach(id => persisted(id).unpersist(blocking = false))
+    }
+  }
+
+  private def applyDeltaInner(spark: SparkSession, dir: String, oldDocs: DataFrame,
+                              feed: DataFrame, files: Int, idCol: String,
+                              textCol: String): Unit = {
+    // the feed is consumed four times (digest, retractions, additions,
+    // the doc-count delta) and is typically the product of a diff
+    // chain — pin it for the duration of the delta
+    val feedC = feed.cache()
+    // EXACTLY-ONCE on retry: a segment carries the digest of the feed
+    // that built it (written after the segment data commits, before
+    // any stats swap). If the LAST segment already carries THIS feed's
+    // digest, the call is a crash-retry (segment landed, stats swap
+    // didn't) or a duplicate — either way the content already lives in
+    // the postings (the all-keys tombstones made the segment
+    // self-healing), and rolling the stats forward AGAIN would
+    // double-apply the delta: heal stats if the crash window hit,
+    // never re-apply. Without the marker a plain retry silently
+    // over-counted df/total_tokens/n_docs for every doc in the feed.
+    // (Residual window: a crash between the segment-data commit and
+    // the one-file marker write still retries as a fresh apply — the
+    // postings stay correct via tombstones; only the stats drift, and
+    // compactIndex repairs them.)
+    val digest = feedDigest(feedC, idCol, textCol)
+    val lastSeg = segments(spark, dir).lastOption
+    if (lastSeg.exists(s => readFeedMarker(spark, s._2).contains(digest))) {
+      if (staleBy(spark, dir).isDefined) compactIndex(spark, dir, files)
+      feedC.unpersist(false)
+      return
+    }
     // self-heal the documented crash window before compounding on it: a
     // stale stats marker means a prior delta's segment landed without
     // its stats swap — compaction rebuilds stats exactly from the
@@ -194,10 +267,6 @@ object TextIndex {
     if (staleBy(spark, dir).isDefined) compactIndex(spark, dir, files)
     val segId = segments(spark, dir).lastOption.map(_._1 + 1).getOrElse(
       throw new IllegalStateException(s"TextIndex.applyDelta: no index at $dir"))
-    // the feed is consumed three times (retractions, additions, the
-    // doc-count delta) and is typically the product of a diff chain —
-    // pin it for the duration of the delta
-    val feedC = feed.cache()
     val retractIds = broadcast(
       feedC.filter(col("change_type").isin("removed", "changed"))
         .select(col(idCol)))
@@ -217,7 +286,8 @@ object TextIndex {
       feedC.filter(col("change_type") =!= "removed")
         .select(col(idCol), col(textCol)), idCol, textCol).cache()
     writeSegment(spark, dir, segId, plusPost,
-      Some(tombstoneIds.select(col(idCol).as("doc_id"))), files)
+      Some(tombstoneIds.select(col(idCol).as("doc_id"))), files,
+      feedMark = Some(digest))
     // ONE aggregate carries both stats deltas — exact integers: per
     // term, df rolls forward by the ±1 posting weights (__d); globally,
     // Σ(±tf) IS added-minus-retracted total tokens (dl = Σ tf per doc),
@@ -298,19 +368,36 @@ object TextIndex {
     * corpus stats are recomputed exactly from the authoritative
     * postings (also the crash-repair path — see class doc). */
   def compactIndex(spark: SparkSession, dir: String, files: Int = 16): Unit = {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // the fold preserves the LAST segment's feed marker: a compaction
+    // that runs as crash-repair must not forget which feed the crashed
+    // segment carried, or the very next retry of that feed would
+    // re-apply it (the exactly-once contract in applyDelta)
+    val lastMark = segments(spark, dir).lastOption
+      .flatMap(s => readFeedMarker(spark, s._2))
     val live = livePostings(spark, dir, Seq.empty).drop("seg")
       .localCheckpoint(true) // materialize before the dirs it reads are replaced
-    val fs = fsOf(spark, dir)
-    val staged = new Path(s"$dir/segments.__staged")
-    fs.delete(staged, true)
-    graft.sinks.Sinks.writeClustered(live.withColumn("seg", lit(0L)),
-      s"$staged/${SegPrefix}000000000/postings", Seq("term"), files)
-    StatsIndex.writeSidecar(
-      StatsIndex.fromFooters(spark, s"$staged/${SegPrefix}000000000/postings", Seq("term")),
-      s"$staged/${SegPrefix}000000000/postings")
-    graft.sinks.Sinks.swapIn(fs, staged, new Path(s"$dir/segments"),
-      new Path(s"$dir/segments.__backup"))
-    statsFrom(spark, live, dir, asofSeg = 0L)
+    try {
+      val fs = fsOf(spark, dir)
+      val staged = new Path(s"$dir/segments.__staged")
+      fs.delete(staged, true)
+      graft.sinks.Sinks.writeClustered(live.withColumn("seg", lit(0L)),
+        s"$staged/${SegPrefix}000000000/postings", Seq("term"), files)
+      StatsIndex.writeSidecar(
+        StatsIndex.fromFooters(spark, s"$staged/${SegPrefix}000000000/postings", Seq("term")),
+        s"$staged/${SegPrefix}000000000/postings")
+      lastMark.foreach(d =>
+        writeFeedMarker(spark, s"$staged/${SegPrefix}000000000", d))
+      graft.sinks.Sinks.swapIn(fs, staged, new Path(s"$dir/segments"),
+        new Path(s"$dir/segments.__backup"))
+      statsFrom(spark, live, dir, asofSeg = 0L)
+    } finally {
+      // free the fold's pinned materialization (a sustained CDC loop
+      // otherwise accumulates one full-corpus snapshot per compaction)
+      val persisted = spark.sparkContext.getPersistentRDDs
+      persisted.keys.filterNot(pinnedBefore)
+        .foreach(id => persisted(id).unpersist(blocking = false))
+    }
   }
 
   /** Top-`k` docs for `terms`: `(doc_id, n_terms, score_scaled)`,

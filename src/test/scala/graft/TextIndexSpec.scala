@@ -154,6 +154,51 @@ class TextIndexSpec extends AnyFunSuite {
         s"post-repair index diverged from rebuild for $terms")
   }
 
+  test("a crashed or duplicated applyDelta with the same feed applies exactly once") {
+    val s1 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (3L, "alpha alpha alpha"), (5L, "zeta zeta beta alpha gamma"),
+      (6L, "delta zeta omega")).toDF("doc_id", "text")
+    val dir = tmp()
+    TextIndex.buildIndex(spark, corpus, dir, files = 2)
+    // snapshot the PRE-delta stats so the crash window can be replayed
+    val termsBefore = spark.read.parquet(s"$dir/terms").collect().toSeq
+    val corpusBefore = spark.read.parquet(s"$dir/corpus").head
+    val feed = feedOf(corpus, s1)
+    TextIndex.applyDelta(spark, dir, corpus, feed, files = 2)
+    // crash simulation: the delta's segment (and its feed marker) are
+    // on disk, but BOTH stats swaps were lost — the state an orchestrator
+    // retrying the same applyDelta call finds
+    termsBefore.map(r => (r.getString(0), r.getLong(1))).toDF("term", "df")
+      .write.mode("overwrite").parquet(s"$dir/terms")
+    spark.range(1).select(lit(corpusBefore.getLong(0)).as("n_docs"),
+        lit(corpusBefore.getLong(1)).as("total_tokens"), lit(0L).as("asof_seg"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    // the retry must heal the stats and NOT roll the delta forward
+    // again (pre-fix: df/total_tokens/n_docs double-counted every feed
+    // doc while postings stayed correct — a silent mis-rank)
+    TextIndex.applyDelta(spark, dir, corpus, feed, files = 2)
+    val rebuilt = tmp()
+    TextIndex.buildIndex(spark, s1, rebuilt, files = 2)
+    def corpusRow(d: String) = spark.read.parquet(s"$d/corpus").head
+    assert(corpusRow(dir).getLong(0) == corpusRow(rebuilt).getLong(0), "n_docs double-applied")
+    assert(corpusRow(dir).getLong(1) == corpusRow(rebuilt).getLong(1), "total_tokens double-applied")
+    for (terms <- Seq(Seq("beta"), Seq("omega", "delta"), Seq("alpha", "zeta")))
+      assert(searchRows(dir, terms) == searchRows(rebuilt, terms),
+        s"post-retry index diverged from rebuild for $terms")
+    // plain duplicate (no crash): a second identical call is a no-op
+    TextIndex.applyDelta(spark, dir, corpus, feed, files = 2)
+    assert(corpusRow(dir).getLong(0) == corpusRow(rebuilt).getLong(0))
+    assert(corpusRow(dir).getLong(1) == corpusRow(rebuilt).getLong(1))
+    assert(searchRows(dir, Seq("beta")) == searchRows(rebuilt, Seq("beta")))
+    // and a genuinely NEW feed afterwards still applies normally
+    val s2 = Seq((1L, "alpha beta beta gamma"), (2L, "omega omega beta"),
+      (6L, "delta zeta omega gamma gamma")).toDF("doc_id", "text")
+    TextIndex.applyDelta(spark, dir, s1, feedOf(s1, s2), files = 2)
+    val rebuilt2 = tmp()
+    TextIndex.buildIndex(spark, s2, rebuilt2, files = 2)
+    assert(searchRows(dir, Seq("gamma", "omega")) == searchRows(rebuilt2, Seq("gamma", "omega")))
+  }
+
   test("an upsert-style feed mislabeling an existing doc as 'added' does not double-post") {
     val dir = tmp()
     TextIndex.buildIndex(spark, corpus, dir, files = 2)
