@@ -195,8 +195,25 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  /** [[AnnJoin.annJoinProbe]] at nprobe=2 — the recall knob on the
+    * corpus×corpus join: every even-id vector probes its TWO nearest
+    * cells of the odd-id collection (fan-out multiplies only the left
+    * side). Same tie rule as cell assignment, so the oracle's
+    * rn <= 2 ranking replays the probe set exactly. */
+  def simJoinAnnProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache()
+    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+    AnnJoin.annJoinProbe(cells.filter(col("id") % 2 === 0),
+        cells.filter(col("id") % 2 === 1),
+        Similarity.strideCentroids(p, IvfStride), k = 3, nprobe = NProbe)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_join" -> simJoinAnn,
+    "q_sim_join_probe" -> simJoinAnnProbe,
     "q_sim_topk" -> simTopK,
     "q_sim_recall" -> simRecall,
     "q_sim_lsh" -> simLsh,
@@ -219,6 +236,41 @@ object SimilarityQueries extends QueryModule {
   private val nrmSql = "SELECT vec_id, SUM(q*q) AS nn FROM qv GROUP BY vec_id"
 
   val oracles: Map[String, String] = Map(
+    // q_sim_join_probe: the q_sim_ivf_probe replay with the collection
+    // split — left side probes its nprobe nearest cells (rn <= NProbe,
+    // the same (c DESC, cent_id) tie rule as assignment), right side
+    // stays in its own cell; no self-pair clause needed (sides disjoint)
+    "q_sim_join_probe" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ccos AS (SELECT cd.vec_id, cd.cent_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |ranked AS (SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |qcells AS (SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= $NProbe AND vec_id % 2 = 0),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qcells q JOIN cells c ON c.cell = q.cell
+         |  WHERE c.vec_id % 2 = 1),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM ncos)
+         |SELECT query_id, neighbor_id, rk, ${Rnd.sql("c", 6)} AS cos
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // same quantizer/cell replay as q_sim_ivf, with the collection
     // split (even = queries, odd = references) instead of a query gate
     "q_sim_join" ->
