@@ -119,10 +119,20 @@ object AnnJoin {
     * probes exactly the assigned cell. */
   def annJoinProbe(left: DataFrame, right: DataFrame, cents: DataFrame,
                    k: Int, nprobe: Int,
-                   blockPairs: Long = 4L * 1000 * 1000): DataFrame = {
+                   blockPairs: Long = 4L * 1000 * 1000,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(nprobe > 0, s"annJoinProbe: nprobe must be positive, got $nprobe")
     graft.GraftFunctions.ensure(left.sparkSession)
-    val probed = left
+    // the probe fan-out (the |left| x centroids assignment pass, the
+    // probe variant's dominant cost) feeds BOTH annJoin's eager
+    // hot-cell count discovery and the join execution — pin it, or the
+    // whole pass runs twice
+    val probed = scope.pin(buildProbed(left, cents, nprobe))
+    annJoin(probed, right, k, blockPairs)
+  }
+
+  private def buildProbed(left: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    left
       .join(broadcast(cents))
       .select(col("id"), col("q"), col("norm"), col("cent_id"),
         (Similarity.dotQ(col("q"), col("cq")).cast("double") /
@@ -133,6 +143,4 @@ object AnnJoin {
         explode(col("top")).as("tc"))
       .select(col("id"), col("q"), col("norm"),
         col("tc").getField("payload").as("cell"))
-    annJoin(probed, right, k, blockPairs)
-  }
 }

@@ -235,6 +235,19 @@ object SimilarityQueries extends QueryModule {
 
   private val nrmSql = "SELECT vec_id, SUM(q*q) AS nn FROM qv GROUP BY vec_id"
 
+  /** The centroid-assignment replay every IVF-family oracle shares:
+    * integer dots against the stride centroids (cd) and their cosines
+    * (ccos). ONE definition, interpolated into all seven oracles, so a
+    * quantizer or tie-rule change cannot silently desynchronize one
+    * oracle from the Spark side. */
+  private val cdCcosSql: String =
+    s"""cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
+       |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+       |  GROUP BY a.vec_id, b.vec_id),
+       |ccos AS (SELECT cd.vec_id, cd.cent_id,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+       |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q_sim_join_probe: the q_sim_ivf_probe replay with the collection
     // split — left side probes its nprobe nearest cells (rn <= NProbe,
@@ -243,12 +256,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_join_probe" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |ranked AS (SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
          |  FROM ccos),
@@ -276,12 +284,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_join" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |cells AS (SELECT vec_id, cent_id AS cell FROM (
          |  SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
@@ -391,12 +394,7 @@ object SimilarityQueries extends QueryModule {
          |    SELECT query_id, neighbor_id,
          |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
          |    FROM bcos) WHERE rk <= 3),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |cells AS (SELECT vec_id, cent_id AS cell FROM (
          |  SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
@@ -428,12 +426,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_ivf_probe" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |ranked AS (SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
          |  FROM ccos),
@@ -458,12 +451,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_ivf" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |cells AS (SELECT vec_id, cent_id AS cell FROM (
          |  SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
@@ -516,12 +504,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_ivfpq" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |cells AS (SELECT vec_id, cent_id AS cell FROM (
          |  SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
@@ -557,12 +540,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_ivfpq_res" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
-         |cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
-         |  GROUP BY a.vec_id, b.vec_id),
-         |ccos AS (SELECT cd.vec_id, cd.cent_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),
+         |$cdCcosSql
          |cells AS (SELECT vec_id, cent_id AS cell FROM (
          |  SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
