@@ -289,12 +289,40 @@ object ScaleGrowth {
     BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
   }
 
+  /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
+    * the stride quantizer's centroid model GROWS with the corpus
+    * (every 31st vector), so cell count scales linearly and per-cell
+    * occupancy — hence the join's per-cell pair products and the
+    * candidate total per left row — stays flat: the same
+    * bucket-space-tracks-the-corpus invariant the adaptive LSH
+    * families gate on, here for the co-located cell join. `hotCells`
+    * counts cells whose pair product crosses the default grid-block
+    * gate (healthy corpora: zero — the plain join IS the plan). */
+  final case class AnnJoinGrowth(rows: Long, cells: Long, meanProduct: Double,
+      maxProduct: Long, candidates: Long, hotCells: Long)
+
+  def annJoinGrowth(spark: SparkSession, emb: DataFrame, s: Int,
+                    dim: Int): AnnJoinGrowth = {
+    val p = Similarity.prep(scaledEmb(emb, s, dim),
+      col("vec_id"), col("embedding")).cache()
+    val cells = Similarity.ivfCellsMapSide(p, 31).cache()
+    val (l, r) = (cells.filter(col("id") % 2 === 0), cells.filter(col("id") % 2 === 1))
+    val prod = l.groupBy("cell").agg(count(lit(1)).as("nl"))
+      .join(r.groupBy("cell").agg(count(lit(1)).as("nr")), "cell")
+      .select(col("cell"), (col("nl") * col("nr")).as("prod"))
+      .cache()
+    val agg = prod.agg(count(lit(1)), avg("prod"), max("prod"), sum("prod"),
+      sum(when(col("prod") > 4L * 1000 * 1000, 1L).otherwise(0L))).head
+    AnnJoinGrowth(p.count(), agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+      agg.getLong(3), agg.getLong(4))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "emb", "index", "bpe", "all")(families),
-      s"families must be docs|emb|index|bpe|all, got $families")
+    require(Set("docs", "emb", "index", "bpe", "annjoin", "all")(families),
+      s"families must be docs|emb|index|bpe|annjoin|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -311,6 +339,7 @@ object ScaleGrowth {
 
     val indexRows = scala.collection.mutable.ArrayBuffer[String]()
     val bpeRows = scala.collection.mutable.ArrayBuffer[String]()
+    val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
       if (families == "docs" || families == "all") {
         val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
@@ -351,6 +380,12 @@ object ScaleGrowth {
           f"${ig.matchedPostings} | ${ig.liveRows} |")
         rm(idxDir)
       }
+      if (families == "annjoin" || families == "all") {
+        val g = annJoinGrowth(spark,
+          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), s, dim = 64)
+        annjoinRows += (f"| annjoin-cells (stride 31) | ${s}x | ${g.rows} | ${g.cells} | " +
+          f"${g.meanProduct}%.1f | ${g.maxProduct} | ${g.candidates} | ${g.hotCells} |")
+      }
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(
           Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
@@ -361,6 +396,12 @@ object ScaleGrowth {
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    if (annjoinRows.nonEmpty) {
+      println()
+      println("| family | scale | rows | cells | mean cell product | max product | candidates | hot cells |")
+      println("|---|---|---|---|---|---|---|---|")
+      annjoinRows.foreach(println)
     }
     if (bpeRows.nonEmpty) {
       println()

@@ -125,6 +125,28 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("ann join: cell count tracks the corpus, per-cell pair products stay flat over a 10x clone") {
+    // the stride quantizer's model grows WITH the corpus (every 31st
+    // vector is a centroid), so the co-located cell join's per-cell
+    // occupancy — and with it every task's pair volume and the
+    // candidate total per left row — must hold a constant band while
+    // cells scale ~linearly; a fixed centroid set would saturate
+    // exactly like the fixed-width simhash control
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val g1 = ScaleGrowth.annJoinGrowth(spark, emb, 1, dim = 64)
+    val gN = ScaleGrowth.annJoinGrowth(spark, emb, Factor, dim = 64)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.cells >= g1.cells * (Factor / 2),
+      s"cells ${g1.cells} -> ${gN.cells}: the centroid model is not tracking the corpus")
+    occBand("annjoin-cells", g1.meanProduct, gN.meanProduct)
+    // flat occupancy + linear cells ⇒ near-linear candidate volume
+    assert(gN.candidates <= g1.candidates * Factor * Band,
+      s"candidates ${g1.candidates} -> ${gN.candidates} over ${Factor}x: super-linear join volume")
+    assert(gN.hotCells == 0,
+      s"${gN.hotCells} cells crossed the grid-block gate on a healthy clone")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
