@@ -156,6 +156,32 @@ class BpeSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("whole-stage codegen survives bpe_encode and matches the interpreter") {
+    val merges = array(
+      struct(lit("a").as("lhs"), lit("b").as("rhs")),
+      struct(lit("ab").as("lhs"), lit("c").as("rhs")),
+      struct(lit("c").as("lhs"), lit(Bpe.EndOfWord).as("rhs")))
+    val df = spark.range(40).select(
+      concat(lit("ab c abc x"), (col("id") % 5).cast("string")).as("text"))
+    val q = df.select(call_function("bpe_encode", col("text"), merges).as("toks"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [bpe_encode("),
+      s"expected bpe_encode inside a codegen stage in:\n$plan")
+    // codegen result == per-row interpreted eval through the same rows
+    val got = q.collect().map(_.getSeq[String](0))
+    val want = df.collect().map { r =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val m = ArrayData.toArrayData(Array(
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("a"), UTF8String.fromString("b")),
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("ab"), UTF8String.fromString("c")),
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("c"), UTF8String.fromString(Bpe.EndOfWord))))
+      graft.expressions.BpeEncode.encode(UTF8String.fromString(r.getString(0)), m)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("encoding a training word yields the trained segmentation (stability)") {
     // encode() applied to each vocab word must equal the final symbol
     // state train() left that word in — the defining BPE property
