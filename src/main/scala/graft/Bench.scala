@@ -124,10 +124,20 @@ object Bench {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_$base.json"), line + "\n")
     }
     spark.stop()
-    // Emit the JSON line LAST, after Spark's shutdown chatter (which goes
-    // to stderr) and alone on its own stdout line, so a driver that tails
-    // stdout and parses the final line gets clean JSON.
-    println(line)
+    // Emit a COMPACT JSON line LAST, after Spark's shutdown chatter (which
+    // goes to stderr) and alone on its own stdout line. The driver keeps
+    // only a fixed ~2000-char stdout TAIL, and the full 100+-query map is
+    // ~5 KB — six rounds of BENCH_r*.json came back `parsed: null` because
+    // the front of the line was cut off. So the final line carries only
+    // the totals (plus the worst over-budget queries, capped so the line
+    // stays well under the tail window); the complete per-query record
+    // lives in the bench_runs/ side file written above.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val overTop = results.collect { case (k, v) if v > budget => (k, v) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"over_budget_top":$overTop,"sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -260,6 +260,27 @@ object ScaleGrowth {
     (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
   }
 
+  /** Substring-span family ([[Dedup.repeatedSpans]]) over [[scaledDocs]]
+    * clones: cross-replica grams are distinct (token suffixing), so the
+    * original's repeated-span structure replicates exactly s times —
+    * repeated digests (buckets), anchors (candidates: the digest-join
+    * fan-in), and merged maximal spans (verified) must all scale ~s×,
+    * with per-digest occupancy FLAT. Occupancy growing with s would
+    * mean one digest's anchor list concentrates — the road to a skewed
+    * digest join. */
+  def spansStats(docs: DataFrame, nDocs: Long, n: Int = 8): FamilyStats = {
+    val occ = Dedup.spanOccurrences(docs, col("doc_id"), col("text"), n)
+    val per = occ.groupBy("dg")
+      .agg(count(lit(1)).as("cnt"), min("id").as("mn"), max("id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+    val agg = per.agg(
+      coalesce(count(lit(1)), lit(0L)), coalesce(sum("cnt"), lit(0L)),
+      coalesce(max("cnt"), lit(0L)), coalesce(avg("cnt"), lit(0.0))).head
+    val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"), n).count()
+    FamilyStats(nDocs, agg.getLong(0), agg.getDouble(3), agg.getLong(2),
+      agg.getLong(1), agg.getLong(1), spans)
+  }
+
   /** BPE-training measurements over PLAIN clones (ids offset, text
     * unchanged — so the vocabulary is IDENTICAL at every scale, the way
     * real corpus growth dwarfs vocabulary growth). The claims measured:
@@ -281,11 +302,13 @@ object ScaleGrowth {
       else docs.select((col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"), col("text"))
     }.reduce(_ union _)
 
-  def bpeGrowth(spark: SparkSession, docs: DataFrame, nMerges: Int): BpeGrowth = {
+  def bpeGrowth(spark: SparkSession, docs: DataFrame, nMerges: Int,
+                driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords): BpeGrowth = {
     val rows = docs.count()
     val vocab = Bpe.wordFreq(docs, col("text")).count()
     val t0 = System.nanoTime()
-    val rules = Bpe.train(spark, docs, col("text"), nMerges)
+    val rules = Bpe.train(spark, docs, col("text"), nMerges,
+      driverDrainMaxWords = driverDrainMaxWords)
     BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
   }
 
@@ -312,7 +335,8 @@ object ScaleGrowth {
       .select(col("cell"), (col("nl") * col("nr")).as("prod"))
       .cache()
     val agg = prod.agg(count(lit(1)), avg("prod"), max("prod"), sum("prod"),
-      sum(when(col("prod") > 4L * 1000 * 1000, 1L).otherwise(0L))).head
+      sum(when(col("prod") > graft.operators.AnnJoin.DefaultBlockPairs, 1L)
+        .otherwise(0L))).head
     AnnJoinGrowth(p.count(), agg.getLong(0), agg.getDouble(1), agg.getLong(2),
       agg.getLong(3), agg.getLong(4))
   }
@@ -351,6 +375,7 @@ object ScaleGrowth {
         val (wS, aStats) = simhashAdaptiveStats(docs, nDocs)
         row(s"simhash-adaptive (4x${wS}b)", s, aStats)
         row("simjoin-prefix (3gram,t=0.6)", s, simjoinStats(docs, nDocs))
+        row("spans-exact (8gram)", s, spansStats(docs, nDocs))
       }
       if (families == "emb" || families == "all") {
         val dim = 64
@@ -389,10 +414,19 @@ object ScaleGrowth {
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(
           Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
-        val g = bpeGrowth(spark, docs, nMerges = 16)
-        val head = g.rules.take(3).map(r => s"${r.lhs}+${r.rhs}").mkString(" ")
-        bpeRows += (f"| bpe-train (16 merges) | ${s}x | ${g.rows} | ${g.vocab} | " +
-          f"${g.trainWall}%.1f | ${g.rules.size} | $head |")
+        // Drain path at production-shaped merge counts: wall must be
+        // dominated by the ONE corpus fold, near-flat in nMerges (the
+        // distributed control's wall is ~nMerges × fixed job overhead,
+        // linear by construction — the round-9 scale killer).
+        def bpeRow(tag: String, nMerges: Int, maxWords: Long): Unit = {
+          val g = bpeGrowth(spark, docs, nMerges, maxWords)
+          val head = g.rules.take(3).map(r => s"${r.lhs}+${r.rhs}").mkString(" ")
+          bpeRows += (f"| bpe-train ($tag) | ${s}x | ${g.rows} | ${g.vocab} | " +
+            f"${g.trainWall}%.1f | ${g.rules.size} | $head |")
+        }
+        bpeRow("16 merges, drain", 16, Bpe.DriverDrainMaxWords)
+        bpeRow("2000 merges, drain", 2000, Bpe.DriverDrainMaxWords)
+        if (s == 1) bpeRow("16 merges, distributed ctl", 16, 0L)
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -69,33 +69,50 @@ object BpeEncode {
 
   private val EndOfWord = "</w>"
 
-  /** Single-slot model cache keyed by reference identity: the merges
-    * child is a literal or broadcast value, so every row of a task
-    * sees the SAME ArrayData instance and the parse happens once per
-    * task (per model swap, if a plan ever interleaves two models).
-    * CONTRACT: the merges argument must be reference-stable (a plan
-    * literal or [[BroadcastRef]] — the only supported deliveries). A
-    * per-row or join-produced merges column stays CORRECT but misses
-    * the cache on every row and re-parses the table — O(rules) per
-    * row; so does alternating two models' literals row-by-row in one
-    * task. Nothing on the engine's query surface does either. */
-  @volatile private var cached: (ArrayData, java.util.HashMap[String, Integer]) = null
+  /** Single-slot model cache keyed by reference identity PLUS a content
+    * fingerprint (element count + first/last rule): the merges child is
+    * a literal or broadcast value, so every row of a task sees the SAME
+    * ArrayData instance and the parse happens once per task (per model
+    * swap, if a plan ever interleaves two models). The fingerprint
+    * ENFORCES that delivery contract rather than trusting it — an
+    * accessor that reused a mutable buffer under the same reference
+    * (nothing in the supported literal/broadcast paths does, but the
+    * cache must not make correctness depend on that staying true) would
+    * fail the first/last-rule check and trigger a re-parse instead of
+    * serving stale ranks for a different model. A per-row or
+    * join-produced merges column stays CORRECT but misses the cache on
+    * every row and re-parses the table — O(rules) per row; so does
+    * alternating two models' literals row-by-row in one task. Nothing
+    * on the engine's query surface does either. */
+  private final class Model(val ref: ArrayData, val n: Int,
+      val first: String, val last: String,
+      val ranks: java.util.HashMap[String, Integer])
+  @volatile private var cached: Model = null
+
+  /** "lhs rhs" key of rule i — also the corrupt-model null check. */
+  private def ruleKey(merges: ArrayData, i: Int): String = {
+    val row = merges.getStruct(i, 2)
+    require(row != null && !row.isNullAt(0) && !row.isNullAt(1),
+      s"bpe_encode: merges[$i] is null or has a null side — corrupt model")
+    row.getUTF8String(0).toString + " " + row.getUTF8String(1).toString
+  }
 
   private def ranksFor(merges: ArrayData): java.util.HashMap[String, Integer] = {
     val c = cached
-    if (c != null && (c._1 eq merges)) return c._2
-    val m = new java.util.HashMap[String, Integer](merges.numElements() * 2)
+    val n = merges.numElements()
+    if (c != null && (c.ref eq merges) && c.n == n &&
+        (n == 0 || (ruleKey(merges, 0) == c.first && ruleKey(merges, n - 1) == c.last)))
+      return c.ranks
+    val m = new java.util.HashMap[String, Integer](n * 2)
     var i = 0
-    while (i < merges.numElements()) {
-      val row = merges.getStruct(i, 2)
-      require(row != null && !row.isNullAt(0) && !row.isNullAt(1),
-        s"bpe_encode: merges[$i] is null or has a null side — corrupt model")
+    while (i < n) {
       // first occurrence wins: rank IS the position, lowest is strongest
-      m.putIfAbsent(row.getUTF8String(0).toString + " " +
-        row.getUTF8String(1).toString, Integer.valueOf(i))
+      m.putIfAbsent(ruleKey(merges, i), Integer.valueOf(i))
       i += 1
     }
-    cached = (merges, m)
+    cached = new Model(merges, n,
+      if (n > 0) ruleKey(merges, 0) else null,
+      if (n > 0) ruleKey(merges, n - 1) else null, m)
     m
   }
 

@@ -40,11 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object AnnJoin {
 
+  /** Default per-task pair bound for hot-cell grid blocking — the ONE
+    * definition; [[graft.ScaleGrowth]]'s hot-cell growth gate references
+    * it so the measured threshold can never drift from the join's. */
+  val DefaultBlockPairs: Long = 4L * 1000 * 1000
+
   /** Left/right inputs are cells frames `(id, q, norm, cell)` from the
     * same centroid model. Output: `(query_id, neighbor_id, rk, cos)`,
     * rk 1-based best-first, ties to the lower neighbor_id. */
   def annJoin(left: DataFrame, right: DataFrame, k: Int,
-              blockPairs: Long = 4L * 1000 * 1000): DataFrame = {
+              blockPairs: Long = DefaultBlockPairs): DataFrame = {
     val scored = scoredCandidates(left, right, blockPairs)
     Similarity.rankTopK(scored, k)
   }
@@ -119,7 +124,7 @@ object AnnJoin {
     * probes exactly the assigned cell. */
   def annJoinProbe(left: DataFrame, right: DataFrame, cents: DataFrame,
                    k: Int, nprobe: Int,
-                   blockPairs: Long = 4L * 1000 * 1000,
+                   blockPairs: Long = DefaultBlockPairs,
                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(nprobe > 0, s"annJoinProbe: nprobe must be positive, got $nprobe")
     graft.GraftFunctions.ensure(left.sparkSession)

@@ -689,4 +689,76 @@ object Dedup {
     val sig = scope.pin(simhash(df, idCol, textCol, bands * w))
     simhashPairs(sig, maxDist, bands * w, bands)
   }
+
+  /** SUBSTRING-level exact dedup (the Lee et al. 2022 curation step the
+    * document-level families can't do): maximal verbatim token spans of
+    * length ≥ `n` that repeat ACROSS documents, reported per document as
+    * `(id, span_start, span_end, span_tokens)` in 0-based token
+    * positions — the removal list a span-dedup pass consumes.
+    *
+    * Shape (bucketed shingle-anchor, no suffix array):
+    *  1. per-document positional n-gram DIGESTS — one narrow map, the
+    *     exchange carries 16-byte md5s, never gram text (the
+    *     [[exactByDigest]] discipline);
+    *  2. a digest repeats across documents iff min(id) != max(id) —
+    *     one map-side-combined aggregate, no countDistinct expansion;
+    *  3. anchor positions of repeated digests flow back over one
+    *     digest equi-join (both sides hash-partitioned on `dg`);
+    *  4. overlapping/adjacent anchor windows merge into maximal spans
+    *     with a gaps-and-islands window PARTITIONED BY DOCUMENT —
+    *     bounded per-doc work, fully parallel, never a whole-frame
+    *     window.
+    * Every repeated n-gram is an anchor, so a shared span of length L
+    * yields L-n+1 anchors that coalesce into ONE maximal span — anchors
+    * (the candidate volume) grow linearly in corpus clones
+    * (ScaleGrowth's spans family measures exactly that).
+    *
+    * Digest equality stands in for gram equality at 2^-64-collision
+    * odds — the content-addressed-dedup trade documented on
+    * [[exactByDigest]]; a paranoid caller re-verifies spans against
+    * document text afterwards. Tokenization is the corpus single-space
+    * contract WITHOUT lowercasing ("verbatim" means byte-exact). */
+  /** Positional n-gram digest occurrences `(id, pos, dg)` — the span
+    * family's measurement surface (ScaleGrowth counts anchors and
+    * digest occupancy off this frame). */
+  private[graft] def spanOccurrences(df: DataFrame, idCol: Column, textCol: Column,
+                                     n: Int): DataFrame = {
+    require(n >= 2, s"repeatedSpans: span n-gram length must be >= 2, got $n")
+    // ANSI guard: sequence(0, size-n) with size<n would count DOWNWARD
+    val gramStructs = when(size(col("__t")) >= n,
+      transform(sequence(lit(0), size(col("__t")) - n),
+        p => struct(p.as("pos"),
+          md5(array_join(slice(col("__t"), p + lit(1), lit(n)), " ").cast("binary")).as("dg"))))
+      .otherwise(array().cast("array<struct<pos:int,dg:string>>"))
+    df.select(idCol.as("id"), split(textCol, " ").as("__t"))
+      // same single-file-split spreading rationale as shinglesRaw
+      .repartition(col("id"))
+      .select(col("id"), explode(gramStructs).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.dg").as("dg"))
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spanOccurrences(df, idCol, textCol, n)
+    val rep = occ.groupBy("dg")
+      .agg(min("id").as("__mn"), max("id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("dg")
+    val anchors = occ.join(rep, Seq("dg")).select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevEnds = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    anchors
+      .withColumn("__e", col("pos") + lit(n - 1))
+      // new island when this window starts beyond every earlier end + 1
+      .withColumn("__brk",
+        when(col("pos") > coalesce(max(col("__e")).over(prevEnds), lit(-2)) + 1, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min("pos").as("__s"), max("__e").as("__x"))
+      .select(col("id"),
+        col("__s").cast("bigint").as("span_start"),
+        col("__x").cast("bigint").as("span_end"),
+        (col("__x") - col("__s") + 1).cast("bigint").as("span_tokens"))
+  }
 }

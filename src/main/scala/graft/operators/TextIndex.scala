@@ -115,14 +115,27 @@ object TextIndex {
   }
 
   /** Order-independent digest of a CDC feed — the applyDelta replay
-    * detector. bit_xor of per-row hashes (commutative, overflow-free
-    * under ANSI) plus the row count; nulls in removed rows' payload
-    * fold as absent, which is fine for a retry detector. */
+    * detector. Three components: row count, bit_xor of per-row hashes
+    * (commutative, overflow-free under ANSI), and total payload length
+    * — the length term shrinks the surface where two DIFFERENT
+    * consecutive feeds would need both an xor collision and an equal
+    * row count to be silently dropped. Nulls in removed rows' payload
+    * fold as absent, which is fine for a retry detector.
+    *
+    * Known, accepted behaviors of a digest-based detector:
+    *  - two consecutive EMPTY feeds share the digest by construction,
+    *    so a legitimate second empty delta is skipped — correct (an
+    *    empty feed changes nothing; the only effect is that no empty
+    *    segment is written) and documented here rather than papered
+    *    over;
+    *  - two consecutive feeds with IDENTICAL content likewise dedupe,
+    *    which is exactly the retry case the marker exists for. */
   private def feedDigest(feedC: DataFrame, idCol: String, textCol: String): String = {
     val r = feedC.agg(count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64(`$idCol`, change_type, `$textCol`))"),
-        lit(0L)).as("x")).head
-    s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}"
+        lit(0L)).as("x"),
+      coalesce(sum(length(col(textCol))), lit(0L)).as("len")).head
+    s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}_${r.getAs[Long]("len")}"
   }
 
   private def writeFeedMarker(spark: SparkSession, segPath: String, digest: String): Unit = {

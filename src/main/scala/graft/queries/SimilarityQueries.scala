@@ -211,8 +211,39 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rk")
   }
 
+  /** Recall gate for the CORPUS×CORPUS join (the q_sim_recall pattern
+    * extended to [[AnnJoin.annJoin]]): a bounded query sample (even ids
+    * < 20) runs through the grid-blocked cell join against the full odd
+    * reference side, and its top-3 is intersected with the brute-force
+    * ground truth over the same split. Deterministic quantized-integer
+    * ranking on both legs, so recall is DuckDB-oracle-able, not a
+    * flaky float compare. Scale: ground truth is bounded by the sample
+    * (10 queries broadcast against one corpus pass); the join leg is
+    * the production plan with the left side filtered. */
+  def simJoinRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = prepped(spark, sfDir).cache()
+    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+    val isQuery = col("id") % 2 === 0 && col("id") < 20
+    val truth = Similarity.bruteTopK(
+        p.filter(col("id") % 2 === 1), p.filter(isQuery), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = AnnJoin.annJoin(
+        cells.filter(isQuery), cells.filter(col("id") % 2 === 1), k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Rnd.r(coalesce(col("hits"), lit(0L)).cast("double") / lit(3.0), 6)
+          .as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_join" -> simJoinAnn,
+    "q_sim_join_recall" -> simJoinRecall,
     "q_sim_join_probe" -> simJoinAnnProbe,
     "q_sim_topk" -> simTopK,
     "q_sim_recall" -> simRecall,
@@ -402,6 +433,53 @@ object SimilarityQueries extends QueryModule {
          |qs AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 10),
          |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
          |  FROM qs q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM ncos) WHERE rk <= 3),
+         |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
+         |  FROM ar a LEFT JOIN tr t
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
+    // q_sim_join_recall: q_sim_recall's intersect-with-brute harness
+    // over the COLLECTION SPLIT — tr is the brute top-3 of even-id
+    // queries (< 20) against odd-id references, ar is q_sim_join's
+    // cell-join chain with the same left filter
+    "q_sim_join_recall" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i
+         |    AND a.vec_id % 2 = 0 AND a.vec_id < 20 AND b.vec_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |bcos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM bcos) WHERE rk <= 3),
+         |$cdCcosSql
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM cells q JOIN cells c ON c.cell = q.cell
+         |  WHERE q.vec_id % 2 = 0 AND q.vec_id < 20 AND c.vec_id % 2 = 1),
          |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
          |  FROM cand
          |  JOIN qv qa ON qa.vec_id = cand.query_id

@@ -324,9 +324,41 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Token budget per packed training sequence for q_pack_tokens. */
+  private val TokenBudget = 512L
+
+  /** TOKEN-TRUE sequence packing — the step every pretraining loader
+    * actually runs: documents are measured in TOKENIZER tokens (the
+    * native `bpe_encode` under [[EncRules]], fused into the scan), then
+    * concat-then-slice packed into [[TokenBudget]]-token bins by the
+    * distributed prefix sum ([[graft.operators.PrefixSum.packByBudget]]
+    * — no whole-frame window). q_pack_sequences keeps the
+    * character-budget variant; this row composes the tokenizer with the
+    * packer so bins hold a fixed TOKEN budget, which is what the
+    * training batch shape cares about. The oracle replays the encode
+    * symbol-exactly (the q_bpe_encode replace-chain) and the pack as a
+    * window sum. */
+  def packTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val merges = array(EncRules.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(call_function("bpe_encode", lower(col("text")), merges))
+          .cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.packByBudget(
+      toks, Seq(col("doc_id")), col("n_tokens"), TokenBudget, "bin",
+      // doc_id is the unique order key — skip the content-hash pass
+      tieBreaker = Some(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("bin_end").as("offset_end"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
+    "q_pack_tokens" -> packTokens,
     "q_text_search" -> textSearch,
     "q_text_search_incr" -> textSearchIncr,
     "q_quality_prune" -> qualityPrune,
@@ -387,7 +419,10 @@ object TextQueries extends QueryModule {
     * greedy pass), then boundaries collapse to spaces. Generated from
     * the SAME EncRules constant as the Spark side. */
   private def encSqlExpr: String = {
-    val base = """regexp_replace(w, '(.)', '|\1', 'g') || '|</w>|'"""
+    // (?s) dotall: words are split only on ' ', so an embedded newline
+    // is an ordinary symbol to the Spark expression's codePointAt loop —
+    // RE2's newline-excluding '.' would silently skip it here
+    val base = """regexp_replace(w, '(?s)(.)', '|\1', 'g') || '|</w>|'"""
     val chained = EncRules.foldLeft(base) { case (s, (a, b)) =>
       s"replace($s, '|$a|$b|', '|$a$b|')"
     }
@@ -406,6 +441,24 @@ object TextQueries extends QueryModule {
          |       ELSE len(string_split(encoded, ' ')) END AS BIGINT) AS n_tokens,
          |  encoded
          |FROM enc ORDER BY doc_id""".stripMargin,
+    // token-true packing: the same encode replay, then a window sum —
+    // bin = floor(start_offset / budget), document binned where it STARTS
+    "q_pack_tokens" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |      w -> $encSqlExpr), ' ') AS encoded
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN encoded = '' THEN 0
+         |         ELSE len(string_split(encoded, ' ')) END AS BIGINT) AS n_tokens
+         |  FROM enc)
+         |SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,
+         |  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+         |    / $TokenBudget.0) AS BIGINT) AS bin
+         |FROM tok ORDER BY doc_id""".stripMargin,
     // literal mirror of Bpe.withSymbols/pairCounts: per-position substr
     // symbols + '</w>' marker, frequency-weighted adjacent pairs
     "q_bpe_pairs" ->

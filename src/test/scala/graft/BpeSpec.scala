@@ -112,13 +112,48 @@ class BpeSpec extends AnyFunSuite {
       .zipWithIndex.foreach { case (r, i) => assert(r.rank == i) }
   }
 
+  test("driver-drain and distributed paths are rule-for-rule identical") {
+    // richer structure than Corpus: 300 random words over a 6-letter
+    // alphabet, 80 merges — deep enough that any drift in incremental
+    // pair maintenance, lazy-heap invalidation, or tie-breaks surfaces
+    val rnd = new scala.util.Random(7)
+    val words = Vector.fill(300)(
+      Vector.fill(rnd.nextInt(8) + 2)(('a' + rnd.nextInt(6)).toChar).mkString)
+    val corpus = Seq.fill(120)(
+      Vector.fill(12)(words(rnd.nextInt(words.size))).mkString(" "))
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val local = Bpe.train(spark, df, col("text"), nMerges = 80)
+    val dist = Bpe.train(spark, df, col("text"), nMerges = 80, driverDrainMaxWords = 0)
+    assert(local == dist)
+    assert(local.map(r => (r.lhs, r.rhs, r.n)) == refTrain(corpus, 80))
+  }
+
+  test("driver-drain path: supplementary chars split and tie-break like Spark") {
+    // U+FFFD (3-byte UTF-8, single UTF-16 char) vs U+1D54F (4-byte
+    // UTF-8, surrogate PAIR in UTF-16): Java String order puts U+FFFD
+    // ABOVE the surrogate; UTF8String byte order puts it BELOW. The two
+    // words tie on the second merge, so a trainer comparing UTF-16
+    // code units (or splitting toCharArray) diverges from Spark here.
+    val x = "𝕏" // 𝕏
+    val corpus = Seq("�z �z", s"${x}z ${x}z")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val local = Bpe.train(spark, df, col("text"), nMerges = 3)
+    val dist = Bpe.train(spark, df, col("text"), nMerges = 3, driverDrainMaxWords = 0)
+    assert(local == dist)
+    // first merge: (z, </w>) n=4; second: the UTF-8-smaller U+FFFD side
+    assert(local(1).lhs == "�")
+  }
+
   test("train leaves no persisted RDDs behind and stops when dry") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val df = Seq((1L, "ab ab")).toDF("id", "text")
-    // tiny vocab: merges go dry long before 50
+    // tiny vocab: merges go dry long before 50 — on BOTH paths
     val rules = Bpe.train(spark, df, col("text"), nMerges = 50)
     assert(rules.nonEmpty && rules.size < 50)
+    assert(sc.getPersistentRDDs.keySet == before)
+    val dist = Bpe.train(spark, df, col("text"), nMerges = 50, driverDrainMaxWords = 0)
+    assert(dist == rules)
     assert(sc.getPersistentRDDs.keySet == before)
   }
 

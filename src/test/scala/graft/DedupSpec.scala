@@ -28,6 +28,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("repeatedSpans: planted cross-doc spans merge to maximal; within-doc repeats don't count") {
+    def spans(rows: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] =
+      Dedup.repeatedSpans(rows.toDF("id", "text"), col("id"), col("text"), n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // one shared 4-token span → anchors overlap → ONE maximal span per doc
+    assert(spans(Seq(
+      (1L, "u1 u2 X Y Z W u3"),
+      (2L, "v1 X Y Z W v2 v3"))) ==
+      Set((1L, 2L, 5L, 4L), (2L, 1L, 4L, 4L)))
+    // two disjoint shared spans → two islands per doc
+    assert(spans(Seq(
+      (3L, "X Y Z q1 q2 q3 A B C q4"),
+      (4L, "X Y Z r1 r2 A B C r3"))) ==
+      Set((3L, 0L, 2L, 3L), (3L, 6L, 8L, 3L), (4L, 0L, 2L, 3L), (4L, 5L, 7L, 3L)))
+    // an n-gram repeated only WITHIN one doc is not a cross-doc span
+    assert(spans(Seq(
+      (5L, "M N O p M N O"),
+      (6L, "totally unrelated words here"))) == Set.empty)
+    // verbatim means case-sensitive; short docs yield no grams
+    assert(spans(Seq((7L, "a B c D e"), (8L, "a b c d e"), (9L, "a b"))) == Set.empty)
+  }
+
   test("identical texts share the full MinHash signature; LSH pairs them; Jaccard = 1.0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
