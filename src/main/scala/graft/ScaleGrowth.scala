@@ -345,8 +345,8 @@ object ScaleGrowth {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "emb", "index", "bpe", "annjoin", "all")(families),
-      s"families must be docs|emb|index|bpe|annjoin|all, got $families")
+    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -375,7 +375,10 @@ object ScaleGrowth {
         val (wS, aStats) = simhashAdaptiveStats(docs, nDocs)
         row(s"simhash-adaptive (4x${wS}b)", s, aStats)
         row("simjoin-prefix (3gram,t=0.6)", s, simjoinStats(docs, nDocs))
-        row("spans-exact (8gram)", s, spansStats(docs, nDocs))
+      }
+      if (families == "spans" || families == "all") {
+        val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        row("spans-exact (8gram)", s, spansStats(docs, docs.count()))
       }
       if (families == "emb" || families == "all") {
         val dim = 64
@@ -426,7 +429,22 @@ object ScaleGrowth {
         }
         bpeRow("16 merges, drain", 16, Bpe.DriverDrainMaxWords)
         bpeRow("2000 merges, drain", 2000, Bpe.DriverDrainMaxWords)
-        if (s == 1) bpeRow("16 merges, distributed ctl", 16, 0L)
+        if (s == 1) {
+          bpeRow("16 merges, distributed ctl", 16, 0L)
+          // The plain fixture's 31-word vocabulary dries out at ~107
+          // rules; a PRODUCTION-shaped merge count needs a production-
+          // shaped vocabulary. 20 distinct 8-hex-char words per doc →
+          // ~100k distinct words over a 17-symbol alphabet: thousands
+          // of live merges, measured on the drain path.
+          val rich = Tables.documents(spark, sfDir).select(col("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(20)),
+              i => substring(md5(concat(col("doc_id").cast("string"),
+                lit(":"), i.cast("string"))), 1, 8))).as("text")).cache()
+          val g = bpeGrowth(spark, rich, nMerges = 2000)
+          val head = g.rules.take(3).map(r => s"${r.lhs}+${r.rhs}").mkString(" ")
+          bpeRows += (f"| bpe-train (2000 merges, drain, hash-vocab) | ${s}x | ${g.rows} | " +
+            f"${g.vocab} | ${g.trainWall}%.1f | ${g.rules.size} | $head |")
+        }
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -737,6 +737,34 @@ object Dedup {
       .select(col("id"), col("g.pos").as("pos"), col("g.dg").as("dg"))
   }
 
+  /** APPLY the span-removal list: documents come back with every
+    * repeated-span token deleted (`clean_text`) plus the removed-token
+    * count. Scale shape: the span list aggregates to ONE small row per
+    * affected document (span count is bounded by anchors/n), rides one
+    * equi-join back to the corpus, and the deletion itself is a narrow
+    * per-row array filter — the corpus text never shuffles and no
+    * token-level explode happens outside the digest pass. Documents
+    * with no repeated spans pass through untouched (left join). */
+  def removeRepeatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+                          n: Int): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__spans"))
+    df.select(idCol.as("id"), split(textCol, " ").as("__t"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        array_join(
+          filter(col("__t"), (t, p) =>
+            col("__spans").isNull ||
+              !exists(col("__spans"),
+                sp => p.cast("long") >= sp("s") && p.cast("long") <= sp("e"))),
+          " ").as("clean_text"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(aggregate(col("__spans"), lit(0L),
+            (acc, sp) => acc + (sp("e") - sp("s") + 1))).as("n_removed"))
+  }
+
   def repeatedSpans(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val occ = spanOccurrences(df, idCol, textCol, n)

@@ -220,6 +220,16 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
 
+  /** The span-removal APPLY step ([[Dedup.removeRepeatedSpans]]): the
+    * corpus with every repeated span deleted in place — span lists ride
+    * one small join, deletion is a narrow in-row array filter; the
+    * oracle rebuilds clean text by token-level anti-join + ordered
+    * string_agg. */
+  def dedupSpansApply(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.removeRepeatedSpans(Tables.documents(spark, sfDir), col("doc_id"), col("text"), SpanN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Contamination FRACTION per document (the gray-zone instrument):
     * same winnow fingerprints and eval set as q_decontaminate, but
     * instead of a binary drop every doc reports how MUCH of it overlaps
@@ -319,11 +329,37 @@ object DedupQueries extends QueryModule {
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_winnow" -> dedupWinnow,
     "q_dedup_spans" -> dedupSpans,
+    "q_dedup_spans_apply" -> dedupSpansApply,
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_contamination_score" -> contaminationScore,
     "q_split_by_cluster" -> splitByCluster)
+
+  /** Shared replay of [[Dedup.repeatedSpans]]: positional digest
+    * anchors → cross-doc repeated digests → gaps-and-islands merge,
+    * ending in `spansq(doc_id, s, x)` — interpolated into the span
+    * report AND the apply oracle so the two can never desynchronize. */
+  private val spansChainSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, u['p'] AS pos, u['dg'] AS dg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, len(t) - $SpanN + 1),
+       |      p -> {'p': p,
+       |            'dg': md5(array_to_string(list_slice(t, p + 1, p + $SpanN), ' '))})) AS u
+       |    FROM toks)),
+       |rep AS (SELECT dg FROM occ GROUP BY dg HAVING MIN(doc_id) <> MAX(doc_id)),
+       |anch AS (SELECT doc_id, pos, pos + $SpanN - 1 AS e FROM occ JOIN rep USING (dg)),
+       |g AS (SELECT doc_id, pos, e,
+       |  CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM anch),
+       |isl AS (SELECT doc_id, pos, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g),
+       |spansq AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS x
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   // The shingle bound derives from each row's token count (scalar
   // range() inside list_transform) — no fixture-dependent cap that a
@@ -505,29 +541,37 @@ object DedupQueries extends QueryModule {
     // literal SQL replay of Dedup.repeatedSpans (no lowercasing:
     // verbatim means byte-exact)
     "q_dedup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |occ AS (
-         |  SELECT doc_id, u['p'] AS pos, u['dg'] AS dg FROM (
-         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - $SpanN + 1),
-         |      p -> {'p': p,
-         |            'dg': md5(array_to_string(list_slice(t, p + 1, p + $SpanN), ' '))})) AS u
-         |    FROM toks)),
-         |rep AS (SELECT dg FROM occ GROUP BY dg HAVING MIN(doc_id) <> MAX(doc_id)),
-         |anch AS (SELECT doc_id, pos, pos + $SpanN - 1 AS e FROM occ JOIN rep USING (dg)),
-         |g AS (SELECT doc_id, pos, e,
-         |  CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-         |    THEN 1 ELSE 0 END AS brk
-         |  FROM anch),
-         |isl AS (SELECT doc_id, pos, e,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-         |  FROM g)
+      s"""WITH $spansChainSql
          |SELECT doc_id,
-         |  CAST(MIN(pos) AS BIGINT) AS span_start,
-         |  CAST(MAX(e) AS BIGINT) AS span_end,
-         |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
-         |FROM isl GROUP BY doc_id, island
+         |  CAST(s AS BIGINT) AS span_start,
+         |  CAST(x AS BIGINT) AS span_end,
+         |  CAST(x - s + 1 AS BIGINT) AS span_tokens
+         |FROM spansq
          |ORDER BY doc_id, span_start""".stripMargin,
+    // the APPLY step: every span-covered token position deleted, text
+    // rebuilt in position order (token-level expansion is fine for the
+    // oracle; the Spark side does a narrow in-row array filter)
+    "q_dedup_spans_apply" ->
+      s"""WITH $spansChainSql,
+         |tokpos AS (SELECT doc_id, u['p'] AS pos, u['t'] AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t)),
+         |    p -> {'p': p, 't': t[p + 1]})) AS u
+         |  FROM toks)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spansq s
+         |    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.x)),
+         |clean AS (SELECT doc_id,
+         |    COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, CAST(SUM(x - s + 1) AS BIGINT) AS n_removed
+         |  FROM spansq GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(c.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM (SELECT DISTINCT doc_id FROM toks) d
+         |LEFT JOIN clean c USING (doc_id)
+         |LEFT JOIN rem r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_corpus_pipeline" ->
       s"""WITH RECURSIVE $pairChainSql,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM ver

@@ -220,15 +220,16 @@ object SimilarityQueries extends QueryModule {
     * flaky float compare. Scale: ground truth is bounded by the sample
     * (10 queries broadcast against one corpus pass); the join leg is
     * the production plan with the left side filtered. */
-  def simJoinRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  private def joinRecallHarness(spark: SparkSession, sfDir: String)(
+      approxOf: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     val p = prepped(spark, sfDir).cache()
     val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
     val isQuery = col("id") % 2 === 0 && col("id") < 20
     val truth = Similarity.bruteTopK(
         p.filter(col("id") % 2 === 1), p.filter(isQuery), 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = AnnJoin.annJoin(
-        cells.filter(isQuery), cells.filter(col("id") % 2 === 1), k = 3)
+    val approx = approxOf(cells.filter(isQuery),
+        cells.filter(col("id") % 2 === 1), p)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
@@ -241,9 +242,21 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id")
   }
 
+  def simJoinRecall(spark: SparkSession, sfDir: String): DataFrame =
+    joinRecallHarness(spark, sfDir)((l, r, _) => AnnJoin.annJoin(l, r, k = 3))
+
+  /** The same recall gate at nprobe=2 ([[AnnJoin.annJoinProbe]]) — the
+    * measured answer to "what does the second probe buy on the
+    * corpus×corpus join": diff this result against q_sim_join_recall. */
+  def simJoinRecallProbe(spark: SparkSession, sfDir: String): DataFrame =
+    joinRecallHarness(spark, sfDir)((l, r, p) =>
+      AnnJoin.annJoinProbe(l, r,
+        Similarity.strideCentroids(p, IvfStride), k = 3, nprobe = NProbe))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_join" -> simJoinAnn,
     "q_sim_join_recall" -> simJoinRecall,
+    "q_sim_join_recall_probe" -> simJoinRecallProbe,
     "q_sim_join_probe" -> simJoinAnnProbe,
     "q_sim_topk" -> simTopK,
     "q_sim_recall" -> simRecall,
@@ -480,6 +493,53 @@ object SimilarityQueries extends QueryModule {
          |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM cells q JOIN cells c ON c.cell = q.cell
          |  WHERE q.vec_id % 2 = 0 AND q.vec_id < 20 AND c.vec_id % 2 = 1),
+         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+         |  FROM cand
+         |  JOIN qv qa ON qa.vec_id = cand.query_id
+         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ncos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM ncos) WHERE rk <= 3),
+         |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
+         |  FROM ar a LEFT JOIN tr t
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
+    // the nprobe=2 variant: identical harness, candidates from the
+    // q_sim_join_probe chain (left side probes rn <= NProbe cells)
+    "q_sim_join_recall_probe" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i
+         |    AND a.vec_id % 2 = 0 AND a.vec_id < 20 AND b.vec_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |bcos AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |    FROM bcos) WHERE rk <= 3),
+         |$cdCcosSql
+         |ranked AS (SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |qcells AS (SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= $NProbe AND vec_id % 2 = 0 AND vec_id < 20),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qcells q JOIN cells c ON c.cell = q.cell
+         |  WHERE c.vec_id % 2 = 1),
          |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
          |  FROM cand
          |  JOIN qv qa ON qa.vec_id = cand.query_id

@@ -147,6 +147,29 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("substring spans: anchors linear, digest occupancy flat over a 10x clone") {
+    // token-suffixed replicas share no grams across replicas, so the
+    // original's repeated-span structure replicates EXACTLY s times —
+    // repeated digests, anchors (the digest-join fan-in) and merged
+    // maximal spans must all scale by the factor with occupancy flat;
+    // occupancy growth would mean anchor lists concentrating on few
+    // digests (a skewed digest join at corpus scale).
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val n1 = docs1.count()
+    val docsN = ScaleGrowth.scaledDocs(docs1, Factor).cache()
+    val s1 = ScaleGrowth.spansStats(docs1, n1)
+    val sN = ScaleGrowth.spansStats(docsN, n1 * Factor)
+    occBand("spans-exact", s1.meanOcc, sN.meanOcc)
+    assert(s1.verified > 0, "fixture has no planted repeated spans — gate is vacuous")
+    assert(sN.buckets == s1.buckets * Factor,
+      s"repeated digests ${s1.buckets} -> ${sN.buckets}: not linear")
+    assert(sN.candidates == s1.candidates * Factor,
+      s"anchors ${s1.candidates} -> ${sN.candidates}: not linear")
+    assert(sN.verified == s1.verified * Factor,
+      s"merged spans ${s1.verified} -> ${sN.verified}: not linear")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
