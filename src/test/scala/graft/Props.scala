@@ -373,3 +373,74 @@ object SetSimJoinCrossProps extends Properties("SetSimJoinCross") {
       got == want
     }
 }
+
+object SpansProps extends Properties("Spans") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val N = 3
+  // tiny alphabet + short docs: cross-doc gram repeats are common and
+  // overlap/adjacency/island edge cases all get generated
+  private val word = Gen.oneOf("aa", "bb", "cc", "dd")
+  private val docGen = Gen.chooseNum(0, 12)
+    .flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+  private val corpusGen = Gen.chooseNum(2, 6).flatMap(d => Gen.listOfN(d, docGen))
+
+  /** Covered token positions per doc, by brute force: every n-gram
+    * occurring in >= 2 distinct docs covers its n positions. */
+  private def refCovered(docs: Seq[String]): Map[Long, Set[Int]] = {
+    val toks = docs.map(_.split(" ", -1).toSeq)
+    val grams = toks.zipWithIndex.flatMap { case (t, d) =>
+      if (t.length >= N) (0 to t.length - N).map(p => (t.slice(p, p + N).mkString(" "), d, p))
+      else Seq.empty }
+    val repeated = grams.groupBy(_._1)
+      .filter { case (_, occ) => occ.map(_._2).distinct.size >= 2 }.keySet
+    grams.filter(g => repeated(g._1))
+      .groupBy(_._2.toLong)
+      .view.mapValues(_.flatMap { case (_, _, p) => p until p + N }.toSet).toMap
+  }
+
+  /** Maximal runs of consecutive covered positions — provably equal to
+    * the operator's merged-anchor-interval islands (adjacent windows
+    * merge in both formulations). */
+  private def runs(ps: Set[Int]): Set[(Long, Long, Long)] = {
+    val sorted = ps.toSeq.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var start = -1; var prev = -2
+    for (p <- sorted) {
+      if (p != prev + 1) { if (start >= 0) out += ((start.toLong, prev.toLong, (prev - start + 1).toLong)); start = p }
+      prev = p
+    }
+    if (start >= 0) out += ((start.toLong, prev.toLong, (prev - start + 1).toLong))
+    out.toSet
+  }
+
+  property("repeatedSpans equals brute-force covered-position runs") =
+    Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.operators.Dedup.repeatedSpans(df, col("id"), col("text"), N)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet).toMap
+      val want = refCovered(docs).collect { case (d, ps) if ps.nonEmpty => d -> runs(ps) }
+      got == want
+    }
+
+  property("removeRepeatedSpans drops exactly the covered positions") =
+    Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.operators.Dedup.removeRepeatedSpans(df, col("id"), col("text"), N)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val covered = refCovered(docs)
+      docs.zipWithIndex.forall { case (t, i) =>
+        val cov = covered.getOrElse(i.toLong, Set.empty)
+        val toks = t.split(" ", -1).toSeq
+        val wantText = toks.zipWithIndex.collect { case (tok, p) if !cov(p) => tok }.mkString(" ")
+        got(i.toLong) == ((wantText, cov.size.toLong))
+      }
+    }
+}
