@@ -136,7 +136,13 @@ object Bench {
     val overTop = results.collect { case (k, v) if v > budget => (k, v) }
       .sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"over_budget_top":$overTop,"sf":"$sfDir"}"""
+    // the failed list must be bounded too: a broken build failing ALL
+    // 100+ queries would push the line back over the tail window —
+    // report the count plus the first few names (full list in stderr
+    // and the side file)
+    val failedNames = failed.distinct
+    val failedCompact = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"over_budget_top":$overTop,"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
   }

@@ -327,4 +327,28 @@ object Bpe {
     import spark.implicits._
     rules.toDF()
   }
+
+  /** Persist a trained model: one parquet file (the model is bounded —
+    * nMerges rows — so a single file is the right layout; rank order is
+    * restored on load, not assumed from file order). */
+  def saveModel(spark: SparkSession, rules: Seq[MergeRule], path: String): Unit =
+    rulesDf(spark, rules).repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a model persisted by [[saveModel]], rank-ordered. */
+  def loadModel(spark: SparkSession, path: String): Seq[MergeRule] =
+    spark.read.parquet(path).select("rank", "lhs", "rhs", "n").collect()
+      .map(r => MergeRule(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
+  /** The `merges` argument of the native `bpe_encode` expression from a
+    * rule list: a plan literal in rank order (position IS the rank the
+    * encoder reads). For corpus-wide application of a large model,
+    * deliver through BroadcastRef instead — same element shape. */
+  def mergesLit(rules: Seq[MergeRule]): Column = {
+    val sorted = rules.sortBy(_.rank)
+    if (sorted.isEmpty)
+      array().cast("array<struct<lhs:string,rhs:string>>")
+    else
+      array(sorted.map(r => struct(lit(r.lhs).as("lhs"), lit(r.rhs).as("rhs"))): _*)
+  }
 }

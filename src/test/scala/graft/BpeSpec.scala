@@ -177,6 +177,31 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("model save/load round-trip: loaded rules encode identically") {
+    val df = Corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rules = Bpe.train(spark, df, col("text"), nMerges = 12)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bpe_model_${java.util.UUID.randomUUID()}"
+    try {
+      Bpe.saveModel(spark, rules, dir)
+      val loaded = Bpe.loadModel(spark, dir)
+      assert(loaded == rules)
+      val enc = (m: org.apache.spark.sql.Column) => df
+        .select(col("id"), call_function("bpe_encode", lower(col("text")), m))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(enc(Bpe.mergesLit(loaded)) == enc(Bpe.mergesLit(rules)))
+      // empty model: every word stays per-char + marker (no merges)
+      val none = df.select(call_function("bpe_encode", lit("ab"), Bpe.mergesLit(Seq.empty)))
+        .head.getSeq[String](0)
+      assert(none == Seq("a", "b", Bpe.EndOfWord))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("bpe_encode null contract: null text -> null; corrupt model throws") {
     val merges = array(struct(lit("a").as("lhs"), lit("b").as("rhs")))
     val df = Seq(Tuple1(Option.empty[String]), Tuple1(Some("ab"))).toDF("text")
