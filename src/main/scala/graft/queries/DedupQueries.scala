@@ -230,6 +230,26 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Incremental substring dedup ([[Dedup.incrementalRepeatedSpans]]):
+    * the corpus splits 80/20 into OLD state and the NEW batch (the
+    * q_dedup_incremental split); output = repeated spans in batch
+    * documents only. The old side contributes ONLY its persisted
+    * digest-set state ([[FrameFixture]] — membership, not positions);
+    * per-batch cost is batch grams + one state probe, never an old
+    * re-read. The oracle computes full-corpus spans restricted to
+    * batch ids — exactly equal by the state-membership argument on
+    * the operator. */
+  def dedupSpansIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val state = FrameFixture(spark, "span_digest_state", sfDir)(
+      Dedup.spanDigestState(docs.filter(!isNew), col("doc_id"), col("text"), SpanN))
+    Dedup.incrementalRepeatedSpans(
+        docs.filter(isNew), col("doc_id"), col("text"), state, SpanN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Contamination FRACTION per document (the gray-zone instrument):
     * same winnow fingerprints and eval set as q_decontaminate, but
     * instead of a binary drop every doc reports how MUCH of it overlaps
@@ -330,6 +350,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" -> dedupWinnow,
     "q_dedup_spans" -> dedupSpans,
     "q_dedup_spans_apply" -> dedupSpansApply,
+    "q_dedup_spans_incr" -> dedupSpansIncr,
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
@@ -547,6 +568,18 @@ object DedupQueries extends QueryModule {
          |  CAST(x AS BIGINT) AS span_end,
          |  CAST(x - s + 1 AS BIGINT) AS span_tokens
          |FROM spansq
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // incremental = full-corpus spans restricted to the batch (exact:
+    // a batch gram's cross-doc partner is an old doc — state membership
+    // — or another batch doc; old×old-only digests anchor nothing here)
+    "q_dedup_spans_incr" ->
+      s"""WITH $spansChainSql
+         |SELECT doc_id,
+         |  CAST(s AS BIGINT) AS span_start,
+         |  CAST(x AS BIGINT) AS span_end,
+         |  CAST(x - s + 1 AS BIGINT) AS span_tokens
+         |FROM spansq
+         |WHERE doc_id % 10 >= 8
          |ORDER BY doc_id, span_start""".stripMargin,
     // the APPLY step: every span-covered token position deleted, text
     // rebuilt in position order (token-level expansion is fine for the

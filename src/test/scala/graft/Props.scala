@@ -443,4 +443,19 @@ object SpansProps extends Properties("Spans") {
         got(i.toLong) == ((wantText, cov.size.toLong))
       }
     }
+  property("incrementalRepeatedSpans == full-corpus spans restricted to the batch") =
+    Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val isNew = col("id") % 2 === 0
+      def spanSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val full = spanSet(graft.operators.Dedup.repeatedSpans(df, col("id"), col("text"), N)
+        .filter(col("id") % 2 === 0).collect())
+      val state = graft.operators.Dedup.spanDigestState(
+        df.filter(!isNew), col("id"), col("text"), N)
+      val incr = spanSet(graft.operators.Dedup.incrementalRepeatedSpans(
+        df.filter(isNew), col("id"), col("text"), state, N).collect())
+      incr == full
+    }
 }
+
