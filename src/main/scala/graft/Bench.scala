@@ -143,7 +143,13 @@ object Bench {
     val failedNames = failed.distinct
     val failedCompact = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"over_budget_top":$overTop,"sf":"$sfDir"}"""
-    println(compact)
+    // A SPARK_GRAFT_ONLY subset is a human iterating on specific
+    // queries: it writes no side file (a partial run must never shadow
+    // the full record), so the per-query map must go to stdout or the
+    // individual timings are recorded nowhere. Subset lines are small
+    // by construction; only the FULL run needs the compact form (its
+    // map is ~5 KB against the driver's 2000-char tail).
+    println(if (only.isEmpty) compact else line)
     System.out.flush()
   }
 }

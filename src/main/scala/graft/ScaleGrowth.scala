@@ -273,12 +273,16 @@ object ScaleGrowth {
     val per = occ.groupBy("dg")
       .agg(count(lit(1)).as("cnt"), min("id").as("mn"), max("id").as("mx"))
       .filter(col("mn") =!= col("mx"))
+    // bucket pairs keeps the shared column's meaning — Σ c·(c−1)/2 per
+    // repeated digest (the volume a pair-enumerating join WOULD do) —
+    // so the hot-digest quadratic signal is comparable across families
     val agg = per.agg(
       coalesce(count(lit(1)), lit(0L)), coalesce(sum("cnt"), lit(0L)),
-      coalesce(max("cnt"), lit(0L)), coalesce(avg("cnt"), lit(0.0))).head
+      coalesce(max("cnt"), lit(0L)), coalesce(avg("cnt"), lit(0.0)),
+      coalesce(sum(col("cnt") * (col("cnt") - 1) / 2), lit(0.0))).head
     val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"), n).count()
     FamilyStats(nDocs, agg.getLong(0), agg.getDouble(3), agg.getLong(2),
-      agg.getLong(1), agg.getLong(1), spans)
+      agg.getDouble(4).toLong, agg.getLong(1), spans)
   }
 
   /** BPE-training measurements over PLAIN clones (ids offset, text

@@ -85,34 +85,47 @@ object BpeEncode {
     * alternating two models' literals row-by-row in one task. Nothing
     * on the engine's query surface does either. */
   private final class Model(val ref: ArrayData, val n: Int,
-      val first: String, val last: String,
+      val firstLhs: UTF8String, val firstRhs: UTF8String,
+      val lastLhs: UTF8String, val lastRhs: UTF8String,
       val ranks: java.util.HashMap[String, Integer])
   @volatile private var cached: Model = null
 
-  /** "lhs rhs" key of rule i — also the corrupt-model null check. */
-  private def ruleKey(merges: ArrayData, i: Int): String = {
+  /** lhs/rhs of rule i, unmaterialized — also the corrupt-model null
+    * check. `ord` is 0 (lhs) or 1 (rhs). */
+  private def sideOf(merges: ArrayData, i: Int, ord: Int): UTF8String = {
     val row = merges.getStruct(i, 2)
     require(row != null && !row.isNullAt(0) && !row.isNullAt(1),
       s"bpe_encode: merges[$i] is null or has a null side — corrupt model")
-    row.getUTF8String(0).toString + " " + row.getUTF8String(1).toString
+    row.getUTF8String(ord)
   }
 
   private def ranksFor(merges: ArrayData): java.util.HashMap[String, Integer] = {
     val c = cached
     val n = merges.numElements()
+    // hit path runs PER ROW of a corpus-wide encode: byte-compare the
+    // stored defensive UTF8String copies against the live accessors —
+    // no Java String materialization on a hit
     if (c != null && (c.ref eq merges) && c.n == n &&
-        (n == 0 || (ruleKey(merges, 0) == c.first && ruleKey(merges, n - 1) == c.last)))
+        (n == 0 || (c.firstLhs.equals(sideOf(merges, 0, 0)) &&
+          c.firstRhs.equals(sideOf(merges, 0, 1)) &&
+          c.lastLhs.equals(sideOf(merges, n - 1, 0)) &&
+          c.lastRhs.equals(sideOf(merges, n - 1, 1)))))
       return c.ranks
     val m = new java.util.HashMap[String, Integer](n * 2)
     var i = 0
     while (i < n) {
       // first occurrence wins: rank IS the position, lowest is strongest
-      m.putIfAbsent(ruleKey(merges, i), Integer.valueOf(i))
+      m.putIfAbsent(sideOf(merges, i, 0).toString + " " + sideOf(merges, i, 1).toString,
+        Integer.valueOf(i))
       i += 1
     }
+    // clone() the fingerprint sides: the accessors may view a shared
+    // buffer, and a stored view would defeat the staleness check
     cached = new Model(merges, n,
-      if (n > 0) ruleKey(merges, 0) else null,
-      if (n > 0) ruleKey(merges, n - 1) else null, m)
+      if (n > 0) sideOf(merges, 0, 0).clone() else null,
+      if (n > 0) sideOf(merges, 0, 1).clone() else null,
+      if (n > 0) sideOf(merges, n - 1, 0).clone() else null,
+      if (n > 0) sideOf(merges, n - 1, 1).clone() else null, m)
     m
   }
 

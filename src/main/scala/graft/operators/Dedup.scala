@@ -765,8 +765,16 @@ object Dedup {
             (acc, sp) => acc + (sp("e") - sp("s") + 1))).as("n_removed"))
   }
 
-  def repeatedSpans(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
-    val occ = spanOccurrences(df, idCol, textCol, n)
+  /** The occurrence frame feeds the repeated-digest aggregate AND the
+    * anchor join; without a pin only the pre-explode repartition
+    * exchange is reused and the gram explode + per-gram md5 runs once
+    * per consumer. The scope pins it (the Bench/Verify session-sweep
+    * cache contract by default); a 100 TB caller who prefers to
+    * recompute the narrow gram map over materializing the gram frame
+    * passes a no-op scope and eats the second pass knowingly. */
+  def repeatedSpans(df: DataFrame, idCol: Column, textCol: Column, n: Int,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val occ = scope.pin(spanOccurrences(df, idCol, textCol, n))
     val rep = occ.groupBy("dg")
       .agg(min("id").as("__mn"), max("id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
@@ -820,8 +828,11 @@ object Dedup {
     * table) and the semi join reads it co-located — only the
     * batch-sized side repartitions per batch. */
   def incrementalRepeatedSpans(newDf: DataFrame, idCol: Column, textCol: Column,
-                               stateDigests: DataFrame, n: Int): DataFrame = {
-    val occ = spanOccurrences(newDf, idCol, textCol, n)
+                               stateDigests: DataFrame, n: Int,
+                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // three consumers (within-batch agg + two semi joins): pin the
+    // batch gram frame or the explode+md5 pass runs three times
+    val occ = scope.pin(spanOccurrences(newDf, idCol, textCol, n))
     val withinBatch = occ.groupBy("dg")
       .agg(min("id").as("__mn"), max("id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))

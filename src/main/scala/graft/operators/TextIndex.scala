@@ -138,6 +138,18 @@ object TextIndex {
     s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}_${r.getAs[Long]("len")}"
   }
 
+  /** Does `marker` match this feed's digest? Accepts the current
+    * `n_x_len` form AND its `n_x` prefix (the pre-payload-length
+    * format): without the legacy check, the first feed RETRIED across
+    * the digest-format upgrade would mismatch the old marker and be
+    * re-applied — exactly the replay the marker exists to stop. The
+    * prefix compare is safe: `n` and `x` alone were the entire old
+    * digest, so a legacy marker equals the new digest's first two
+    * components iff the old detector would have matched. */
+  private def markerMatches(marker: String, digest: String): Boolean =
+    marker == digest ||
+      marker == digest.split("_", -1).take(2).mkString("_")
+
   private def writeFeedMarker(spark: SparkSession, segPath: String, digest: String): Unit = {
     val fs = fsOf(spark, segPath)
     val out = fs.create(new Path(s"$segPath/_feed"), true)
@@ -266,7 +278,8 @@ object TextIndex {
     // compactIndex repairs them.)
     val digest = feedDigest(feedC, idCol, textCol)
     val lastSeg = segments(spark, dir).lastOption
-    if (lastSeg.exists(s => readFeedMarker(spark, s._2).contains(digest))) {
+    if (lastSeg.exists(s =>
+        readFeedMarker(spark, s._2).exists(markerMatches(_, digest)))) {
       if (staleBy(spark, dir).isDefined) compactIndex(spark, dir, files)
       feedC.unpersist(false)
       return

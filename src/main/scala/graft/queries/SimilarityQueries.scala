@@ -292,6 +292,49 @@ object SimilarityQueries extends QueryModule {
        |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
        |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id JOIN nrm nb ON nb.vec_id = cd.cent_id),""".stripMargin
 
+  /** ONE builder for both corpus×corpus recall oracles: the brute-force
+    * truth chain (tr) and the hits/recall harness are shared verbatim —
+    * only the candidate CTE chain (plain cell join vs nprobe fan-out)
+    * is injected, so the pair can never desynchronize (the
+    * spansChainSql discipline). */
+  private def joinRecallOracleSql(candChainSql: String): String =
+    s"""WITH qv AS ($qvSql),
+       |nrm AS ($nrmSql),
+       |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+       |  FROM qv a JOIN qv b ON a.i = b.i
+       |    AND a.vec_id % 2 = 0 AND a.vec_id < 20 AND b.vec_id % 2 = 1
+       |  GROUP BY 1, 2),
+       |bcos AS (SELECT query_id, neighbor_id,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+       |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+       |tr AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+       |    FROM bcos) WHERE rk <= 3),
+       |$cdCcosSql
+       |$candChainSql,
+       |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
+       |  FROM cand
+       |  JOIN qv qa ON qa.vec_id = cand.query_id
+       |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
+       |  GROUP BY 1, 2),
+       |ncos AS (SELECT query_id, neighbor_id,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+       |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+       |ar AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+       |    FROM ncos) WHERE rk <= 3),
+       |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
+       |  FROM ar a LEFT JOIN tr t
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
+       |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q_sim_join_probe: the q_sim_ivf_probe replay with the collection
     // split — left side probes its nprobe nearest cells (rn <= NProbe,
@@ -471,67 +514,18 @@ object SimilarityQueries extends QueryModule {
     // over the COLLECTION SPLIT — tr is the brute top-3 of even-id
     // queries (< 20) against odd-id references, ar is q_sim_join's
     // cell-join chain with the same left filter
-    "q_sim_join_recall" ->
-      s"""WITH qv AS ($qvSql),
-         |nrm AS ($nrmSql),
-         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i
-         |    AND a.vec_id % 2 = 0 AND a.vec_id < 20 AND b.vec_id % 2 = 1
-         |  GROUP BY 1, 2),
-         |bcos AS (SELECT query_id, neighbor_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
-         |tr AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
-         |    FROM bcos) WHERE rk <= 3),
-         |$cdCcosSql
-         |cells AS (SELECT vec_id, cent_id AS cell FROM (
-         |  SELECT vec_id, cent_id,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM cells q JOIN cells c ON c.cell = q.cell
-         |  WHERE q.vec_id % 2 = 0 AND q.vec_id < 20 AND c.vec_id % 2 = 1),
-         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
-         |  FROM cand
-         |  JOIN qv qa ON qa.vec_id = cand.query_id
-         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
-         |  GROUP BY 1, 2),
-         |ncos AS (SELECT query_id, neighbor_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
-         |ar AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
-         |    FROM ncos) WHERE rk <= 3),
-         |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
-         |  FROM ar a LEFT JOIN tr t
-         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |  GROUP BY 1)
-         |SELECT q.query_id,
-         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-         |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
-         |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
-         |ORDER BY q.query_id""".stripMargin,
-    // the nprobe=2 variant: identical harness, candidates from the
-    // q_sim_join_probe chain (left side probes rn <= NProbe cells)
-    "q_sim_join_recall_probe" ->
-      s"""WITH qv AS ($qvSql),
-         |nrm AS ($nrmSql),
-         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
-         |  FROM qv a JOIN qv b ON a.i = b.i
-         |    AND a.vec_id % 2 = 0 AND a.vec_id < 20 AND b.vec_id % 2 = 1
-         |  GROUP BY 1, 2),
-         |bcos AS (SELECT query_id, neighbor_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
-         |tr AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
-         |    FROM bcos) WHERE rk <= 3),
-         |$cdCcosSql
-         |ranked AS (SELECT vec_id, cent_id,
+    "q_sim_join_recall" -> joinRecallOracleSql(
+      """cells AS (SELECT vec_id, cent_id AS cell FROM (
+        |  SELECT vec_id, cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+        |  FROM ccos) WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM cells q JOIN cells c ON c.cell = q.cell
+        |  WHERE q.vec_id % 2 = 0 AND q.vec_id < 20 AND c.vec_id % 2 = 1)""".stripMargin),
+    // the nprobe=2 variant: identical truth + harness (shared builder),
+    // candidates from the q_sim_join_probe chain (rn <= NProbe cells)
+    "q_sim_join_recall_probe" -> joinRecallOracleSql(
+      s"""ranked AS (SELECT vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
          |  FROM ccos),
          |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
@@ -539,28 +533,7 @@ object SimilarityQueries extends QueryModule {
          |  FROM ranked WHERE rn <= $NProbe AND vec_id % 2 = 0 AND vec_id < 20),
          |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
          |  FROM qcells q JOIN cells c ON c.cell = q.cell
-         |  WHERE c.vec_id % 2 = 1),
-         |nd AS (SELECT cand.query_id, cand.neighbor_id, SUM(qa.q * qb.q) AS dp
-         |  FROM cand
-         |  JOIN qv qa ON qa.vec_id = cand.query_id
-         |  JOIN qv qb ON qb.vec_id = cand.neighbor_id AND qb.i = qa.i
-         |  GROUP BY 1, 2),
-         |ncos AS (SELECT query_id, neighbor_id,
-         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
-         |  FROM nd JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
-         |ar AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
-         |    FROM ncos) WHERE rk <= 3),
-         |h AS (SELECT a.query_id, COUNT(t.neighbor_id) AS hits
-         |  FROM ar a LEFT JOIN tr t
-         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |  GROUP BY 1)
-         |SELECT q.query_id,
-         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-         |  ${Rnd.sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_at_3
-         |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
-         |ORDER BY q.query_id""".stripMargin,
+         |  WHERE c.vec_id % 2 = 1)""".stripMargin),
     "q_sim_ivf_probe" ->
       s"""WITH qv AS ($qvSql),
          |nrm AS ($nrmSql),
