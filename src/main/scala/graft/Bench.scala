@@ -146,10 +146,13 @@ object Bench {
     // A SPARK_GRAFT_ONLY subset is a human iterating on specific
     // queries: it writes no side file (a partial run must never shadow
     // the full record), so the per-query map must go to stdout or the
-    // individual timings are recorded nowhere. Subset lines are small
-    // by construction; only the FULL run needs the compact form (its
-    // map is ~5 KB against the driver's 2000-char tail).
-    println(if (only.isEmpty) compact else line)
+    // individual timings are recorded nowhere. BOUNDED, though: a
+    // 40+-query subset's full line would overflow the same ~2000-char
+    // tail the compact form exists for — fall back to compact (with
+    // the map on stderr) rather than print an unparseable line.
+    if (only.isEmpty) println(compact)
+    else if (line.length <= 1800) println(line)
+    else { System.err.println(s"[bench] subset line ${line.length} chars > 1800 — per-query map: $qs"); println(compact) }
     System.out.flush()
   }
 }

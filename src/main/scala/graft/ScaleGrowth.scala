@@ -269,7 +269,16 @@ object ScaleGrowth {
     * mean one digest's anchor list concentrates — the road to a skewed
     * digest join. */
   def spansStats(docs: DataFrame, nDocs: Long, n: Int = 8): FamilyStats = {
-    val occ = Dedup.spanOccurrences(docs, col("doc_id"), col("text"), n)
+    // pin once up front: the occupancy aggregate AND repeatedSpans'
+    // internal (canonically identical) occurrence plan hit one cached
+    // frame; the tracking scope frees it before the next family runs
+    val scope = new graft.operators.CacheScope
+    try spansStatsPinned(docs, nDocs, n, scope) finally scope.close()
+  }
+
+  private def spansStatsPinned(docs: DataFrame, nDocs: Long, n: Int,
+      scope: graft.operators.CacheScope): FamilyStats = {
+    val occ = scope.pin(Dedup.spanOccurrences(docs, col("doc_id"), col("text"), n))
     val per = occ.groupBy("dg")
       .agg(count(lit(1)).as("cnt"), min("id").as("mn"), max("id").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -280,7 +289,7 @@ object ScaleGrowth {
       coalesce(count(lit(1)), lit(0L)), coalesce(sum("cnt"), lit(0L)),
       coalesce(max("cnt"), lit(0L)), coalesce(avg("cnt"), lit(0.0)),
       coalesce(sum(col("cnt") * (col("cnt") - 1) / 2), lit(0.0))).head
-    val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"), n).count()
+    val spans = Dedup.repeatedSpans(docs, col("doc_id"), col("text"), n, scope).count()
     FamilyStats(nDocs, agg.getLong(0), agg.getDouble(3), agg.getLong(2),
       agg.getDouble(4).toLong, agg.getLong(1), spans)
   }

@@ -746,8 +746,8 @@ object Dedup {
     * token-level explode happens outside the digest pass. Documents
     * with no repeated spans pass through untouched (left join). */
   def removeRepeatedSpans(df: DataFrame, idCol: Column, textCol: Column,
-                          n: Int): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, n)
+                          n: Int, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n, scope)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("__spans"))
@@ -768,10 +768,14 @@ object Dedup {
   /** The occurrence frame feeds the repeated-digest aggregate AND the
     * anchor join; without a pin only the pre-explode repartition
     * exchange is reused and the gram explode + per-gram md5 runs once
-    * per consumer. The scope pins it (the Bench/Verify session-sweep
-    * cache contract by default); a 100 TB caller who prefers to
-    * recompute the narrow gram map over materializing the gram frame
-    * passes a no-op scope and eats the second pass knowingly. */
+    * per consumer, so the operator always pins it. The scope controls
+    * the pin's LIFETIME, not whether it happens: the default
+    * (unmanaged) rides the session-sweep contract (Bench/Verify clear
+    * the cache between queries); a long-lived caller passes a tracking
+    * scope and `close()`s it once the result is materialized. A caller
+    * who genuinely prefers recomputing the narrow gram map over
+    * materializing it composes [[spanOccurrences]] + [[mergeAnchors]]'
+    * logic directly — no scope disables the cache. */
   def repeatedSpans(df: DataFrame, idCol: Column, textCol: Column, n: Int,
                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val occ = scope.pin(spanOccurrences(df, idCol, textCol, n))

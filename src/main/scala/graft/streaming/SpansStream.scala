@@ -68,7 +68,9 @@ object SpansStream {
             Dedup.incrementalRepeatedSpans(
                 docs, col("doc_id"), col("text"), state, n, scope)
               .write.mode("overwrite").parquet(s"$spansDir/batch_$batchId")
-            scope.pin(Dedup.spanDigestState(docs, col("doc_id"), col("text"), n))
+            // no pin: the digest-state frame is consumed exactly once
+            // (its occ subplan already hits the scope-pinned cache)
+            Dedup.spanDigestState(docs, col("doc_id"), col("text"), n)
               .join(state, Seq("dg"), "left_anti")
               .write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
           } finally scope.close()
