@@ -128,6 +128,26 @@ class BpeSpec extends AnyFunSuite {
     assert(local.map(r => (r.lhs, r.rhs, r.n)) == refTrain(corpus, 80))
   }
 
+  test("drain path matches the reference at production-shaped merge counts") {
+    // ~1200 distinct 8-hex-char words over a 16-symbol alphabet: >1000
+    // live merges — the scale where the incremental pair maintenance
+    // and lazy-heap invalidation do real work (the 80-merge gate above
+    // exercises them lightly). The reference recomputes pair counts
+    // from scratch every iteration, so agreement is a strong check.
+    val rnd = new scala.util.Random(11)
+    val words = Vector.fill(1200)(
+      Vector.fill(8)("0123456789abcdef" (rnd.nextInt(16))).mkString)
+    val corpus = words.grouped(20).map(_.mkString(" ")).toSeq
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // minFreq = 1: the count-2 floor dries this corpus at ~667 rules;
+    // at 1 the tail is ALL ties at n=1 — maximal stress on the
+    // lexicographic tie order both paths must share
+    val got = Bpe.train(spark, df, col("text"), nMerges = 1000, minFreq = 1L)
+      .map(r => (r.lhs, r.rhs, r.n))
+    assert(got.size == 1000, s"went dry at ${got.size} — corpus too small for the gate")
+    assert(got == refTrain(corpus, 1000, minFreq = 1L))
+  }
+
   test("driver-drain path: supplementary chars split and tie-break like Spark") {
     // U+FFFD (3-byte UTF-8, single UTF-16 char) vs U+1D54F (4-byte
     // UTF-8, surrogate PAIR in UTF-16): Java String order puts U+FFFD
