@@ -307,6 +307,25 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy entity matching ([[graft.operators.EditDist]]): every pair
+    * of DISTINCT customer names within ONE edit (the typo-radius
+    * entity-resolution join) — q-gram count-filter prefix candidates,
+    * codegen'd levenshtein verify, deliberately brute-force oracle (a
+    * candidate the prefix filter wrongly skips is a missing row). */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct()
+    // ID-style names are the HARD case for any fuzzy join: the true
+    // result itself is huge (262k pairs over 15k distinct names at
+    // sf0.1 — every name neighbors many), so the ~7.5 s sf0.1 cost is
+    // workload, not plan waste: the same result takes the DuckDB
+    // brute-force oracle ~18 s. q=3 cubes the gram space (digit-dense
+    // strings make every 2-gram common; measured slightly better).
+    graft.operators.EditDist.similarPairs(names, col("name"), col("name"),
+        maxDist = 1, q = 3)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** EXACT similarity self-join ([[SetSimJoin]], prefix filtering):
     * every 3-gram-Jaccard >= 0.6 pair, deterministically — the
     * no-false-negative counterpart of the minhash path. The oracle is
@@ -338,6 +357,7 @@ object DedupQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simjoin" -> simJoin,
     "q_simjoin_cross" -> simJoinCross,
+    "q_fuzzy_pairs" -> fuzzyPairs,
     "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
@@ -557,6 +577,16 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" ->
       s"""WITH $winnowChainSql
          |SELECT id AS doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+    // deliberately brute force: band-filtered all-pairs levenshtein —
+    // the prefix filter's no-false-negative contract is what's gated
+    "q_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // positional n-gram digest anchors (cross-doc iff min!=max doc),
     // merged to maximal spans by gaps-and-islands per document — the
     // literal SQL replay of Dedup.repeatedSpans (no lowercasing:

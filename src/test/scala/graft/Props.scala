@@ -459,3 +459,48 @@ object SpansProps extends Properties("Spans") {
     }
 }
 
+
+object EditDistProps extends Properties("EditDist") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  // 3-letter alphabet, lengths 0-14: dense near-pairs, periodic strings
+  // (the distinct-gram prefix's adversarial case), and the short pool
+  // all get generated
+  private val strGen = Gen.chooseNum(0, 14)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val corpusGen = Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, strGen))
+  private val kGen = Gen.oneOf(1, 2)
+
+  property("pair set equals brute force at k = 1 and 2 (no false negatives)") =
+    Prop.forAll(corpusGen, kGen) { (strs, k) =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.operators.EditDist.similarPairs(
+          rows.toDF("id", "s"), col("id"), col("s"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && math.abs(sa.length - sb.length) <= k
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      got == want
+    }
+}
