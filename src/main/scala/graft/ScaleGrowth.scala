@@ -260,6 +260,46 @@ object ScaleGrowth {
     (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
   }
 
+  /** Replica r of a (name) string collection: every DIGIT remapped
+    * through a per-replica disjoint codepoint block (a character
+    * bijection, so WITHIN-replica edit distances are exactly the
+    * original's), while cross-replica name pairs differ in every digit
+    * position — chars from disjoint blocks can never match, so their
+    * distance is at least the digit count (≫ any tested maxDist). The
+    * scaled collection therefore replicates the original's
+    * within-maxDist pair structure exactly `s` times, and a linear
+    * candidate generator must emit ~s× the pairs with flat gram-bucket
+    * occupancy (letter grams shared across replicas have frequency
+    * n·s — the rarest-first prefix keeps them out of the join keys;
+    * digit grams are replica-local by construction). */
+  def scaledNames(names: DataFrame, s: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) names
+      else names.select(translate(col("name"), "0123456789",
+        (0 until 10).map(d => (0x4E00 + (r - 1) * 10 + d).toChar).mkString).as("name"))
+    }.reduce(_ union _)
+
+  /** ED-Join prefix family ([[graft.operators.EditDist]]) at the
+    * q_fuzzy_pairs operating point (maxDist=1, q=3): buckets = prefix
+    * GRAMS (the candidate join's keys), candidates = post-length-filter
+    * deduplicated prefix-join pairs, verified = final within-distance
+    * pairs. The id IS the name (the q_fuzzy contract). */
+  def editDistStats(names: DataFrame, nRows: Long, maxDist: Int = 1,
+                    q: Int = 3): FamilyStats = {
+    import graft.operators.{EditDist, PairEnum}
+    val base = names.select(col("name").as("id"), col("name").as("s")).cache()
+    val sl = maxDist * q + q - 1
+    val grams = EditDist.gramRows(base.filter(length(col("s")) > sl), q)
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("__f"))
+    val prefix = EditDist.prefixRows(grams, freq, maxDist * q + 1).cache()
+    val (b, mo, mx, bp) = bucketStats(prefix, Seq("g"))
+    val cands = PairEnum.bucketPairs(prefix, Seq("g"), payloadCols = Seq("s"))
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select("id_a", "id_b").distinct().count()
+    val ver = EditDist.similarPairs(base, col("id"), col("s"), maxDist, q).count()
+    FamilyStats(nRows, b, mo, mx, bp, cands, ver)
+  }
+
   /** Substring-span family ([[Dedup.repeatedSpans]]) over [[scaledDocs]]
     * clones: cross-replica grams are distinct (token suffixing), so the
     * original's repeated-span structure replicates exactly s times —
@@ -358,8 +398,8 @@ object ScaleGrowth {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|all, got $families")
+    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -392,6 +432,12 @@ object ScaleGrowth {
       if (families == "spans" || families == "all") {
         val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
         row("spans-exact (8gram)", s, spansStats(docs, docs.count()))
+      }
+      if (families == "fuzzy" || families == "all") {
+        val names = scaledNames(
+          Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct(),
+          s).cache()
+        row("editdist-prefix (k=1,q=3)", s, editDistStats(names, names.count()))
       }
       if (families == "emb" || families == "all") {
         val dim = 64

@@ -74,4 +74,53 @@ class EditDistSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("short pool"))
   }
+
+  test("the blocked prefix plan (tiny blockSize forces hot-gram split) equals brute force") {
+    // one shared hot prefix gram across many ID-like strings: with
+    // blockSize = 2 every gram bucket goes through the triangular
+    // blocked cells — the 100 TB hot-gram path, value-checked
+    val rows = (1L to 40L).map(i => i -> f"item#$i%04d")
+    assert(EditDist.similarPairs(rows.toDF("id", "s"), col("id"), col("s"),
+        maxDist = 1, q = 3, blockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == brute(rows, 1))
+  }
+
+  private def bruteCross(left: Seq[(Long, String)], right: Seq[(Long, String)],
+                         k: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- left; (ib, sb) <- right
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib, d.toLong)).toSet
+
+  test("cross-collection join equals brute force (long, short, and mixed pairs)") {
+    val left = Seq(1L -> "lavender spring", 2L -> "ab", 3L -> "item#0001",
+      4L -> "abcdef")
+    val right = Seq(10L -> "lavender sprint", 11L -> "ac", 12L -> "item#0002",
+      13L -> "abdef", 14L -> "zzzz", 15L -> "lavender spring")
+    for (k <- Seq(1, 2)) {
+      val got = EditDist.similarJoin(
+          left.toDF("id", "s"), col("id"), col("s"),
+          right.toDF("id", "s"), col("id"), col("s"), maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteCross(left, right, k), s"k=$k")
+    }
+  }
+
+  test("incremental batch-vs-state pairs == full-corpus pairs touching the batch") {
+    val old = Seq(1L -> "lavender spring", 2L -> "ab", 3L -> "item#0001",
+      4L -> "unrelated words here")
+    val batch = Seq(10L -> "lavender sprint", 11L -> "ac", 12L -> "item#0002",
+      13L -> "lavender sprigg")
+    val all = old ++ batch
+    val k = 1
+    val state = EditDist.gramState(old.toDF("id", "s"), col("id"), col("s"), k)
+    val freq = EditDist.gramFreqState(old.toDF("id", "s"), col("id"), col("s"), k)
+    val got = EditDist.incrementalSimilarPairs(
+        batch.toDF("id", "s"), col("id"), col("s"), state, freq, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchIds = batch.map(_._1).toSet
+    val want = brute(all, k).filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == want)
+  }
 }

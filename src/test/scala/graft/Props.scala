@@ -503,4 +503,39 @@ object EditDistProps extends Properties("EditDist") {
       } yield (ia, ib, d.toLong)).toSet
       got == want
     }
+
+  property("cross-collection join equals brute force at k = 1 and 2") =
+    Prop.forAll(corpusGen, corpusGen, kGen) { (ls, rs, k) =>
+      val left = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val right = rs.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+      val got = graft.operators.EditDist.similarJoin(
+          left.toDF("id", "s"), col("id"), col("s"),
+          right.toDF("id", "s"), col("id"), col("s"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- left; (ib, sb) <- right
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      got == want
+    }
+
+  property("incremental == full-corpus pairs touching the batch at k = 1 and 2") =
+    Prop.forAll(corpusGen, kGen) { (strs, k) =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val (old, batch) = rows.partition(_._1 % 2 == 0)
+      val state = graft.operators.EditDist.gramState(
+        old.toDF("id", "s"), col("id"), col("s"), k)
+      val freq = graft.operators.EditDist.gramFreqState(
+        old.toDF("id", "s"), col("id"), col("s"), k)
+      val got = graft.operators.EditDist.incrementalSimilarPairs(
+          batch.toDF("id", "s"), col("id"), col("s"), state, freq, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batchIds = batch.map(_._1).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && (batchIds(ia) || batchIds(ib))
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      got == want
+    }
 }

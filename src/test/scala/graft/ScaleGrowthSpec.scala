@@ -170,6 +170,32 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("edit-distance prefix join: verified pairs exactly linear, gram occupancy flat over a 10x clone") {
+    // digit-remapped replicas (character bijections over disjoint
+    // codepoint blocks) replicate the within-distance pair structure
+    // exactly s times while keeping cross-replica distances above any
+    // tested radius; the rarest-first prefix must keep the shared
+    // letter grams (freq n·s) out of the join keys, so candidates and
+    // verified pairs scale by the factor with occupancy flat — the
+    // measurement discipline the r10 verdict flagged as missing for
+    // the fuzzy family.
+    val names1 = Tables.customer(spark, sf)
+      .select(col("c_name").as("name")).distinct().cache()
+    val n1 = names1.count()
+    val namesN = ScaleGrowth.scaledNames(names1, Factor).cache()
+    val nN = namesN.count()
+    assert(nN == n1 * Factor, s"clone produced $nN names, expected ${n1 * Factor}")
+    val f1 = ScaleGrowth.editDistStats(names1, n1)
+    val fN = ScaleGrowth.editDistStats(namesN, nN)
+    occBand("editdist-prefix", f1.meanOcc, fN.meanOcc)
+    assert(f1.verified > 0, "fixture has no within-one-edit name pairs — gate is vacuous")
+    assert(fN.candidates <= f1.candidates * Factor * Band,
+      s"candidates ${f1.candidates} -> ${fN.candidates} over ${Factor}x: super-linear join volume")
+    assert(fN.verified == f1.verified * Factor,
+      s"verified pairs ${f1.verified} -> ${fN.verified}: not linear")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
