@@ -73,17 +73,22 @@ object BpeEncode {
     * fingerprint (element count + first/last rule): the merges child is
     * a literal or broadcast value, so every row of a task sees the SAME
     * ArrayData instance and the parse happens once per task (per model
-    * swap, if a plan ever interleaves two models). The fingerprint
-    * ENFORCES that delivery contract rather than trusting it — an
-    * accessor that reused a mutable buffer under the same reference
-    * (nothing in the supported literal/broadcast paths does, but the
-    * cache must not make correctness depend on that staying true) would
-    * fail the first/last-rule check and trigger a re-parse instead of
-    * serving stale ranks for a different model. A per-row or
-    * join-produced merges column stays CORRECT but misses the cache on
-    * every row and re-parses the table — O(rules) per row; so does
-    * alternating two models' literals row-by-row in one task. Nothing
-    * on the engine's query surface does either. */
+    * swap, if a plan ever interleaves two models). The fingerprint is a
+    * GUARD-RAIL, not a full-content check: it detects the common
+    * mutation shapes — a swapped model under a reused reference almost
+    * always differs in length or an end rule (models differ in size, or
+    * were trained on different data) — and triggers a re-parse then; a
+    * hypothetical accessor reusing one buffer for two same-length
+    * models that differ only in MIDDLE rules would still be served
+    * stale ranks. Nothing in the supported literal/broadcast delivery
+    * paths reuses a buffer at all (each literal/broadcast value is its
+    * own immutable ArrayData), so the residual case is unreachable on
+    * the engine's query surface; a full-content hash would put O(rules)
+    * work on the per-row hit path, which is exactly what the cache
+    * exists to avoid. A per-row or join-produced merges column stays
+    * CORRECT but misses the cache on every row and re-parses the
+    * table — O(rules) per row; so does alternating two models' literals
+    * row-by-row in one task. */
   private final class Model(val ref: ArrayData, val n: Int,
       val firstLhs: UTF8String, val firstRhs: UTF8String,
       val lastLhs: UTF8String, val lastRhs: UTF8String,
