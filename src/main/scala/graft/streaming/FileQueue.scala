@@ -82,6 +82,47 @@ object FileQueue {
     }
   }
 
+  /** Marker file stamped on a generation dir that carries the WHOLE
+    * folded state (see [[liveGenerations]]) — the compaction discipline
+    * shared by SpansStream/FuzzyStream-style accumulating state. */
+  val FullMarker = "_FULL"
+
+  /** Stamp `dirPath` as a full (compacted) generation. Call AFTER the
+    * generation's data commit: a half-written compaction without the
+    * marker reads as a plain delta, which only the creating batch's own
+    * replay ever sees (and overwrites). */
+  def markFull(spark: SparkSession, dirPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, FullMarker)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
+
+  /** The generation dirs a batch should read and the ones dead to every
+    * future read: `(live, dead)` where live = the newest `_FULL`-marked
+    * generation plus every later dir, dead = everything below it —
+    * `excludeId` (the reading batch's own id) is never in either, the
+    * crash-replay guard. Dead dirs are safe to delete at any point: no
+    * read — replay or live — selects below a committed full generation. */
+  def liveGenerations(spark: SparkSession, dir: String,
+                      excludeId: Long): (Seq[String], Seq[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = batchDirs(spark, dir).filter(_._1 != excludeId)
+    val fullId = dirs.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, FullMarker))
+    }.map(_._1).maxOption.getOrElse(-1L)
+    val (dead, live) = dirs.partition(_._1 < fullId)
+    (live.map(_._2), dead.map(_._2))
+  }
+
+  /** Delete the given generation dirs (the `dead` half of
+    * [[liveGenerations]]). */
+  def deleteGenerations(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+      ()
+    }
+
   /** Delete generation dirs with id strictly below `keepFrom` — state
     * retention for streams where only the latest prior generation is
     * ever read. Safe order: call AFTER the current generation's state

@@ -79,4 +79,46 @@ class SpansStreamSpec extends AnyFunSuite {
     // the guard excludes state/batch_2, so doc 21 matches nothing
     assert(spans(s"$base/spans/batch_2") == Set.empty)
   }
+
+  test("state compaction bounds live generations; compacted digests still probe") {
+    val base = Files.createTempDirectory("graft_spanscompact_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def run(): Unit = {
+      val q = SpansStream.start(spark, bronze, schema, s"$base/archive",
+        s"$base/spans", s"$base/state", s"$base/ckpt", n = N, compactEvery = 3)
+      assert(q.awaitTermination(120000))
+    }
+    def stateDirs: Set[Long] =
+      graft.streaming.FileQueue.batchDirs(spark, s"$base/state").map(_._1).toSet
+    def hasMarker(id: Long): Boolean =
+      new java.io.File(s"$base/state/batch_$id/_FULL").exists()
+
+    // five batches; only the LAST repeats batch 0's text, so the state
+    // hit at batch 4 proves the digest survived the compaction chain
+    val texts = Seq(
+      Seq(1L -> "s1 s2 s3 s4 s5 s6", 2L -> "only here once alpha beta"),
+      Seq(11L -> "gamma delta epsilon zeta eta"),
+      Seq(21L -> "theta iota kappa lambda mu"),
+      Seq(31L -> "nu xi omicron pi rho"),
+      Seq(41L -> "w0 s1 s2 s3 s4 s5 s6"))
+    texts.zipWithIndex.foreach { case (docs, i) =>
+      Files.write(java.nio.file.Paths.get(bronze, s"c$i.json"),
+        docs.map { case (id, t) => docJson(id, t) }.mkString("\n").getBytes)
+      run()
+    }
+    // batches 0,1 delta; batch 2 compacts (3rd live generation) and
+    // batch 3 prunes the dirs below it; batch 3 delta, batch 4 compacts
+    assert(stateDirs == Set(2L, 3L, 4L), s"live generations: $stateDirs")
+    assert(hasMarker(2L) && hasMarker(4L) && !hasMarker(3L))
+    // the read rule (newest _FULL + later deltas) is a distinct digest
+    // set carrying the WHOLE stream history
+    val live = spark.read.parquet(s"$base/state/batch_4")
+    assert(live.count() == live.select("dg").distinct().count())
+    // batch 4 finds batch 0's span through two compaction rounds: doc
+    // 41 repeats doc 1's six tokens at positions 1..6
+    val got = spark.read.parquet(s"$base/spans/batch_4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((41L, 1L, 6L, 6L)), s"got $got")
+  }
 }
