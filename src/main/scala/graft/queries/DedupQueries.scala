@@ -207,7 +207,7 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "fp")
 
-  private val SpanN = 8
+  private[queries] val SpanN = 8
 
   /** Substring-level exact dedup ([[Dedup.repeatedSpans]]): maximal
     * verbatim ≥8-token spans repeated across documents — the removal
@@ -326,6 +326,55 @@ object DedupQueries extends QueryModule {
       .orderBy("name_a", "name_b")
   }
 
+  /** Name number = the digits after `Customer#` — the deterministic
+    * split key both engines can compute (hash functions differ across
+    * engines; the name's own digits don't). */
+  private def nameNum = substring(col("name"), 10, 18).cast("long")
+
+  /** Cross-collection fuzzy entity matching
+    * ([[graft.operators.EditDist.similarJoin]]): even-numbered customer
+    * names (the "master catalog") vs odd-numbered ones (the "new
+    * scrape") within ONE edit — the catalog-vs-scrape ER shape of
+    * q_simjoin_cross, on the edit-distance metric. One shared
+    * gram-frequency order drives both prefixes; brute-force DuckDB
+    * oracle (a candidate the shared-prefix filter wrongly skips is a
+    * missing row). */
+  def fuzzyCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct()
+    graft.operators.EditDist.similarJoin(
+      names.filter(pmod(nameNum, lit(2)) === 0), col("name"), col("name"),
+      names.filter(pmod(nameNum, lit(2)) === 1), col("name"), col("name"),
+      maxDist = 1, q = 3)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Incremental fuzzy matching
+    * ([[graft.operators.EditDist.incrementalSimilarPairs]]): the names
+    * split 80/20 into OLD state and the NEW batch (the
+    * q_dedup_incremental split); output = within-one-edit pairs
+    * TOUCHING the batch. The old side contributes ONLY its persisted
+    * gram-index + gram-frequency state ([[FrameFixture]] — the on-disk
+    * artifacts an ingestion pipeline keeps); per-batch cost is batch
+    * grams + one state probe, never an old re-read. The oracle computes
+    * full-corpus brute-force pairs restricted to the batch — exactly
+    * equal by the shared-order prefix lemma on the operator. */
+  def fuzzyIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct()
+    val isNew = pmod(nameNum, lit(10)) >= 8
+    val state = FrameFixture(spark, "editdist_gram_state", sfDir)(
+      graft.operators.EditDist.gramState(
+        names.filter(!isNew), col("name"), col("name"), maxDist = 1, q = 3))
+    val freq = FrameFixture(spark, "editdist_gram_freq", sfDir)(
+      graft.operators.EditDist.gramFreqState(
+        names.filter(!isNew), col("name"), col("name"), maxDist = 1, q = 3))
+    graft.operators.EditDist.incrementalSimilarPairs(
+      names.filter(isNew), col("name"), col("name"), state, freq,
+      maxDist = 1, q = 3)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** EXACT similarity self-join ([[SetSimJoin]], prefix filtering):
     * every 3-gram-Jaccard >= 0.6 pair, deterministically — the
     * no-false-negative counterpart of the minhash path. The oracle is
@@ -358,6 +407,8 @@ object DedupQueries extends QueryModule {
     "q_simjoin" -> simJoin,
     "q_simjoin_cross" -> simJoinCross,
     "q_fuzzy_pairs" -> fuzzyPairs,
+    "q_fuzzy_cross" -> fuzzyCross,
+    "q_fuzzy_incr" -> fuzzyIncr,
     "q_corpus_pipeline" -> corpusPipeline,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
@@ -381,7 +432,7 @@ object DedupQueries extends QueryModule {
     * anchors → cross-doc repeated digests → gaps-and-islands merge,
     * ending in `spansq(doc_id, s, x)` — interpolated into the span
     * report AND the apply oracle so the two can never desynchronize. */
-  private val spansChainSql =
+  private[queries] val spansChainSql =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |occ AS (
        |  SELECT doc_id, u['p'] AS pos, u['dg'] AS dg FROM (
@@ -401,6 +452,32 @@ object DedupQueries extends QueryModule {
        |  FROM g),
        |spansq AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS x
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The whole span-REMOVAL replay up to `cleaned(doc_id, clean_text,
+    * n_removed)` — the apply oracle's chain, shared with the tokenizer
+    * pipeline flagship (q_tok_pipeline) so the two can never
+    * desynchronize: every span-covered token position deleted, text
+    * rebuilt in position order. */
+  private[queries] lazy val spansApplyChainSql =
+    s"""$spansChainSql,
+       |tokpos AS (SELECT doc_id, u['p'] AS pos, u['t'] AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t)),
+       |    p -> {'p': p, 't': t[p + 1]})) AS u
+       |  FROM toks)),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spansq s
+       |    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.x)),
+       |clean AS (SELECT doc_id,
+       |    COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |rem AS (SELECT doc_id, CAST(SUM(x - s + 1) AS BIGINT) AS n_removed
+       |  FROM spansq GROUP BY doc_id),
+       |cleaned AS (SELECT d.doc_id,
+       |    COALESCE(c.clean_text, '') AS clean_text,
+       |    CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+       |  FROM (SELECT DISTINCT doc_id FROM toks) d
+       |  LEFT JOIN clean c USING (doc_id)
+       |  LEFT JOIN rem r USING (doc_id))""".stripMargin
 
   // The shingle bound derives from each row's token count (scalar
   // range() inside list_transform) — no fixture-dependent cap that a
@@ -587,6 +664,28 @@ object DedupQueries extends QueryModule {
         |  AND abs(length(a.name) - length(b.name)) <= 1
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    // brute force again: all cross pairs in the length band verified
+    "q_fuzzy_cross" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON CAST(substr(a.name, 10) AS BIGINT) % 2 = 0
+        | AND CAST(substr(b.name, 10) AS BIGINT) % 2 = 1
+        | AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    // incremental = full-corpus brute-force pairs touching the batch
+    "q_fuzzy_incr" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |  AND (CAST(substr(a.name, 10) AS BIGINT) % 10 >= 8
+        |       OR CAST(substr(b.name, 10) AS BIGINT) % 10 >= 8)
+        |ORDER BY name_a, name_b""".stripMargin,
     // positional n-gram digest anchors (cross-doc iff min!=max doc),
     // merged to maximal spans by gaps-and-islands per document — the
     // literal SQL replay of Dedup.repeatedSpans (no lowercasing:
@@ -615,26 +714,9 @@ object DedupQueries extends QueryModule {
     // rebuilt in position order (token-level expansion is fine for the
     // oracle; the Spark side does a narrow in-row array filter)
     "q_dedup_spans_apply" ->
-      s"""WITH $spansChainSql,
-         |tokpos AS (SELECT doc_id, u['p'] AS pos, u['t'] AS tok FROM (
-         |  SELECT doc_id, unnest(list_transform(range(0, len(t)),
-         |    p -> {'p': p, 't': t[p + 1]})) AS u
-         |  FROM toks)),
-         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
-         |  WHERE NOT EXISTS (SELECT 1 FROM spansq s
-         |    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.x)),
-         |clean AS (SELECT doc_id,
-         |    COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text
-         |  FROM kept GROUP BY doc_id),
-         |rem AS (SELECT doc_id, CAST(SUM(x - s + 1) AS BIGINT) AS n_removed
-         |  FROM spansq GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  COALESCE(c.clean_text, '') AS clean_text,
-         |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
-         |FROM (SELECT DISTINCT doc_id FROM toks) d
-         |LEFT JOIN clean c USING (doc_id)
-         |LEFT JOIN rem r USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $spansApplyChainSql
+         |SELECT doc_id, clean_text, n_removed FROM cleaned
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_pipeline" ->
       s"""WITH RECURSIVE $pairChainSql,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM ver

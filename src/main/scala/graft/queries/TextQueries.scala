@@ -355,7 +355,50 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The tokenizer-layer FLAGSHIP composition — the "prepare training
+    * sequences" pipeline a pretraining loader actually runs, as ONE
+    * plan (the tokenizer analog of q_corpus_pipeline): substring-level
+    * exact span dedup (Lee et al., [[graft.operators.Dedup.removeRepeatedSpans]])
+    * → BPE encode under the fixed [[EncRules]] table (the native
+    * `bpe_encode` expression, fused into the stage) → drop documents
+    * emptied by span removal → deterministic 80% train selection (the
+    * splitByCluster md5 split on doc_id) → token-true packing into
+    * [[TokenBudget]]-token bins via the distributed prefix sum. Every
+    * stage is an individually-oracled operator; the composed DuckDB
+    * oracle chains the span-removal replay
+    * ([[DedupQueries.spansApplyChainSql]]), the encode replay, the md5
+    * split, and the window-sum pack, so the stages are value-checked AS
+    * a pipeline — offsets downstream of the span deletion shift if any
+    * stage drifts. Scale shape is inherited: spans cross one digest
+    * aggregate + one island merge, encode/select are narrow maps, the
+    * pack is two bounded passes — the corpus is never pair-joined. */
+  def tokPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val merges = array(EncRules.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+    // 1. repeated verbatim ≥8-token spans deleted in place
+    val cleaned = graft.operators.Dedup.removeRepeatedSpans(
+      Tables.documents(spark, sfDir), col("doc_id"), col("text"), DedupQueries.SpanN)
+    // 2-3. tokenize what survived; drop emptied documents
+    val toks = cleaned.select(col("id").as("doc_id"), col("n_removed"),
+        size(call_function("bpe_encode", lower(col("clean_text")), merges))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // 4. deterministic 80% train mix (engine-portable md5 split)
+    val sel = toks.filter(pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(10L)) < 8)
+    // 5. token-true packing (doc_id is the unique order key)
+    graft.operators.PrefixSum.packByBudget(
+      sel, Seq(col("doc_id")), col("n_tokens"), TokenBudget, "bin",
+      tieBreaker = Some(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("bin_end").as("offset_end"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
     "q_pack_tokens" -> packTokens,
@@ -430,6 +473,28 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // the composed tokenizer chain: span-removal replay → encode replay
+    // → md5 split → window-sum pack, one CTE pipeline
+    "q_tok_pipeline" ->
+      s"""WITH ${DedupQueries.spansApplyChainSql},
+         |enc AS (
+         |  SELECT doc_id, n_removed, array_to_string(
+         |    list_transform(list_filter(string_split(lower(clean_text), ' '), w -> w <> ''),
+         |      w -> $encSqlExpr), ' ') AS encoded
+         |  FROM cleaned),
+         |tokc AS (
+         |  SELECT doc_id, n_removed,
+         |    CAST(CASE WHEN encoded = '' THEN 0
+         |         ELSE len(string_split(encoded, ' ')) END AS BIGINT) AS n_tokens
+         |  FROM enc),
+         |sel AS (SELECT * FROM tokc WHERE n_tokens > 0
+         |  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 8)
+         |SELECT doc_id, n_tokens, n_removed,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS offset_end,
+         |  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+         |    / $TokenBudget.0) AS BIGINT) AS bin
+         |FROM sel ORDER BY doc_id""".stripMargin,
     "q_bpe_encode" ->
       s"""WITH enc AS (
          |  SELECT doc_id, array_to_string(
