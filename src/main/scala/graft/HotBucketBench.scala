@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 object HotBucketBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(12000)
+    // sim = 52-bit hamming verify (the simhash shape); lev = ID-like
+    // strings with codegen'd levenshtein verify (the EditDist prefix-
+    // gram shape — a popular gram on an ID domain IS this bucket)
+    val mode = args.drop(1).headOption.getOrElse("sim")
+    require(Set("sim", "lev")(mode), s"mode must be sim|lev, got $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -33,8 +38,10 @@ object HotBucketBench {
     // simhashPairsAdaptive shape) — plus a normal-bucket backdrop
     def sigOf(i: Long): String =
       (0 until 52).map(b => if (((i >> (b % 48)) & 1L) == 1L) '1' else '0').mkString
-    val assign = ((1L to n.toLong).map(i => (i, 0, "hot", sigOf(i))) ++
-      (1L to 1000L).map(i => (1000000L + i, 1, s"cold${i % 500}", sigOf(i))))
+    def payloadOf(i: Long): String =
+      if (mode == "lev") f"item#$i%09d" else sigOf(i)
+    val assign = ((1L to n.toLong).map(i => (i, 0, "hot", payloadOf(i))) ++
+      (1L to 1000L).map(i => (1000000L + i, 1, s"cold${i % 500}", payloadOf(i))))
       .toDF("id", "band_idx", "band_val", "sig").cache()
     assign.count()
     def time(tag: String)(f: => Long): Double = {
@@ -42,10 +49,13 @@ object HotBucketBench {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"| $tag | $s%.2f s | ($c rows) |"); s
     }
-    println(s"hot bucket n=$n (${n.toLong * (n - 1) / 2} pairs in one key), " +
-      "per-pair work = hamming_dist(52) + radius filter (the simhash verify shape)")
+    println(s"hot bucket n=$n (${n.toLong * (n - 1) / 2} pairs in one key), per-pair work = " +
+      (if (mode == "lev") "levenshtein(14) <= 2 (the EditDist verify shape)"
+       else "hamming_dist(52) + radius filter (the simhash verify shape)"))
     println("| spelling | wall-clock | survivors |"); println("|---|---|---|")
-    val dist = call_function("hamming_dist", col("sig_a"), col("sig_b"))
+    val dist =
+      if (mode == "lev") levenshtein(col("sig_a"), col("sig_b"))
+      else call_function("hamming_dist", col("sig_a"), col("sig_b"))
     def naive = assign.as("a").join(assign.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
