@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model QUALITY SCORING — the perplexity-filter step
+  * of a pretraining curation pipeline (score every document by how
+  * unlikely its token sequence is under a reference-corpus bigram
+  * model; prune the tail): CCNet/Gopher curate with a KenLM
+  * perplexity, and this is that niche spelled RELATIONALLY, shaped for
+  * 100 TB:
+  *
+  *  - TRAINING is one corpus pass: the reference corpus folds to a
+  *    `(w1, w2, n)` bigram count table (map-side combined, one
+  *    shuffle) — the model is vocabulary²-bounded in principle and
+  *    observed-bigram-bounded in practice, 3-5 orders smaller than the
+  *    corpus, and persists as a plain parquet artifact next to the
+  *    corpus (the [[EditDist.gramState]] discipline).
+  *  - SCORING is two token-partitioned joins: per-document bigrams
+  *    LEFT join the model on `(w1, w2)` and its context totals on
+  *    `w1`, then one per-document aggregate. The corpus is touched
+  *    once; nothing pairs with anything.
+  *  - The per-bigram score is the INTEGER-EXACT smoothed unlikelihood
+  *    `surprisal = (S · (ctx(w1) + V)) div (n(w1, w2) + 1)` — the
+  *    scaled RECIPROCAL of the add-one-smoothed transition probability
+  *    `P(w2|w1) = (n+1)/(ctx+V)`. Log-free on purpose: `ln` is a libm
+  *    call whose final ulps differ across engines (the
+  *    q_tfidf_topterms precedent), where this integer form is
+  *    bit-identical everywhere and ORDER-EQUIVALENT to per-bigram
+  *    log-probability (x ↦ 1/x is monotone). The document score is
+  *    the MEAN scaled surprisal over its bigrams — the arithmetic-mean
+  *    sibling of perplexity's geometric mean (exp of mean log): ranks
+  *    differ only in how outlier bigrams are weighted (the arithmetic
+  *    mean punishes single very-unlikely transitions harder, which is
+  *    usually what a contamination/garbage filter wants); callers
+  *    needing the literal log-space mean swap one line
+  *    (`log(p_scaled)`) off the oracled path.
+  *
+  * Each document's token stream is prefixed with [[Bos]] so the first
+  * token is scored as a transition too (the standard sentence-start
+  * convention). Unseen contexts score `S·V`, the ceiling — an
+  * out-of-domain document saturates rather than escaping the scale.
+  *
+  * Reference scope: beyond-reference (the brief's quality-scoring
+  * surface); published technique only (Jelinek-style add-one bigram
+  * smoothing; CCNet's filter-by-LM-score pipeline shape).
+  */
+object NgramLm {
+
+  /** Sentence-start marker — scores the first real token's transition. */
+  val Bos = "<s>"
+
+  /** The surprisal scale (1e6, the repo's scaled-integer convention). */
+  val Scale = 1000000L
+
+  /** BOS-prefixed token arrays: `(id, t)` with `t = [<s>, tok, ...]`;
+    * documents with no tokens (empty/whitespace text) carry no
+    * transitions and are dropped HERE, symmetrically with the oracle's
+    * empty `range`. */
+  private def docTokens(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        concat(array(lit(Bos)),
+          filter(split(lower(textCol), " "), w => w =!= "")).as("t"))
+      .filter(size(col("t")) >= 2)
+
+  /** One row per adjacent transition: `(id, w1, w2)`. */
+  private def bigrams(toks: DataFrame): DataFrame =
+    toks.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Train: the `(w1, w2, n)` bigram count table over the reference
+    * corpus — the persistable model artifact. Context totals and the
+    * vocabulary size derive from it ([[score]] does both internally),
+    * so ONE table is the whole model. */
+  def bigramModel(ref: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    bigrams(docTokens(ref, idCol, textCol))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+
+  /** Score `docs` under `model` (a [[bigramModel]] table): per document
+    * the transition count and the mean scaled surprisal
+    * `avg_surprisal = (Σ surprisal) div n_bigrams`. Output
+    * `(id, n_bigrams, avg_surprisal)`, one row per document with ≥1
+    * token. Higher = less like the reference corpus. */
+  def score(docs: DataFrame, idCol: Column, textCol: Column,
+            model: DataFrame,
+            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // model feeds three consumers (vocab scalar, context totals, the
+    // transition join) — pin so the artifact is read once
+    val m = scope.pin(model)
+    val ctx = m.groupBy("w1").agg(sum("n").as("__cn"))
+    // V = distinct successor vocabulary (the smoothing denominator's
+    // add-V term); a one-row frame crossed in — the min-max pattern
+    val vocab = m.agg(countDistinct("w2").as("__v"))
+    bigrams(docTokens(docs, idCol, textCol))
+      .join(m, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        expr(s"$Scale * (coalesce(__cn, 0L) + __v) DIV (coalesce(n, 0L) + 1)")
+          .as("__s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__s) DIV count(1)").as("avg_surprisal"))
+  }
+}

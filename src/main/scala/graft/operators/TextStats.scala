@@ -287,4 +287,61 @@ object TextStats {
         size(slice(col("__toks"), col("start") + 1, lit(window))).cast("long").as("chunk_len"),
         array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("chunk_text"))
   }
+
+  /** Corpus DISTRIBUTION-DRIFT report between two snapshots — the
+    * monitoring step between corpus versions (a scrape refresh, a new
+    * source mix): per token the add-one-smoothed RATE ratio
+    * `ratio_ppm = 10⁶ · ((n_new+1)/(N_new+V)) / ((n_old+1)/(N_old+V))`
+    * evaluated as one integer expression (log-free, engine-exact — the
+    * [[NgramLm]] discipline; V = the union vocabulary, so both
+    * smoothed rates share a denominator convention and a token absent
+    * from one side gets a finite, saturating ratio instead of a
+    * divide-by-zero). `drift_ppm = max(ratio, 10¹²/ratio)` folds both
+    * directions onto one magnitude so the top-k surfaces collapses AND
+    * explosions.
+    *
+    * Scale shape: each snapshot folds to its token-count table
+    * (map-side combined, one vocabulary-sized shuffle each), a FULL
+    * OUTER join on token aligns them, and the report is top-k via
+    * TakeOrdered — the corpora are touched once each and never joined
+    * row-to-row. `minSupport` (on n_old + n_new) keeps one-off typos
+    * out of the report.
+    *
+    * Output: `(token, n_old, n_new, ratio_ppm, drift_ppm)`, the `topK`
+    * largest drifts (ties broken by token). */
+  def vocabDrift(oldToks: DataFrame, newToks: DataFrame, tokenCol: Column,
+                 minSupport: Long = 20L, topK: Int = 100,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(topK > 0, s"vocabDrift: topK must be positive, got $topK")
+    def counts(df: DataFrame, out: String) =
+      df.select(tokenCol.as("token")).groupBy("token")
+        .agg(count(lit(1)).as(out))
+    // pinned: the aligned table feeds the totals aggregate AND the
+    // report — without the pin both token streams fold twice
+    val joined = scope.pin(counts(oldToks, "n_old")
+      .join(counts(newToks, "n_new"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
+    // snapshot totals + union vocabulary: one tiny aggregate, crossed
+    // in (the min-max pattern)
+    val totals = joined.agg(
+      sum("n_old").as("__no"), sum("n_new").as("__nn"),
+      count(lit(1)).as("__v"))
+    joined.filter(col("n_old") + col("n_new") >= minSupport)
+      .crossJoin(broadcast(totals))
+      // the numerator product can pass 2⁶³ on a large corpus, so it
+      // rides an exact DECIMAL and the integral divide (Spark's `div`
+      // = divideToIntegralValue — exact, no rounding drift; DuckDB
+      // mirrors with HUGEINT `//`)
+      .withColumn("ratio_ppm",
+        expr("1000000 * CAST(n_new + 1 AS DECIMAL(20, 0)) * (__no + __v)" +
+          " DIV ((n_old + 1) * CAST(__nn + __v AS DECIMAL(20, 0)))"))
+      .withColumn("drift_ppm",
+        greatest(col("ratio_ppm"),
+          expr("1000000000000 DIV greatest(ratio_ppm, 1)")))
+      .select("token", "n_old", "n_new", "ratio_ppm", "drift_ppm")
+      .orderBy(col("drift_ppm").desc, col("token"))
+      .limit(topK)
+  }
 }

@@ -397,7 +397,46 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality scoring ([[graft.operators.NgramLm]]) — the
+    * perplexity-filter niche (CCNet/Gopher curate by reference-LM
+    * score), integer-exact: the model trains on the corpus's `en`
+    * documents (the reference-domain stand-in) as a persisted
+    * [[FrameFixture]] artifact, then EVERY document gets the mean
+    * scaled smoothed-bigram surprisal — higher = less like the
+    * reference. The oracle replays training, smoothing, and scoring
+    * in full. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val model = FrameFixture(spark, "ngram_lm_en", sfDir)(
+      graft.operators.NgramLm.bigramModel(
+        docs.filter(col("lang") === "en"), col("doc_id"), col("text")))
+    graft.operators.NgramLm.score(docs, col("doc_id"), col("text"), model)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus distribution-drift report
+    * ([[graft.operators.TextStats.vocabDrift]]): even-id docs as the
+    * OLD snapshot vs odd-id docs as the NEW one, with every 5th new
+    * doc carrying the q_text_search_incr churn suffix — so the report
+    * must surface the injected tokens at the top while the shared
+    * vocabulary sits at parity. Integer-exact smoothed rate ratios;
+    * the oracle replays counts, smoothing, ratio, and the top-k. */
+  def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def toks(df: DataFrame) =
+      df.select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val neu = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" vector vector merge"))).otherwise(col("text")))
+    graft.operators.TextStats.vocabDrift(toks(old), toks(neu), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_drift" -> vocabDrift,
+    "q_lm_score" -> lmScore,
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
@@ -473,6 +512,60 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // snapshot drift: full replay of counts, add-one smoothed rate
+    // ratio (exact 128-bit integral division), and the top-k
+    "q_vocab_drift" ->
+      """WITH oldt AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |newt AS (
+        |  SELECT unnest(string_split(lower(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' vector vector merge'
+        |         ELSE text END), ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |co AS (SELECT token, COUNT(*) AS n_old FROM oldt WHERE token <> '' GROUP BY 1),
+        |cn AS (SELECT token, COUNT(*) AS n_new FROM newt WHERE token <> '' GROUP BY 1),
+        |j AS (SELECT COALESCE(co.token, cn.token) AS token,
+        |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |  FROM co FULL OUTER JOIN cn ON co.token = cn.token),
+        |t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS no_,
+        |    CAST(SUM(n_new) AS BIGINT) AS nn_, COUNT(*) AS v FROM j),
+        |r AS (SELECT token, n_old, n_new,
+        |    1000000 * CAST(n_new + 1 AS HUGEINT) * (no_ + v)
+        |      // ((n_old + 1) * CAST(nn_ + v AS HUGEINT)) AS ratio
+        |  FROM j, t WHERE n_old + n_new >= 20)
+        |SELECT token, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(ratio AS BIGINT) AS ratio_ppm,
+        |  CAST(GREATEST(ratio, 1000000000000 // GREATEST(ratio, 1)) AS BIGINT) AS drift_ppm
+        |FROM r ORDER BY drift_ppm DESC, token LIMIT 100""".stripMargin,
+    // full replay of bigram-LM training (en docs, BOS-prefixed, add-one
+    // smoothing) and integer-surprisal scoring over every document
+    "q_lm_score" ->
+      """WITH reft AS (
+        |  SELECT doc_id,
+        |    list_prepend('<s>', list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |rbg AS (SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        |  FROM reft)),
+        |model AS (SELECT w1, w2, COUNT(*) AS n FROM rbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS cn FROM model GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT w2) AS v FROM model),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_prepend('<s>', list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents),
+        |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        |  FROM dt)),
+        |sc AS (SELECT doc_id,
+        |    1000000 * (COALESCE(c.cn, 0) + (SELECT v FROM voc)) // (COALESCE(m.n, 0) + 1) AS s
+        |  FROM db LEFT JOIN model m USING (w1, w2) LEFT JOIN ctx c USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the composed tokenizer chain: span-removal replay → encode replay
     // → md5 split → window-sum pack, one CTE pipeline
     "q_tok_pipeline" ->

@@ -133,4 +133,29 @@ class TextStatsSpec extends AnyFunSuite {
       TextStats.chunkSliding(df, col("id"), col("text"), window = 2, stride = 3)
     }
   }
+
+  test("vocabDrift: hand-computed smoothed ratios, both-direction magnitude, top-k order") {
+    // old: a=3, b=1 (No=4); new: a=1, b=2, c=1 (Nn=4); V=3
+    val old = Seq("a", "a", "a", "b").toDF("token")
+    val neu = Seq("a", "b", "b", "c").toDF("token")
+    val rows = TextStats.vocabDrift(old, neu, col("token"), minSupport = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ratio = 1e6*(n_new+1)*(No+V) div ((n_old+1)*(Nn+V)):
+    //   a: 1e6*2*7 div (4*7)  = 500000  -> drift 1e12 div 500000 = 2000000
+    //   b: 1e6*3*7 div (2*7)  = 1500000 -> drift 1500000
+    //   c: 1e6*2*7 div (1*7)  = 2000000 -> drift 2000000
+    // order: drift desc, token asc
+    assert(rows.toSeq == Seq(
+      ("a", 3L, 1L, 500000L, 2000000L),
+      ("c", 0L, 1L, 2000000L, 2000000L),
+      ("b", 1L, 2L, 1500000L, 1500000L)))
+  }
+
+  test("vocabDrift minSupport prunes rare tokens; topK bounds the report") {
+    val old = (Seq.fill(30)("x") ++ Seq("rare")).toDF("token")
+    val neu = Seq.fill(10)("x").toDF("token")
+    val got = TextStats.vocabDrift(old, neu, col("token"), minSupport = 20, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("x")) // "rare" fails support
+  }
 }
