@@ -50,7 +50,12 @@ object NgramLm {
   /** Sentence-start marker — scores the first real token's transition. */
   val Bos = "<s>"
 
-  /** The surprisal scale (1e6, the repo's scaled-integer convention). */
+  /** The surprisal scale (1e6, the repo's scaled-integer convention).
+    * Bound: a single bigram's score tops out at `Scale · (ctx + V)`,
+    * which must fit a long — good through ~10¹² reference-corpus
+    * tokens at this scale (drop to 10³ beyond); the per-document SUM
+    * rides an exact DECIMAL so document length never overflows the
+    * aggregate. */
   val Scale = 1000000L
 
   /** BOS-prefixed token arrays: `(id, t)` with `t = [<s>, tok, ...]`;
@@ -103,6 +108,10 @@ object NgramLm {
           .as("__s"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(__s) DIV count(1)").as("avg_surprisal"))
+        // decimal accumulation: per-bigram scores near the long ceiling
+        // must not overflow the document sum; DIV is the exact integral
+        // divide (divideToIntegralValue), so the mean floors identically
+        // to the oracle's HUGEINT //
+        expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
   }
 }
