@@ -365,6 +365,25 @@ object ScaleGrowth {
     BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
   }
 
+  /** Bigram-LM measurements over PLAIN clones (ids offset, text
+    * unchanged — the realistic shape where corpus growth dwarfs
+    * vocabulary growth): the MODEL (observed-bigram table) must be
+    * EXACTLY flat in the clone factor — every count scales by R but
+    * the bigram set does not — so training cost beyond the one corpus
+    * fold and the per-document scoring joins ride a corpus-independent
+    * artifact; scored documents scale exactly with the corpus. */
+  final case class LmGrowth(rows: Long, modelRows: Long, vocab: Long, scored: Long)
+
+  def lmGrowth(docs: DataFrame): LmGrowth = {
+    import graft.operators.NgramLm
+    val model = NgramLm.bigramModel(docs, col("doc_id"), col("text")).cache()
+    val g = LmGrowth(docs.count(), model.count(),
+      model.select("w2").distinct().count(),
+      NgramLm.score(docs, col("doc_id"), col("text"), model).count())
+    model.unpersist(blocking = false)
+    g
+  }
+
   /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
     * the stride quantizer's centroid model GROWS with the corpus
     * (every 31st vector), so cell count scales linearly and per-cell
@@ -398,8 +417,8 @@ object ScaleGrowth {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|all, got $families")
+    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -416,6 +435,7 @@ object ScaleGrowth {
 
     val indexRows = scala.collection.mutable.ArrayBuffer[String]()
     val bpeRows = scala.collection.mutable.ArrayBuffer[String]()
+    val lmRows = scala.collection.mutable.ArrayBuffer[String]()
     val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
       if (families == "docs" || families == "all") {
@@ -473,6 +493,13 @@ object ScaleGrowth {
         annjoinRows += (f"| annjoin-cells (stride 31) | ${s}x | ${g.rows} | ${g.cells} | " +
           f"${g.meanProduct}%.1f | ${g.maxProduct} | ${g.candidates} | ${g.hotCells} |")
       }
+      if (families == "lm" || families == "all") {
+        val docs = clonedDocs(
+          Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val g = lmGrowth(docs)
+        lmRows += (f"| ngram-lm (bigram) | ${s}x | ${g.rows} | ${g.modelRows} | " +
+          f"${g.vocab} | ${g.scored} |")
+      }
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(
           Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
@@ -519,6 +546,12 @@ object ScaleGrowth {
       println("| family | scale | rows | vocab | train wall (s) | rules | first merges |")
       println("|---|---|---|---|---|---|---|")
       bpeRows.foreach(println)
+    }
+    if (lmRows.nonEmpty) {
+      println()
+      println("| family | scale | rows | model bigrams | successor vocab | docs scored |")
+      println("|---|---|---|---|---|---|")
+      lmRows.foreach(println)
     }
     if (indexRows.nonEmpty) {
       println()

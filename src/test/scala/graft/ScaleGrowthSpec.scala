@@ -196,6 +196,24 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bigram LM: model exactly flat, scored docs exactly linear over a 10x plain clone") {
+    // plain clones (same text, new ids): every bigram count scales by
+    // the factor but the bigram SET — the model artifact scoring joins
+    // against — does not; scored documents track the corpus exactly
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.lmGrowth(docs1)
+    val gN = ScaleGrowth.lmGrowth(docsN)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.modelRows == g1.modelRows,
+      s"model ${g1.modelRows} -> ${gN.modelRows} over ${Factor}x plain clones: " +
+        "the artifact is growing with the corpus, not the vocabulary")
+    assert(gN.vocab == g1.vocab)
+    assert(gN.scored == g1.scored * Factor,
+      s"scored ${g1.scored} -> ${gN.scored}: not linear")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
