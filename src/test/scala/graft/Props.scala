@@ -519,6 +519,35 @@ object EditDistProps extends Properties("EditDist") {
       got == want
     }
 
+  property("frozen-order accumulated state over 3 batches: pair union == brute force") =
+    Prop.forAll(corpusGen, kGen) { (strs, k) =>
+      // the FuzzyStream semantics: the gram-frequency order FREEZES at
+      // the first batch; each later batch probes the ACCUMULATED state
+      // (all prior batches' gramStateUnder rows, same frozen order).
+      // The union of per-batch reports must equal brute force over the
+      // whole corpus — the cross-epoch prefix-lemma claim, generatively.
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val step = math.max(1, (rows.size + 2) / 3)
+      val batches = rows.grouped(step).toSeq
+      val ed = graft.operators.EditDist
+      val freq = ed.gramFreqState(batches.head.toDF("id", "s"), col("id"), col("s"), k)
+      var state = ed.gramStateUnder(
+        batches.head.toDF("id", "s"), col("id"), col("s"), freq, k).limit(0)
+      var got = Set.empty[(Long, Long, Long)]
+      batches.foreach { b =>
+        val df = b.toDF("id", "s")
+        got ++= ed.incrementalSimilarPairs(df, col("id"), col("s"), state, freq, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        state = state.unionByName(ed.gramStateUnder(df, col("id"), col("s"), freq, k))
+      }
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && math.abs(sa.length - sb.length) <= k
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      got == want
+    }
+
   property("incremental == full-corpus pairs touching the batch at k = 1 and 2") =
     Prop.forAll(corpusGen, kGen) { (strs, k) =>
       val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
