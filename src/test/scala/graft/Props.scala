@@ -568,3 +568,51 @@ object EditDistProps extends Properties("EditDist") {
       got == want
     }
 }
+
+
+object NgramLmProps extends Properties("NgramLm") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // 3-word alphabet plus "" (joined with spaces, empty words exercise
+  // the empty-token filter and double-space handling); 0-6 words/doc
+  private val docGen = Gen.chooseNum(0, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "")).map(_.mkString(" ")))
+  private val corpusGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def refScores(ref: Seq[String], docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    def bigramsOf(t: String): Seq[(String, String)] = {
+      val toks = "<s>" +: t.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      toks.zip(toks.drop(1))
+    }
+    val model = ref.flatMap(bigramsOf).groupMapReduce(identity)(_ => 1L)(_ + _)
+    val ctx = model.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val v = model.keysIterator.map(_._2).toSet.size.toLong
+    docs.flatMap { case (id, t) =>
+      val bg = bigramsOf(t)
+      if (bg.isEmpty) None
+      else {
+        val ss = bg.map { p =>
+          1000000L * (ctx.getOrElse(p._1, 0L) + v) / (model.getOrElse(p, 0L) + 1L)
+        }
+        Some(id -> ((bg.size.toLong, ss.sum / bg.size)))
+      }
+    }.toMap
+  }
+
+  property("score equals the local reference (counts, smoothing, floor mean)") =
+    Prop.forAll(corpusGen, corpusGen) { (ref, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val model = graft.operators.NgramLm.bigramModel(
+        ref.zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("id", "text"),
+        col("id"), col("text"))
+      val got = graft.operators.NgramLm.score(
+          docs.toDF("id", "text"), col("id"), col("text"), model)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == refScores(ref, docs)
+    }
+}
