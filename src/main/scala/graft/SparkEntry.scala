@@ -13,20 +13,11 @@ import graft.queries.{DedupQueries, EnrichQueries, EventQueries, IngestQueries, 
   */
 object SparkEntry {
 
-  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private def modules: Seq[graft.queries.QueryModule] =
     Seq(
-      (KpiQueries.queries, KpiQueries.oracles),
-      (RelationalQueries.queries, RelationalQueries.oracles),
-      (IngestQueries.queries, IngestQueries.oracles),
-      (EnrichQueries.queries, EnrichQueries.oracles),
-      (DedupQueries.queries, DedupQueries.oracles),
-      (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (TextQueries.queries, TextQueries.oracles),
-      (EventQueries.queries, EventQueries.oracles),
-      (MediaQueries.queries, MediaQueries.oracles),
-      (SampleQueries.queries, SampleQueries.oracles),
-      (JoinQueries.queries, JoinQueries.oracles),
-      (ProfileQueries.queries, ProfileQueries.oracles))
+      KpiQueries, RelationalQueries, IngestQueries, EnrichQueries,
+      DedupQueries, SimilarityQueries, TextQueries, EventQueries,
+      MediaQueries, SampleQueries, JoinQueries, ProfileQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the whole reference spine END TO END, including the real
@@ -42,18 +33,25 @@ object SparkEntry {
     * oracle come from a different module than its Spark side — fail fast
     * instead. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val merged = modules.flatMap(_._1).toMap
-    require(merged.size == modules.map(_._1.size).sum,
-      s"duplicate query names across modules: ${modules.flatMap(_._1.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    val merged = modules.flatMap(_.queries).toMap
+    require(merged.size == modules.map(_.queries.size).sum,
+      s"duplicate query names across modules: ${modules.flatMap(_.queries.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
     merged
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
-    val merged = modules.flatMap(_._2).toMap
-    require(merged.size == modules.map(_._2.size).sum,
+    val merged = modules.flatMap(_.oracles).toMap
+    require(merged.size == modules.map(_.oracles.size).sum,
       "duplicate oracle names across modules")
     merged
   }
+
+  /** Build every module's persisted per-JVM fixtures (state stores,
+    * on-disk indexes) up front — benchmarks call this inside the
+    * UNTIMED warm-up so a cold environment never pays a fixture build
+    * inside the first consumer's timed region (VERDICT r11 finding 1). */
+  def warmFixtures(spark: SparkSession, sfDir: String): Unit =
+    modules.foreach(_.warmFixtures(spark, sfDir))
 }

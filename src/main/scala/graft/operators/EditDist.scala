@@ -64,6 +64,34 @@ object EditDist {
     require(q >= 1, s"EditDist: gram size q must be >= 1, got $q")
   }
 
+  private val MdMaxDist = "graft.editdist.maxDist"
+  private val MdQ = "graft.editdist.q"
+
+  /** Stamp the build parameters into the `g` field's metadata — they
+    * survive a parquet round-trip, so a persisted state carries the
+    * (maxDist, q) it was built under at zero row cost. */
+  private def withParamsMd(df: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MdMaxDist, maxDist.toLong).putLong(MdQ, q.toLong).build()
+    df.withColumn("g", col("g").as("g", md))
+  }
+
+  /** Probing a state with different (maxDist, q) than it was built
+    * under yields SILENT false negatives (prefixes were sized for the
+    * build parameters) — fail loudly when the stamp is present and
+    * mismatched (ADVICE r11). States from older writers / hand-built
+    * frames carry no stamp and pass unchecked, documented. */
+  private def checkParamsMd(df: DataFrame, maxDist: Int, q: Int, what: String): Unit =
+    df.schema.find(_.name == "g").foreach { f =>
+      if (f.metadata.contains(MdMaxDist) && f.metadata.contains(MdQ)) {
+        val (m, qq) = (f.metadata.getLong(MdMaxDist), f.metadata.getLong(MdQ))
+        require(m == maxDist && qq == q,
+          s"incrementalSimilarPairs: $what was built with (maxDist=$m, q=$qq) " +
+            s"but probed with (maxDist=$maxDist, q=$q) — the prefix lemma " +
+            "breaks silently; rebuild the state or match the parameters")
+      }
+    }
+
   /** Distinct q-grams of the long strings: `(id, s, g)`. */
   private[graft] def gramRows(longs: DataFrame, q: Int): DataFrame =
     longs.select(col("id"), col("s"),
@@ -170,10 +198,15 @@ object EditDist {
     val gramsB = gramRows(rb.filter(length(col("s")) > sl), q)
     val freq = scope.pin(gramsA.unionByName(gramsB)
       .groupBy("g").agg(count(lit(1)).as("__f")))
-    def side(grams: DataFrame, tag: String) =
-      scope.pin(prefixRows(grams, freq, prefixLen)).select(
-        col("g"), col("id").as(s"id_$tag"), col("s").as(s"s_$tag"))
-    val longCands = side(gramsA, "a").join(side(gramsB, "b"), "g")
+    // grid-blocked cross equi-join (not a plain join): on ID-like
+    // domains even the rarest prefix gram can be hot on BOTH sides, and
+    // AQE's skew split divides partitions, not one key's |A_g| × |B_g|
+    // pairing (ADVICE r11) — PairEnum.bucketJoin bounds any task at
+    // ~blockSize² pairs, with the naive plan unchanged when no bucket's
+    // cross product is oversized (the measured-gate fast path)
+    val prefA = scope.pin(prefixRows(gramsA, freq, prefixLen))
+    val prefB = scope.pin(prefixRows(gramsB, freq, prefixLen))
+    val longCands = PairEnum.bucketJoin(prefA, prefB, Seq("g"), payloadCols = Seq("s"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("s_a"), col("id_b"), col("s_b"))
 
@@ -235,9 +268,11 @@ object EditDist {
     val freq = grams.select("g").distinct()
       .join(freqState, Seq("g"), "left")
       .select(col("g"), coalesce(col("__f"), lit(0L)).as("__f"))
-    prefixRows(grams, freq, maxDist * q + 1)
-      .unionByName(base.filter(length(col("s")) <= sl + maxDist)
-        .select(col("id"), col("s"), lit(null).cast("string").as("g")))
+    withParamsMd(
+      prefixRows(grams, freq, maxDist * q + 1)
+        .unionByName(base.filter(length(col("s")) <= sl + maxDist)
+          .select(col("id"), col("s"), lit(null).cast("string").as("g"))),
+      maxDist, q)
   }
 
   /** The companion FREQUENCY state — `(g, __f)` over ALL the old side's
@@ -249,8 +284,10 @@ object EditDist {
                     maxDist: Int, q: Int = 2): DataFrame = {
     checkArgs(maxDist, q)
     val base = df.select(idCol.as("id"), strCol.as("s")).filter(col("s").isNotNull)
-    gramRows(base.filter(length(col("s")) > shortLen(maxDist, q)), q)
-      .groupBy("g").agg(count(lit(1)).as("__f"))
+    withParamsMd(
+      gramRows(base.filter(length(col("s")) > shortLen(maxDist, q)), q)
+        .groupBy("g").agg(count(lit(1)).as("__f")),
+      maxDist, q)
   }
 
   /** Ingestion-time fuzzy matching: every within-`maxDist` pair
@@ -266,7 +303,13 @@ object EditDist {
     * included) covers batch×batch. Old×old pairs were reported when
     * those batches arrived — the [[Dedup.incrementalRepeatedSpans]]
     * contract. Output ids are canonical (`id_a < id_b`); a batch id
-    * colliding with a state id never self-pairs. */
+    * colliding with a state id self-pairs only when the STRING also
+    * differs (an updated record — emitted with `id_a = id_b`, `s_a` =
+    * the state's string, `s_b` = the batch's); identical (id, s) rows
+    * are true self-pairs and dropped. States stamped by
+    * [[gramState]]/[[gramFreqState]] are checked to have been built
+    * under the same `(maxDist, q)` — a mismatch fails loudly instead
+    * of silently missing pairs. */
   def incrementalSimilarPairs(batch: DataFrame, idCol: Column, strCol: Column,
                               state: DataFrame, freqState: DataFrame,
                               maxDist: Int, q: Int = 2,
@@ -274,6 +317,8 @@ object EditDist {
                               blockSize: Int = 4096,
                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     checkArgs(maxDist, q)
+    checkParamsMd(state, maxDist, q, "state (gramState)")
+    checkParamsMd(freqState, maxDist, q, "freqState (gramFreqState)")
     val prefixLen = maxDist * q + 1
     val sl = shortLen(maxDist, q)
     val base = scope.pin(
@@ -287,12 +332,12 @@ object EditDist {
       .select(col("g"), coalesce(col("__f"), lit(0L)).as("__f"))
     val prefix = scope.pin(prefixRows(grams, freq, prefixLen))
 
-    val statePrefix = state.filter(col("g").isNotNull)
-      .select(col("g"), col("id").as("id_b"), col("s").as("s_b"))
-    // batch × old: cross-collection shape — plain prefix-gram probe
-    val oldLong = prefix
-      .select(col("g"), col("id").as("id_a"), col("s").as("s_a"))
-      .join(statePrefix, "g")
+    val statePrefix = state.filter(col("g").isNotNull).select("id", "s", "g")
+    // batch × old: cross-collection shape — the grid-blocked probe
+    // (ADVICE r11: a hot prefix gram on an ID-like domain funnels
+    // |batch_g| × |state_g| pairs through one key; AQE can't split it)
+    val oldLong = PairEnum.bucketJoin(prefix, statePrefix, Seq("g"),
+        payloadCols = Seq("s"), blockSize = blockSize)
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("s_a"), col("id_b"), col("s_b"))
     // batch × batch: the blocked self-join
@@ -323,10 +368,15 @@ object EditDist {
       .filter(length(col("s_a")) <= sl || length(col("s_b")) <= sl)
 
     // canonicalize batch×old orientation; batch×batch is ordered by
-    // construction (PairEnum emits id_a < id_b)
+    // construction (PairEnum emits id_a < id_b). A batch id colliding
+    // with a state id is dropped only when the STRINGS match too (a
+    // true self-pair); an id reused for an UPDATED record is a real
+    // cross pair (ADVICE r11: dropping it was a silent false negative)
+    // and is emitted with id_a = id_b, s_a = the state's old string,
+    // s_b = the batch's new one.
     val aFirst = col("id_a") < col("id_b")
     val crossCanon = oldShort.unionByName(oldLong)
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") =!= col("id_b") || col("s_a") =!= col("s_b"))
       .select(
         when(aFirst, col("id_a")).otherwise(col("id_b")).as("id_a"),
         when(aFirst, col("s_a")).otherwise(col("s_b")).as("s_a"),

@@ -119,4 +119,69 @@ object PairEnum {
           col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(pairCols: _*)
   }
+
+  /** The CROSS-side sibling of [[bucketPairs]]: all (left × right)
+    * within-bucket pairs, grid-blocked so a hot bucket key never funnels
+    * |A_g| × |B_g| pairs through one task (ADVICE r11: the cross-side
+    * equi-join previously leaned on AQE skew splitting, which splits
+    * partitions, not one key's pairing — on ID-like domains the exact
+    * motivating case defeats it).
+    *
+    * A bucket whose cross product exceeds `blockSize²` splits each side
+    * into ⌈c/blockSize⌉ id-hash blocks; each (i, j) grid cell is its own
+    * join key — a left row in block i replicates across the RIGHT side's
+    * g_b cells of row i, and vice versa, so every cross pair meets in
+    * exactly ONE cell and no task enumerates more than ~blockSize²
+    * pairs. Healthy buckets (every measured corpus) take the naive
+    * equi-join unchanged through the same measured gate as
+    * [[bucketPairs]]. Emits `${idCol}_a` (left) / `${idCol}_b` (right) +
+    * suffixed payloads; ids are NOT canonicalized (sides are positional)
+    * and same-id cross rows are NOT dropped — callers own both. */
+  def bucketJoin(
+      left: DataFrame,
+      right: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String = "id",
+      payloadCols: Seq[String] = Nil,
+      blockSize: Int = 4096): DataFrame = {
+    require(blockSize >= 2, s"bucketJoin: blockSize must be >= 2, got $blockSize")
+    val reserved = Seq("__ga", "__gb", "__ca", "__cb", "__ia", "__ib")
+    val clash = (left.columns.toSeq ++ right.columns.toSeq).intersect(reserved)
+    require(clash.isEmpty, s"bucketJoin: reserved column names in input: $clash")
+    val bcols = bucketCols.map(col)
+    def counts(df: DataFrame, as: String) = df
+      .filter(bcols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(bcols: _*).agg(count(lit(1)).as(as))
+    // only buckets whose CROSS PRODUCT is oversized split — a bucket
+    // big on one side but tiny on the other is a fine hash-join key
+    val heavy = counts(left, "__ca").join(counts(right, "__cb"), bucketCols)
+      .filter(col("__ca") * col("__cb") > blockSize.toLong * blockSize)
+      .select(bcols
+        :+ ceil(col("__ca") / blockSize).cast("int").as("__ga")
+        :+ ceil(col("__cb") / blockSize).cast("int").as("__gb"): _*)
+    def out(l: DataFrame, r: DataFrame, extraKeys: Seq[String]) = {
+      val keys = bucketCols ++ extraKeys
+      val pairCols =
+        Seq(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b")) ++
+          payloadCols.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
+      l.as("a").join(r.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _))
+        .select(pairCols: _*)
+    }
+    if (heavy.isEmpty) return out(left, right, Nil)
+    val carried = (idCol +: payloadCols).map(col) ++ bcols
+    val l = left.join(broadcast(heavy), bucketCols, "left")
+      .withColumn("__ga", coalesce(col("__ga"), lit(1)))
+      .withColumn("__gb", coalesce(col("__gb"), lit(1)))
+      .select(carried
+        :+ pmod(xxhash64(col(idCol)), col("__ga")).cast("int").as("__ia")
+        :+ explode(sequence(lit(0), col("__gb") - 1)).as("__ib"): _*)
+    val r = right.join(broadcast(heavy), bucketCols, "left")
+      .withColumn("__ga", coalesce(col("__ga"), lit(1)))
+      .withColumn("__gb", coalesce(col("__gb"), lit(1)))
+      .select(carried
+        :+ explode(sequence(lit(0), col("__ga") - 1)).as("__ia")
+        :+ pmod(xxhash64(col(idCol)), col("__gb")).cast("int").as("__ib"): _*)
+    out(l, r, Seq("__ia", "__ib"))
+  }
 }

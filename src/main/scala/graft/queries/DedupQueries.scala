@@ -58,18 +58,26 @@ object DedupQueries extends QueryModule {
     * signatures are corpus-independent, so the incremental pair set
     * equals the full-corpus pair set restricted to the batch — which is
     * exactly what the oracle computes. */
+  /** The 80/20 OLD/NEW split predicate shared by every incremental
+    * member (docs with `doc_id mod 10 >= 8` are the arriving batch). */
+  private def isNewDoc = pmod(col("doc_id"), lit(10)) >= 8
+
+  /** The OLD side's signatures are the pipeline's persisted state — an
+    * incremental dedup keeps them on disk between batches and only ever
+    * computes signatures for the arriving batch. Model that literally:
+    * build the old-state store once per JVM, read it thereafter. */
+  private def sigOldStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "minhash_sig_old", sfDir)(
+      Dedup.minhashSignatureArr(
+        Tables.documents(spark, sfDir).filter(!isNewDoc),
+        col("doc_id"), col("text"), n = 3, k = K))
+
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val isNew = isNewDoc
     val sigNew = Dedup.minhashSignatureArr(
       docs.filter(isNew), col("doc_id"), col("text"), n = 3, k = K).cache()
-    // The OLD side's signatures are the pipeline's persisted state — an
-    // incremental dedup keeps them on disk between batches and only ever
-    // computes signatures for the arriving batch. Model that literally:
-    // build the old-state store once per JVM, read it thereafter.
-    val sigOld = FrameFixture(spark, "minhash_sig_old", sfDir)(
-      Dedup.minhashSignatureArr(
-        docs.filter(!isNew), col("doc_id"), col("text"), n = 3, k = K))
+    val sigOld = sigOldStore(spark, sfDir)
     val cands = Dedup.incrementalCandidates(
       Dedup.lshBands(sigNew, K, BandWidth), Dedup.lshBands(sigOld, K, BandWidth)).cache()
     val candIds = cands.select(col("id_a").as("doc_id"))
@@ -118,9 +126,12 @@ object DedupQueries extends QueryModule {
     * store build runs the live [[Dedup.simhash]] pass and the oracle
     * hash-gates every value. The compute pass also stays live (at
     * adaptive width) inside q_dedup_simhash_pairs. */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+  private def simhashStore(spark: SparkSession, sfDir: String): DataFrame =
     FrameFixture(spark, "simhash16", sfDir)(
       Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text")))
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashStore(spark, sfDir)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
@@ -239,13 +250,17 @@ object DedupQueries extends QueryModule {
     * re-read. The oracle computes full-corpus spans restricted to
     * batch ids — exactly equal by the state-membership argument on
     * the operator. */
+  private def spanStateStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "span_digest_state", sfDir)(
+      Dedup.spanDigestState(
+        Tables.documents(spark, sfDir).filter(!isNewDoc),
+        col("doc_id"), col("text"), SpanN))
+
   def dedupSpansIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isNew = pmod(col("doc_id"), lit(10)) >= 8
-    val state = FrameFixture(spark, "span_digest_state", sfDir)(
-      Dedup.spanDigestState(docs.filter(!isNew), col("doc_id"), col("text"), SpanN))
+    val state = spanStateStore(spark, sfDir)
     Dedup.incrementalRepeatedSpans(
-        docs.filter(isNew), col("doc_id"), col("text"), state, SpanN)
+        docs.filter(isNewDoc), col("doc_id"), col("text"), state, SpanN)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
   }
@@ -359,15 +374,25 @@ object DedupQueries extends QueryModule {
     * grams + one state probe, never an old re-read. The oracle computes
     * full-corpus brute-force pairs restricted to the batch — exactly
     * equal by the shared-order prefix lemma on the operator. */
+  private def oldNames(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct()
+      .filter(!(pmod(nameNum, lit(10)) >= 8))
+
+  private def gramStateStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "editdist_gram_state", sfDir)(
+      graft.operators.EditDist.gramState(
+        oldNames(spark, sfDir), col("name"), col("name"), maxDist = 1, q = 3))
+
+  private def gramFreqStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "editdist_gram_freq", sfDir)(
+      graft.operators.EditDist.gramFreqState(
+        oldNames(spark, sfDir), col("name"), col("name"), maxDist = 1, q = 3))
+
   def fuzzyIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct()
     val isNew = pmod(nameNum, lit(10)) >= 8
-    val state = FrameFixture(spark, "editdist_gram_state", sfDir)(
-      graft.operators.EditDist.gramState(
-        names.filter(!isNew), col("name"), col("name"), maxDist = 1, q = 3))
-    val freq = FrameFixture(spark, "editdist_gram_freq", sfDir)(
-      graft.operators.EditDist.gramFreqState(
-        names.filter(!isNew), col("name"), col("name"), maxDist = 1, q = 3))
+    val state = gramStateStore(spark, sfDir)
+    val freq = gramFreqStore(spark, sfDir)
     graft.operators.EditDist.incrementalSimilarPairs(
       names.filter(isNew), col("name"), col("name"), state, freq,
       maxDist = 1, q = 3)
@@ -427,6 +452,16 @@ object DedupQueries extends QueryModule {
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_contamination_score" -> contaminationScore,
     "q_split_by_cluster" -> splitByCluster)
+
+  override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
+    sigOldStore(spark, sfDir)
+    simhashStore(spark, sfDir)
+    spanStateStore(spark, sfDir)
+    gramStateStore(spark, sfDir)
+    gramFreqStore(spark, sfDir)
+    winnowStore(spark, sfDir)
+    ()
+  }
 
   /** Shared replay of [[Dedup.repeatedSpans]]: positional digest
     * anchors → cross-doc repeated digests → gaps-and-islands merge,

@@ -246,12 +246,14 @@ object TextQueries extends QueryModule {
     * The oracle recomputes the same ranking from the raw documents
     * table in plain SQL — a posting lost to wrong clustering, a
     * mis-pruned file, or any scoring drift mismatches. */
-  def textSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = indexFixture("full", sfDir)(d =>
+  private def fullIndexDir(spark: SparkSession, sfDir: String): String =
+    indexFixture("full", sfDir)(d =>
       graft.operators.TextIndex.buildIndex(spark,
         Tables.documents(spark, sfDir), d))
-    graft.operators.TextIndex.search(spark, dir, SearchTerms, SearchK)
-  }
+
+  def textSearch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextIndex.search(
+      spark, fullIndexDir(spark, sfDir), SearchTerms, SearchK)
 
   /** INCREMENTAL index maintenance end to end: index the old corpus
     * snapshot, roll a CDC feed (removals, text edits, additions) into
@@ -264,14 +266,22 @@ object TextQueries extends QueryModule {
     * rolled into a private copy per invocation, so repeats measure the
     * MAINTENANCE leg — diff, segment append, stats roll — not a
     * rebuild of the base. */
+  private def oldCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") % 10 =!= 3)
+
+  private def oldIndexDir(spark: SparkSession, sfDir: String): String =
+    indexFixture("old", sfDir)(d =>
+      graft.operators.TextIndex.buildIndex(spark, oldCorpus(spark, sfDir), d))
+
   def textSearchIncr(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{SnapshotDiff, TextIndex}
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val oldC = docs.filter(col("doc_id") % 10 =!= 3)
+    val oldC = oldCorpus(spark, sfDir)
     val newC = docs.filter(col("doc_id") % 10 =!= 7)
       .withColumn("text", when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" vector vector merge"))).otherwise(col("text")))
-    val base = indexFixture("old", sfDir)(d => TextIndex.buildIndex(spark, oldC, d))
+    val base = oldIndexDir(spark, sfDir)
     val dir = copyOf(spark, base)
     TextIndex.applyDelta(spark, dir, oldC,
       SnapshotDiff.diffWithPayload(oldC, newC, Seq("doc_id"),
@@ -405,11 +415,15 @@ object TextQueries extends QueryModule {
     * scaled smoothed-bigram surprisal — higher = less like the
     * reference. The oracle replays training, smoothing, and scoring
     * in full. */
+  private def lmModelStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "ngram_lm_en", sfDir)(
+      graft.operators.NgramLm.bigramModel(
+        Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+        col("doc_id"), col("text")))
+
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val model = FrameFixture(spark, "ngram_lm_en", sfDir)(
-      graft.operators.NgramLm.bigramModel(
-        docs.filter(col("lang") === "en"), col("doc_id"), col("text")))
+    val model = lmModelStore(spark, sfDir)
     graft.operators.NgramLm.score(docs, col("doc_id"), col("text"), model)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
@@ -456,6 +470,13 @@ object TextQueries extends QueryModule {
     "q_len_quantiles_approx" -> lenQuantilesApprox,
     "q_text_repetition" -> textRepetition,
     "q_chunk_overlap" -> chunkOverlap)
+
+  override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
+    lmModelStore(spark, sfDir)
+    fullIndexDir(spark, sfDir)
+    oldIndexDir(spark, sfDir)
+    ()
+  }
 
   private val toksSql = "string_split(lower(text), ' ')"
 
