@@ -384,6 +384,19 @@ object ScaleGrowth {
     g
   }
 
+  /** The order-3 sibling: the trigram-count artifact (the WHOLE backoff
+    * model — lower orders are marginals) must be exactly flat over
+    * plain clones, with scoring linear, same as [[lmGrowth]]. */
+  def lm3Growth(docs: DataFrame): LmGrowth = {
+    import graft.operators.NgramLm
+    val model = NgramLm.trigramModel(docs, col("doc_id"), col("text")).cache()
+    val g = LmGrowth(docs.count(), model.count(),
+      model.select("w3").distinct().count(),
+      NgramLm.scoreBackoff(docs, col("doc_id"), col("text"), model).count())
+    model.unpersist(blocking = false)
+    g
+  }
+
   /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
     * the stride quantizer's centroid model GROWS with the corpus
     * (every 31st vector), so cell count scales linearly and per-cell
@@ -499,6 +512,9 @@ object ScaleGrowth {
         val g = lmGrowth(docs)
         lmRows += (f"| ngram-lm (bigram) | ${s}x | ${g.rows} | ${g.modelRows} | " +
           f"${g.vocab} | ${g.scored} |")
+        val g3 = lm3Growth(docs)
+        lmRows += (f"| ngram-lm (trigram backoff) | ${s}x | ${g3.rows} | ${g3.modelRows} | " +
+          f"${g3.vocab} | ${g3.scored} |")
       }
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(
@@ -549,7 +565,7 @@ object ScaleGrowth {
     }
     if (lmRows.nonEmpty) {
       println()
-      println("| family | scale | rows | model bigrams | successor vocab | docs scored |")
+      println("| family | scale | rows | model n-grams | successor vocab | docs scored |")
       println("|---|---|---|---|---|---|")
       lmRows.foreach(println)
     }

@@ -429,6 +429,27 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private def lm3ModelStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "ngram_lm3_en", sfDir)(
+      graft.operators.NgramLm.trigramModel(
+        Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+        col("doc_id"), col("text")))
+
+  /** Order-3 LM quality scoring with stupid backoff
+    * ([[graft.operators.NgramLm.scoreBackoff]]) — the real CCNet/KenLM
+    * filter order (≥ 3): one persisted trigram-count table is the whole
+    * model (every lower order is a marginal of it), and every document
+    * gets the mean scaled backoff surprisal. The oracle replays
+    * training, all three backoff tiers, and the integer arithmetic in
+    * full. */
+  def lmScore3(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.NgramLm.scoreBackoff(
+        docs, col("doc_id"), col("text"), lm3ModelStore(spark, sfDir))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Corpus distribution-drift report
     * ([[graft.operators.TextStats.vocabDrift]]): even-id docs as the
     * OLD snapshot vs odd-id docs as the NEW one, with every 5th new
@@ -451,6 +472,7 @@ object TextQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_drift" -> vocabDrift,
     "q_lm_score" -> lmScore,
+    "q_lm_score3" -> lmScore3,
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
@@ -473,6 +495,7 @@ object TextQueries extends QueryModule {
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     lmModelStore(spark, sfDir)
+    lm3ModelStore(spark, sfDir)
     fullIndexDir(spark, sfDir)
     oldIndexDir(spark, sfDir)
     ()
@@ -559,6 +582,43 @@ object TextQueries extends QueryModule {
         |  CAST(ratio AS BIGINT) AS ratio_ppm,
         |  CAST(GREATEST(ratio, 1000000000000 // GREATEST(ratio, 1)) AS BIGINT) AS drift_ppm
         |FROM r ORDER BY drift_ppm DESC, token LIMIT 100""".stripMargin,
+    // full replay of trigram-LM training (en docs, double-BOS-padded),
+    // the one-table marginal derivations, all three stupid-backoff
+    // tiers (α = 2/5 as exact integer ratios), and the floored mean
+    "q_lm_score3" ->
+      """WITH reft AS (
+        |  SELECT list_concat(['<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |rtg AS (SELECT u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS u
+        |  FROM reft WHERE len(t) >= 3)),
+        |m3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM rtg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS c2n FROM m3 GROUP BY 1, 2),
+        |bg AS (SELECT w2, w3, CAST(SUM(n3) AS BIGINT) AS b2n FROM m3 GROUP BY 1, 2),
+        |c1 AS (SELECT w2, CAST(SUM(n3) AS BIGINT) AS c1n FROM m3 GROUP BY 1),
+        |ug AS (SELECT w3, CAST(SUM(n3) AS BIGINT) AS u1n FROM m3 GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n3) AS BIGINT) AS nn, COUNT(DISTINCT w3) AS v FROM m3),
+        |dt AS (
+        |  SELECT doc_id, list_concat(['<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents),
+        |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS u
+        |  FROM dt WHERE len(t) >= 3)),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN m.n3 IS NOT NULL THEN 1000000 * c2.c2n // m.n3
+        |         WHEN bg.b2n IS NOT NULL THEN (5 * 1000000 * c1.c1n) // (2 * bg.b2n)
+        |         ELSE (25 * 1000000 * (tt.nn + tt.v)) // (4 * (COALESCE(ug.u1n, 0) + 1))
+        |    END AS s
+        |  FROM db LEFT JOIN m3 m USING (w1, w2, w3) LEFT JOIN c2 USING (w1, w2)
+        |    LEFT JOIN bg USING (w2, w3) LEFT JOIN c1 USING (w2)
+        |    LEFT JOIN ug USING (w3), tt)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full replay of bigram-LM training (en docs, BOS-prefixed, add-one
     // smoothing) and integer-surprisal scoring over every document
     "q_lm_score" ->

@@ -42,4 +42,86 @@ class NgramLmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(s(100L) < s(101L))
   }
+
+  // ---------------- order-3 stupid backoff ----------------
+
+  /** INDEPENDENT local reference: plain Scala maps over padded token
+    * streams, the three backoff tiers spelled directly from the Brants
+    * et al. definition — no shared code with the operator beyond the
+    * Scale constant. */
+  private def localScore3(ref: Seq[String], docs: Seq[String]): Map[Int, (Long, Long)] = {
+    val S = NgramLm.Scale
+    def toks(s: String) = List("<s>", "<s>") ++ s.toLowerCase.split(" ").filter(_.nonEmpty)
+    def tris(t: List[String]) = t.sliding(3).filter(_.size == 3).map {
+      case List(a, b, c) => (a, b, c)
+    }.toList
+    val m3 = ref.map(toks).filter(_.size >= 3).flatMap(tris)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = m3.groupBy { case ((a, b, _), _) => (a, b) }.view.mapValues(_.values.sum).toMap
+    val b2 = m3.groupBy { case ((_, b, c), _) => (b, c) }.view.mapValues(_.values.sum).toMap
+    val c1 = m3.groupBy { case ((_, b, _), _) => b }.view.mapValues(_.values.sum).toMap
+    val u1 = m3.groupBy { case ((_, _, c), _) => c }.view.mapValues(_.values.sum).toMap
+    val nn = m3.values.sum
+    val v = m3.keys.map(_._3).toSet.size.toLong
+    docs.zipWithIndex.flatMap { case (d, i) =>
+      val ts = tris(toks(d))
+      if (ts.isEmpty) None
+      else {
+        val ss = ts.map { tri =>
+          m3.get(tri) match {
+            case Some(n3) => S * c2((tri._1, tri._2)) / n3
+            case None => b2.get((tri._2, tri._3)) match {
+              case Some(bn) => 5L * S * c1(tri._2) / (2L * bn)
+              case None => 25L * S * (nn + v) / (4L * (u1.getOrElse(tri._3, 0L) + 1L))
+            }
+          }
+        }
+        Some(i -> ((ts.size.toLong, ss.sum / ts.size)))
+      }
+    }.toMap
+  }
+
+  test("scoreBackoff matches the independent local reference on a mixed corpus") {
+    val ref = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick red fox runs", "a lazy dog sleeps all day",
+      "the dog jumps", "quick brown foxes jump")
+    val docs = Seq(
+      "the quick brown fox jumps",  // mostly seen trigrams
+      "the quick red dog sleeps",   // bigram-tier backoffs
+      "zz yy xx",                   // OOV: unigram ceiling everywhere
+      "the lazy fox zz sleeps day", // all three tiers mixed
+      "")                           // dropped
+    val refDf = ref.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val m = NgramLm.trigramModel(refDf, col("id"), col("text"))
+    val got = NgramLm.scoreBackoff(
+        docs.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text"),
+        col("id"), col("text"), m)
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == localScore3(ref, docs))
+  }
+
+  test("backoff tiers order as expected: seen < bigram-backoff < unigram ceiling") {
+    val ref = (1L to 20L).map(i => i -> "alpha beta gamma delta").toDF("id", "text")
+    val m = NgramLm.trigramModel(ref, col("id"), col("text"))
+    val s = NgramLm.scoreBackoff(
+        Seq(1L -> "alpha beta gamma",  // all trigrams seen
+            2L -> "delta alpha beta",  // backoff tiers (no seen trigram)
+            3L -> "zz yy xx").toDF("id", "text"),  // pure OOV
+        col("id"), col("text"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(1L) < s(2L) && s(2L) <= s(3L))
+  }
+
+  test("trigram model over plain clones is exactly flat (counts scale, support doesn't)") {
+    val base = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("id", "text")
+    val m1 = NgramLm.trigramModel(base, col("id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val cloned = (0 until 10).map(k => Seq((1L + 10 * k) -> "a b c d", (2L + 10 * k) -> "b c d e"))
+      .flatten.toDF("id", "text")
+    val m10 = NgramLm.trigramModel(cloned, col("id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(m10.keySet == m1.keySet)
+    assert(m10.forall { case (k, n) => n == 10 * m1(k) })
+  }
 }

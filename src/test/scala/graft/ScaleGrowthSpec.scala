@@ -214,6 +214,23 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("trigram LM: one-table backoff model exactly flat, scored docs exactly linear over a 10x plain clone") {
+    // the trigram-count table IS the whole backoff model (lower orders
+    // are marginals), so the flat-artifact claim covers every tier
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.lm3Growth(docs1)
+    val gN = ScaleGrowth.lm3Growth(docsN)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.modelRows == g1.modelRows,
+      s"model ${g1.modelRows} -> ${gN.modelRows} over ${Factor}x plain clones: " +
+        "the artifact is growing with the corpus, not the observed-trigram set")
+    assert(gN.vocab == g1.vocab)
+    assert(gN.scored == g1.scored * Factor,
+      s"scored ${g1.scored} -> ${gN.scored}: not linear")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
