@@ -850,4 +850,26 @@ object Dedup {
     mergeAnchors(
       fromState.union(fromBatch).select(col("id"), col("pos")).distinct(), n)
   }
+
+  /** PARAGRAPH-level decontamination report: the maximal verbatim
+    * ≥`n`-token spans of each corpus document that also appear in the
+    * EVAL set — [[repeatedSpans]]' digest machinery pointed at
+    * [[decontaminate]]'s problem, so eval overlap is caught BELOW
+    * document granularity (a doc that quotes one eval paragraph loses
+    * the paragraph, not the doc; the whole-doc drop of
+    * [[decontaminate]] is the blunt variant). `evalDigests` is the
+    * eval set's [[spanDigestState]] — the 16-bytes-per-gram persisted
+    * artifact a pipeline keeps next to its eval suites; eval sets are
+    * benchmark-sized, so pass it `broadcast()`-hinted and the corpus
+    * never shuffles: one narrow gram pass + a broadcast semi join +
+    * the per-document islands merge. Output `(id, span_start,
+    * span_end, span_tokens)`; compose with the
+    * [[removeRepeatedSpans]]-style apply or a span-budget filter
+    * downstream. */
+  def evalOverlapSpans(df: DataFrame, idCol: Column, textCol: Column,
+                       evalDigests: DataFrame, n: Int): DataFrame =
+    mergeAnchors(
+      spanOccurrences(df, idCol, textCol, n)
+        .join(evalDigests.select("dg"), Seq("dg"), "left_semi")
+        .select(col("id"), col("pos")), n)
 }

@@ -265,6 +265,40 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Paragraph-decontamination granularity: ≥4-token verbatim grams —
+    * below [[SpanN]] because an eval QUOTE is shorter than a wholesale
+    * duplicate, and the planted corpus only shares sub-8-token phrasing
+    * outside its near-dup pairs (8 would leave a 1-row surface). */
+  private val EvalSpanN = 4
+
+  /** The eval set's span-digest store ([[Dedup.spanDigestState]] over
+    * this query's every-10th eval split at [[EvalSpanN]]) — 16 bytes
+    * per distinct gram, the persisted artifact a pipeline keeps next to
+    * its eval suites. (q_decontaminate's winnow family keeps its own
+    * every-50th split; the span query uses a denser one so the oracled
+    * surface spans many documents, not one.) */
+  private def evalDigestStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "eval_span_digests", sfDir)(
+      Dedup.spanDigestState(
+        Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(10)) === 0),
+        col("doc_id"), col("text"), EvalSpanN))
+
+  /** PARAGRAPH-level decontamination ([[Dedup.evalOverlapSpans]]):
+    * maximal verbatim ≥[[EvalSpanN]]-token spans of non-eval corpus
+    * documents that also appear in the eval set — eval overlap caught
+    * BELOW document granularity (q_decontaminate's whole-doc drop is
+    * the blunt variant; this reports exactly WHAT leaked, for span
+    * removal or a budget policy). The eval digest store rides a
+    * broadcast semi join; the corpus crosses one narrow gram pass and
+    * never shuffles. */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.evalOverlapSpans(
+        Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        col("doc_id"), col("text"),
+        broadcast(evalDigestStore(spark, sfDir)), EvalSpanN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
   /** Contamination FRACTION per document (the gray-zone instrument):
     * same winnow fingerprints and eval set as q_decontaminate, but
     * instead of a binary drop every doc reports how MUCH of it overlaps
@@ -450,6 +484,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
+    "q_decontaminate_spans" -> decontaminateSpans,
     "q_contamination_score" -> contaminationScore,
     "q_split_by_cluster" -> splitByCluster)
 
@@ -457,36 +492,60 @@ object DedupQueries extends QueryModule {
     sigOldStore(spark, sfDir)
     simhashStore(spark, sfDir)
     spanStateStore(spark, sfDir)
+    evalDigestStore(spark, sfDir)
     gramStateStore(spark, sfDir)
     gramFreqStore(spark, sfDir)
     winnowStore(spark, sfDir)
     ()
   }
 
+  /** The positional-digest occurrence frame `occ(doc_id, pos, dg)` at
+    * gram length `n` — the head every span-family oracle chain shares. */
+  private def spansOccSqlN(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, u['p'] AS pos, u['dg'] AS dg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, len(t) - $n + 1),
+       |      p -> {'p': p,
+       |            'dg': md5(array_to_string(list_slice(t, p + 1, p + $n), ' '))})) AS u
+       |    FROM toks))""".stripMargin
+
+  private[queries] val spansOccSql = spansOccSqlN(SpanN)
+
+  /** The gaps-and-islands merge from an `anch(doc_id, pos, e)` anchor
+    * relation to maximal `spansq(doc_id, s, x)` — the shared tail. */
+  private val spansIslandSql =
+    """g AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM anch),
+      |isl AS (SELECT doc_id, pos, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM g),
+      |spansq AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS x
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   /** Shared replay of [[Dedup.repeatedSpans]]: positional digest
     * anchors → cross-doc repeated digests → gaps-and-islands merge,
     * ending in `spansq(doc_id, s, x)` — interpolated into the span
     * report AND the apply oracle so the two can never desynchronize. */
   private[queries] val spansChainSql =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |occ AS (
-       |  SELECT doc_id, u['p'] AS pos, u['dg'] AS dg FROM (
-       |    SELECT doc_id, unnest(list_transform(range(0, len(t) - $SpanN + 1),
-       |      p -> {'p': p,
-       |            'dg': md5(array_to_string(list_slice(t, p + 1, p + $SpanN), ' '))})) AS u
-       |    FROM toks)),
+    s"""$spansOccSql,
        |rep AS (SELECT dg FROM occ GROUP BY dg HAVING MIN(doc_id) <> MAX(doc_id)),
        |anch AS (SELECT doc_id, pos, pos + $SpanN - 1 AS e FROM occ JOIN rep USING (dg)),
-       |g AS (SELECT doc_id, pos, e,
-       |  CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-       |    THEN 1 ELSE 0 END AS brk
-       |  FROM anch),
-       |isl AS (SELECT doc_id, pos, e,
-       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM g),
-       |spansq AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS x
-       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+       |$spansIslandSql""".stripMargin
+
+  /** [[Dedup.evalOverlapSpans]]' replay: anchors are corpus positions
+    * whose digest exists in the EVAL set's digests (this query's own
+    * denser every-10th split at gram length [[EvalSpanN]]), merged by
+    * the same islands tail. */
+  private val spansEvalChainSql =
+    s"""${spansOccSqlN(EvalSpanN)},
+       |edg AS (SELECT DISTINCT dg FROM occ WHERE doc_id % 10 = 0),
+       |anch AS (SELECT doc_id, pos, pos + $EvalSpanN - 1 AS e FROM occ JOIN edg USING (dg)
+       |  WHERE doc_id % 10 <> 0),
+       |$spansIslandSql""".stripMargin
 
   /** The whole span-REMOVAL replay up to `cleaned(doc_id, clean_text,
     * n_removed)` — the apply oracle's chain, shared with the tokenizer
@@ -809,7 +868,17 @@ object DedupQueries extends QueryModule {
     "q_decontaminate" -> decontaminateSql,
     // the bloom pre-filter is exactness-preserving (false positives are
     // erased by the verify join), so the oracle IS the exact-path SQL
-    "q_decontaminate_bloom" -> decontaminateSql)
+    "q_decontaminate_bloom" -> decontaminateSql,
+    // paragraph-level: anchors = corpus gram positions whose digest
+    // exists in the eval split, merged by the shared islands tail
+    "q_decontaminate_spans" ->
+      s"""WITH $spansEvalChainSql
+         |SELECT doc_id,
+         |  CAST(s AS BIGINT) AS span_start,
+         |  CAST(x AS BIGINT) AS span_end,
+         |  CAST(x - s + 1 AS BIGINT) AS span_tokens
+         |FROM spansq
+         |ORDER BY doc_id, span_start""".stripMargin)
 
   private lazy val decontaminateSql =
     s"""WITH $winnowChainSql,

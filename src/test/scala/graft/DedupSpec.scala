@@ -50,6 +50,28 @@ class DedupSpec extends AnyFunSuite {
     assert(spans(Seq((7L, "a B c D e"), (8L, "a b c d e"), (9L, "a b"))) == Set.empty)
   }
 
+  test("evalOverlapSpans: only eval-set grams anchor; corpus-internal repeats don't") {
+    val eval = Seq((100L, "E1 E2 E3 E4 e5")).toDF("id", "text")
+    val corpus = Seq(
+      // quotes the eval 4-gram shifted by one extra anchor → ONE maximal span
+      (1L, "c1 E1 E2 E3 E4 e5 c2"),
+      // shares a BIGRAM with doc 1 but no eval trigram → no span
+      (2L, "q1 E1 E2 zz yy xx ww"),
+      (3L, "r1 E1 zz totally different words"))
+      .toDF("id", "text")
+    val state = Dedup.spanDigestState(eval, col("id"), col("text"), n = 3)
+    val out = Dedup.evalOverlapSpans(corpus, col("id"), col("text"), state, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // anchors at pos 1,2,3 (grams E1E2E3, E2E3E4, E3E4e5) merge to [1,5]
+    assert(out == Set((1L, 1L, 5L, 5L)))
+    // matches repeatedSpans(eval ∪ corpus) restricted to corpus ids whose
+    // partner is the eval doc — the blunt-variant parity the scaladoc claims
+    val full = Dedup.repeatedSpans(eval.union(corpus), col("id"), col("text"), n = 3)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == out)
+  }
+
   test("identical texts share the full MinHash signature; LSH pairs them; Jaccard = 1.0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
