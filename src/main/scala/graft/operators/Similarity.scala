@@ -547,6 +547,31 @@ object Similarity {
         (dotQ(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos"))
   }
 
+  /** SemDeDup-style SEMANTIC near-dup pairs (Abbas et al. 2023): assign
+    * every vector to its nearest centroid map-side ([[ivfCellsMapSide]]
+    * — the bounded broadcast model, zero assignment exchanges), then
+    * pair only WITHIN a cell and keep pairs at exact quantized cosine
+    * ≥ `threshold`. The cell restriction is the published algorithm's
+    * scale trade: the corpus is never all-paired — candidate volume is
+    * Σ cell²/2, and a hot cell splits into bounded triangular blocks
+    * through [[PairEnum.bucketPairs]] (vectors ride the blocks as
+    * payload, so no join back to the corpus). Cross-cell near-dups are
+    * invisible by design; more centroids sharpen cells, `threshold`
+    * trades recall for dedup aggressiveness. Compose with
+    * [[Dedup.clusters]] + a keep-list for the full SemDeDup step
+    * (q_dedup_semantic). Returns `(vec_a, vec_b, cos)`, `vec_a <
+    * vec_b`. */
+  def semanticPairs(prepped: DataFrame, stride: Int, threshold: Double,
+                    blockSize: Int = 4096): DataFrame = {
+    // assignment frame feeds both sides of the within-cell self-pairing
+    val cells = ivfCellsMapSide(prepped, stride).cache()
+    PairEnum.bucketPairs(cells, Seq("cell"), payloadCols = Seq("q", "norm"),
+        blockSize = blockSize)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        (dotQ(col("q_a"), col("q_b")).cast("double") / (col("norm_a") * col("norm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
     require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
     val width = adaptiveBits(prepped.count(), minWidth)

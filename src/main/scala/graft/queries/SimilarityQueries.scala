@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AnnJoin, Pq, Similarity}
+import graft.operators.{AnnJoin, Dedup, Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,39 @@ object SimilarityQueries extends QueryModule {
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** SemDeDup within-cell cosine bar: above [[NearDupThreshold]]
+    * because cell members already share a centroid (within-cell cosines
+    * skew high — 7.4k within-cell pairs at sf0.01, 59 at ≥0.35, 1 at
+    * ≥0.5); 0.35 keeps a multi-cluster surface with transitive merges
+    * AND kept singletons, so every branch of the keep logic is
+    * oracle-exercised. */
+  private val SemThreshold = 0.35
+
+  /** SemDeDup (Abbas et al. 2023) composed end-to-end:
+    * [[Similarity.semanticPairs]] (map-side stride-centroid cells →
+    * within-cell blocked pairs at exact quantized cosine ≥
+    * [[SemThreshold]]) → [[Dedup.clusters]] connected components →
+    * keep-list (drop every cluster member except the min-id
+    * representative). The label-propagation graph and the drop/rep id
+    * sets are cluster-sized → broadcast joins; the corpus itself never
+    * all-pairs and never shuffles on the keep step (the q_dedup_keep
+    * discipline over the EMBEDDING near-dup metric). */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Similarity.semanticPairs(prepped(spark, sfDir), IvfStride, SemThreshold)
+    val labels = Dedup.clusters(
+      pairs.select(col("vec_a").as("id_a"), col("vec_b").as("id_b")))
+    val drop = labels.filter(col("id") =!= col("canon_id"))
+      .select(col("id").as("__drop_id"))
+    val reps = labels.filter(col("id") === col("canon_id"))
+      .select(col("id").as("__rep_id"))
+    Tables.embeddings(spark, sfDir)
+      .join(broadcast(drop), col("vec_id") === col("__drop_id"), "left_anti")
+      .join(broadcast(reps), col("vec_id") === col("__rep_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("__rep_id").isNotNull.cast("int").as("is_cluster_rep"))
+      .orderBy("vec_id")
   }
 
   private val EmbDim = 64
@@ -263,6 +296,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_lsh" -> simLsh,
     "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_sim_ivf" -> simIvf,
     "q_sim_pq" -> simPq,
     "q_sim_ivfpq" -> simIvfPq,
@@ -464,6 +498,41 @@ object SimilarityQueries extends QueryModule {
          |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
          |FROM cosv WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup replay: stride-centroid cell argmax (the shared cd/ccos
+    // chain), within-cell pairs at cosine >= threshold, RECURSIVE
+    // transitive closure to min-id labels, keep-list (the
+    // q_dedup_keep oracle shape over the embedding metric)
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |$cdCcosSql
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |pd AS (SELECT a.vec_id AS x, b.vec_id AS y, SUM(qa.q * qb.q) AS dp
+         |  FROM cells a JOIN cells b ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN qv qa ON qa.vec_id = a.vec_id
+         |  JOIN qv qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |pv AS (SELECT x, y FROM pd
+         |  JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y
+         |  WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $SemThreshold),
+         |edges AS (SELECT x AS src, y AS dst FROM pv UNION ALL SELECT y, x FROM pv),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+         |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+         |reps AS (SELECT id FROM labels WHERE id = canon_id)
+         |SELECT e.vec_id, e.label,
+         |  CAST(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_cluster_rep
+         |FROM embeddings e
+         |LEFT JOIN reps r ON r.id = e.vec_id
+         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
     // recall@3 = |brute top-3 ∩ IVF top-3| / 3 per query: the `tr` chain
     // is q_sim_topk's at k=3, the `ar` chain is q_sim_ivf's, and both
     // rank with the same (cos DESC, neighbor_id) tie rule, so the

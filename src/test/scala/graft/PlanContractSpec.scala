@@ -107,6 +107,29 @@ class PlanContractSpec extends AnyFunSuite {
       s"range join must equi-join on buckets, not all-pairs:\n$s")
   }
 
+  test("q_dedup_semantic: within-cell equi-join (never all-pairs); keep step broadcasts") {
+    // the pair stage: cell assignment is map-side (no join to a centroid
+    // frame), pairing is a cell equi-join — a cartesian here is the
+    // corpus all-pairing SemDeDup exists to avoid
+    val emb = graft.Tables.embeddings(spark, sf)
+    val prepped = graft.operators.Similarity.prep(
+      emb, org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val pairPlan = staticPlan(
+      graft.operators.Similarity.semanticPairs(prepped, stride = 31, threshold = 0.35))
+    val ps = pairPlan.toString
+    assert(!ps.contains("NestedLoopJoin") && !ps.contains("CartesianProduct"),
+      s"semantic pairing must equi-join on cell, not all-pairs:\n$ps")
+    assert(ps.contains("SortMergeJoin") || ps.contains("ShuffledHashJoin") ||
+      ps.contains("BroadcastHashJoin"), s"cell equi-join missing:\n$ps")
+    // the keep stage: drop/rep id sets are cluster-sized → broadcast
+    val keepPlan = staticPlan(graft.queries.SimilarityQueries.dedupSemantic(spark, sf))
+    val ks = keepPlan.toString
+    assert(!ks.contains("CartesianProduct"), ks)
+    assert(ks.contains("BroadcastHashJoin"), s"keep-list joins must broadcast:\n$ks")
+    spark.catalog.clearCache()
+  }
+
   /** The similarity scorers must rank through the bounded top_k_by
     * aggregate — a WindowExec here means a single-task sort over one
     * query's full candidate set at scale. */

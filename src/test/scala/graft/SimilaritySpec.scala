@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -144,6 +144,33 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (a, b, _) => (a, b) }
     assert(Set((0L, 100L), (1L, 100L), (101L, 102L)).subsetOf(incKeys))
     assert(!incKeys.contains((0L, 1L)), "old-x-old pair leaked")
+    spark.catalog.clearCache()
+  }
+
+  test("semanticPairs: blob-exact within-cell pairs; blocked == naive; composed keep drops non-reps") {
+    // 4 orthogonal blobs of 10; stride 10 → one centroid per blob, so
+    // within-blob cosine ≈ 0.999 and cross-blob ≈ 0.03 — at 0.9 the
+    // semantic pairs must be EXACTLY the 4 × C(10,2) within-blob pairs
+    val pts = (0L until 40L).map { i =>
+      val v = Array.fill(4)(0.01f * (i % 3))
+      v((i / 10).toInt) = 1.0f
+      (i, v)
+    }
+    val p = Similarity.prep(pts.toDF("vec_id", "embedding"), col("vec_id"), col("embedding")).cache()
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (blob <- 0 until 4; a <- 0 until 10; b <- a + 1 until 10)
+      yield (blob * 10L + a, blob * 10L + b)).toSet
+    val pairs = Similarity.semanticPairs(p, stride = 10, threshold = 0.9)
+    assert(keys(pairs) == expected)
+    // forcing every cell through the triangular blocks changes nothing
+    assert(keys(Similarity.semanticPairs(p, stride = 10, threshold = 0.9, blockSize = 3))
+      == expected)
+    // the composed SemDeDup keep: clusters == blobs, canon = blob min id
+    val labels = Dedup.clusters(
+        pairs.select(col("vec_a").as("id_a"), col("vec_b").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40 && labels.forall { case (id, c) => c == (id / 10) * 10 })
     spark.catalog.clearCache()
   }
 
