@@ -365,6 +365,50 @@ object Multimodal {
       (sr / n / 255.0, sg / n / 255.0, sb / n / 255.0, (sr + sg + sb) / n / 3.0 / 255.0)
     }
 
+    /** Average-pooled GRAYSCALE grid (row-major `gh` rows × `gw` cols)
+      * from the decoded pixels — the perceptual-hash measurement
+      * surface. Cell (gx, gy) pools the half-open pixel box
+      * [gx·w/gw, (gx+1)·w/gw) × [gy·h/gh, (gy+1)·h/gh) (integer floor
+      * bounds — exhaustive and disjoint for any w ≥ gw, h ≥ gh);
+      * intensity = ⌊Σ(r+g+b) / (3·pixels)⌋ — integer sums and one floor
+      * division, so the grid is deterministic for a given decode. */
+    def grayGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= gw && h >= gh, s"grayGrid: image ${w}x$h smaller than grid ${gw}x$gh")
+      val out = new Array[Int](gw * gh)
+      val row = new Array[Int](w)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
+        val sums = new Array[Long](gw)
+        var y = y0
+        while (y < y1) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var gx = 0
+          while (gx < gw) {
+            val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+            var s = 0L; var x = x0
+            while (x < x1) {
+              val p = row(x)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            sums(gx) += s
+            gx += 1
+          }
+          y += 1
+        }
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+          out(gy * gw + gx) = (sums(gx) / (3L * (x1 - x0) * (y1 - y0))).toInt
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
     /** Aspect-fit pixel resize into `maxW`×`maxH` (target dims from
       * [[fitBox]] — identical to the metadata stub), bilinear filtering,
       * re-encoded as PNG. Images already inside the box pass through
@@ -449,6 +493,37 @@ object Multimodal {
   def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] = {
     require(stride > 0, s"frame-sample stride must be positive, got $stride")
     (0 until f.n_frames by stride).toSeq
+  }
+
+  /** Difference-hash (dHash) bit string from a row-major `gw`×`gh`
+    * intensity-grid ARRAY column: bit (y, x) = 1 iff grid[y·gw+x+1] >
+    * grid[y·gw+x] — `gh·(gw−1)` horizontal-gradient bits (9×8 → the
+    * classic 64-bit dHash). Declarative (static element_at
+    * comparisons, fully codegen'd) so ANY grid source plugs in — real
+    * [[PixelOps.grayGrid]] pools on the spec path, byte-probe stub
+    * grids on the oracled path — and SQL replays it verbatim. Emits
+    * the [[graft.operators.Dedup.simhash]] bit-string shape:
+    * [[graft.operators.Dedup.simhashPairs]] does the banded Hamming
+    * matching unchanged (q_media_dedup). */
+  def dhashBits(grid: org.apache.spark.sql.Column, gw: Int, gh: Int): org.apache.spark.sql.Column = {
+    require(gw >= 2 && gh >= 1, s"dhashBits: grid must be at least 2x1, got ${gw}x$gh")
+    import org.apache.spark.sql.functions.{concat, element_at, when, lit}
+    concat((for (y <- 0 until gh; x <- 0 until gw - 1) yield {
+      val i = y * gw + x
+      when(element_at(grid, i + 2) > element_at(grid, i + 1), lit("1")).otherwise(lit("0"))
+    }): _*)
+  }
+
+  /** Local mirror of [[dhashBits]] over an in-memory grid — the spec's
+    * independent reference and the scalar form for driver-side use. */
+  def dhashLocal(grid: Array[Int], gw: Int, gh: Int): String = {
+    require(grid.length == gw * gh, s"dhashLocal: grid length ${grid.length} != $gw*$gh")
+    val sb = new StringBuilder(gh * (gw - 1))
+    for (y <- 0 until gh; x <- 0 until gw - 1) {
+      val i = y * gw + x
+      sb.append(if (grid(i + 1) > grid(i)) '1' else '0')
+    }
+    sb.toString
   }
 
   /** Batched feature extraction: stream each partition in bounded

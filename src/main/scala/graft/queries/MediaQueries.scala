@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing on the oracled path: documents' text bytes play
@@ -49,9 +49,44 @@ object MediaQueries extends QueryModule {
       .orderBy("media_id")
   }
 
+  private val GridW = 9
+  private val GridH = 8
+  private val HashDist = 2
+
+  /** The oracled perceptual-hash measurement surface: a [[GridW]]×
+    * [[GridH]] intensity grid probed from the payload's first 48 bytes
+    * (min document length per the corpus contract, so positions never
+    * wrap differently per doc — near-identical payloads get
+    * near-identical grids). Real images take the same downstream via
+    * [[Multimodal.PixelOps.grayGrid]] pooling instead (MultimodalSpec
+    * gates that tier on planted near-identical PNGs). */
+  private def stubGrid(text: Column): Column =
+    transform(sequence(lit(0), lit(GridW * GridH - 1)),
+      i => ascii(text.substr(pmod(i * 7, lit(48)) + 1, lit(1))))
+
+  /** Perceptual-hash IMAGE near-dup matching (q_media_dedup): dHash bit
+    * strings ([[Multimodal.dhashBits]] — horizontal-gradient bits over
+    * the intensity grid) matched by the banded Hamming machinery
+    * [[graft.operators.Dedup.simhashPairs]] (4 bands × 16 bits;
+    * pigeonhole-complete at radius [[HashDist]] < 4, hot buckets
+    * triangular-blocked). The corpus's image rows never all-pair; the
+    * oracle is DELIBERATELY brute-force all-pairs — the banding's
+    * no-false-negative contract is what's on trial. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = mediaTable(spark, sfDir)
+      .filter(col("kind") === "image")
+      .select(col("media_id").as("id"),
+        Multimodal.dhashBits(stubGrid(col("media").cast("string")), GridW, GridH)
+          .as("simhash"))
+    graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist,
+        sigLen = GridH * (GridW - 1), bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
-    "q_media_resize" -> mediaResize)
+    "q_media_resize" -> mediaResize,
+    "q_media_dedup" -> mediaDedup)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -63,6 +98,25 @@ object MediaQueries extends QueryModule {
     "CASE WHEN doc_id % 3 = 2 THEN 1 + CAST(FLOOR(length(text) / 100.0) AS INTEGER) ELSE 1 END"
 
   val oracles: Map[String, String] = Map(
+    // deliberately brute force: all image pairs' dHash Hamming distance
+    // at radius 2 — the banded matcher's recall contract is on trial
+    "q_media_dedup" ->
+      s"""WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |grid AS (SELECT doc_id, i,
+         |    ascii(substr(text, 1 + (i * 7) % 48, 1)) AS v
+         |  FROM img, range(0, ${GridW * GridH}) r(i)),
+         |bits AS (SELECT a.doc_id, a.i - (a.i // $GridW) AS bitpos,
+         |    CASE WHEN b.v > a.v THEN '1' ELSE '0' END AS bit
+         |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % $GridW <> ${GridW - 1}),
+         |sig AS (SELECT doc_id, STRING_AGG(bit, '' ORDER BY bitpos) AS h
+         |  FROM bits GROUP BY doc_id),
+         |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, ${GridH * (GridW - 1) + 1}), i ->
+         |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist FROM d WHERE dist <= $HashDist
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_media_resize" ->
       // integer-exact aspect-fit mirror: all operands < 2^53, so the
       // double FLOOR equals the Scala long integer division

@@ -124,6 +124,48 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(MediaRecord(3L, "image", "prose payload, not an image".getBytes("UTF-8")))).head)
   }
 
+  private def paintedPng(w: Int, h: Int)(rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("perceptual dHash: near-identical real images within radius, different images far") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // 90x80 → 9x8 grid of 10x10 cells. A: horizontal gradient (cell
+    // means strictly increase left→right → all-ones dHash)
+    val a = paintedPng(90, 80)((x, _) => gray(x * 255 / 89))
+    // B: same gradient with ONE cell blacked out — exactly one
+    // horizontal comparison flips (cell4>cell3 was 1, goes 0; cell5>cell4
+    // stays 1), so dist(A,B) = 1
+    val b = paintedPng(90, 80)((x, y) =>
+      if (x >= 40 && x < 50 && y >= 30 && y < 40) gray(0) else gray(x * 255 / 89))
+    // C: vertical gradient — within-row cells equal, no bit is ever 1
+    val c = paintedPng(90, 80)((_, y) => gray(y * 255 / 79))
+    def gridOf(bytes: Array[Byte]) =
+      Multimodal.PixelOps.grayGrid(Multimodal.PixelOps.decode(bytes).get, 9, 8)
+    def hash(bytes: Array[Byte]) = Multimodal.dhashLocal(gridOf(bytes), 9, 8)
+    def dist(x: String, y: String) = x.zip(y).count { case (p, q) => p != q }
+    val (ha, hb, hc) = (hash(a), hash(b), hash(c))
+    assert(ha == "1" * 64 && hc == "0" * 64)
+    assert(dist(ha, hb) == 1)
+    assert(dist(ha, hc) == 64 && dist(hb, hc) == 63)
+    // solid color pools to a constant grid
+    assert(gridOf(realImage(18, 16, 0x646464, "png")).forall(_ == 100))
+    // the declarative dhashBits expression == the local mirror, and the
+    // banded Hamming matcher pairs EXACTLY the near-identical pair
+    val grids = Seq(1L -> gridOf(a), 2L -> gridOf(b), 3L -> gridOf(c))
+    val sig = grids.map { case (id, g) => (id, g.toSeq) }.toDF("id", "grid")
+      .select(col("id"), Multimodal.dhashBits(col("grid"), 9, 8).as("simhash"))
+    val exprHashes = sig.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exprHashes == Map(1L -> ha, 2L -> hb, 3L -> hc))
+    val pairs = graft.operators.Dedup.simhashPairs(sig, maxDist = 2, sigLen = 64, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+  }
+
   test("PixelOps.resize: real pixels through an aspect-fit rescale, re-decodable") {
     val png = realImage(64, 32, 0x3264C8, "png")
     val (bytes2, w2, h2) = Multimodal.PixelOps.resize(png, 16, 16).get
