@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nearestCentroid)
     ext.injectFunction(GraftFunctions.nearestCentroidDbl)
     ext.injectFunction(GraftFunctions.bpeEncode)
+    ext.injectFunction(GraftFunctions.unigramEncode)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -129,10 +130,19 @@ object GraftFunctions {
       BpeEncode(children.head, children(1))
     })
 
+  val unigramEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unigram_encode"),
+    new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"unigram_encode expects 2 arguments, got ${children.size}")
+      UnigramEncode(children.head, children(1))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
-        pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode).foreach { case (ident, info, builder) =>
+        pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
+        unigramEncode).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -365,6 +365,27 @@ object ScaleGrowth {
     BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
   }
 
+  /** Unigram-tokenizer training measurements: the final model (pieces +
+    * counts + weights) over PLAIN clones. A uniform R× on every
+    * substring and char count leaves the seed top-k (ties break
+    * lexicographically), every EM weight (ln(Rc/RT) = ln(c/T)), and
+    * therefore the Viterbi segmentations and the final MODEL
+    * bit-identical up to the R× counts — training cost beyond the one
+    * corpus fold rides the bounded candidate set, never the corpus. */
+  final case class UnigramGrowth(rows: Long, vocab: Long, trainWall: Double,
+                                 model: Seq[graft.operators.Unigram.Piece])
+
+  def unigramGrowth(spark: SparkSession, docs: DataFrame, vocabSize: Int,
+                    seedSize: Int): UnigramGrowth = {
+    import graft.operators.Unigram
+    val rows = docs.count()
+    val vocab = Bpe.wordFreq(docs, col("text")).count()
+    val t0 = System.nanoTime()
+    val model = Unigram.train(spark, docs, col("text"), vocabSize,
+      emIters = 2, maxPieceLen = 4, seedSize = seedSize)
+    UnigramGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, model)
+  }
+
   /** Bigram-LM measurements over PLAIN clones (ids offset, text
     * unchanged — the realistic shape where corpus growth dwarfs
     * vocabulary growth): the MODEL (observed-bigram table) must be
@@ -531,6 +552,10 @@ object ScaleGrowth {
         }
         bpeRow("16 merges, drain", 16, Bpe.DriverDrainMaxWords)
         bpeRow("2000 merges, drain", 2000, Bpe.DriverDrainMaxWords)
+        val ug = unigramGrowth(spark, docs, vocabSize = 200, seedSize = 1000)
+        val uhead = ug.model.take(3).map(p => s"${p.piece}:${p.count}").mkString(" ")
+        bpeRows += (f"| unigram-train (200 pieces, 2 EM iters) | ${s}x | ${ug.rows} | " +
+          f"${ug.vocab} | ${ug.trainWall}%.1f | ${ug.model.size} | $uhead |")
         if (s == 1) {
           bpeRow("16 merges, distributed ctl", 16, 0L)
           // The plain fixture's 31-word vocabulary dries out at ~107

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.expressions.UnigramEncode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer TRAINING (Kudo 2018 — the
+  * SentencePiece unigram model, the other tokenizer half the field
+  * uses next to [[Bpe]]), shaped exactly like BPE for 100 TB:
+  *
+  *  - The corpus is touched EXACTLY ONCE: [[Bpe.wordFreq]] folds it to
+  *    the `(word, freq)` vocabulary; every EM iteration runs against
+  *    that table (or its driver-drained copy), never the corpus.
+  *  - The candidate vocabulary is BOUNDED up front: [[seedCandidates]]
+  *    keeps the top `seedSize` substrings by corpus frequency (one
+  *    vocabulary-sized pass + a bounded top-k) plus every single
+  *    character (coverage floor) — the EM state is model-sized from
+  *    iteration zero, never corpus-shaped.
+  *  - HARD-EM variant, documented: the E-step Viterbi-segments each
+  *    distinct word under the current piece log-probabilities (the
+  *    SAME scorer the deployed encoder runs —
+  *    [[graft.expressions.UnigramEncode.encodeWord]] — so training
+  *    counts what application produces); the M-step re-estimates
+  *    `w(p) = ln(count_p / Σcount)` and prunes to the top `vocabSize`
+  *    multi-character pieces (count desc, piece asc — deterministic).
+  *    Full SentencePiece runs forward-backward expected counts and a
+  *    likelihood-loss prune; the hard variant keeps the same shape
+  *    with exact integer counts and a rank prune.
+  *  - Single characters are exempt from the `vocabSize` cap (they are
+  *    the model's floor, not vocabulary spend), but ANY piece the
+  *    E-step stopped using drops at count 0 — coverage rides the
+  *    encoder's [[UnigramEncode.UnkWeight]] single-char fallback
+  *    instead of a count floor, because a floor constant breaks exact
+  *    scale equivariance (ScaleGrowthSpec pins the model bit-identical
+  *    over plain clones). An unk-used char re-enters the counts the
+  *    moment a segmentation needs it.
+  *
+  * TWO execution paths, selected by the MEASURED vocabulary size (the
+  * [[Bpe.train]] drain-gate discipline, same bounds), both producing
+  * identical models:
+  *
+  *  - **Driver-drain (the normal path, even at 100 TB):** the
+  *    `(word, freq)` table is 4-5 orders of magnitude smaller than the
+  *    corpus; under [[Bpe.DriverDrainMaxWords]]/
+  *    [[Bpe.driverDrainMaxChars]] the EM loop runs locally —
+  *    `emIters` passes over the drained vocabulary, zero Spark jobs
+  *    per iteration.
+  *  - **Distributed fallback** above the bound: each E-step is ONE
+  *    narrow vocabulary map (the native `unigram_encode` against the
+  *    broadcast-size model literal) + one bounded aggregate
+  *    (`seedSize + alphabet` rows); the M-step is driver-side either
+  *    way (the model is bounded state, the k-means-centroid gather).
+  *
+  * Weights use `StrictMath.log` so the model is bit-reproducible
+  * across JVMs/platforms. Training lowercases through
+  * [[Bpe.wordFreq]]; callers encode `lower(text)`.
+  *
+  * Reference scope: the reference repo has no tokenizer; this is the
+  * beyond-reference training-data surface built on the published
+  * algorithm only (Kudo 2018; the [[Bpe]] sibling).
+  */
+object Unigram {
+
+  /** One model row: the piece, its log-probability under the final
+    * counts, and the final count itself (provenance / prune order). */
+  final case class Piece(piece: String, weight: Double, count: Long)
+
+  /** Multi-character substring candidates over the `(word, freq)`
+    * vocabulary: every substring of length 2..`maxLen`,
+    * OCCURRENCE-weighted (a substring appearing twice in one word
+    * counts twice, times the word's corpus frequency), top `seedSize`
+    * by (freq desc, piece asc). One narrow vocabulary pass + a bounded
+    * top-k — the corpus itself is never touched. */
+  def seedCandidates(wf: DataFrame, maxLen: Int, seedSize: Int): DataFrame = {
+    require(maxLen >= 2, s"seedCandidates: maxLen must be >= 2, got $maxLen")
+    require(seedSize >= 1, s"seedCandidates: seedSize must be >= 1, got $seedSize")
+    wf.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(flatten(
+        transform(sequence(lit(2), least(lit(maxLen), length(col("word")))),
+          l => transform(sequence(lit(1), length(col("word")) - l + 1),
+            i => col("word").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("freq"))
+      .orderBy(desc("freq"), asc("piece")).limit(seedSize)
+  }
+
+  /** Single-character counts over the vocabulary — the coverage floor's
+    * seed (same occurrence weighting as [[seedCandidates]]). */
+  def charCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("freq"))
+
+  /** Train a unigram tokenizer model over `df[textCol]`. Returns the
+    * final pieces sorted (count desc, piece asc): `vocabSize`
+    * multi-character pieces at most, plus every corpus character. */
+  def train(spark: SparkSession, df: DataFrame, textCol: Column,
+            vocabSize: Int, emIters: Int = 2, maxPieceLen: Int = 8,
+            seedSize: Int = 4096,
+            driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords): Seq[Piece] = {
+    require(vocabSize >= 0, s"train: vocabSize must be >= 0, got $vocabSize")
+    require(emIters >= 1, s"train: emIters must be >= 1, got $emIters")
+    graft.GraftFunctions.ensure(spark)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // the vocabulary backs the seed pass, the gate measure, and every
+    // distributed E-step — checkpoint once, free at the end
+    val wf = Bpe.wordFreq(df, textCol).localCheckpoint(true)
+    val wfIds = sc.getPersistentRDDs.keySet -- before
+    try {
+      val multi = seedCandidates(wf, maxPieceLen, seedSize).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val singles = charCounts(wf).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val m = wf.agg(count(lit(1)), sum(length(col("word")))).head()
+      if (m.getLong(0) <= driverDrainMaxWords &&
+          (m.isNullAt(1) || m.getLong(1) <= Bpe.driverDrainMaxChars)) {
+        val vocab = wf.select("word", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        emLoop(multi, singles, vocabSize, emIters,
+          weights => {
+            val acc = new java.util.HashMap[String, Long]()
+            vocab.foreach { case (word, freq) =>
+              val segs = UnigramEncode.encodeWord(word, weights, maxPieceLen)
+              var i = 0
+              while (i < segs.size()) {
+                acc.merge(segs.get(i), freq, (a, b) => a + b); i += 1
+              }
+            }
+            acc
+          })
+      } else {
+        emLoop(multi, singles, vocabSize, emIters,
+          weights => {
+            val model = scala.collection.mutable.ArrayBuffer.empty[Piece]
+            weights.forEach((p, w) => model += Piece(p, w.doubleValue(), 0L))
+            val acc = new java.util.HashMap[String, Long]()
+            wf.select(col("freq"),
+                explode(call_function("unigram_encode", col("word"),
+                  piecesLit(model.sortBy(_.piece).toSeq))).as("piece"))
+              .groupBy("piece").agg(sum(col("freq")).as("n"))
+              .collect()
+              .foreach(r => acc.put(r.getString(0), r.getLong(1)))
+            acc
+          })
+      }
+    } finally {
+      val live = sc.getPersistentRDDs
+      wfIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** The shared EM loop: both paths differ ONLY in where the E-step's
+    * Viterbi runs (`estep`: current weights → new counts). */
+  private def emLoop(multiSeed: Array[(String, Long)], singleSeed: Array[(String, Long)],
+                     vocabSize: Int, emIters: Int,
+                     estep: java.util.HashMap[String, java.lang.Double] => java.util.HashMap[String, Long])
+      : Seq[Piece] = {
+    // (count desc, piece asc) — the deterministic prune order
+    // everywhere. Single characters are exempt from the vocabSize cap
+    // (they are the model's floor, not vocabulary spend) but a piece —
+    // single or multi — the E-step never used drops at count 0: the
+    // encoder's unk fallback keeps every string encodable, and any
+    // COUNT-dependent floor constant would break exact scale
+    // equivariance (a 10× clone multiplies every real count by 10; a
+    // floored 1 stays 1 and shifts every weight's total).
+    def prune(counts: Map[String, Long]): Map[String, Long] = {
+      val (s, mu) = counts.partition { case (p, _) => p.length == 1 }
+      val kept = mu.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      (s ++ kept).filter { case (_, c) => c > 0L }
+    }
+    var counts: Map[String, Long] =
+      prune((multiSeed ++ singleSeed).toMap)
+    for (_ <- 1 to emIters) {
+      val weights = weightsOf(counts)
+      val next = estep(weights)
+      val nm = new scala.collection.mutable.HashMap[String, Long]()
+      // unk-used singles are counted segmentation output like any other
+      // piece, so a char the model dropped re-enters the moment a
+      // segmentation actually needs it
+      next.forEach((p, c) => nm.put(p, c))
+      counts = prune(nm.toMap)
+    }
+    val g = gcdOf(counts)
+    val total = counts.values.sum / g
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) =>
+        Piece(p, StrictMath.log((c / g).toDouble) - StrictMath.log(total.toDouble), c) }
+  }
+
+  /** GCD of every count — weights divide it out first, so a uniform R×
+    * on all counts (a plain corpus clone) yields BITWISE-identical
+    * weights: ln(Rc)−ln(RT) drifts an ulp from ln(c)−ln(T), but
+    * ln(c/g)−ln(T/g) is literally the same computation at both scales
+    * (the ScaleGrowthSpec invariance gate). */
+  private def gcdOf(counts: Map[String, Long]): Long =
+    counts.values.foldLeft(0L)((a, b) => BigInt(a).gcd(BigInt(b)).toLong) max 1L
+
+  private def weightsOf(counts: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
+    val g = gcdOf(counts)
+    val lt = StrictMath.log((counts.values.sum / g).toDouble)
+    val m = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+    counts.foreach { case (p, c) =>
+      m.put(p, java.lang.Double.valueOf(StrictMath.log((c / g).toDouble) - lt)) }
+    m
+  }
+
+  /** The `pieces` argument of the native `unigram_encode` expression
+    * from a model: a plan literal. For corpus-wide application of a
+    * large model, deliver through BroadcastRef instead — same element
+    * shape. */
+  def piecesLit(model: Seq[Piece]): Column =
+    if (model.isEmpty) array().cast("array<struct<piece:string,w:double>>")
+    else array(model.map(p => struct(lit(p.piece).as("piece"), lit(p.weight).as("w"))): _*)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Sample, TextStats}
+import graft.operators.{Bpe, Sample, TextStats, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -469,7 +469,53 @@ object TextQueries extends QueryModule {
     graft.operators.TextStats.vocabDrift(toks(old), toks(neu), col("token"))
   }
 
+  /** Substring-candidate bound for the oracled unigram seed pass. */
+  private val UniMaxLen = 4
+
+  /** The unigram tokenizer's corpus-pass half on the hash-exact oracle
+    * ([[graft.operators.Unigram.seedCandidates]]): top-50
+    * occurrence-weighted substrings (length 2..[[UniMaxLen]]) of the
+    * `(word, freq)` vocabulary — the EM loop's bounded candidate set.
+    * The iterative EM itself is gated by UnigramSpec (exhaustive-
+    * enumeration parity + drain == distributed), the q_bpe_pairs
+    * division of labor. */
+  def unigramSeed(spark: SparkSession, sfDir: String): DataFrame =
+    Unigram.seedCandidates(
+        Bpe.wordFreq(Tables.documents(spark, sfDir), col("text")), UniMaxLen, 50)
+      .orderBy(desc("freq"), asc("piece"))
+
+  /** Fixed piece list for [[unigramEncode]] — four two-char pieces with
+    * PAIRWISE-DISJOINT character sets at one shared weight, no single
+    * chars in the model. The restriction is what makes Viterbi
+    * oracle-able: disjoint pieces can never overlap (no position
+    * belongs to two occurrences, same-piece self-overlap needs a
+    * repeated char), and one piece (−1.0) always beats its two unk
+    * singles (−2·10⁴), so the UNIQUE optimum is "take every
+    * occurrence, everything else single chars" — exactly a chain of
+    * space-wrapping `replace` calls plus per-char splits in SQL. */
+  private val UniPieces = Seq("th", "er", "an", "is")
+
+  /** The native `unigram_encode` expression end-to-end on the oracle:
+    * each document Viterbi-segmented under [[UniPieces]], output as
+    * piece count + the space-joined piece string (hash-exact both
+    * ways). The TRAINED-model path is UnigramSpec's parity gate; this
+    * row pins the expression's per-word DP, word iteration, unk
+    * fallback, and empty-word skip against an independent engine. */
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val model = Unigram.piecesLit(UniPieces.map(p => Unigram.Piece(p, -1.0, 0L)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("unigram_encode", lower(col("text")), model).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_pieces"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_seed" -> unigramSeed,
+    "q_unigram_encode" -> unigramEncode,
     "q_vocab_drift" -> vocabDrift,
     "q_lm_score" -> lmScore,
     "q_lm_score3" -> lmScore3,
@@ -556,6 +602,38 @@ object TextQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // the same (word, freq) fold, then every substring of length
+    // 2..UniMaxLen occurrence-weighted — ties impossible past the
+    // piece-level GROUP BY, so the top-50 cut is deterministic
+    "q_unigram_seed" ->
+      s"""WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS word FROM documents),
+         |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+         |sub AS (SELECT unnest(flatten(list_transform(range(2, ${UniMaxLen + 1}), l ->
+         |    CASE WHEN len(word) >= l
+         |         THEN list_transform(range(1, len(word) - l + 2), i -> substr(word, i, l))
+         |         ELSE [] END))) AS piece, freq
+         |  FROM wf)
+         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq
+         |FROM sub GROUP BY piece
+         |ORDER BY freq DESC, piece LIMIT 50""".stripMargin,
+    // disjoint-piece Viterbi closed form: wrap every occurrence in
+    // spaces (occurrences can never overlap), split, then each
+    // non-piece fragment decomposes to single-char unk pieces
+    "q_unigram_encode" -> {
+      val wrapped = UniPieces.foldLeft("lower(text)") { case (e, p) =>
+        s"replace($e, '$p', ' $p ')" }
+      val inList = UniPieces.map(p => s"'$p'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  flatten(list_transform(
+         |    list_filter(string_split($wrapped, ' '), f -> f <> ''),
+         |    f -> CASE WHEN f IN ($inList) THEN [f]
+         |         ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END)) AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_pieces,
+         |  array_to_string(t, ' ') AS encoded
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
     // snapshot drift: full replay of counts, add-one smoothed rate
     // ratio (exact 128-bit integral division), and the top-k
     "q_vocab_drift" ->

@@ -231,6 +231,24 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("unigram training: model pieces and weights invariant over a 10x plain clone") {
+    // uniform R× on every substring/char count leaves the seed top-k
+    // (lexicographic tie-breaks), every EM weight (ln(Rc/RT) = ln(c/T)),
+    // and so the final model — pieces AND weights — bit-identical;
+    // counts scale exactly by the factor
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.unigramGrowth(spark, docs1, vocabSize = 50, seedSize = 200)
+    val gN = ScaleGrowth.unigramGrowth(spark, docsN, vocabSize = 50, seedSize = 200)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.vocab == g1.vocab)
+    assert(gN.model.map(p => (p.piece, p.weight)) == g1.model.map(p => (p.piece, p.weight)),
+      "model pieces/weights changed under uniform scaling — seed/EM is not scale-invariant")
+    assert(gN.model.map(_.count) == g1.model.map(_.count * Factor),
+      "piece counts did not scale exactly with the clone factor")
+    spark.catalog.clearCache()
+  }
+
   test("bpe training: vocabulary flat and rule list invariant over a 10x plain clone") {
     // plain clones (same text, new ids): the realistic growth shape —
     // corpus rows scale, vocabulary does not. Train cost per iteration
