@@ -74,15 +74,32 @@ object SetSimJoin {
   }
 
   /** In-row exact verification: attach each side's token array
-    * (candidate-confined) and intersect per pair. */
-  private[graft] def verifyPairs(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
-                          threshold: Double): DataFrame = {
-    def confined(docs: DataFrame, side: String) = {
-      val ids = cand.select(col(side).as("id")).distinct()
-      docs.join(broadcast(ids), Seq("id"), "left_semi")
+    * (candidate-confined) and intersect per pair. The candidate frame
+    * feeds THREE consumers (both confinement id sets + the join spine)
+    * and sits on top of the whole prefix bucket join — pin it through
+    * `scope` or every consumer replays that chain. A SELF-join
+    * (`docsA eq docsB`) confines ONCE on the union of both id columns
+    * and reads the same pinned frame from both sides. */
+  private[graft] def verifyPairs(cand0: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                          threshold: Double,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cand = scope.pin(cand0)
+    val selfJoin = docsA eq docsB
+    val sharedConfined = if (!selfJoin) null else scope.pin {
+      val ids = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      docsA.join(broadcast(ids), Seq("id"), "left_semi")
         .select(col("id"),
           transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
     }
+    def confined(docs: DataFrame, side: String) =
+      if (selfJoin) sharedConfined
+      else {
+        val ids = cand.select(col(side).as("id")).distinct()
+        docs.join(broadcast(ids), Seq("id"), "left_semi")
+          .select(col("id"),
+            transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
+      }
     cand
       .join(confined(docsA, "id_a").as("da"), col("id_a") === col("da.id"))
       .join(confined(docsB, "id_b").as("db"), col("id_b") === col("db.id"))
@@ -120,7 +137,7 @@ object SetSimJoin {
     // FIRST common token satisfies both, so per-row filtering + distinct
     // loses nothing (epsilons again only widen). The length filter
     // (t*max <= min) rides the same carried sizes — no sizes join.
-    verifyPairs(filterCandidates(cand, threshold), docs, docs, threshold)
+    verifyPairs(filterCandidates(cand, threshold), docs, docs, threshold, scope)
   }
 
   /** Cross-collection (R-S) variant — ENTITY RESOLUTION between two
@@ -152,6 +169,6 @@ object SetSimJoin {
       prefixRows(docs, threshold).select(col("token"),
         col("id").as(s"id_$s"), col("__rk").as(s"__rk_$s"), col("__s").as(s"__s_$s"))
     val cand = side(ldocs, "a").join(side(rdocs, "b"), "token")
-    verifyPairs(filterCandidates(cand, threshold), ldocs, rdocs, threshold)
+    verifyPairs(filterCandidates(cand, threshold), ldocs, rdocs, threshold, scope)
   }
 }

@@ -129,13 +129,23 @@ object TextIndex {
     *    segment is written) and documented here rather than papered
     *    over;
     *  - two consecutive feeds with IDENTICAL content likewise dedupe,
-    *    which is exactly the retry case the marker exists for. */
-  private def feedDigest(feedC: DataFrame, idCol: String, textCol: String): String = {
+    *    which is exactly the retry case the marker exists for.
+    *
+    * Also returns the doc-count delta (Σ added − removed) from the
+    * SAME one-pass aggregate — applyDelta needs both, and the feed is
+    * the diff chain's first materialization, so one fused job beats
+    * two passes over the cache (and two fixed job overheads). */
+  private def feedDigestAndDocDelta(feedC: DataFrame, idCol: String,
+                                    textCol: String): (String, Long) = {
     val r = feedC.agg(count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64(`$idCol`, change_type, `$textCol`))"),
         lit(0L)).as("x"),
-      coalesce(sum(length(col(textCol))), lit(0L)).as("len")).head
-    s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}_${r.getAs[Long]("len")}"
+      coalesce(sum(length(col(textCol))), lit(0L)).as("len"),
+      coalesce(sum(when(col("change_type") === "added", 1L)
+        .when(col("change_type") === "removed", -1L).otherwise(0L)), lit(0L)).as("dd"))
+      .head
+    (s"${r.getAs[Long]("n")}_${r.getAs[Long]("x")}_${r.getAs[Long]("len")}",
+      r.getAs[Long]("dd"))
   }
 
   /** Does `marker` match this feed's digest? Accepts the current
@@ -170,11 +180,18 @@ object TextIndex {
 
   /** Swap-replace a tiny stats table (terms/corpus): stage, then the
     * two-rename swap with heal on the next read. */
+  /** Stats tables are vocabulary-sized at most — without the coalesce
+    * the upstream join's 32 shuffle partitions land 32 near-empty
+    * parquet files per swap, inflating every later stats read, the
+    * swap itself, and any caller-side index copy. 4 files keeps even a
+    * tens-of-millions-term vocabulary comfortable. */
+  private val StatsFiles = 4
+
   private def replaceStats(spark: SparkSession, target: String, df: DataFrame): Unit = {
     val fs = fsOf(spark, target)
     val staged = new Path(s"$target.__staged")
     fs.delete(staged, true)
-    df.write.parquet(staged.toString)
+    df.coalesce(StatsFiles).write.parquet(staged.toString)
     if (fs.exists(new Path(target)))
       graft.sinks.Sinks.swapIn(fs, staged, new Path(target), new Path(s"$target.__backup"))
     else { fs.rename(staged, new Path(target)); () }
@@ -276,7 +293,7 @@ object TextIndex {
     // the one-file marker write still retries as a fresh apply — the
     // postings stay correct via tombstones; only the stats drift, and
     // compactIndex repairs them.)
-    val digest = feedDigest(feedC, idCol, textCol)
+    val (digest, dDocs) = feedDigestAndDocDelta(feedC, idCol, textCol)
     val lastSeg = segments(spark, dir).lastOption
     if (lastSeg.exists(s =>
         readFeedMarker(spark, s._2).exists(markerMatches(_, digest)))) {
@@ -329,14 +346,14 @@ object TextIndex {
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-      .localCheckpoint(true) // cut lineage off the path being replaced
+    // no lineage cut needed: replaceStats stages the write to a side
+    // path and swaps only after the write job (which fully drains the
+    // read of the old files) completes — the checkpoint this replaced
+    // was a whole extra materialization of the term table per delta
     replaceStats(spark, s"$dir/terms", terms)
     // corpus constants: |terms|-sized and feed-sized aggregates only
     val dTokens = delta.agg(coalesce(sum(col("__t")), lit(0L))).head.getLong(0)
-    val dDocs = feedC.agg(coalesce(sum(
-      when(col("change_type") === "added", 1L)
-        .when(col("change_type") === "removed", -1L).otherwise(0L)), lit(0L)))
-      .head.getLong(0)
+    // dDocs rode the feedDigest aggregate — no second feed pass
     val c = readStats(spark, s"$dir/corpus").head
     replaceStats(spark, s"$dir/corpus",
       spark.range(1).select(
