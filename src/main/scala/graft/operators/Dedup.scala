@@ -746,8 +746,26 @@ object Dedup {
     * token-level explode happens outside the digest pass. Documents
     * with no repeated spans pass through untouched (left join). */
   def removeRepeatedSpans(df: DataFrame, idCol: Column, textCol: Column,
-                          n: Int, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, n, scope)
+                          n: Int, scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    applySpanRemoval(df, idCol, textCol, repeatedSpans(df, idCol, textCol, n, scope))
+
+  /** PARAGRAPH-level decontamination APPLY: delete every
+    * [[evalOverlapSpans]] span from the corpus text — the surgical
+    * sibling of [[decontaminate]]'s whole-doc drop (the doc keeps
+    * everything except the verbatim eval quote). Same scale shape as
+    * [[removeRepeatedSpans]]: the span list aggregates to one small
+    * row per affected document and the deletion is a narrow per-row
+    * array filter; the corpus never shuffles. */
+  def removeEvalOverlaps(df: DataFrame, idCol: Column, textCol: Column,
+                         evalDigests: DataFrame, n: Int): DataFrame =
+    applySpanRemoval(df, idCol, textCol,
+      evalOverlapSpans(df, idCol, textCol, evalDigests, n))
+
+  /** The shared deletion splice: spans → one row per affected doc →
+    * left join → in-row token filter (see [[removeRepeatedSpans]]). */
+  private def applySpanRemoval(df: DataFrame, idCol: Column, textCol: Column,
+                               spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .groupBy("id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("__spans"))

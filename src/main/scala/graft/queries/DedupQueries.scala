@@ -299,6 +299,21 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
 
+  /** Paragraph-decontamination APPLY ([[Dedup.removeEvalOverlaps]]):
+    * the non-eval corpus with every verbatim eval quote DELETED — the
+    * surgical sibling of q_decontaminate's whole-doc drop (the doc
+    * keeps everything but the leaked span) and the downstream step
+    * q_decontaminate_spans' report feeds. Same plan shape as
+    * q_dedup_spans_apply: span list → one row per affected doc →
+    * in-row token filter; the corpus never shuffles. */
+  def decontaminateSpansApply(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.removeEvalOverlaps(
+        Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        col("doc_id"), col("text"),
+        broadcast(evalDigestStore(spark, sfDir)), EvalSpanN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Contamination FRACTION per document (the gray-zone instrument):
     * same winnow fingerprints and eval set as q_decontaminate, but
     * instead of a binary drop every doc reports how MUCH of it overlaps
@@ -485,6 +500,7 @@ object DedupQueries extends QueryModule {
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_decontaminate_spans" -> decontaminateSpans,
+    "q_decontaminate_spans_apply" -> decontaminateSpansApply,
     "q_contamination_score" -> contaminationScore,
     "q_split_by_cluster" -> splitByCluster)
 
@@ -554,7 +570,20 @@ object DedupQueries extends QueryModule {
     * rebuilt in position order. */
   private[queries] lazy val spansApplyChainSql =
     s"""$spansChainSql,
-       |tokpos AS (SELECT doc_id, u['p'] AS pos, u['t'] AS tok FROM (
+       |$spansApplyTailSql""".stripMargin
+
+  /** [[Dedup.removeEvalOverlaps]]' replay: the eval-anchored span chain
+    * spliced into the same deletion tail (shared fragment — the two
+    * apply oracles cannot desynchronize from their span sources). */
+  private lazy val spansEvalApplyChainSql =
+    s"""$spansEvalChainSql,
+       |$spansApplyTailSql""".stripMargin
+
+  /** The deletion tail from any chain ending in `toks` + `spansq`:
+    * every span-covered token position deleted, text rebuilt in
+    * position order, up to `cleaned(doc_id, clean_text, n_removed)`. */
+  private lazy val spansApplyTailSql =
+    s"""tokpos AS (SELECT doc_id, u['p'] AS pos, u['t'] AS tok FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(t)),
        |    p -> {'p': p, 't': t[p + 1]})) AS u
        |  FROM toks)),
@@ -878,7 +907,15 @@ object DedupQueries extends QueryModule {
          |  CAST(x AS BIGINT) AS span_end,
          |  CAST(x - s + 1 AS BIGINT) AS span_tokens
          |FROM spansq
-         |ORDER BY doc_id, span_start""".stripMargin)
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // the eval-anchored chain spliced into the shared deletion tail;
+    // `toks`/`cleaned` cover all docs, the output restricts to the
+    // non-eval corpus (the Spark side's input)
+    "q_decontaminate_spans_apply" ->
+      s"""WITH $spansEvalApplyChainSql
+         |SELECT doc_id, clean_text, n_removed FROM cleaned
+         |WHERE doc_id % 10 <> 0
+         |ORDER BY doc_id""".stripMargin)
 
   private lazy val decontaminateSql =
     s"""WITH $winnowChainSql,

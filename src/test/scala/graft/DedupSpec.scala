@@ -70,6 +70,13 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("id") === 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(full == out)
+    // the removal splice deletes EXACTLY the leaked tokens; untouched
+    // docs pass through verbatim with n_removed = 0
+    val cleaned = Dedup.removeEvalOverlaps(corpus, col("id"), col("text"), state, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(1L) == ("c1 c2", 5L))
+    assert(cleaned(2L) == ("q1 E1 E2 zz yy xx ww", 0L))
+    assert(cleaned(3L) == ("r1 E1 zz totally different words", 0L))
   }
 
   test("identical texts share the full MinHash signature; LSH pairs them; Jaccard = 1.0") {
