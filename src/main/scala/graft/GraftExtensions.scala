@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, WhtHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nearestCentroidDbl)
     ext.injectFunction(GraftFunctions.bpeEncode)
     ext.injectFunction(GraftFunctions.unigramEncode)
+    ext.injectFunction(GraftFunctions.whtHash)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -138,11 +139,19 @@ object GraftFunctions {
       UnigramEncode(children.head, children(1))
     })
 
+  val whtHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wht_hash"),
+    new ExpressionInfo(classOf[WhtHash].getName, "wht_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"wht_hash expects 1 argument, got ${children.size}")
+      WhtHash(children.head)
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
         pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
-        unigramEncode).foreach { case (ident, info, builder) =>
+        unigramEncode, whtHash).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

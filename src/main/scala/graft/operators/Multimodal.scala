@@ -508,10 +508,63 @@ object Multimodal {
   def dhashBits(grid: org.apache.spark.sql.Column, gw: Int, gh: Int): org.apache.spark.sql.Column = {
     require(gw >= 2 && gh >= 1, s"dhashBits: grid must be at least 2x1, got ${gw}x$gh")
     import org.apache.spark.sql.functions.{concat, element_at, when, lit}
-    concat((for (y <- 0 until gh; x <- 0 until gw - 1) yield {
-      val i = y * gw + x
-      when(element_at(grid, i + 2) > element_at(grid, i + 1), lit("1")).otherwise(lit("0"))
-    }): _*)
+    // bindOnce: ~2·gw·gh grid references — see [[phashBits]]
+    bindOnce(grid) { g =>
+      concat((for (y <- 0 until gh; x <- 0 until gw - 1) yield {
+        val i = y * gw + x
+        when(element_at(g, i + 2) > element_at(g, i + 1), lit("1")).otherwise(lit("0"))
+      }): _*)
+    }
+  }
+
+  /** pHash-style LOW-FREQUENCY perceptual hash over a row-major 8×8
+    * intensity-grid ARRAY column: the grid's 2-D Walsh-Hadamard
+    * transform (H₈⊗H₈ — the integer-exact stand-in for classic pHash's
+    * DCT: same "hash the coarse structure, ignore pixel noise" idea,
+    * but every coefficient is a ±1-signed SUM of grid cells, so both
+    * engines agree bit-for-bit and the oracle replays it verbatim),
+    * one sign bit per non-DC coefficient. Coefficient k (1..63, DC
+    * excluded — it is positive for any image) is
+    * `Σ_j (−1)^popcount(k & j) · grid[j]` — the (kr, kc) factorization
+    * of H₈⊗H₈ collapses to one popcount because popcount splits across
+    * the row/col bit fields. 63 bits = 3 bands × 21 for
+    * [[graft.operators.Dedup.simhashPairs]] (pigeonhole-complete at
+    * radius 2 < 3).
+    *
+    * Why this complements [[dhashBits]]: dHash reads LOCAL gradients
+    * (one noisy cell flips its two neighbor comparisons), WHT bits
+    * read GLOBAL structure (a grid-scale perturbation lands in the one
+    * coefficient whose sign pattern it matches and leaves the other 62
+    * alone — MultimodalSpec plants exactly that). */
+  def phashBits(grid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // one native codegen'd O(n log n) butterfly per row
+    // ([[graft.expressions.WhtHash]]; callers ensure registration —
+    // the declarative HOF spelling of the same math was interpreted
+    // at ~n² boxed steps per row, measured 4.8 s vs sub-second on the
+    // sf0.1 image surface)
+    org.apache.spark.sql.functions.call_function("wht_hash", grid)
+
+  /** Evaluate `c` ONCE per row and hand the bound value to `f` — the
+    * single-element-array + transform spelling: a lambda variable is
+    * evaluated by value, where a plain Column alias may be inlined
+    * back into every reference by projection collapse. */
+  private def bindOnce(c: org.apache.spark.sql.Column)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    element_at(transform(array(c), f), 1)
+  }
+
+  /** Local mirror of [[phashBits]] — the spec's independent reference. */
+  def phashLocal(grid: Array[Int]): String = {
+    require(grid.length == 64, s"phashLocal: grid length ${grid.length} != 64")
+    val sb = new StringBuilder(63)
+    for (k <- 1 to 63) {
+      var s = 0L
+      for (j <- 0 until 64)
+        s += grid(j).toLong * (if (java.lang.Integer.bitCount(k & j) % 2 == 0) 1L else -1L)
+      sb.append(if (s > 0) '1' else '0')
+    }
+    sb.toString
   }
 
   /** Local mirror of [[dhashBits]] over an in-memory grid — the spec's

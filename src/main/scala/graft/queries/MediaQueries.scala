@@ -60,8 +60,8 @@ object MediaQueries extends QueryModule {
     * near-identical grids). Real images take the same downstream via
     * [[Multimodal.PixelOps.grayGrid]] pooling instead (MultimodalSpec
     * gates that tier on planted near-identical PNGs). */
-  private def stubGrid(text: Column): Column =
-    transform(sequence(lit(0), lit(GridW * GridH - 1)),
+  private def stubGrid(text: Column, cells: Int = GridW * GridH): Column =
+    transform(sequence(lit(0), lit(cells - 1)),
       i => ascii(text.substr(pmod(i * 7, lit(48)) + 1, lit(1))))
 
   /** Perceptual-hash IMAGE near-dup matching (q_media_dedup): dHash bit
@@ -73,20 +73,44 @@ object MediaQueries extends QueryModule {
     * oracle is DELIBERATELY brute-force all-pairs — the banding's
     * no-false-negative contract is what's on trial. */
   def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // BIND the grid as a column before hashing: the hash builders
+    // reference their grid argument once per element_at, and an inline
+    // expression would re-evaluate the whole probe transform per
+    // reference (64 refs × 72 substrs per row — measured pathological
+    // on the 4032-ref WHT sibling below)
     val sig = mediaTable(spark, sfDir)
       .filter(col("kind") === "image")
+      .withColumn("__grid", stubGrid(col("media").cast("string")))
       .select(col("media_id").as("id"),
-        Multimodal.dhashBits(stubGrid(col("media").cast("string")), GridW, GridH)
-          .as("simhash"))
+        Multimodal.dhashBits(col("__grid"), GridW, GridH).as("simhash"))
     graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist,
         sigLen = GridH * (GridW - 1), bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** pHash-style LOW-FREQUENCY image matching (q_media_phash):
+    * [[Multimodal.phashBits]] Walsh-Hadamard sign bits over the same
+    * 8×8 probe grid, matched at radius [[HashDist]] through 3×21-bit
+    * bands (63 non-DC coefficients; pigeonhole-complete at 2 < 3).
+    * The structural complement of [[mediaDedup]]'s local-gradient
+    * dHash — MultimodalSpec plants the separation (grid-scale noise
+    * flips ONE WHT bit but half the dHash bits). */
+  def mediaPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark) // wht_hash
+    val sig = mediaTable(spark, sfDir)
+      .filter(col("kind") === "image")
+      .withColumn("__grid", stubGrid(col("media").cast("string"), 64))
+      .select(col("media_id").as("id"),
+        Multimodal.phashBits(col("__grid")).as("simhash"))
+    graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist, sigLen = 63, bands = 3)
       .orderBy("id_a", "id_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_media_resize" -> mediaResize,
-    "q_media_dedup" -> mediaDedup)
+    "q_media_dedup" -> mediaDedup,
+    "q_media_phash" -> mediaPhash)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -113,6 +137,27 @@ object MediaQueries extends QueryModule {
          |  FROM bits GROUP BY doc_id),
          |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(list_sum(list_transform(range(1, ${GridH * (GridW - 1) + 1}), i ->
+         |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist FROM d WHERE dist <= $HashDist
+         |ORDER BY id_a, id_b""".stripMargin,
+    // same brute-force trial as q_media_dedup, over the WHT sign hash:
+    // grid -> 63 non-DC coefficient signs -> all-pairs Hamming <= 2
+    "q_media_phash" ->
+      s"""WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |grid AS (SELECT doc_id,
+         |    list_transform(range(0, 64), i ->
+         |      ascii(substr(text, 1 + (i * 7) % 48, 1))) AS g
+         |  FROM img),
+         |sig AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(1, 64), k ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+         |        g[j + 1] * CASE WHEN bit_count(CAST(k AS BIGINT) & j) % 2 = 0
+         |                        THEN 1 ELSE -1 END)) > 0
+         |      THEN '1' ELSE '0' END), '') AS h
+         |  FROM grid),
+         |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, 64), i ->
          |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, dist FROM d WHERE dist <= $HashDist

@@ -166,6 +166,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("WHT pHash: grid-scale noise flips ONE bit where dHash flips many; expression == mirror") {
+    graft.GraftFunctions.ensure(spark)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // 80x80 → 8x8 grid of 10x10 cells; base = horizontal gradient kept
+    // inside [24, 231] so the ±24 block perturbation never clamps
+    val base = paintedPng(80, 80)((x, _) => gray(24 + x * 207 / 79))
+    // block checkerboard aligned WITH the pooling cells: +24 on even
+    // (row+col) cells, −24 on odd — survives pooling intact, and its
+    // sign pattern IS the (1,1) Walsh coefficient (k = 9), so exactly
+    // one WHT bit can flip while every other coefficient is untouched
+    val noisy = paintedPng(80, 80)((x, y) =>
+      gray(24 + x * 207 / 79 + (if (((x / 10) + (y / 10)) % 2 == 0) 24 else -24)))
+    def grid8(bytes: Array[Byte]) =
+      Multimodal.PixelOps.grayGrid(Multimodal.PixelOps.decode(bytes).get, 8, 8)
+    def dist(a: String, b: String) = a.zip(b).count { case (p, q) => p != q }
+    val (gb, gn) = (grid8(base), grid8(noisy))
+    val (pb, pn) = (Multimodal.phashLocal(gb), Multimodal.phashLocal(gn))
+    assert(dist(pb, pn) <= 1, s"pHash moved ${dist(pb, pn)} bits under grid-scale noise")
+    // dHash reads local gradients: the alternating ±24 blocks flip a
+    // large fraction of the same 8×8 grid's 56 horizontal comparisons
+    val (db, dn) = (Multimodal.dhashLocal(gb, 8, 8), Multimodal.dhashLocal(gn, 8, 8))
+    assert(dist(db, dn) >= 10, s"dHash moved only ${dist(db, dn)} bits")
+    // the native expression equals the local mirror on real grids
+    val out = Seq(1L -> gb.toSeq, 2L -> gn.toSeq).toDF("id", "grid")
+      .select(col("id"), Multimodal.phashBits(col("grid")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> pb, 2L -> pn))
+    // banded matcher pairs the planted near-identical pair at radius 2
+    val sig = Seq(1L -> gb.toSeq, 2L -> gn.toSeq).toDF("id", "grid")
+      .select(col("id"), Multimodal.phashBits(col("grid")).as("simhash"))
+    val pairs = graft.operators.Dedup.simhashPairs(sig, maxDist = 2, sigLen = 63, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("PixelOps.resize: real pixels through an aspect-fit rescale, re-decodable") {
     val png = realImage(64, 32, 0x3264C8, "png")
     val (bytes2, w2, h2) = Multimodal.PixelOps.resize(png, 16, 16).get
