@@ -572,6 +572,64 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** EXACT max cosine of each row's vector against a bounded BROADCAST
+    * vector set — the [[cellAssignExpr]] machinery pointed at
+    * "how close is this row to ANY reference vector": the native
+    * `nearest_centroid` argmax picks the best reference (exact — it
+    * maximizes cosine), then one literal lookup re-derives that
+    * reference's vector/norm and the cosine is computed exactly once.
+    * Map-side and codegen'd: ZERO joins, the corpus never shuffles —
+    * the right shape when the reference set is benchmark-sized
+    * (semantic eval-decontamination, dataset-vs-dataset proximity
+    * screens). Ties between references share the max, so the VALUE is
+    * tie-free even though the argmax picks the lowest id. */
+  def maxCosExpr(refs: Seq[(Long, Seq[Long])], qCol: Column, normCol: Column): Column = {
+    require(refs.nonEmpty, "maxCosExpr: empty reference set")
+    val sorted = refs.sortBy(_._1)
+    val idx = call_function("nearest_centroid", qCol, normCol,
+      typedLit(sorted.flatMap(_._2)),
+      typedLit(sorted.map { case (_, v) => math.sqrt(v.map(x => x * x).sum.toDouble) }))
+    val best = element_at(typedLit(sorted.map(_._2)), idx + 1)
+    val bestNorm = element_at(
+      typedLit(sorted.map { case (_, v) => math.sqrt(v.map(x => x * x).sum.toDouble) }),
+      idx + 1)
+    dotQ(qCol, best).cast("double") / (normCol * bestNorm)
+  }
+
+  /** INCREMENTAL [[semanticPairs]]: within-cell cosine pairs TOUCHING
+    * the new vector batch only — new×new (blocked triangular
+    * self-pairing) plus new×STATE (grid-blocked cross probe through
+    * [[PairEnum.bucketJoin]], so a hot cell never funnels |new|×|old|
+    * pairs through one task) — never old×old; per-batch cost stays
+    * flat as the corpus grows. `model` is the FROZEN centroid table
+    * (cell identity is a state property — vectors assigned under
+    * different centroids never co-cell, the [[bandAssignments]] width
+    * rule on the cell metric); `stateCells` is the persisted
+    * `(id, q, norm, cell)` assignment table. Result equals the
+    * full-corpus [[semanticPairs]] under the same model restricted to
+    * pairs touching the batch (spec-pinned). Same-id batch/state rows
+    * are NOT dropped — the stream discipline keeps generations
+    * id-disjoint, and its crash-replay guard is what prevents a batch
+    * from meeting its own state (a cosine-1 (x, x) row here is that
+    * guard's loud failure shape, not noise to filter). */
+  def incrementalSemanticPairs(newPrepped: DataFrame, stateCells: DataFrame,
+      model: Seq[(Long, Seq[Long])], threshold: Double, blockSize: Int = 4096,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // feeds the self-pairing (both sides) and the cross probe — pin
+    val newCells = scope.pin(
+      newPrepped.withColumn("cell", cellAssignExpr(model, col("q"), col("norm"))))
+    def score(pairs: DataFrame) = pairs
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
+        (dotQ(col("q_a"), col("q_b")).cast("double") /
+          (col("norm_a") * col("norm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    score(PairEnum.bucketPairs(newCells, Seq("cell"),
+        payloadCols = Seq("q", "norm"), blockSize = blockSize))
+      .unionByName(score(PairEnum.bucketJoin(newCells, stateCells, Seq("cell"),
+        payloadCols = Seq("q", "norm"), blockSize = blockSize)))
+  }
+
   def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
     require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
     val width = adaptiveBits(prepped.count(), minWidth)

@@ -81,6 +81,67 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** The incremental-semantic state pair, persisted per JVM (the
+    * on-disk artifacts a sustained pipeline keeps): the OLD split's
+    * stride-centroid model and its cell-assignment table, both under
+    * the 80% vec_id-mod split. */
+  private def semStateStore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val cents = FrameFixture(spark, "sem_centroids", sfDir)(
+      Similarity.strideCentroids(
+        prepped(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8), IvfStride))
+    lazy val model = cents.select("cent_id", "cq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val cells = FrameFixture(spark, "sem_cells", sfDir)(
+      prepped(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8)
+        .withColumn("cell", Similarity.cellAssignExpr(model, col("q"), col("norm"))))
+    (cents, cells)
+  }
+
+  /** INCREMENTAL SemDeDup ([[Similarity.incrementalSemanticPairs]]):
+    * within-cell pairs TOUCHING the new 20% batch only — new×new
+    * blocked self-pairing plus new×persisted-cells probe under the
+    * FROZEN old-split centroid model; old×old never re-pairs (the
+    * q_dedup_incremental discipline on the cell metric). The oracle
+    * replays the same frozen quantizer over ALL vectors and keeps
+    * batch-touching pairs. */
+  def dedupSemanticIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, cells) = semStateStore(spark, sfDir)
+    val model = cents.select("cent_id", "cq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val fresh = prepped(spark, sfDir).filter(pmod(col("id"), lit(10)) >= 8)
+    Similarity.incrementalSemanticPairs(fresh, cells, model, SemThreshold)
+      .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Semantic eval-decontamination bar: 61 of 450 corpus vectors sit at
+    * max-eval-cosine ≥ 0.35 at sf0.01 (max observed 0.49) — a real
+    * drop surface with real survivors. */
+  private val SemDecontThreshold = 0.35
+
+  /** SEMANTIC (embedding-level) eval decontamination — the third
+    * decontamination metric next to exact-fingerprint
+    * (q_decontaminate) and verbatim-span (q_decontaminate_spans):
+    * drop every corpus vector whose EXACT max cosine against the eval
+    * set reaches [[SemDecontThreshold]]. The eval set is
+    * benchmark-sized, so it rides [[Similarity.maxCosExpr]] as a
+    * broadcast model — one map-side corpus pass, zero joins, the
+    * corpus never shuffles (the q_decontaminate broadcast discipline
+    * on the embedding metric). Survivors report their max eval
+    * proximity for observability. */
+  def decontaminateEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val p = prepped(spark, sfDir)
+    val refs = p.filter(pmod(col("id"), lit(10)) === 0)
+      .select("id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    p.filter(pmod(col("id"), lit(10)) =!= 0)
+      .withColumn("__m", Similarity.maxCosExpr(refs, col("q"), col("norm")))
+      .filter(col("__m") < SemDecontThreshold)
+      .select(col("id").as("vec_id"), Rnd.r(col("__m"), 6).as("eval_cos"))
+      .orderBy("vec_id")
+  }
+
   private val EmbDim = 64
 
   private val NearDupThreshold = 0.25
@@ -297,10 +358,17 @@ object SimilarityQueries extends QueryModule {
     "q_sim_ivf_probe" -> simIvfProbe,
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_semantic" -> dedupSemantic,
+    "q_dedup_semantic_incr" -> dedupSemanticIncr,
+    "q_decontaminate_embed" -> decontaminateEmbed,
     "q_sim_ivf" -> simIvf,
     "q_sim_pq" -> simPq,
     "q_sim_ivfpq" -> simIvfPq,
     "q_sim_ivfpq_res" -> simIvfPqRes)
+
+  override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
+    semStateStore(spark, sfDir)
+    ()
+  }
 
   // dimension bound derives from each vector's length (ADVICE r2: no
   // silent truncation cap)
@@ -318,9 +386,15 @@ object SimilarityQueries extends QueryModule {
     * (ccos). ONE definition, interpolated into all seven oracles, so a
     * quantizer or tie-rule change cannot silently desynchronize one
     * oracle from the Spark side. */
-  private val cdCcosSql: String =
+  private val cdCcosSql: String = cdCcosSqlWhere("")
+
+  /** [[cdCcosSql]] with an extra centroid-side predicate — the
+    * incremental member's FROZEN old-split model is the same chain
+    * restricted to old-split centroids, interpolated from one builder
+    * so the two can never desynchronize. */
+  private def cdCcosSqlWhere(centPred: String): String =
     s"""cd AS (SELECT a.vec_id, b.vec_id AS cent_id, SUM(a.q * b.q) AS dp
-       |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0
+       |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id % $IvfStride = 0$centPred
        |  GROUP BY a.vec_id, b.vec_id),
        |ccos AS (SELECT cd.vec_id, cd.cent_id,
        |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
@@ -533,6 +607,45 @@ object SimilarityQueries extends QueryModule {
          |LEFT JOIN reps r ON r.id = e.vec_id
          |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
+    // semantic decontamination replay: brute-force max cosine of every
+    // non-eval vector against the eval split, survivors below the bar
+    "q_decontaminate_embed" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |pd AS (SELECT a.vec_id AS c, b.vec_id AS e, SUM(a.q * b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i
+         |    AND a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+         |  GROUP BY 1, 2),
+         |mx AS (SELECT c AS vec_id,
+         |    MAX(CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))) AS m
+         |  FROM pd JOIN nrm na ON na.vec_id = c JOIN nrm nb ON nb.vec_id = e
+         |  GROUP BY c)
+         |SELECT vec_id, ${Rnd.sql("m", 6)} AS eval_cos
+         |FROM mx WHERE m < $SemDecontThreshold
+         |ORDER BY vec_id""".stripMargin,
+    // incremental SemDeDup replay: the SAME quantizer chain under the
+    // frozen old-split centroid model (all vectors assign against it),
+    // within-cell pairs restricted to those touching the 20% batch
+    "q_dedup_semantic_incr" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |${cdCcosSqlWhere(" AND b.vec_id % 10 < 8")}
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |pd AS (SELECT a.vec_id AS x, b.vec_id AS y, SUM(qa.q * qb.q) AS dp
+         |  FROM cells a JOIN cells b ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN qv qa ON qa.vec_id = a.vec_id
+         |  JOIN qv qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+         |  WHERE a.vec_id % 10 >= 8 OR b.vec_id % 10 >= 8
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT x, y,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM pd JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y)
+         |SELECT x AS vec_a, y AS vec_b, ${Rnd.sql("c", 6)} AS cos
+         |FROM cv WHERE c >= $SemThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // recall@3 = |brute top-3 ∩ IVF top-3| / 3 per query: the `tr` chain
     // is q_sim_topk's at k=3, the `ar` chain is q_sim_ivf's, and both
     // rank with the same (cos DESC, neighbor_id) tie rule, so the

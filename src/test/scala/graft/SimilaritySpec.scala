@@ -174,6 +174,63 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maxCosExpr: exact max cosine vs a broadcast reference set, equals brute force") {
+    graft.GraftFunctions.ensure(spark)
+    val rows = (0L until 30L).map { i =>
+      val v = Array.fill(4)(0.05f * ((i % 7) + 1))
+      v((i % 4).toInt) = 1.0f
+      (i, v)
+    }
+    val p = Similarity.prep(rows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+      .cache()
+    val refs = p.filter(col("id") % 5 === 0).select("id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val got = p.withColumn("m", Similarity.maxCosExpr(refs, col("q"), col("norm")))
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute force with the same exact-integer arithmetic
+    val qs = p.select("id", "q", "norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2))).toSeq
+    val refNorms = refs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum.toDouble) }.toMap
+    qs.foreach { case (id, q, n) =>
+      val brute = refs.map { case (rid, rv) =>
+        q.zip(rv).map { case (a, b) => a * b }.sum.toDouble / (n * refNorms(rid)) }.max
+      assert(got(id) == brute, s"id=$id: ${got(id)} != $brute")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("incrementalSemanticPairs == full semanticPairs restricted to batch-touching pairs") {
+    // old ids 0..19 hold the only stride multiples, so the union's
+    // frozen model == the old corpus's model and the comparison is
+    // under ONE cell assignment
+    val mk = (ids: Seq[Long]) => ids.map { i =>
+      val v = Array.fill(4)(0.01f * (i % 3))
+      v((i % 4).toInt) = 1.0f
+      (i, v)
+    }
+    val old = Similarity.prep(mk(0L until 20L).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).cache()
+    val fresh = Similarity.prep(mk(Seq(101L, 102L, 103L)).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).cache()
+    val model = Similarity.strideCentroids(old, stride = 10)
+      .select("cent_id", "cq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val stateCells = old.withColumn("cell",
+      Similarity.cellAssignExpr(model, col("q"), col("norm")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = rows(Similarity.incrementalSemanticPairs(fresh, stateCells, model, 0.9))
+    val freshIds = Set(101L, 102L, 103L)
+    val full = rows(Similarity.semanticPairs(old.unionByName(fresh), stride = 10,
+        threshold = 0.9))
+      .filter { case (a, b, _) => freshIds(a) || freshIds(b) }
+    assert(inc == full && inc.nonEmpty)
+    // forcing the blocked paths changes nothing
+    assert(rows(Similarity.incrementalSemanticPairs(fresh, stateCells, model, 0.9,
+      blockSize = 2)) == inc)
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopKProbe: nprobe=1 matches the single-cell probe; nprobe=#cells recovers brute force") {
     // 40 vectors in 4 orthogonal-ish blobs; stride 10 → 4 centroids
     val pts = (0L until 40L).map { i =>
