@@ -97,7 +97,8 @@ object Unigram {
   def train(spark: SparkSession, df: DataFrame, textCol: Column,
             vocabSize: Int, emIters: Int = 2, maxPieceLen: Int = 8,
             seedSize: Int = 4096,
-            driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords): Seq[Piece] = {
+            driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords,
+            soft: Boolean = false): Seq[Piece] = {
     require(vocabSize >= 0, s"train: vocabSize must be >= 0, got $vocabSize")
     require(emIters >= 1, s"train: emIters must be >= 1, got $emIters")
     graft.GraftFunctions.ensure(spark)
@@ -117,6 +118,7 @@ object Unigram {
           (m.isNullAt(1) || m.getLong(1) <= Bpe.driverDrainMaxChars)) {
         val vocab = wf.select("word", "freq").collect()
           .map(r => (r.getString(0), r.getLong(1)))
+        if (soft) return softEmLoop(multi, singles, vocab, vocabSize, emIters, maxPieceLen)
         emLoop(multi, singles, vocabSize, emIters,
           weights => {
             val acc = new java.util.HashMap[String, Long]()
@@ -130,6 +132,14 @@ object Unigram {
             acc
           })
       } else {
+        // the EM state is model-sized, not corpus-sized, so the
+        // vocabulary exceeding the drain gates is the re-shard
+        // boundary for the SOFT variant (posterior accumulation is
+        // a driver loop); hard-EM stays the distributed mode because
+        // its E-step IS the deployed encoder expression
+        require(!soft, "Unigram.train: soft EM requires the driver-drain path " +
+          s"(measured vocabulary exceeds driverDrainMaxWords=$driverDrainMaxWords / " +
+          s"driverDrainMaxChars=${Bpe.driverDrainMaxChars}); use hard EM or raise the gates")
         emLoop(multi, singles, vocabSize, emIters,
           weights => {
             val model = scala.collection.mutable.ArrayBuffer.empty[Piece]
@@ -186,6 +196,115 @@ object Unigram {
     counts.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) =>
         Piece(p, StrictMath.log((c / g).toDouble) - StrictMath.log(total.toDouble), c) }
+  }
+
+  /** SOFT-EM (Kudo 2018's actual E-step): per word, FORWARD-BACKWARD
+    * posterior expected counts over ALL segmentations instead of the
+    * Viterbi best — the likelihood-faithful variant next to [[train]]'s
+    * documented hard-EM. Same seed, same prune order (count desc,
+    * piece asc over the EXPECTED counts), same coverage rule
+    * (zero-expected pieces drop, unk fallback covers). Counts are
+    * doubles: deterministic per corpus (fixed iteration order over the
+    * drained vocabulary) but NOT clone-bitwise like hard EM's integers
+    * (Σ(R·f)·p accumulates differently from R·Σf·p in floating point)
+    * — hard EM stays the ScaleGrowth-gated scale-invariant mode.
+    * Returned [[Piece.count]] is the expected count rounded to nearest
+    * (provenance); weights derive from the RAW doubles. */
+  private def softEmLoop(multiSeed: Array[(String, Long)], singleSeed: Array[(String, Long)],
+                         vocab: Array[(String, Long)], vocabSize: Int, emIters: Int,
+                         maxPieceLen: Int): Seq[Piece] = {
+    def prune(counts: Map[String, Double]): Map[String, Double] = {
+      val (s, mu) = counts.partition { case (p, _) => p.length == 1 }
+      val kept = mu.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      (s ++ kept).filter { case (_, c) => c > 0.0 }
+    }
+    var counts: Map[String, Double] =
+      prune((multiSeed ++ singleSeed).map { case (p, c) => p -> c.toDouble }.toMap)
+    for (_ <- 1 to emIters) {
+      val lt = StrictMath.log(counts.values.sum)
+      val lw = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      counts.foreach { case (p, c) =>
+        lw.put(p, java.lang.Double.valueOf(StrictMath.log(c) - lt)) }
+      val acc = new java.util.HashMap[String, java.lang.Double]()
+      vocab.foreach { case (word, freq) =>
+        expectedCounts(word, lw, maxPieceLen).foreach { case (p, e) =>
+          acc.merge(p, java.lang.Double.valueOf(e * freq),
+            (a, b) => java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
+        }
+      }
+      val nm = scala.collection.mutable.HashMap.empty[String, Double]
+      acc.forEach((p, c) => nm.put(p, c.doubleValue()))
+      counts = prune(nm.toMap)
+    }
+    val total = counts.values.sum
+    val lt = StrictMath.log(total)
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => Piece(p, StrictMath.log(c) - lt, math.rint(c).toLong) }
+  }
+
+  /** Posterior expected count of every piece in ONE word under log
+    * probabilities `lw` (unknown singles at
+    * [[UnigramEncode.UnkWeight]], matching the encoder): forward α /
+    * backward β in log space with log-sum-exp (the unk floor never
+    * underflows a whole word), occurrence (i → i+l) posterior
+    * `exp(α(i) + w + β(i+l) − α(n))`. Public: the spec replays it
+    * against an exhaustive enumeration of segmentations. */
+  def expectedCounts(word: String, lw: java.util.HashMap[String, java.lang.Double],
+                     maxLen: Int): scala.collection.Map[String, Double] = {
+    val n = word.length
+    def wOf(piece: String, l: Int): Double = {
+      val v = lw.get(piece)
+      if (v != null) v.doubleValue()
+      else if (l == 1) UnigramEncode.UnkWeight else Double.NaN
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val w = wOf(word.substring(i - l, i), l)
+        if (!w.isNaN) alpha(i) = lse(alpha(i), alpha(i - l) + w)
+        l += 1
+      }
+      i += 1
+    }
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxLen, n - i)
+      while (l <= lMax) {
+        val w = wOf(word.substring(i, i + l), l)
+        if (!w.isNaN) beta(i) = lse(beta(i), w + beta(i + l))
+        l += 1
+      }
+      i -= 1
+    }
+    val z = alpha(n)
+    val out = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      var l = 1
+      val lMax = math.min(maxLen, n - i)
+      while (l <= lMax) {
+        val piece = word.substring(i, i + l)
+        val w = wOf(piece, l)
+        if (!w.isNaN) {
+          val post = StrictMath.exp(alpha(i) + w + beta(i + l) - z)
+          if (post > 0.0) out.update(piece, out.getOrElse(piece, 0.0) + post)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** GCD of every count — weights divide it out first, so a uniform R×

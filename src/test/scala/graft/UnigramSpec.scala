@@ -83,6 +83,62 @@ class UnigramSpec extends AnyFunSuite {
       StrictMath.log(4.0) - StrictMath.log(total.toDouble))
   }
 
+  test("soft EM: forward-backward posteriors == exhaustive segmentation enumeration") {
+    val m = Map("ab" -> -1.0, "ba" -> -1.1, "aba" -> -1.4, "a" -> -2.0, "b" -> -2.3)
+    // independent reference: enumerate every segmentation, weight each
+    // by its probability, sum per-piece occurrence posteriors
+    def exhaustive(word: String, maxLen: Int): Map[String, Double] = {
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(maxLen, s.length)).flatMap { l =>
+          val h = s.substring(0, l)
+          if (m.contains(h) || l == 1) segs(s.substring(l)).map(h +: _) else Seq.empty
+        }
+      def p(seg: Seq[String]): Double = StrictMath.exp(
+        seg.map(x => m.getOrElse(x, graft.expressions.UnigramEncode.UnkWeight)).sum)
+      val all = segs(word)
+      val z = all.map(p).sum
+      all.flatMap(seg => seg.map(_ -> p(seg) / z))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val lw = jmap(m)
+    for (n <- 1 to 7; idx <- 0 until (1 << n)) {
+      val word = (0 until n).map(i => "ab" ((idx >> i) & 1)).mkString
+      val got = Unigram.expectedCounts(word, lw, 4)
+      val want = exhaustive(word, 4)
+      assert(got.keySet == want.keySet, s"word=$word: ${got.keySet} vs ${want.keySet}")
+      want.foreach { case (piece, e) =>
+        assert(math.abs(got(piece) - e) <= 1e-9 * math.max(1.0, e),
+          s"word=$word piece=$piece: ${got(piece)} != $e") }
+    }
+    // a word with an unknown char still normalizes (the unk floor
+    // rides the same log-sum-exp, never an underflowed zero)
+    val unk = Unigram.expectedCounts("axb", lw, 4)
+    assert(math.abs(unk("x") - 1.0) < 1e-12 && unk.values.forall(_ > 0))
+  }
+
+  test("soft EM training: dominant pieces agree with hard EM on the planted corpus") {
+    val df = Seq.fill(3)("ababab cd").toDF("text").union(Seq("cd").toDF("text"))
+    val soft = Unigram.train(spark, df, col("text"),
+      vocabSize = 5, emIters = 2, maxPieceLen = 3, seedSize = 8, soft = true)
+    // posteriors spread mass over alternatives, but the dominant
+    // structure matches the hard path: aba/bab/cd carry the bulk
+    val byPiece = soft.map(p => p.piece -> p).toMap
+    assert(Set("aba", "bab", "cd").subsetOf(byPiece.keySet))
+    assert(byPiece("cd").count >= 3L, s"cd expected count ${byPiece("cd").count}")
+    val multiMass = soft.filter(_.piece.length > 1).map(_.count).sum.toDouble
+    val singleMass = soft.filter(_.piece.length == 1).map(_.count).sum.toDouble
+    assert(multiMass > singleMass,
+      s"multi-piece mass $multiMass should dominate singles $singleMass")
+    // soft EM above the drain gate fails loudly instead of silently
+    // falling back to the hard distributed path
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(spark, df, col("text"), vocabSize = 5, emIters = 1,
+        maxPieceLen = 3, seedSize = 8, driverDrainMaxWords = 0, soft = true)
+    }
+    assert(e.getMessage.contains("soft EM requires the driver-drain path"))
+  }
+
   test("drain-path model == distributed-fallback model, piece for piece") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val drained = Unigram.train(spark, docs, col("text"),
