@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, WhtHash}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, WhtHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nearestCentroid)
     ext.injectFunction(GraftFunctions.nearestCentroidDbl)
     ext.injectFunction(GraftFunctions.bpeEncode)
+    ext.injectFunction(GraftFunctions.bpeEncodeBytes)
+    ext.injectFunction(GraftFunctions.bytePreTok)
     ext.injectFunction(GraftFunctions.unigramEncode)
     ext.injectFunction(GraftFunctions.whtHash)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
@@ -131,6 +133,22 @@ object GraftFunctions {
       BpeEncode(children.head, children(1))
     })
 
+  val bpeEncodeBytes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_encode_bytes"),
+    new ExpressionInfo(classOf[BpeEncodeBytes].getName, "bpe_encode_bytes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"bpe_encode_bytes expects 2 arguments, got ${children.size}")
+      BpeEncodeBytes(children.head, children(1))
+    })
+
+  val bytePreTok: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("byte_pretok"),
+    new ExpressionInfo(classOf[BytePreTok].getName, "byte_pretok"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"byte_pretok expects 1 argument, got ${children.size}")
+      BytePreTok(children.head)
+    })
+
   val unigramEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("unigram_encode"),
     new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
@@ -151,7 +169,7 @@ object GraftFunctions {
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
         pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
-        unigramEncode, whtHash).foreach { case (ident, info, builder) =>
+        bpeEncodeBytes, bytePreTok, unigramEncode, whtHash).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -104,7 +104,7 @@ object BpeEncode {
     row.getUTF8String(ord)
   }
 
-  private def ranksFor(merges: ArrayData): java.util.HashMap[String, Integer] = {
+  private[expressions] def ranksFor(merges: ArrayData): java.util.HashMap[String, Integer] = {
     val c = cached
     val n = merges.numElements()
     // hit path runs PER ROW of a corpus-wide encode: byte-compare the
@@ -162,6 +162,16 @@ object BpeEncode {
       cp += n
     }
     syms.add(EndOfWord)
+    mergeAndEmit(syms, ranks, out)
+  }
+
+  /** The BPE application loop shared with [[BpeEncodeBytes]]:
+    * repeatedly fuse the lowest-ranked surviving adjacent pair of
+    * `syms` (all non-overlapping occurrences, left to right), then
+    * emit the survivors. */
+  private[expressions] def mergeAndEmit(syms: java.util.ArrayList[String],
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
     var i = 0
     // repeatedly fuse the lowest-ranked surviving pair
     var done = syms.size() < 2

@@ -47,18 +47,32 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** BYTE-LEVEL `(word, freq)` vocabulary: pretokens come from the
+    * native `byte_pretok` expression ([[graft.expressions.BytePreTok]]
+    * — the [[ByteLevel]] regex + byte mapping fused into the scan), so
+    * every word is a string over the 256-symbol byte alphabet and the
+    * downstream merge loop needs no unknown handling. Case-preserving
+    * (the byte-level convention); callers wanting folded text pass
+    * `lower(textCol)`. Callers ensure `GraftFunctions.ensure` ran. */
+  def wordFreqBytes(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(call_function("byte_pretok", textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
   /** Initial symbol sequences: one single-character symbol per char
-    * plus the [[EndOfWord]] marker. Spelled with per-position `substr`
+    * plus (for the word-level tokenizer) the [[EndOfWord]] marker —
+    * byte-level training passes `endOfWord = false`: its boundary
+    * information is the leading-space stand-in 'Ġ' inside the word
+    * itself. Spelled with per-position `substr`
     * (character semantics, identical in Spark and DuckDB) rather than
     * `split(word, "")`, whose empty-regex trailing-element behavior is
     * engine- and version-dependent — the oracle must replay this
     * byte-exactly. */
-  def withSymbols(wf: DataFrame): DataFrame =
+  def withSymbols(wf: DataFrame, endOfWord: Boolean = true): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
     wf.withColumn("syms",
-      concat(
-        transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))),
-        array(lit(EndOfWord))))
+      if (endOfWord) concat(chars, array(lit(EndOfWord))) else chars)
+  }
 
   /** Frequency-weighted adjacent-pair counts over the CURRENT symbol
     * sequences — the per-iteration aggregate. Output `(lhs, rhs, n)`.
@@ -161,11 +175,33 @@ object Bpe {
     */
   def train(spark: SparkSession, df: DataFrame, textCol: Column,
             nMerges: Int, minFreq: Long = 2L,
-            driverDrainMaxWords: Long = DriverDrainMaxWords): Seq[MergeRule] = {
+            driverDrainMaxWords: Long = DriverDrainMaxWords): Seq[MergeRule] =
+    trainImpl(spark, wordFreq(df, textCol), nMerges, minFreq,
+      driverDrainMaxWords, endOfWord = true)
+
+  /** BYTE-LEVEL training — [[train]] with the [[wordFreqBytes]] front
+    * end (regex pretokenization + UTF-8 byte mapping, the GPT-2
+    * production shape) and NO end-of-word marker. The learned rules'
+    * sides are strings over the 256 byte stand-ins; apply them with
+    * the native `bpe_encode_bytes` expression
+    * ([[graft.expressions.BpeEncodeBytes]]). Same two execution paths
+    * and drain gates as [[train]], rule-for-rule identical across
+    * them. */
+  def trainBytes(spark: SparkSession, df: DataFrame, textCol: Column,
+                 nMerges: Int, minFreq: Long = 2L,
+                 driverDrainMaxWords: Long = DriverDrainMaxWords): Seq[MergeRule] = {
+    graft.GraftFunctions.ensure(spark)
+    trainImpl(spark, wordFreqBytes(df, textCol), nMerges, minFreq,
+      driverDrainMaxWords, endOfWord = false)
+  }
+
+  private def trainImpl(spark: SparkSession, wordFreqDf: DataFrame,
+                        nMerges: Int, minFreq: Long,
+                        driverDrainMaxWords: Long, endOfWord: Boolean): Seq[MergeRule] = {
     require(nMerges >= 0, s"train: nMerges must be >= 0, got $nMerges")
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    var wf = withSymbols(wordFreq(df, textCol)).localCheckpoint(true)
+    var wf = withSymbols(wordFreqDf, endOfWord).localCheckpoint(true)
     // track exactly which persisted RDDs back the CURRENT snapshot so
     // each superseded one is freed inside the loop — otherwise all
     // nMerges vocabulary materializations stay pinned simultaneously
@@ -182,7 +218,7 @@ object Bpe {
           (m.isNullAt(1) || m.getLong(1) <= driverDrainMaxChars)) {
         val vocab = wf.select("word", "freq").collect()
           .map(r => (r.getString(0), r.getLong(1)))
-        return trainLocal(vocab, nMerges, minFreq)
+        return trainLocal(vocab, nMerges, minFreq, endOfWord)
       }
       var dry = false
       while (rules.size < nMerges && !dry) {
@@ -218,7 +254,7 @@ object Bpe {
     * [[withSymbols]] (Spark's `substr` counts code points, so
     * `codePointAt` iteration matches it; `toCharArray` would split
     * surrogate pairs and diverge on supplementary characters). */
-  private def symbolsOf(word: String): Array[String] = {
+  private def symbolsOf(word: String, endOfWord: Boolean): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
     var i = 0
     while (i < word.length) {
@@ -226,7 +262,7 @@ object Bpe {
       out += new String(Character.toChars(cp))
       i += Character.charCount(cp)
     }
-    out += EndOfWord
+    if (endOfWord) out += EndOfWord
     out.toArray
   }
 
@@ -314,7 +350,7 @@ object Bpe {
     * matching the current count are discarded). nMerges=64k runs in
     * heap time, independent of Spark job overhead. */
   private[graft] def trainLocal(vocab: Array[(String, Long)], nMerges: Int,
-                                minFreq: Long): Seq[MergeRule] = {
+                                minFreq: Long, endOfWord: Boolean = true): Seq[MergeRule] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     // ---- interned symbol table: id ↔ string ↔ tie-break bytes ----
     val sym2id = new java.util.HashMap[String, Integer]
@@ -337,7 +373,7 @@ object Bpe {
     def lhsOf(p: Long): Int = (p >>> 32).toInt
     def rhsOf(p: Long): Int = (p & 0xffffffffL).toInt
 
-    val syms: Array[Array[Int]] = vocab.map(v => symbolsOf(v._1).map(intern))
+    val syms: Array[Array[Int]] = vocab.map(v => symbolsOf(v._1, endOfWord).map(intern))
     val freq: Array[Long] = vocab.map(_._2)
     val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]
     val members = new java.util.HashMap[java.lang.Long, IntVec]
