@@ -101,7 +101,17 @@ object PlanAudit {
       val begin = lines.indexOf(BeginMarker)
       val end = lines.indexOf(EndMarker)
       require(begin >= 0 && end > begin, s"$path: markers $BeginMarker/$EndMarker not found or out of order")
-      val out = lines.take(begin + 1) ++ Header ++ rows ++ lines.drop(end)
+      // the title stamp regenerates WITH the table (a hand-written one
+      // goes stale the round the table changes): scale factor from the
+      // audited dir + the rewrite date
+      val sfBase = new java.io.File(sfDir).getName
+      val stamp = java.time.LocalDate.now().toString
+      val titled = lines.zipWithIndex.map {
+        case (l, 0) if l.startsWith("# PLANS ") =>
+          s"# PLANS — physical-plan audit ($sfBase, regenerated $stamp)"
+        case (l, _) => l
+      }
+      val out = titled.take(begin + 1) ++ Header ++ rows ++ titled.drop(end)
       java.nio.file.Files.write(p, String.join("\n", out: _*).concat("\n").getBytes("UTF-8"))
       println(s"[planaudit] rewrote ${rows.size} rows in $path")
     }

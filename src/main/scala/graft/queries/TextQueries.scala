@@ -334,6 +334,64 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fixed BYTE-LEVEL encoder rule list for [[bpeEncodeBytes]] and the
+    * upgraded [[tokPipeline]] — the [[EncRules]] restriction carried to
+    * the byte alphabet: every side is a SINGLE byte stand-in (letters
+    * and the leading-space marker 'Ġ'), so merged symbols appear in no
+    * later rule side and the lowest-surviving-rank loop reduces to
+    * rank-order merge-all passes — a boundary-delimited `replace`
+    * chain in SQL (space is the boundary: no byte stand-in is a
+    * literal space by construction). Shared-symbol rules keep order
+    * sensitivity under test: rank 0 ("Ġ","t") starves rank 1 ("t","h")
+    * at word starts, rank 5 ("Ġ","a") starves rank 6 ("a","n"). */
+  private val EncRulesBytes = Seq(
+    "Ġ" -> "t", "t" -> "h", "e" -> "r", "i" -> "n",
+    "o" -> "n", "Ġ" -> "a", "a" -> "n", "e" -> "s")
+
+  private def encBytesMergesCol =
+    array(EncRulesBytes.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+
+  /** The byte-level encoder replay over one document-text SQL
+    * expression: pretokenize with the SHARED [[graft.operators.ByteLevel.PreTokPattern]]
+    * (RE2-compatible by construction), byte-map each pretoken
+    * ([[graft.operators.ByteLevel.mapWordSql]] — UTF-8 arithmetic from
+    * codepoints, the published stand-in table as CASE arithmetic),
+    * space-delimit the symbols, run the [[EncRulesBytes]] merges as a
+    * replace chain in rank order, and join the per-pretoken tokens
+    * with single spaces. Generated from the SAME rule constant as the
+    * Spark side. */
+  private def byteEncSqlExpr(textExpr: String): String = {
+    val mapped = graft.operators.ByteLevel.mapWordSql("w")
+    val base = s"regexp_replace($mapped, '(?s)(.)', ' \\1', 'g') || ' '"
+    val chained = EncRulesBytes.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, ' $a $b ', ' $a$b ')"
+    }
+    s"""array_to_string(list_transform(
+       |    regexp_extract_all($textExpr, '${graft.operators.ByteLevel.PreTokPattern}'),
+       |    w -> trim($chained)), ' ')""".stripMargin
+  }
+
+  /** The native `bpe_encode_bytes` expression end-to-end on the oracle
+    * — the byte-level sibling of [[bpeEncode]]: each document
+    * pretokenized, byte-mapped, and encoded under [[EncRulesBytes]],
+    * output as token count + the space-joined token string. The
+    * TRAINED-rule path (and multibyte/supplementary inputs, which this
+    * ASCII corpus cannot exercise) is ByteBpeSpec's independent-
+    * reference parity gate; this row pins the expression's
+    * pretokenizer, byte mapping, per-pretoken merge loop, and word
+    * iteration against an independent engine. */
+  def bpeEncodeBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("bpe_encode_bytes", lower(col("text")), encBytesMergesCol).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
   /** Token budget per packed training sequence for q_pack_tokens. */
   private val TokenBudget = 512L
 
@@ -369,8 +427,9 @@ object TextQueries extends QueryModule {
     * sequences" pipeline a pretraining loader actually runs, as ONE
     * plan (the tokenizer analog of q_corpus_pipeline): substring-level
     * exact span dedup (Lee et al., [[graft.operators.Dedup.removeRepeatedSpans]])
-    * → BPE encode under the fixed [[EncRules]] table (the native
-    * `bpe_encode` expression, fused into the stage) → drop documents
+    * → BYTE-LEVEL BPE encode under the fixed [[EncRulesBytes]] table
+    * (the native `bpe_encode_bytes` expression — regex pretokens over
+    * the 256-symbol byte alphabet, fused into the stage) → drop documents
     * emptied by span removal → deterministic 80% train selection (the
     * splitByCluster md5 split on doc_id) → token-true packing into
     * [[TokenBudget]]-token bins via the distributed prefix sum. Every
@@ -384,14 +443,14 @@ object TextQueries extends QueryModule {
     * pack is two bounded passes — the corpus is never pair-joined. */
   def tokPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.ensure(spark)
-    val merges = array(EncRules.map { case (a, b) =>
-      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
     // 1. repeated verbatim ≥8-token spans deleted in place
     val cleaned = graft.operators.Dedup.removeRepeatedSpans(
       Tables.documents(spark, sfDir), col("doc_id"), col("text"), DedupQueries.SpanN)
-    // 2-3. tokenize what survived; drop emptied documents
+    // 2-3. tokenize what survived with the BYTE-LEVEL encoder (the
+    // production GPT-2/Llama front end — regex pretokens over the
+    // 256-symbol byte alphabet, no unk possible); drop emptied docs
     val toks = cleaned.select(col("id").as("doc_id"), col("n_removed"),
-        size(call_function("bpe_encode", lower(col("clean_text")), merges))
+        size(call_function("bpe_encode_bytes", lower(col("clean_text")), encBytesMergesCol))
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     // 4. deterministic 80% train mix (engine-portable md5 split)
@@ -522,6 +581,7 @@ object TextQueries extends QueryModule {
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
+    "q_bpe_encode_bytes" -> bpeEncodeBytes,
     "q_pack_tokens" -> packTokens,
     "q_text_search" -> textSearch,
     "q_text_search_incr" -> textSearchIncr,
@@ -725,14 +785,13 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // the composed tokenizer chain: span-removal replay → encode replay
-    // → md5 split → window-sum pack, one CTE pipeline
+    // the composed tokenizer chain: span-removal replay → BYTE-LEVEL
+    // encode replay → md5 split → window-sum pack, one CTE pipeline
     "q_tok_pipeline" ->
       s"""WITH ${DedupQueries.spansApplyChainSql},
          |enc AS (
-         |  SELECT doc_id, n_removed, array_to_string(
-         |    list_transform(list_filter(string_split(lower(clean_text), ' '), w -> w <> ''),
-         |      w -> $encSqlExpr), ' ') AS encoded
+         |  SELECT doc_id, n_removed,
+         |    ${byteEncSqlExpr("lower(clean_text)")} AS encoded
          |  FROM cleaned),
          |tokc AS (
          |  SELECT doc_id, n_removed,
@@ -747,6 +806,17 @@ object TextQueries extends QueryModule {
          |  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
          |    / $TokenBudget.0) AS BIGINT) AS bin
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // byte-level encode replay: shared-pattern pretokens, UTF-8 →
+    // stand-in mapping by arithmetic, rank-order replace chain
+    "q_bpe_encode_bytes" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id, ${byteEncSqlExpr("lower(text)")} AS encoded
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN encoded = '' THEN 0
+         |       ELSE len(string_split(encoded, ' ')) END AS BIGINT) AS n_tokens,
+         |  encoded
+         |FROM enc ORDER BY doc_id""".stripMargin,
     "q_bpe_encode" ->
       s"""WITH enc AS (
          |  SELECT doc_id, array_to_string(
