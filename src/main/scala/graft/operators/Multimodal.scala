@@ -433,6 +433,85 @@ object Multimodal {
       }
   }
 
+  /** REAL audio sample work on parsed WAV payloads — the PCM tier next
+    * to [[PixelOps]]: extract 16-bit samples, pool the energy envelope
+    * that feeds the spectral-sign fingerprint (q_audio_dedup). */
+  object AudioOps extends Serializable {
+
+    /** First-channel 16-bit PCM samples from a WAV payload: the header
+      * must parse ([[HeaderDecoder.wavHeader]]) with bitsPerSample 16;
+      * samples are little-endian, strided by blockAlign (channel 0 of
+      * an interleaved layout). None when the container or layout does
+      * not match — callers fall back rather than guess. */
+    def pcm16Samples(b: Array[Byte]): Option[Array[Int]] =
+      HeaderDecoder.wavHeader(b).filter(_.bitsPerSample == 16).flatMap { w =>
+        // locate the data chunk with the same aligned walk the header
+        // parse used (WavInfo carries sizes, not offsets)
+        var i = 12
+        var dataOff = -1
+        var bad = false
+        while (i + 8 <= b.length && dataOff < 0 && !bad) {
+          val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = ((b(i + 4) & 0xffL) | ((b(i + 5) & 0xffL) << 8) |
+            ((b(i + 6) & 0xffL) << 16) | ((b(i + 7) & 0xffL) << 24))
+          if (id == "data") dataOff = i + 8
+          else if (size > Int.MaxValue - 16) bad = true
+          else i += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (bad) dataOff = -1
+        if (dataOff < 0) None
+        else {
+          val n = w.frames.toInt
+          val out = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            val off = dataOff + k * w.blockAlign
+            out(k) = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+            k += 1
+          }
+          Some(out)
+        }
+      }
+
+    /** Energy envelope: `bins` pooled cells of mean ABSOLUTE amplitude
+      * (integer floor — the [[PixelOps.grayGrid]] pooling contract on
+      * the time axis). Bin k pools the half-open sample range
+      * [k·n/bins, (k+1)·n/bins); requires n ≥ bins. The envelope is
+      * the fingerprint's measurement surface: `wht_hash` over a
+      * power-of-two bin count yields spectral sign bits that are
+      * invariant to uniform volume scaling (positive scale preserves
+      * every coefficient's sign) — the audio analog of a perceptual
+      * hash's brightness invariance. */
+    def envelope(samples: Array[Int], bins: Int): Array[Int] = {
+      val n = samples.length
+      require(n >= bins, s"envelope: $n samples < $bins bins")
+      val out = new Array[Int](bins)
+      var k = 0
+      while (k < bins) {
+        val s0 = k * n / bins; val s1 = (k + 1) * n / bins
+        var s = 0L; var i = s0
+        while (i < s1) { s += math.abs(samples(i).toLong); i += 1 }
+        out(k) = (s / (s1 - s0)).toInt
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** Per-frame dHash sequence of a parsed MJPEG-AVI payload — the
+    * video near-dup signature's raw material (q_video_dedup): every
+    * `movi` frame decodes through the SAME ImageIO path as images,
+    * pools to a `gw`×`gh` grid, and hashes to its gradient-bit string.
+    * None when the container does not parse; frames that fail to
+    * decode are skipped (truncated tails degrade the signature instead
+    * of killing it). */
+  def videoFrameHashes(media: Array[Byte], gw: Int = 9, gh: Int = 8): Option[Seq[String]] =
+    HeaderDecoder.aviVideo(media).map { v =>
+      (0 until v.nFrames).flatMap(i =>
+        PixelOps.decode(v.frameBytes(media, i))
+          .map(img => dhashLocal(PixelOps.grayGrid(img, gw, gh), gw, gh)))
+    }
+
   /** The production-shaped decoder: REAL pixel decode for every kind —
     * image payloads through `javax.imageio`, WAV audio headers, and
     * MJPEG-in-AVI video (each sampled `movi` frame is a standalone

@@ -106,11 +106,165 @@ object MediaQueries extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- REAL-pixel / PCM / frame artifacts on the oracle gate ----
+  //
+  // Each media row gets a REAL container ([[MediaSynth]] — actual PNG /
+  // WAV / MJPEG-AVI bytes), the REAL decoder runs (ImageIO pixels, PCM
+  // samples, per-frame JPEG decode), and the derived measurement
+  // surface persists as an [[OracleArtifact]] BOTH engines read — so
+  // the whole hash → banding → verify chain is hash-exact-oracled from
+  // decoded-media provenance (the byte-probe queries above keep the
+  // fully-SQL-derivable tier). Build fidelity (the leg the oracle
+  // cannot see) is MediaSynthSpec's gate: container parses, planted
+  // invariances, planted near-dups.
+
+  private val PxTag = "media_pixgrids"
+  private val EnvTag = "media_audio_env"
+  private val FhTag = "media_frame_hashes"
+
+  /** (media_id, grid72, grid64): average-pooled grayscale grids from
+    * ImageIO-decoded synthesized PNGs — 9×8 for dHash, 8×8 for WHT. */
+  private def pixGridStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    OracleArtifact(spark, PxTag, sfDir) {
+      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val img = Multimodal.PixelOps.decode(MediaSynth.pngFor(text)).getOrElse(
+            throw new IllegalStateException(s"synthesized PNG for doc $id did not decode"))
+          (id, Multimodal.PixelOps.grayGrid(img, 9, 8).toSeq,
+            Multimodal.PixelOps.grayGrid(img, 8, 8).toSeq)
+        }).toDF("media_id", "grid72", "grid64")
+    }
+  }
+
+  /** (media_id, env): 64-bin energy envelopes of the PCM samples parsed
+    * back out of synthesized real WAV containers. */
+  private def audioEnvStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    OracleArtifact(spark, EnvTag, sfDir) {
+      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val pcm = Multimodal.AudioOps.pcm16Samples(MediaSynth.wavFor(text)).getOrElse(
+            throw new IllegalStateException(s"synthesized WAV for doc $id did not parse"))
+          (id, Multimodal.AudioOps.envelope(pcm, 64).toSeq)
+        }).toDF("media_id", "env")
+    }
+  }
+
+  /** (media_id, frame_idx, fhash): per-frame dHash strings from the
+    * ImageIO-decoded MJPEG frames of synthesized real AVIs. */
+  private def frameHashStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    OracleArtifact(spark, FhTag, sfDir) {
+      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val hs = Multimodal.videoFrameHashes(MediaSynth.aviFor(text)).getOrElse(
+            throw new IllegalStateException(s"synthesized AVI for doc $id did not parse"))
+          hs.zipWithIndex.map { case (h, k) => (id, k, h) }
+        }).toDF("media_id", "frame_idx", "fhash")
+    }
+  }
+
+  /** IMAGE near-dup from REAL pixels (q_media_dedup_px): the
+    * [[mediaDedup]] chain — dHash → banded Hamming — but the grid
+    * column comes from the persisted decoded-pixel artifact instead of
+    * byte probes. Brute-force all-pairs oracle over the same stored
+    * grids: banding recall is on trial, from real-pixel provenance. */
+  def mediaDedupPx(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = pixGridStore(spark, sfDir)
+      .select(col("media_id").as("id"),
+        Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash"))
+    graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist, sigLen = 64, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** WHT image hash from REAL pixels (q_media_phash_px) — the
+    * [[mediaPhash]] chain over the stored 8×8 decoded-pixel grids. */
+  def mediaPhashPx(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val sig = pixGridStore(spark, sfDir)
+      .select(col("media_id").as("id"),
+        Multimodal.phashBits(col("grid64")).as("simhash"))
+    graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist, sigLen = 63, bands = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** AUDIO near-dup (q_audio_dedup): spectral-sign fingerprints —
+    * `wht_hash` over the stored 64-bin PCM envelopes (volume-invariant
+    * by construction) — matched at radius [[HashDist]] by the banded
+    * Hamming machinery. Brute-force all-pairs oracle from the same
+    * envelopes. */
+  def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val sig = audioEnvStore(spark, sfDir)
+      .select(col("media_id").as("id"),
+        Multimodal.phashBits(col("env")).as("simhash"))
+    graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist, sigLen = 63, bands = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Every audio row's 63-bit spectral-sign fingerprint
+    * (q_audio_fingerprint): the per-ROW complement of [[audioDedup]] —
+    * a pairs query verifies nothing at a scale where no pair exists
+    * (the sf0.01 audio subset has none), so this row hash-checks the
+    * signature computation itself at every scale. */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    audioEnvStore(spark, sfDir)
+      .select(col("media_id"), Multimodal.phashBits(col("env")).as("simhash"))
+      .orderBy("media_id")
+  }
+
+  private val VidMinhashK = 8
+  private val VidBandWidth = 2
+  private val VidThreshold = 0.5
+
+  /** VIDEO near-dup (q_video_dedup): frame-hash SHINGLES (adjacent
+    * dHash pairs — order-sensitive, so re-cut videos don't collide) →
+    * 8-function MinHash → banded LSH candidates → exact shingle-set
+    * Jaccard ≥ [[VidThreshold]] — the [[graft.operators.Dedup]]
+    * minhash pipeline pointed at the per-frame artifact. A truncated
+    * or locally-edited variant shares most of its frame chunks, so its
+    * shingle Jaccard degrades gradually; the oracle replays the
+    * banding and verification exactly. */
+  def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fh = frameHashStore(spark, sfDir)
+    val sh = fh
+      .withColumn("__next", lead("fhash", 1).over(
+        Window.partitionBy("media_id").orderBy("frame_idx")))
+      .filter(col("__next").isNotNull)
+      .select(col("media_id").as("id"),
+        concat(col("fhash"), lit(" "), col("__next")).as("shingle"))
+      .distinct()
+      .cache() // feeds the signature AND the Jaccard verification
+    val sig = graft.operators.Dedup.minhashSignature(sh, VidMinhashK)
+    val cand = graft.operators.Dedup.candidatePairs(
+      graft.operators.Dedup.lshBands(sig, VidMinhashK, VidBandWidth))
+    graft.operators.Dedup.jaccardVerify(cand, sh, VidThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
+    pixGridStore(spark, sfDir).count()
+    audioEnvStore(spark, sfDir).count()
+    frameHashStore(spark, sfDir).count()
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_media_resize" -> mediaResize,
     "q_media_dedup" -> mediaDedup,
-    "q_media_phash" -> mediaPhash)
+    "q_media_phash" -> mediaPhash,
+    "q_media_dedup_px" -> mediaDedupPx,
+    "q_media_phash_px" -> mediaPhashPx,
+    "q_audio_dedup" -> audioDedup,
+    "q_audio_fingerprint" -> audioFingerprint,
+    "q_video_dedup" -> videoDedup)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -121,7 +275,79 @@ object MediaQueries extends QueryModule {
   private val framesSql =
     "CASE WHEN doc_id % 3 = 2 THEN 1 + CAST(FLOOR(length(text) / 100.0) AS INTEGER) ELSE 1 END"
 
+  /** Brute-force pair tail shared by the artifact-backed hash queries:
+    * all-pairs Hamming over `sig(media_id, h)` bit strings. */
+  private def hammingPairsSql(bits: Int) =
+    s"""d AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(list_sum(list_transform(range(1, ${bits + 1}), i ->
+       |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+       |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+       |SELECT id_a, id_b, dist FROM d WHERE dist <= $HashDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** WHT sign-bit signature over a 64-element list column `g`. */
+  private val whtSigSql =
+    """SELECT media_id, array_to_string(list_transform(range(1, 64), k ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |        g[j + 1] * CASE WHEN bit_count(CAST(k AS BIGINT) & j) % 2 = 0
+      |                        THEN 1 ELSE -1 END)) > 0
+      |      THEN '1' ELSE '0' END), '') AS h
+      |  FROM g""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // REAL-pixel dHash trial: the 9×8 decoded grids come from the
+    // shared artifact; banding recall at radius 2 is what's on trial
+    "q_media_dedup_px" ->
+      s"""WITH g AS (SELECT media_id, grid72 AS g FROM ${OracleArtifact.sql(PxTag)}),
+         |sig AS (SELECT media_id, array_to_string(list_transform(range(0, 64), k ->
+         |    CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1]
+         |         THEN '1' ELSE '0' END), '') AS h
+         |  FROM g),
+         |${hammingPairsSql(64)}""".stripMargin,
+    // REAL-pixel WHT trial over the stored 8×8 grids
+    "q_media_phash_px" ->
+      s"""WITH g AS (SELECT media_id, grid64 AS g FROM ${OracleArtifact.sql(PxTag)}),
+         |sig AS ($whtSigSql),
+         |${hammingPairsSql(63)}""".stripMargin,
+    // audio spectral-sign trial over the stored PCM envelopes
+    "q_audio_dedup" ->
+      s"""WITH g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
+         |sig AS ($whtSigSql),
+         |${hammingPairsSql(63)}""".stripMargin,
+    // per-row signature check: the same WHT replay, one row per clip
+    "q_audio_fingerprint" ->
+      s"""WITH g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
+         |sig AS ($whtSigSql)
+         |SELECT media_id, h AS simhash FROM sig ORDER BY media_id""".stripMargin,
+    // video: full banded-minhash replay over the stored frame hashes —
+    // shingles, 8 md5 minima, 4 bands, candidate join, exact Jaccard
+    "q_video_dedup" -> {
+      val mins = (0 until VidMinhashK)
+        .map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
+      val bands = (0 until VidMinhashK / VidBandWidth).map { bx =>
+        val v = (bx * VidBandWidth until (bx + 1) * VidBandWidth)
+          .map(i => s"m$i").mkString(" || ")
+        s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH fh AS (SELECT media_id, frame_idx, fhash FROM ${OracleArtifact.sql(FhTag)}),
+         |sh AS (SELECT DISTINCT a.media_id AS id, a.fhash || ' ' || b.fhash AS shingle
+         |  FROM fh a JOIN fh b ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx + 1),
+         |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.id = c.id_a
+         |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $VidThreshold)
+         |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin
+    },
     // deliberately brute force: all image pairs' dHash Hamming distance
     // at radius 2 — the banded matcher's recall contract is on trial
     "q_media_dedup" ->

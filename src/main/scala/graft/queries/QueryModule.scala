@@ -65,3 +65,30 @@ private[queries] object FrameFixture {
   }
 }
 
+/** Persisted frames BOTH engines read: like [[FrameFixture]] but at a
+  * DETERMINISTIC path with NO exit-time cleanup, because the DuckDB
+  * oracle runs in a LATER process (the driver compares after the
+  * Verify JVM exits) and its SQL references the path literally via
+  * `read_parquet`. This is the mechanism that puts non-SQL-derivable
+  * provenance — REAL decoded pixels, PCM envelopes, per-frame hashes
+  * — on the hash-exact oracle gate: the artifact is built once by the
+  * engine (its build path is spec-gated for fidelity), then the whole
+  * downstream chain (hash → banding → verify) runs from the stored
+  * values in BOTH engines. Rebuilt per (tag, sfDir) per JVM
+  * (overwrite), memoized thereafter; one JVM run verifies one scale
+  * factor, so the single on-disk slot per tag is never ambiguous
+  * within a Verify→compare cycle. */
+private[queries] object OracleArtifact {
+  private val built = new scala.collection.concurrent.TrieMap[(String, String), Unit]
+  def dir(tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_oracle_store/$tag"
+  /** The DuckDB-side table expression for an artifact. */
+  def sql(tag: String): String = s"read_parquet('${dir(tag)}/*.parquet')"
+  def apply(spark: SparkSession, tag: String, sfDir: String)(build: => DataFrame): DataFrame = {
+    built.getOrElseUpdate((tag, sfDir), {
+      build.write.mode("overwrite").parquet(dir(tag))
+    })
+    spark.read.parquet(dir(tag))
+  }
+}
+
