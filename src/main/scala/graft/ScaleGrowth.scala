@@ -418,6 +418,19 @@ object ScaleGrowth {
     g
   }
 
+  /** The order-5 sibling: ONE observed-5-gram artifact is the whole
+    * five-tier backoff model (every lower order a suffix marginal) —
+    * must be exactly flat over plain clones, scoring linear. */
+  def lm5Growth(docs: DataFrame): LmGrowth = {
+    import graft.operators.NgramLm
+    val model = NgramLm.ngramModel(docs, col("doc_id"), col("text"), order = 5).cache()
+    val g = LmGrowth(docs.count(), model.count(),
+      model.select("w5").distinct().count(),
+      NgramLm.scoreBackoffN(docs, col("doc_id"), col("text"), model, order = 5).count())
+    model.unpersist(blocking = false)
+    g
+  }
+
   /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
     * the stride quantizer's centroid model GROWS with the corpus
     * (every 31st vector), so cell count scales linearly and per-cell
@@ -536,6 +549,9 @@ object ScaleGrowth {
         val g3 = lm3Growth(docs)
         lmRows += (f"| ngram-lm (trigram backoff) | ${s}x | ${g3.rows} | ${g3.modelRows} | " +
           f"${g3.vocab} | ${g3.scored} |")
+        val g5 = lm5Growth(docs)
+        lmRows += (f"| ngram-lm (5-gram backoff) | ${s}x | ${g5.rows} | ${g5.modelRows} | " +
+          f"${g5.vocab} | ${g5.scored} |")
       }
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(

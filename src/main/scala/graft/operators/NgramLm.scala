@@ -148,6 +148,86 @@ object NgramLm {
     trigrams(docTokens(ref, idCol, textCol, nBos = 2))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
 
+  /** One row per order-`k` window over the (k−1)-BOS-padded stream —
+    * the [[trigrams]] generalization: a document with L tokens
+    * contributes exactly L windows, every real token scored once as
+    * the window's last word `w$k`. */
+  private def ngrams(toks: DataFrame, k: Int): DataFrame = {
+    val win = transform(sequence(lit(1), size(col("t")) - (k - 1)),
+      i => struct((1 to k).map(j =>
+        element_at(col("t"), i + (j - 1)).as(s"w$j")): _*))
+    toks.select(col("id"), explode(win).as("b"))
+      .select(col("id") +: (1 to k).map(j => col(s"b.w$j").as(s"w$j")): _*)
+  }
+
+  /** Train an ORDER-`k` model: the `(w1..wk, n)` observed-ngram count
+    * table over the reference corpus — ONE table is the whole backoff
+    * model at ANY order (the [[trigramModel]] argument generalizes:
+    * every lower-order count is a suffix marginal of it, because each
+    * padded-stream j-gram ending at position p ≥ k is the tail of
+    * exactly one k-gram window). CCNet's operating point is k = 5 on a
+    * KenLM; this is that artifact shape, integer-exact. */
+  def ngramModel(ref: DataFrame, idCol: Column, textCol: Column, order: Int): DataFrame = {
+    require(order >= 2, s"ngramModel: order must be >= 2, got $order")
+    ngrams(docTokens(ref, idCol, textCol, nBos = order - 1), order)
+      .groupBy("w1", (2 to order).map(j => s"w$j"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Score `docs` under an order-`k` [[ngramModel]] with stupid
+    * backoff at ARBITRARY order — [[scoreBackoff]]'s tier ladder
+    * generalized (identical scores at k = 3, spec-pinned): tier d
+    * (d = 0 full k-gram, then successive suffixes) scores
+    * `s = 5^d·S·ctx_d div (2^d·cnt_d)` — the scaled integer
+    * reciprocal of `α^d · cnt_d/ctx_d` with α = 2/5 — and the final
+    * tier is the add-one unigram ceiling
+    * `5^(k−1)·S·(N+V) div (2^(k−1)·(u+1))`. Bound: the α reciprocals
+    * multiply [[Scale]] by (5/2)^(k−1) — at k = 5 a single window
+    * tops out at `625·S·(N+V)/16`, inside a long through ~10¹⁰
+    * reference tokens (drop [[Scale]] to 10³ beyond); the document
+    * sum rides the exact DECIMAL.
+    *
+    * Scale shape: one persisted artifact, k−1 bounded marginal
+    * aggregates over it (never a second corpus pass), k token-keyed
+    * broadcast-or-shuffle joins against the document windows, one
+    * 1-row scalar attach. Output `(id, n_ngrams, avg_surprisal)`. */
+  def scoreBackoffN(docs: DataFrame, idCol: Column, textCol: Column,
+                    model: DataFrame, order: Int,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val k = order
+    require(k >= 2, s"scoreBackoffN: order must be >= 2, got $k")
+    // the model artifact feeds 2(k-1) marginal consumers — pin it
+    val m = scope.pin(model)
+    val ws = (1 to k).map(j => s"w$j")
+    // cnt_d: count of the (k-d)-gram suffix; ctx_d: its context
+    val cnts = (1 to k - 2).map(d =>
+      d -> m.groupBy(ws.drop(d).head, ws.drop(d).tail: _*).agg(sum("n").as(s"__c$d")))
+    val ctxs = (0 to k - 2).map(d =>
+      d -> m.groupBy(ws.slice(d, k - 1).head, ws.slice(d, k - 1).tail: _*)
+        .agg(sum("n").as(s"__x$d")))
+    val u = m.groupBy(s"w$k").agg(sum("n").as("__u"))
+    val tot = m.agg(sum("n").as("__nn"), countDistinct(s"w$k").as("__v"))
+    var joined = ngrams(docTokens(docs, idCol, textCol, nBos = k - 1), k)
+      .join(m.withColumnRenamed("n", "__c0"), ws, "left")
+    ctxs.foreach { case (d, f) => joined = joined.join(f, ws.slice(d, k - 1), "left") }
+    cnts.foreach { case (d, f) => joined = joined.join(f, ws.drop(d), "left") }
+    joined = joined.join(u, Seq(s"w$k"), "left").crossJoin(broadcast(tot))
+    def p5(d: Int): Long = math.pow(5, d).toLong
+    def p2(d: Int): Long = math.pow(2, d).toLong
+    val tiers = (0 to k - 2).map(d =>
+      (col(s"__c$d").isNotNull,
+        expr(s"${p5(d)}L * $Scale * __x$d DIV (${p2(d)}L * __c$d)")))
+    val fallback = expr(
+      s"${p5(k - 1)}L * $Scale * (__nn + __v) DIV (${p2(k - 1)}L * (coalesce(__u, 0L) + 1L))")
+    val score = tiers.tail.foldLeft(when(tiers.head._1, tiers.head._2)) {
+      case (acc, (c, s)) => acc.when(c, s)
+    }.otherwise(fallback)
+    joined.select(col("id"), score.as("__s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
+  }
+
   /** Score `docs` under a [[trigramModel]] with STUPID BACKOFF (Brants
     * et al. 2007, "Large Language Models in Machine Translation" — the
     * count-based backoff used at corpus scale precisely because it

@@ -509,6 +509,28 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private def lm5ModelStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "ngram_lm5_en", sfDir)(
+      graft.operators.NgramLm.ngramModel(
+        Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+        col("doc_id"), col("text"), order = 5))
+
+  /** ORDER-5 stupid-backoff LM scoring
+    * ([[graft.operators.NgramLm.scoreBackoffN]]) — CCNet's actual
+    * operating point (a 5-gram KenLM): one persisted observed-5-gram
+    * table is the whole model, every lower order a suffix marginal of
+    * it, and every document gets the mean scaled backoff surprisal
+    * across the five tiers. The oracle replays training, all four
+    * marginal derivations, every tier's α-power integer arithmetic,
+    * and the floored mean. */
+  def lmScore5(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.NgramLm.scoreBackoffN(
+        docs, col("doc_id"), col("text"), lm5ModelStore(spark, sfDir), order = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Corpus distribution-drift report
     * ([[graft.operators.TextStats.vocabDrift]]): even-id docs as the
     * OLD snapshot vs odd-id docs as the NEW one, with every 5th new
@@ -578,6 +600,7 @@ object TextQueries extends QueryModule {
     "q_vocab_drift" -> vocabDrift,
     "q_lm_score" -> lmScore,
     "q_lm_score3" -> lmScore3,
+    "q_lm_score5" -> lmScore5,
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
@@ -602,6 +625,7 @@ object TextQueries extends QueryModule {
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     lmModelStore(spark, sfDir)
     lm3ModelStore(spark, sfDir)
+    lm5ModelStore(spark, sfDir)
     fullIndexDir(spark, sfDir)
     oldIndexDir(spark, sfDir)
     ()
@@ -720,6 +744,56 @@ object TextQueries extends QueryModule {
         |  CAST(ratio AS BIGINT) AS ratio_ppm,
         |  CAST(GREATEST(ratio, 1000000000000 // GREATEST(ratio, 1)) AS BIGINT) AS drift_ppm
         |FROM r ORDER BY drift_ppm DESC, token LIMIT 100""".stripMargin,
+    // full order-5 replay: 4-BOS-padded 5-gram training, FOUR suffix
+    // marginals + contexts, all five backoff tiers as exact α-power
+    // integer ratios (5^d/2^d), and the floored mean
+    "q_lm_score5" ->
+      """WITH reft AS (
+        |  SELECT list_concat(['<s>', '<s>', '<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |rng AS (SELECT u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3,
+        |    u['w4'] AS w4, u['w5'] AS w5 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 3),
+        |    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2],
+        |          'w4': t[i + 3], 'w5': t[i + 4]})) AS u
+        |  FROM reft WHERE len(t) >= 5)),
+        |m5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS n5 FROM rng GROUP BY 1, 2, 3, 4, 5),
+        |x0 AS (SELECT w1, w2, w3, w4, CAST(SUM(n5) AS BIGINT) AS x0n FROM m5 GROUP BY 1, 2, 3, 4),
+        |c1 AS (SELECT w2, w3, w4, w5, CAST(SUM(n5) AS BIGINT) AS c1n FROM m5 GROUP BY 1, 2, 3, 4),
+        |x1 AS (SELECT w2, w3, w4, CAST(SUM(n5) AS BIGINT) AS x1n FROM m5 GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w3, w4, w5, CAST(SUM(n5) AS BIGINT) AS c2n FROM m5 GROUP BY 1, 2, 3),
+        |x2 AS (SELECT w3, w4, CAST(SUM(n5) AS BIGINT) AS x2n FROM m5 GROUP BY 1, 2),
+        |c3 AS (SELECT w4, w5, CAST(SUM(n5) AS BIGINT) AS c3n FROM m5 GROUP BY 1, 2),
+        |x3 AS (SELECT w4, CAST(SUM(n5) AS BIGINT) AS x3n FROM m5 GROUP BY 1),
+        |ug AS (SELECT w5, CAST(SUM(n5) AS BIGINT) AS u1n FROM m5 GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n5) AS BIGINT) AS nn, COUNT(DISTINCT w5) AS v FROM m5),
+        |dt AS (
+        |  SELECT doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents),
+        |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3,
+        |    u['w4'] AS w4, u['w5'] AS w5 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2],
+        |          'w4': t[i + 3], 'w5': t[i + 4]})) AS u
+        |  FROM dt WHERE len(t) >= 5)),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN m.n5 IS NOT NULL THEN 1000000 * x0.x0n // m.n5
+        |         WHEN c1.c1n IS NOT NULL THEN (5 * 1000000 * x1.x1n) // (2 * c1.c1n)
+        |         WHEN c2.c2n IS NOT NULL THEN (25 * 1000000 * x2.x2n) // (4 * c2.c2n)
+        |         WHEN c3.c3n IS NOT NULL THEN (125 * 1000000 * x3.x3n) // (8 * c3.c3n)
+        |         ELSE (625 * 1000000 * (tt.nn + tt.v)) // (16 * (COALESCE(ug.u1n, 0) + 1))
+        |    END AS s
+        |  FROM db LEFT JOIN m5 m USING (w1, w2, w3, w4, w5)
+        |    LEFT JOIN x0 USING (w1, w2, w3, w4)
+        |    LEFT JOIN c1 USING (w2, w3, w4, w5) LEFT JOIN x1 USING (w2, w3, w4)
+        |    LEFT JOIN c2 USING (w3, w4, w5) LEFT JOIN x2 USING (w3, w4)
+        |    LEFT JOIN c3 USING (w4, w5) LEFT JOIN x3 USING (w4)
+        |    LEFT JOIN ug USING (w5), tt)
+        |SELECT doc_id, COUNT(*) AS n_ngrams,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full replay of trigram-LM training (en docs, double-BOS-padded),
     // the one-table marginal derivations, all three stupid-backoff
     // tiers (α = 2/5 as exact integer ratios), and the floored mean

@@ -113,6 +113,98 @@ class NgramLmSpec extends AnyFunSuite {
     assert(s(1L) < s(2L) && s(2L) <= s(3L))
   }
 
+  // ---------------- arbitrary-order stupid backoff ----------------
+
+  /** INDEPENDENT local reference at ANY order: plain Scala maps, the
+    * tier ladder spelled directly from the definition — tier d scores
+    * `5^d·S·ctx_d / (2^d·cnt_d)` over the (k−1)-BOS-padded windows,
+    * final tier the add-one unigram ceiling. */
+  private def localScoreK(ref: Seq[String], docs: Seq[String], k: Int): Map[Int, (Long, Long)] = {
+    val S = NgramLm.Scale
+    def toks(s: String) = List.fill(k - 1)("<s>") ++ s.toLowerCase.split(" ").filter(_.nonEmpty)
+    def wins(t: List[String]) = t.sliding(k).filter(_.size == k).map(_.toVector).toList
+    val mk = ref.map(toks).filter(_.size >= k).flatMap(wins)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // cnt_d: suffix of length k-d; ctx_d: that suffix minus its last word
+    def marginal(f: Vector[String] => Vector[String]): Map[Vector[String], Long] =
+      mk.groupBy { case (w, _) => f(w) }.view.mapValues(_.values.sum).toMap
+    val cnts = (0 until k - 1).map(d => d -> marginal(_.drop(d))).toMap
+    val ctxs = (0 until k - 1).map(d => d -> marginal(_.slice(d, k - 1))).toMap
+    val u1 = marginal(w => Vector(w.last))
+    val nn = mk.values.sum
+    val v = mk.keys.map(_.last).toSet.size.toLong
+    def p5(d: Int) = math.pow(5, d).toLong
+    def p2(d: Int) = math.pow(2, d).toLong
+    docs.zipWithIndex.flatMap { case (doc, i) =>
+      val ws = wins(toks(doc))
+      if (ws.isEmpty) None
+      else {
+        val ss = ws.map { w =>
+          (0 until k - 1).collectFirst {
+            case d if cnts(d).contains(w.drop(d)) =>
+              p5(d) * S * ctxs(d)(w.slice(d, k - 1)) / (p2(d) * cnts(d)(w.drop(d)))
+          }.getOrElse(
+            p5(k - 1) * S * (nn + v) / (p2(k - 1) * (u1.getOrElse(Vector(w.last), 0L) + 1L)))
+        }
+        Some(i -> ((ws.size.toLong, ss.sum / ws.size)))
+      }
+    }.toMap
+  }
+
+  private val MixedRef = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick red fox runs far away from here",
+    "a lazy dog sleeps all day long in the sun",
+    "the dog jumps over a fence", "quick brown foxes jump high")
+  private val MixedDocs = Seq(
+    "the quick brown fox jumps over the lazy dog", // seen 5-grams
+    "the quick red dog sleeps all day",            // mid-tier backoffs
+    "zz yy xx ww vv",                              // OOV ceiling
+    "the lazy fox zz sleeps day long",             // tiers mixed
+    "")                                            // dropped
+
+  test("scoreBackoffN at order 3 equals scoreBackoff score for score") {
+    val refDf = MixedRef.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val docsDf = MixedDocs.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val m = NgramLm.trigramModel(refDf, col("id"), col("text"))
+    val want = NgramLm.scoreBackoff(docsDf, col("id"), col("text"), m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = NgramLm.scoreBackoffN(docsDf, col("id"), col("text"),
+        NgramLm.ngramModel(refDf, col("id"), col("text"), order = 3), order = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("scoreBackoffN at order 5 matches the independent local reference") {
+    val refDf = MixedRef.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val docsDf = MixedDocs.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val m = NgramLm.ngramModel(refDf, col("id"), col("text"), order = 5)
+    val got = NgramLm.scoreBackoffN(docsDf, col("id"), col("text"), m, order = 5)
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == localScoreK(MixedRef, MixedDocs, 5))
+    // the local ladder itself agrees with the order-3 hand spelling
+    assert(localScoreK(MixedRef, MixedDocs, 3) == localScore3(MixedRef, MixedDocs))
+  }
+
+  test("order-5 tiers order as expected and every lower order is a marginal") {
+    val ref = (1L to 20L).map(i => i -> "alpha beta gamma delta epsilon zeta").toDF("id", "text")
+    val m = NgramLm.ngramModel(ref, col("id"), col("text"), order = 5)
+    val s = NgramLm.scoreBackoffN(
+        Seq(1L -> "alpha beta gamma delta epsilon", // seen 5-grams
+            2L -> "zeta alpha beta gamma delta",    // backoff tiers
+            3L -> "zz yy xx ww vv").toDF("id", "text"),
+        col("id"), col("text"), m, order = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(1L) < s(2L) && s(2L) <= s(3L))
+    // the one-artifact property: 4-gram counts derived from the 5-gram
+    // table equal a directly-trained order-4 model's (suffix tail)
+    val direct = NgramLm.ngramModel(ref, col("id"), col("text"), order = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4)).toMap
+    val derived = m.groupBy("w2", "w3", "w4", "w5").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4)).toMap
+    assert(derived == direct)
+  }
+
   test("trigram model over plain clones is exactly flat (counts scale, support doesn't)") {
     val base = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("id", "text")
     val m1 = NgramLm.trigramModel(base, col("id"), col("text"))

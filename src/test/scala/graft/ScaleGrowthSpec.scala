@@ -231,6 +231,21 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("5-gram LM: one-table five-tier model exactly flat, scored docs exactly linear over a 10x plain clone") {
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.lm5Growth(docs1)
+    val gN = ScaleGrowth.lm5Growth(docsN)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.modelRows == g1.modelRows,
+      s"model ${g1.modelRows} -> ${gN.modelRows} over ${Factor}x plain clones: " +
+        "the artifact is growing with the corpus, not the observed-5-gram set")
+    assert(gN.vocab == g1.vocab)
+    assert(gN.scored == g1.scored * Factor,
+      s"scored ${g1.scored} -> ${gN.scored}: not linear")
+    spark.catalog.clearCache()
+  }
+
   test("unigram training: model pieces and weights invariant over a 10x plain clone") {
     // uniform R× on every substring/char count leaves the seed top-k
     // (lexicographic tie-breaks), every EM weight (ln(Rc/RT) = ln(c/T)),
