@@ -98,9 +98,12 @@ object Unigram {
             vocabSize: Int, emIters: Int = 2, maxPieceLen: Int = 8,
             seedSize: Int = 4096,
             driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords,
-            soft: Boolean = false): Seq[Piece] = {
+            soft: Boolean = false, lossPrune: Boolean = false): Seq[Piece] = {
     require(vocabSize >= 0, s"train: vocabSize must be >= 0, got $vocabSize")
     require(emIters >= 1, s"train: emIters must be >= 1, got $emIters")
+    require(!lossPrune || soft,
+      "train: lossPrune is the soft-EM prune criterion (Kudo 2018's likelihood " +
+        "loss needs the marginal Z the soft E-step already computes); pass soft = true")
     graft.GraftFunctions.ensure(spark)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -118,7 +121,8 @@ object Unigram {
           (m.isNullAt(1) || m.getLong(1) <= Bpe.driverDrainMaxChars)) {
         val vocab = wf.select("word", "freq").collect()
           .map(r => (r.getString(0), r.getLong(1)))
-        if (soft) return softEmLoop(multi, singles, vocab, vocabSize, emIters, maxPieceLen)
+        if (soft) return softEmLoop(multi, singles, vocab, vocabSize, emIters,
+          maxPieceLen, lossPrune)
         emLoop(multi, singles, vocabSize, emIters,
           weights => {
             val acc = new java.util.HashMap[String, Long]()
@@ -212,14 +216,57 @@ object Unigram {
     * (provenance); weights derive from the RAW doubles. */
   private def softEmLoop(multiSeed: Array[(String, Long)], singleSeed: Array[(String, Long)],
                          vocab: Array[(String, Long)], vocabSize: Int, emIters: Int,
-                         maxPieceLen: Int): Seq[Piece] = {
+                         maxPieceLen: Int, lossPrune: Boolean = false): Seq[Piece] = {
     def prune(counts: Map[String, Double]): Map[String, Double] = {
       val (s, mu) = counts.partition { case (p, _) => p.length == 1 }
       val kept = mu.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
       (s ++ kept).filter { case (_, c) => c > 0.0 }
     }
+    /** Kudo 2018 §4's actual prune: keep the `vocabSize` multi-char
+      * pieces whose REMOVAL costs the corpus the most log-likelihood —
+      * `loss(p) = Σ_w freq_w · (log Z_w − log Z_w^{−p})`, both
+      * marginals under the candidate weights — instead of the
+      * expected-count rank (a frequent piece whose occurrences
+      * re-segment almost as well without it carries a high count but
+      * a near-zero loss; a rarer piece bridging otherwise-bad
+      * segmentations is the one worth vocabulary spend). Zero-expected
+      * pieces still drop; singles stay the exempt floor; ties break on
+      * the piece (deterministic). */
+    def pruneByLoss(counts: Map[String, Double]): Map[String, Double] = {
+      val live = counts.filter { case (_, c) => c > 0.0 }
+      val lt = StrictMath.log(live.values.sum)
+      val lw = new java.util.HashMap[String, java.lang.Double](live.size * 2)
+      live.foreach { case (p, c) =>
+        lw.put(p, java.lang.Double.valueOf(StrictMath.log(c) - lt)) }
+      val loss = scala.collection.mutable.HashMap.empty[String, Double]
+      vocab.foreach { case (word, freq) =>
+        val z = logZ(word, lw, maxPieceLen)
+        // distinct multi-char pieces in this word's lattice
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        while (i < word.length) {
+          var l = 2
+          val lMax = math.min(maxPieceLen, word.length - i)
+          while (l <= lMax) {
+            val p = word.substring(i, i + l)
+            if (lw.containsKey(p) && seen.add(p)) {
+              val z2 = logZ(word, lw, maxPieceLen, banned = p)
+              loss.update(p, loss.getOrElse(p, 0.0) + freq * (z - z2))
+            }
+            l += 1
+          }
+          i += 1
+        }
+      }
+      val (s, mu) = live.partition { case (p, _) => p.length == 1 }
+      val kept = mu.keys.toSeq
+        .sortBy(p => (-loss.getOrElse(p, 0.0), p)).take(vocabSize)
+      s ++ kept.map(p => p -> mu(p))
+    }
+    val pruneFn: Map[String, Double] => Map[String, Double] =
+      if (lossPrune) pruneByLoss else prune
     var counts: Map[String, Double] =
-      prune((multiSeed ++ singleSeed).map { case (p, c) => p -> c.toDouble }.toMap)
+      pruneFn((multiSeed ++ singleSeed).map { case (p, c) => p -> c.toDouble }.toMap)
     for (_ <- 1 to emIters) {
       val lt = StrictMath.log(counts.values.sum)
       val lw = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
@@ -234,7 +281,7 @@ object Unigram {
       }
       val nm = scala.collection.mutable.HashMap.empty[String, Double]
       acc.forEach((p, c) => nm.put(p, c.doubleValue()))
-      counts = prune(nm.toMap)
+      counts = pruneFn(nm.toMap)
     }
     val total = counts.values.sum
     val lt = StrictMath.log(total)
@@ -249,18 +296,28 @@ object Unigram {
     * underflows a whole word), occurrence (i → i+l) posterior
     * `exp(α(i) + w + β(i+l) − α(n))`. Public: the spec replays it
     * against an exhaustive enumeration of segmentations. */
-  def expectedCounts(word: String, lw: java.util.HashMap[String, java.lang.Double],
-                     maxLen: Int): scala.collection.Map[String, Double] = {
-    val n = word.length
-    def wOf(piece: String, l: Int): Double = {
+  private def wOf(lw: java.util.HashMap[String, java.lang.Double],
+                  piece: String, l: Int, banned: String): Double = {
+    if (banned != null && piece == banned) Double.NaN
+    else {
       val v = lw.get(piece)
       if (v != null) v.doubleValue()
       else if (l == 1) UnigramEncode.UnkWeight else Double.NaN
     }
-    def lse(a: Double, b: Double): Double =
-      if (a == Double.NegativeInfinity) b
-      else if (b == Double.NegativeInfinity) a
-      else { val m = math.max(a, b); m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m)) }
+  }
+
+  private def lse(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m)) }
+
+  /** Forward log-marginals: `alpha(i)` = log Σ over segmentations of
+    * `word[0, i)`. `banned` (optional) excludes ONE piece from the
+    * lattice — the likelihood-loss prune's counterfactual; the
+    * single-char unk floor keeps every position reachable either way. */
+  private def forward(word: String, lw: java.util.HashMap[String, java.lang.Double],
+                      maxLen: Int, banned: String): Array[Double] = {
+    val n = word.length
     val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
     alpha(0) = 0.0
     var i = 1
@@ -268,20 +325,35 @@ object Unigram {
       var l = 1
       val lMax = math.min(maxLen, i)
       while (l <= lMax) {
-        val w = wOf(word.substring(i - l, i), l)
+        val w = wOf(lw, word.substring(i - l, i), l, banned)
         if (!w.isNaN) alpha(i) = lse(alpha(i), alpha(i - l) + w)
         l += 1
       }
       i += 1
     }
+    alpha
+  }
+
+  /** log Z of one word — the total log-likelihood marginal over ALL
+    * segmentations under log-probabilities `lw` (unk floor included),
+    * optionally with one piece `banned` from the lattice. Public: the
+    * spec compares corpus likelihoods of differently-pruned models. */
+  def logZ(word: String, lw: java.util.HashMap[String, java.lang.Double],
+           maxLen: Int, banned: String = null): Double =
+    forward(word, lw, maxLen, banned)(word.length)
+
+  def expectedCounts(word: String, lw: java.util.HashMap[String, java.lang.Double],
+                     maxLen: Int): scala.collection.Map[String, Double] = {
+    val n = word.length
+    val alpha = forward(word, lw, maxLen, null)
     val beta = Array.fill(n + 1)(Double.NegativeInfinity)
     beta(n) = 0.0
-    i = n - 1
+    var i = n - 1
     while (i >= 0) {
       var l = 1
       val lMax = math.min(maxLen, n - i)
       while (l <= lMax) {
-        val w = wOf(word.substring(i, i + l), l)
+        val w = wOf(lw, word.substring(i, i + l), l, null)
         if (!w.isNaN) beta(i) = lse(beta(i), w + beta(i + l))
         l += 1
       }
@@ -295,7 +367,7 @@ object Unigram {
       val lMax = math.min(maxLen, n - i)
       while (l <= lMax) {
         val piece = word.substring(i, i + l)
-        val w = wOf(piece, l)
+        val w = wOf(lw, piece, l, null)
         if (!w.isNaN) {
           val post = StrictMath.exp(alpha(i) + w + beta(i + l) - z)
           if (post > 0.0) out.update(piece, out.getOrElse(piece, 0.0) + post)

@@ -139,6 +139,40 @@ class UnigramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("soft EM requires the driver-drain path"))
   }
 
+  test("likelihood-loss prune keeps the irreplaceable piece and beats rank prune on corpus likelihood") {
+    // "uvw" x30 seeds THREE interchangeable pieces (uv / vw / uvw, all
+    // count 30) while "pq" x20 seeds one IRREPLACEABLE piece (pq,
+    // count 20 — without it the word falls to two low-mass singles).
+    // Count-rank prune at vocabSize 2 keeps two of the count-30 pieces
+    // and drops pq; the likelihood-loss prune (Kudo's criterion) spends
+    // the second slot on pq because removing a redundant piece costs
+    // almost nothing while removing pq costs 20·log(1 + p(pq)/(p(p)p(q))).
+    val df = (Seq.fill(30)("uvw") ++ Seq.fill(20)("pq")).toDF("text")
+    val vocab = Seq("uvw" -> 30L, "pq" -> 20L)
+    def corpusLik(model: Seq[Unigram.Piece]): Double = {
+      val lw = new java.util.HashMap[String, java.lang.Double]
+      model.foreach(p => lw.put(p.piece, java.lang.Double.valueOf(p.weight)))
+      vocab.map { case (w, f) => f * Unigram.logZ(w, lw, 4) }.sum
+    }
+    def multis(m: Seq[Unigram.Piece]) = m.map(_.piece).filter(_.length > 1).toSet
+    val rank = Unigram.train(spark, df, col("text"),
+      vocabSize = 2, emIters = 2, maxPieceLen = 4, seedSize = 64, soft = true)
+    val loss = Unigram.train(spark, df, col("text"),
+      vocabSize = 2, emIters = 2, maxPieceLen = 4, seedSize = 64,
+      soft = true, lossPrune = true)
+    assert(!multis(rank).contains("pq"),
+      s"rank prune unexpectedly kept pq: ${multis(rank)}")
+    assert(multis(loss).contains("pq") && multis(loss).contains("uvw"),
+      s"loss prune should keep the irreplaceable pq and the span piece uvw: ${multis(loss)}")
+    assert(corpusLik(loss) > corpusLik(rank),
+      s"loss-pruned lik ${corpusLik(loss)} should beat rank-pruned ${corpusLik(rank)}")
+    // the criterion is soft-EM-only (it needs the marginal Z)
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(spark, df, col("text"), vocabSize = 2, lossPrune = true)
+    }
+    assert(e.getMessage.contains("lossPrune"))
+  }
+
   test("drain-path model == distributed-fallback model, piece for piece") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val drained = Unigram.train(spark, docs, col("text"),
