@@ -278,21 +278,20 @@ object Dedup {
     * `maxDist` bands, so any within-radius pair shares a band whenever
     * `maxDist < bands` (enforced). Never all-pairs.
     */
-  def simhashPairs(signatures: DataFrame, maxDist: Int, sigLen: Int, bands: Int = 4): DataFrame = {
-    require(maxDist < bands,
-      s"banded recall needs maxDist < bands, got maxDist=$maxDist bands=$bands")
-    graft.GraftFunctions.ensure(signatures.sparkSession)
-    require(sigLen % bands == 0, s"$bands bands must divide the $sigLen-bit signature")
+  /** Banded spelling of a `(id, simhash)` bit-string signature frame:
+    * one row per (id, band) with the signature riding as payload —
+    * shared by [[simhashPairs]] and [[incrementalSimhashPairs]]. A
+    * signature whose width differs from the declared `sigLen` fails
+    * the job loudly (a short one would make tail bands "" for EVERY
+    * row — one shared bucket, silent all-pairs blowup; the width lives
+    * in the data, so this must be a runtime check). */
+  private def bandedSigs(signatures: DataFrame, sigLen: Int, bands: Int): DataFrame = {
     val w = sigLen / bands
     val bandStructs = (0 until bands).map { bx =>
       struct(lit(bx).as("band_idx"),
         substring(col("simhash"), bx * w + 1, w).as("band_val"))
     }
-    val banded = signatures
-      // a signature shorter than sigLen would make the tail bands "" for
-      // EVERY row — one shared bucket, silent all-pairs blowup. Fail the
-      // job loudly instead (sigLen is caller-declared; the signature
-      // width lives in the data, so this must be a runtime check).
+    signatures
       .select(col("id"),
         when(length(col("simhash")) === sigLen, col("simhash"))
           .otherwise(raise_error(concat(
@@ -300,6 +299,14 @@ object Dedup {
             col("simhash")))).as("simhash"))
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+  }
+
+  def simhashPairs(signatures: DataFrame, maxDist: Int, sigLen: Int, bands: Int = 4): DataFrame = {
+    require(maxDist < bands,
+      s"banded recall needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    graft.GraftFunctions.ensure(signatures.sparkSession)
+    require(sigLen % bands == 0, s"$bands bands must divide the $sigLen-bit signature")
+    val banded = bandedSigs(signatures, sigLen, bands)
     PairEnum.bucketPairs(banded, Seq("band_idx", "band_val"), payloadCols = Seq("simhash"))
       .select(col("id_a"), col("id_b"),
         call_function("hamming_dist", col("simhash_a"), col("simhash_b")).as("dist"))
@@ -312,6 +319,44 @@ object Dedup {
       // magnitude cheaper than shuffling the duplicates.
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** INCREMENTAL [[simhashPairs]]: within-radius pairs TOUCHING the
+    * new signature batch only — new×new (the blocked banded
+    * self-pairing) plus new×STATE (grid-blocked banded cross probe
+    * through [[PairEnum.bucketJoin]], so a boilerplate band bucket
+    * never funnels |new|×|old| candidates through one task) — never
+    * old×old; per-batch cost stays flat as the fingerprint corpus
+    * grows. This is how perceptual-hash dedup (image dHash/WHT, audio
+    * spectral signs) has to run at ingestion scale: the corpus's
+    * signatures are a persisted state table (64 bits per item — tiny
+    * next to the media), and each arriving batch pays its own hashing
+    * plus one banded probe. Per-item signatures are corpus-independent,
+    * so the result equals the full-corpus [[simhashPairs]] restricted
+    * to pairs touching the batch (spec- and oracle-pinned).
+    * `newSigs`/`stateSigs` must carry disjoint ids (ingestion
+    * guarantees it; the stream's crash-replay guard is what prevents a
+    * batch from meeting its own state). Output `(id_a, id_b, dist)`,
+    * `id_a < id_b`. */
+  def incrementalSimhashPairs(newSigs: DataFrame, stateSigs: DataFrame,
+      maxDist: Int, sigLen: Int, bands: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxDist < bands,
+      s"banded recall needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    require(sigLen % bands == 0, s"$bands bands must divide the $sigLen-bit signature")
+    graft.GraftFunctions.ensure(newSigs.sparkSession)
+    // the batch's banded spelling feeds the self-pairing and the probe
+    val nb = scope.pin(bandedSigs(newSigs, sigLen, bands))
+    def score(pairs: DataFrame) = pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        call_function("hamming_dist", col("simhash_a"), col("simhash_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+    score(PairEnum.bucketPairs(nb, Seq("band_idx", "band_val"),
+        payloadCols = Seq("simhash")))
+      .unionByName(score(PairEnum.bucketJoin(nb, bandedSigs(stateSigs, sigLen, bands),
+        Seq("band_idx", "band_val"), payloadCols = Seq("simhash"))))
   }
 
   /** Near-dup CLUSTERING: verified pairs → connected components →

@@ -192,6 +192,25 @@ object MediaQueries extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL image near-dup (q_media_dedup_incr): the corpus's
+    * stored pixel grids split 80/20 into persisted STATE signatures
+    * and the arriving batch (`media_id mod 10 ≥ 8` — the
+    * q_dedup_incremental discipline on the Hamming metric); output =
+    * within-radius pairs TOUCHING the batch via
+    * [[graft.operators.Dedup.incrementalSimhashPairs]] — new×new plus
+    * new×state banded probes, old×old never re-pairs. Per-item dHash
+    * is corpus-independent, so the oracle replays the FULL brute-force
+    * all-pairs trial restricted to batch-touching pairs. */
+  def mediaDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = pixGridStore(spark, sfDir)
+      .select(col("media_id").as("id"),
+        Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash"))
+    val isNew = pmod(col("id"), lit(10)) >= 8
+    graft.operators.Dedup.incrementalSimhashPairs(
+        sig.filter(isNew), sig.filter(!isNew), maxDist = HashDist, sigLen = 64, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** AUDIO near-dup (q_audio_dedup): spectral-sign fingerprints —
     * `wht_hash` over the stored 64-bin PCM envelopes (volume-invariant
     * by construction) — matched at radius [[HashDist]] by the banded
@@ -261,6 +280,7 @@ object MediaQueries extends QueryModule {
     "q_media_dedup" -> mediaDedup,
     "q_media_phash" -> mediaPhash,
     "q_media_dedup_px" -> mediaDedupPx,
+    "q_media_dedup_incr" -> mediaDedupIncr,
     "q_media_phash_px" -> mediaPhashPx,
     "q_audio_dedup" -> audioDedup,
     "q_audio_fingerprint" -> audioFingerprint,
@@ -304,6 +324,21 @@ object MediaQueries extends QueryModule {
          |         THEN '1' ELSE '0' END), '') AS h
          |  FROM g),
          |${hammingPairsSql(64)}""".stripMargin,
+    // the same brute-force trial restricted to batch-touching pairs:
+    // the incremental member must equal the full pair set's slice
+    "q_media_dedup_incr" ->
+      s"""WITH g AS (SELECT media_id, grid72 AS g FROM ${OracleArtifact.sql(PxTag)}),
+         |sig AS (SELECT media_id, array_to_string(list_transform(range(0, 64), k ->
+         |    CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1]
+         |         THEN '1' ELSE '0' END), '') AS h
+         |  FROM g),
+         |d AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+         |SELECT id_a, id_b, dist FROM d
+         |WHERE dist <= $HashDist AND ((id_a % 10) >= 8 OR (id_b % 10) >= 8)
+         |ORDER BY id_a, id_b""".stripMargin,
     // REAL-pixel WHT trial over the stored 8×8 grids
     "q_media_phash_px" ->
       s"""WITH g AS (SELECT media_id, grid64 AS g FROM ${OracleArtifact.sql(PxTag)}),
