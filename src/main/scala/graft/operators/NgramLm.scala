@@ -228,6 +228,93 @@ object NgramLm {
         expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
   }
 
+  /** COUNT-PRUNED per-order backoff artifact — the 100 TB shape of
+    * [[ngramModel]]: at web scale the observed-5-gram table is
+    * CORPUS-sized (nearly every window is distinct — the "3-5 orders
+    * smaller" property of bigrams does not survive to order 5), and
+    * the production answer (Brants et al. 2007 §3) is per-order count
+    * tables pruned at a count floor — singleton high-order n-grams,
+    * the overwhelming bulk, drop; scoring backs off through the floors
+    * as if they were unseen.
+    *
+    * One corpus pass builds every order: the (order−1)-BOS-padded
+    * stream's j-windows for j = 1..order, each `(len, gram, n)` with
+    * `gram` the space-joined tokens (single-space tokenization
+    * upstream makes the join key unambiguous), pruned at
+    * `minCounts(j-1)`. Floors must be NON-DECREASING in j with
+    * `minCounts(0) == 1`: a surviving j-gram's occurrences each
+    * contain its length-(j−1) prefix, so `count(prefix) ≥ count(gram)
+    * ≥ floor_j ≥ floor_{j-1}` — every surviving numerator's
+    * denominator is guaranteed present, and the exact unigram floor
+    * keeps the final tier's N and V exact. */
+  def prunedBackoffModel(ref: DataFrame, idCol: Column, textCol: Column,
+                         order: Int, minCounts: Seq[Long]): DataFrame = {
+    require(order >= 2, s"prunedBackoffModel: order must be >= 2, got $order")
+    require(minCounts.length == order,
+      s"prunedBackoffModel: need $order floors (order 1..$order), got ${minCounts.length}")
+    require(minCounts.head == 1L,
+      s"prunedBackoffModel: the unigram floor must be 1 (exact N/V), got ${minCounts.head}")
+    require(minCounts.zip(minCounts.tail).forall { case (a, b) => a <= b },
+      s"prunedBackoffModel: floors must be non-decreasing in order, got $minCounts")
+    val toks = docTokens(ref, idCol, textCol, nBos = order - 1)
+    (1 to order).map { j =>
+      ngrams(toks, j)
+        .groupBy(concat_ws(" ", (1 to j).map(i => col(s"w$i")): _*).as("gram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCounts(j - 1))
+        .select(lit(j).as("len"), col("gram"), col("n"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Stupid backoff over a [[prunedBackoffModel]]: the
+    * [[scoreBackoffN]] tier ladder, but every count — numerator AND
+    * denominator — is a `gram`-string lookup in the per-order pruned
+    * tables (a floored-out suffix scores as unseen and falls through,
+    * exactly the Brants et al. behavior). Output
+    * `(id, n_ngrams, avg_surprisal)`. */
+  def scoreBackoffPruned(docs: DataFrame, idCol: Column, textCol: Column,
+                         model: DataFrame, order: Int,
+                         scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val k = order
+    require(k >= 2, s"scoreBackoffPruned: order must be >= 2, got $k")
+    // one artifact feeds 2(k-1)+2 order-sliced consumers — pin it
+    val m = scope.pin(model)
+    def gramOf(from: Int, to: Int): Column =
+      concat_ws(" ", (from to to).map(i => col(s"w$i")): _*)
+    var joined = ngrams(docTokens(docs, idCol, textCol, nBos = k - 1), k)
+    (0 to k - 2).foreach { d =>
+      val cnt = m.filter(col("len") === (k - d))
+        .select(col("gram").as(s"__g$d"), col("n").as(s"__c$d"))
+      joined = joined.join(cnt, gramOf(d + 1, k) === col(s"__g$d"), "left")
+        .drop(s"__g$d")
+    }
+    (0 to k - 2).foreach { d =>
+      val ctx = m.filter(col("len") === (k - 1 - d))
+        .select(col("gram").as(s"__h$d"), col("n").as(s"__x$d"))
+      joined = joined.join(ctx, gramOf(d + 1, k - 1) === col(s"__h$d"), "left")
+        .drop(s"__h$d")
+    }
+    val uni = m.filter(col("len") === 1)
+    val u = uni.select(col("gram").as("__gu"), col("n").as("__u"))
+    val tot = uni.agg(sum("n").as("__nn"), count(lit(1)).as("__v"))
+    joined = joined.join(u, col(s"w$k") === col("__gu"), "left").drop("__gu")
+      .crossJoin(broadcast(tot))
+    def p5(d: Int): Long = math.pow(5, d).toLong
+    def p2(d: Int): Long = math.pow(2, d).toLong
+    val tiers = (0 to k - 2).map(d =>
+      (col(s"__c$d").isNotNull,
+        expr(s"${p5(d)}L * $Scale * __x$d DIV (${p2(d)}L * __c$d)")))
+    val fallback = expr(
+      s"${p5(k - 1)}L * $Scale * (__nn + __v) DIV (${p2(k - 1)}L * (coalesce(__u, 0L) + 1L))")
+    val score = tiers.tail.foldLeft(when(tiers.head._1, tiers.head._2)) {
+      case (acc, (c, s)) => acc.when(c, s)
+    }.otherwise(fallback)
+    joined.select(col("id"), score.as("__s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
+  }
+
   /** Score `docs` under a [[trigramModel]] with STUPID BACKOFF (Brants
     * et al. 2007, "Large Language Models in Machine Translation" — the
     * count-based backoff used at corpus scale precisely because it

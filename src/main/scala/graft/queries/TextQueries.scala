@@ -531,6 +531,32 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The count floors for the pruned 5-gram artifact: orders 3..5
+    * pruned at 2 (singletons drop — at web scale the overwhelming
+    * bulk), orders 1..2 exact. */
+  private val Lm5Floors = Seq(1L, 1L, 2L, 2L, 2L)
+
+  private def lm5pModelStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "ngram_lm5p_en", sfDir)(
+      graft.operators.NgramLm.prunedBackoffModel(
+        Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+        col("doc_id"), col("text"), order = 5, minCounts = Lm5Floors))
+
+  /** COUNT-PRUNED order-5 backoff scoring
+    * ([[graft.operators.NgramLm.scoreBackoffPruned]]) — the Brants et
+    * al. production artifact next to [[lmScore5]]'s exact one-table
+    * form: per-order count tables with singleton 3/4/5-grams dropped
+    * ([[Lm5Floors]]), scoring backing off through the floors. The
+    * oracle replays the padded-stream window counts per order, every
+    * floor, and all five tiers' lookups against the pruned tables. */
+  def lmScore5p(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.NgramLm.scoreBackoffPruned(
+        docs, col("doc_id"), col("text"), lm5pModelStore(spark, sfDir), order = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Corpus distribution-drift report
     * ([[graft.operators.TextStats.vocabDrift]]): even-id docs as the
     * OLD snapshot vs odd-id docs as the NEW one, with every 5th new
@@ -601,6 +627,7 @@ object TextQueries extends QueryModule {
     "q_lm_score" -> lmScore,
     "q_lm_score3" -> lmScore3,
     "q_lm_score5" -> lmScore5,
+    "q_lm_score5p" -> lmScore5p,
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_encode" -> bpeEncode,
@@ -626,6 +653,7 @@ object TextQueries extends QueryModule {
     lmModelStore(spark, sfDir)
     lm3ModelStore(spark, sfDir)
     lm5ModelStore(spark, sfDir)
+    lm5pModelStore(spark, sfDir)
     fullIndexDir(spark, sfDir)
     oldIndexDir(spark, sfDir)
     ()
@@ -744,6 +772,67 @@ object TextQueries extends QueryModule {
         |  CAST(ratio AS BIGINT) AS ratio_ppm,
         |  CAST(GREATEST(ratio, 1000000000000 // GREATEST(ratio, 1)) AS BIGINT) AS drift_ppm
         |FROM r ORDER BY drift_ppm DESC, token LIMIT 100""".stripMargin,
+    // pruned order-5 replay: per-order padded-stream window counts,
+    // each floored (3..5-grams at 2), all five tiers as string-keyed
+    // lookups against the pruned tables
+    "q_lm_score5p" ->
+      """WITH reft AS (
+        |  SELECT list_concat(['<s>', '<s>', '<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |o5 AS (SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS gram FROM reft WHERE len(t) >= 5)
+        |  GROUP BY gram HAVING COUNT(*) >= 2),
+        |o4 AS (SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS gram FROM reft WHERE len(t) >= 4)
+        |  GROUP BY gram HAVING COUNT(*) >= 2),
+        |o3 AS (SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS gram FROM reft WHERE len(t) >= 3)
+        |  GROUP BY gram HAVING COUNT(*) >= 2),
+        |o2 AS (SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS gram FROM reft WHERE len(t) >= 2)
+        |  GROUP BY gram),
+        |o1 AS (SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(t) AS gram FROM reft) GROUP BY gram),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS v FROM o1),
+        |dt AS (
+        |  SELECT doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+        |  FROM documents),
+        |db AS (SELECT doc_id,
+        |    u['s0'] AS s0, u['s1'] AS s1, u['s2'] AS s2, u['s3'] AS s3,
+        |    u['c0'] AS c0, u['c1'] AS c1, u['c2'] AS c2, u['c3'] AS c3,
+        |    u['w5'] AS w5 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> {
+        |    's0': array_to_string(t[i:i+4], ' '), 's1': array_to_string(t[i+1:i+4], ' '),
+        |    's2': array_to_string(t[i+2:i+4], ' '), 's3': array_to_string(t[i+3:i+4], ' '),
+        |    'c0': array_to_string(t[i:i+3], ' '), 'c1': array_to_string(t[i+1:i+3], ' '),
+        |    'c2': array_to_string(t[i+2:i+3], ' '), 'c3': array_to_string(t[i+3:i+3], ' '),
+        |    'w5': t[i + 4]})) AS u
+        |  FROM dt WHERE len(t) >= 5)),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN n5.n IS NOT NULL THEN 1000000 * x0.n // n5.n
+        |         WHEN n4.n IS NOT NULL THEN (5 * 1000000 * x1.n) // (2 * n4.n)
+        |         WHEN n3.n IS NOT NULL THEN (25 * 1000000 * x2.n) // (4 * n3.n)
+        |         WHEN n2.n IS NOT NULL THEN (125 * 1000000 * x3.n) // (8 * n2.n)
+        |         ELSE (625 * 1000000 * (tt.nn + tt.v)) // (16 * (COALESCE(uu.n, 0) + 1))
+        |    END AS s
+        |  FROM db LEFT JOIN o5 n5 ON n5.gram = db.s0
+        |    LEFT JOIN o4 x0 ON x0.gram = db.c0
+        |    LEFT JOIN o4 n4 ON n4.gram = db.s1
+        |    LEFT JOIN o3 x1 ON x1.gram = db.c1
+        |    LEFT JOIN o3 n3 ON n3.gram = db.s2
+        |    LEFT JOIN o2 x2 ON x2.gram = db.c2
+        |    LEFT JOIN o2 n2 ON n2.gram = db.s3
+        |    LEFT JOIN o1 x3 ON x3.gram = db.c3
+        |    LEFT JOIN o1 uu ON uu.gram = db.w5, tt)
+        |SELECT doc_id, COUNT(*) AS n_ngrams,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full order-5 replay: 4-BOS-padded 5-gram training, FOUR suffix
     // marginals + contexts, all five backoff tiers as exact α-power
     // integer ratios (5^d/2^d), and the floored mean

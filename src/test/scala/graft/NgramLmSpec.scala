@@ -205,6 +205,75 @@ class NgramLmSpec extends AnyFunSuite {
     assert(derived == direct)
   }
 
+  /** INDEPENDENT local reference for the COUNT-PRUNED artifact: direct
+    * per-order window counts over the (k−1)-BOS-padded stream, each
+    * floored, tier lookups against the pruned maps. */
+  private def localScorePruned(ref: Seq[String], docs: Seq[String], k: Int,
+                               floors: Seq[Long]): Map[Int, (Long, Long)] = {
+    val S = NgramLm.Scale
+    def toks(s: String) = List.fill(k - 1)("<s>") ++ s.toLowerCase.split(" ").filter(_.nonEmpty)
+    def grams(t: List[String], j: Int) =
+      t.sliding(j).filter(_.size == j).map(_.mkString(" ")).toList
+    val streams = ref.map(toks).filter(_.size >= k)
+    val tables: Map[Int, Map[String, Long]] = (1 to k).map { j =>
+      j -> streams.flatMap(grams(_, j)).groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 >= floors(j - 1)).toMap
+    }.toMap
+    val nn = tables(1).values.sum
+    val v = tables(1).size.toLong
+    def p5(d: Int) = math.pow(5, d).toLong
+    def p2(d: Int) = math.pow(2, d).toLong
+    docs.zipWithIndex.flatMap { case (doc, i) =>
+      val t = toks(doc).toVector
+      val ws = t.sliding(k).filter(_.size == k).map(_.toVector).toList
+      if (ws.isEmpty) None
+      else {
+        val ss = ws.map { w =>
+          (0 until k - 1).collectFirst {
+            case d if tables(k - d).contains(w.drop(d).mkString(" ")) =>
+              p5(d) * S * tables(k - 1 - d)(w.slice(d, k - 1).mkString(" ")) /
+                (p2(d) * tables(k - d)(w.drop(d).mkString(" ")))
+          }.getOrElse(
+            p5(k - 1) * S * (nn + v) / (p2(k - 1) * (tables(1).getOrElse(w.last, 0L) + 1L)))
+        }
+        Some(i -> ((ws.size.toLong, ss.sum / ws.size)))
+      }
+    }.toMap
+  }
+
+  test("count-pruned order-5 backoff matches the independent local reference; floors force deeper backoff") {
+    val floors = Seq(1L, 1L, 2L, 2L, 2L)
+    // MixedRef's sentences are distinct — every 5-gram is a singleton
+    // EXCEPT in the doubled sentence below, so the floors really bite
+    val ref = MixedRef ++ Seq(MixedRef.head)
+    val refDf = ref.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val docsDf = MixedDocs.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("id", "text")
+    val model = NgramLm.prunedBackoffModel(refDf, col("id"), col("text"),
+      order = 5, minCounts = floors)
+    val got = NgramLm.scoreBackoffPruned(docsDf, col("id"), col("text"), model, order = 5)
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == localScorePruned(ref, MixedDocs, 5, floors))
+    // the artifact is genuinely smaller than exact per-order counts
+    val unpruned = NgramLm.prunedBackoffModel(refDf, col("id"), col("text"),
+      order = 5, minCounts = Seq(1L, 1L, 1L, 1L, 1L))
+    assert(model.count() < unpruned.count(),
+      s"floors pruned nothing: ${model.count()} vs ${unpruned.count()}")
+    // a doc built of singleton reference 5-grams backs off deeper (its
+    // windows were floored out), so it scores HIGHER pruned than exact
+    val singletonDoc = Seq(0L -> MixedRef(1)).toDF("id", "text")
+    val exact = NgramLm.scoreBackoffN(singletonDoc, col("id"), col("text"),
+      NgramLm.ngramModel(refDf, col("id"), col("text"), order = 5), order = 5)
+      .head.getLong(2)
+    val pruned = NgramLm.scoreBackoffPruned(singletonDoc, col("id"), col("text"),
+      model, order = 5).head.getLong(2)
+    assert(pruned > exact, s"pruned $pruned should exceed exact $exact")
+    // floor contract: non-monotone or non-exact-unigram floors fail
+    intercept[IllegalArgumentException](NgramLm.prunedBackoffModel(
+      refDf, col("id"), col("text"), 5, Seq(1L, 2L, 1L, 2L, 2L)))
+    intercept[IllegalArgumentException](NgramLm.prunedBackoffModel(
+      refDf, col("id"), col("text"), 5, Seq(2L, 2L, 2L, 2L, 2L)))
+  }
+
   test("trigram model over plain clones is exactly flat (counts scale, support doesn't)") {
     val base = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("id", "text")
     val m1 = NgramLm.trigramModel(base, col("id"), col("text"))
