@@ -237,6 +237,21 @@ object MediaQueries extends QueryModule {
       .orderBy("media_id")
   }
 
+  /** INCREMENTAL audio near-dup (q_audio_dedup_incr): the 80/20 split
+    * of [[mediaDedupIncr]] on the spectral-sign metric — new×new plus
+    * new×state banded Hamming probes over the stored envelopes'
+    * fingerprints, old×old never re-pairs. */
+  def audioDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val sig = audioEnvStore(spark, sfDir)
+      .select(col("media_id").as("id"),
+        Multimodal.phashBits(col("env")).as("simhash"))
+    val isNew = pmod(col("id"), lit(10)) >= 8
+    graft.operators.Dedup.incrementalSimhashPairs(
+        sig.filter(isNew), sig.filter(!isNew), maxDist = HashDist, sigLen = 63, bands = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   private val VidMinhashK = 8
   private val VidBandWidth = 2
   private val VidThreshold = 0.5
@@ -249,20 +264,56 @@ object MediaQueries extends QueryModule {
     * or locally-edited variant shares most of its frame chunks, so its
     * shingle Jaccard degrades gradually; the oracle replays the
     * banding and verification exactly. */
-  def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Adjacent frame-hash shingles per video — order-sensitive, shared
+    * by the batch and incremental members. */
+  private def videoShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fh = frameHashStore(spark, sfDir)
-    val sh = fh
+    frameHashStore(spark, sfDir)
       .withColumn("__next", lead("fhash", 1).over(
         Window.partitionBy("media_id").orderBy("frame_idx")))
       .filter(col("__next").isNotNull)
       .select(col("media_id").as("id"),
         concat(col("fhash"), lit(" "), col("__next")).as("shingle"))
       .distinct()
-      .cache() // feeds the signature AND the Jaccard verification
+  }
+
+  def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // feeds the signature AND the Jaccard verification
+    val sh = videoShingles(spark, sfDir).cache()
     val sig = graft.operators.Dedup.minhashSignature(sh, VidMinhashK)
     val cand = graft.operators.Dedup.candidatePairs(
       graft.operators.Dedup.lshBands(sig, VidMinhashK, VidBandWidth))
+    graft.operators.Dedup.jaccardVerify(cand, sh, VidThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** INCREMENTAL video near-dup (q_video_dedup_incr): the frame-hash
+    * corpus splits 80/20 into persisted-state band assignments and the
+    * arriving batch; candidates = new×new banded self-pairs plus the
+    * new×state probe join
+    * ([[graft.operators.Dedup.incrementalCandidates]] — old×old never
+    * re-pairs), then exact shingle-set Jaccard. Per-video signatures
+    * are corpus-independent, so the result equals [[videoDedup]]
+    * restricted to batch-touching pairs — which is what the oracle
+    * computes. */
+  private def vidBandsOf(s: DataFrame): DataFrame =
+    graft.operators.Dedup.lshBands(
+      graft.operators.Dedup.minhashSignature(s, VidMinhashK), VidMinhashK, VidBandWidth)
+
+  /** The OLD side's band assignments are the pipeline's persisted
+    * state — an incremental ingest keeps them on disk between batches
+    * and only ever computes signatures for the arriving batch (the
+    * q_dedup_incremental sigOldStore discipline): build once per JVM,
+    * read thereafter, so the query measures the BATCH leg. */
+  private def vidBandsOldStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "video_bands_old", sfDir)(
+      vidBandsOf(videoShingles(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8)))
+
+  def videoDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = videoShingles(spark, sfDir).cache()
+    val isNew = pmod(col("id"), lit(10)) >= 8
+    val cand = graft.operators.Dedup.incrementalCandidates(
+      vidBandsOf(sh.filter(isNew)), vidBandsOldStore(spark, sfDir))
     graft.operators.Dedup.jaccardVerify(cand, sh, VidThreshold)
       .orderBy("id_a", "id_b")
   }
@@ -271,6 +322,7 @@ object MediaQueries extends QueryModule {
     pixGridStore(spark, sfDir).count()
     audioEnvStore(spark, sfDir).count()
     frameHashStore(spark, sfDir).count()
+    vidBandsOldStore(spark, sfDir).count()
     ()
   }
 
@@ -283,8 +335,10 @@ object MediaQueries extends QueryModule {
     "q_media_dedup_incr" -> mediaDedupIncr,
     "q_media_phash_px" -> mediaPhashPx,
     "q_audio_dedup" -> audioDedup,
+    "q_audio_dedup_incr" -> audioDedupIncr,
     "q_audio_fingerprint" -> audioFingerprint,
-    "q_video_dedup" -> videoDedup)
+    "q_video_dedup" -> videoDedup,
+    "q_video_dedup_incr" -> videoDedupIncr)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -304,6 +358,35 @@ object MediaQueries extends QueryModule {
        |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
        |SELECT id_a, id_b, dist FROM d WHERE dist <= $HashDist
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The video banded-minhash replay up to `ver(id_a, id_b, jaccard)`
+    * — shared by the batch and incremental members. */
+  private val videoChainSql = {
+    val mins = (0 until VidMinhashK)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
+    val bands = (0 until VidMinhashK / VidBandWidth).map { bx =>
+      val v = (bx * VidBandWidth until (bx + 1) * VidBandWidth)
+        .map(i => s"m$i").mkString(" || ")
+      s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""fh AS (SELECT media_id, frame_idx, fhash FROM ${OracleArtifact.sql(FhTag)}),
+       |sh AS (SELECT DISTINCT a.media_id AS id, a.fhash || ' ' || b.fhash AS shingle
+       |  FROM fh a JOIN fh b ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx + 1),
+       |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+       |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.id = c.id_a
+       |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.id_a, c.id_b),
+       |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $VidThreshold)""".stripMargin
+  }
 
   /** WHT sign-bit signature over a 64-element list column `g`. */
   private val whtSigSql =
@@ -349,6 +432,17 @@ object MediaQueries extends QueryModule {
       s"""WITH g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
          |sig AS ($whtSigSql),
          |${hammingPairsSql(63)}""".stripMargin,
+    // the audio brute-force trial restricted to batch-touching pairs
+    "q_audio_dedup_incr" ->
+      s"""WITH g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
+         |sig AS ($whtSigSql),
+         |d AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, 64), i ->
+         |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+         |SELECT id_a, id_b, dist FROM d
+         |WHERE dist <= $HashDist AND ((id_a % 10) >= 8 OR (id_b % 10) >= 8)
+         |ORDER BY id_a, id_b""".stripMargin,
     // per-row signature check: the same WHT replay, one row per clip
     "q_audio_fingerprint" ->
       s"""WITH g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
@@ -356,33 +450,17 @@ object MediaQueries extends QueryModule {
          |SELECT media_id, h AS simhash FROM sig ORDER BY media_id""".stripMargin,
     // video: full banded-minhash replay over the stored frame hashes —
     // shingles, 8 md5 minima, 4 bands, candidate join, exact Jaccard
-    "q_video_dedup" -> {
-      val mins = (0 until VidMinhashK)
-        .map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
-      val bands = (0 until VidMinhashK / VidBandWidth).map { bx =>
-        val v = (bx * VidBandWidth until (bx + 1) * VidBandWidth)
-          .map(i => s"m$i").mkString(" || ")
-        s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH fh AS (SELECT media_id, frame_idx, fhash FROM ${OracleArtifact.sql(FhTag)}),
-         |sh AS (SELECT DISTINCT a.media_id AS id, a.fhash || ' ' || b.fhash AS shingle
-         |  FROM fh a JOIN fh b ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx + 1),
-         |sig AS (SELECT id, $mins FROM sh GROUP BY id),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
-         |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-         |  FROM cand c
-         |  JOIN sh sa ON sa.id = c.id_a
-         |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.id_a, c.id_b),
-         |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-         |  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
-         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $VidThreshold)
-         |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_video_dedup" ->
+      s"""WITH $videoChainSql
+         |SELECT id_a, id_b, jaccard FROM ver ORDER BY id_a, id_b""".stripMargin,
+    // the same chain restricted to batch-touching pairs: banded
+    // candidates among new×new plus new×old ARE the full candidate set
+    // sliced to the batch (per-video signatures are corpus-independent)
+    "q_video_dedup_incr" ->
+      s"""WITH $videoChainSql
+         |SELECT id_a, id_b, jaccard FROM ver
+         |WHERE (id_a % 10) >= 8 OR (id_b % 10) >= 8
+         |ORDER BY id_a, id_b""".stripMargin,
     // deliberately brute force: all image pairs' dHash Hamming distance
     // at radius 2 — the banded matcher's recall contract is on trial
     "q_media_dedup" ->
