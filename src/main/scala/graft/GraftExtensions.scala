@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, WhtHash}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, UnigramEncodeBytes, WhtHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bpeEncodeBytes)
     ext.injectFunction(GraftFunctions.bytePreTok)
     ext.injectFunction(GraftFunctions.unigramEncode)
+    ext.injectFunction(GraftFunctions.unigramEncodeBytes)
     ext.injectFunction(GraftFunctions.whtHash)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
@@ -157,6 +158,14 @@ object GraftFunctions {
       UnigramEncode(children.head, children(1))
     })
 
+  val unigramEncodeBytes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unigram_encode_bytes"),
+    new ExpressionInfo(classOf[UnigramEncodeBytes].getName, "unigram_encode_bytes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"unigram_encode_bytes expects 2 arguments, got ${children.size}")
+      UnigramEncodeBytes(children.head, children(1))
+    })
+
   val whtHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("wht_hash"),
     new ExpressionInfo(classOf[WhtHash].getName, "wht_hash"),
@@ -169,7 +178,8 @@ object GraftFunctions {
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
         pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
-        bpeEncodeBytes, bytePreTok, unigramEncode, whtHash).foreach { case (ident, info, builder) =>
+        bpeEncodeBytes, bytePreTok, unigramEncode, unigramEncodeBytes,
+        whtHash).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

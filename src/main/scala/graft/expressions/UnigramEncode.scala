@@ -77,7 +77,7 @@ object UnigramEncode {
     * rationale applies verbatim (literal/broadcast delivery never
     * reuses a buffer; a join-produced model column stays correct but
     * re-parses per row). */
-  private final class Model(val ref: ArrayData, val n: Int,
+  private[expressions] final class Model(val ref: ArrayData, val n: Int,
       val firstPiece: UTF8String, val lastPiece: UTF8String,
       val weights: java.util.HashMap[String, java.lang.Double], val maxLen: Int)
   @volatile private var cached: Model = null
@@ -89,7 +89,7 @@ object UnigramEncode {
     (row.getUTF8String(0), row.getDouble(1))
   }
 
-  private def modelFor(pieces: ArrayData): Model = {
+  private[expressions] def modelFor(pieces: ArrayData): Model = {
     val c = cached
     val n = pieces.numElements()
     if (c != null && (c.ref eq pieces) && c.n == n &&

@@ -98,7 +98,8 @@ object Unigram {
             vocabSize: Int, emIters: Int = 2, maxPieceLen: Int = 8,
             seedSize: Int = 4096,
             driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords,
-            soft: Boolean = false, lossPrune: Boolean = false): Seq[Piece] = {
+            soft: Boolean = false, lossPrune: Boolean = false,
+            byteLevel: Boolean = false): Seq[Piece] = {
     require(vocabSize >= 0, s"train: vocabSize must be >= 0, got $vocabSize")
     require(emIters >= 1, s"train: emIters must be >= 1, got $emIters")
     require(!lossPrune || soft,
@@ -108,8 +109,17 @@ object Unigram {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     // the vocabulary backs the seed pass, the gate measure, and every
-    // distributed E-step — checkpoint once, free at the end
-    val wf = Bpe.wordFreq(df, textCol).localCheckpoint(true)
+    // distributed E-step — checkpoint once, free at the end.
+    // BYTE-LEVEL mode swaps in the [[Bpe.wordFreqBytes]] front end
+    // (regex pretokens over the 256-symbol byte alphabet — the
+    // SentencePiece byte-fallback production shape, case-preserving);
+    // everything downstream is alphabet-agnostic: mapped words carry
+    // no literal space, so even the distributed E-step's
+    // `unigram_encode` call segments them whole, and the deployed
+    // encoder is the `unigram_encode_bytes` sibling
+    // ([[graft.expressions.UnigramEncodeBytes]]).
+    val wf = (if (byteLevel) Bpe.wordFreqBytes(df, textCol)
+              else Bpe.wordFreq(df, textCol)).localCheckpoint(true)
     val wfIds = sc.getPersistentRDDs.keySet -- before
     try {
       val multi = seedCandidates(wf, maxPieceLen, seedSize).collect()

@@ -620,9 +620,39 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fixed piece list for [[unigramEncodeBytes]] — the [[UniPieces]]
+    * restriction carried to the byte alphabet (pairwise-disjoint char
+    * sets, no singles; 'Ġw' exercises the leading-space stand-in). The
+    * model has NO single-char pieces, so every uncovered byte falls to
+    * the unk floor — and one piece (−1.0) always beats its two unk
+    * singles (−2·10⁴), so the unique optimum is "take every
+    * occurrence, everything else unk singles": the replace-chain
+    * closed form, per pretoken. */
+  private val UniPiecesBytes = Seq("th", "er", "an", "Ġw")
+
+  /** The native `unigram_encode_bytes` expression end-to-end on the
+    * oracle — the byte-level Viterbi sibling of [[unigramEncode]]
+    * (SentencePiece's byte-fallback unigram shape): pretokenize,
+    * byte-map, segment each pretoken under [[UniPiecesBytes]]. The
+    * TRAINED-model and multibyte paths are ByteBpeSpec's parity gate;
+    * this row pins pretokenizer + mapping + per-pretoken DP + unk
+    * fallback against an independent engine. */
+  def unigramEncodeBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val model = Unigram.piecesLit(UniPiecesBytes.map(p => Unigram.Piece(p, -1.0, 0L)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("unigram_encode_bytes", lower(col("text")), model).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_pieces"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_seed" -> unigramSeed,
     "q_unigram_encode" -> unigramEncode,
+    "q_unigram_encode_bytes" -> unigramEncodeBytes,
     "q_vocab_drift" -> vocabDrift,
     "q_lm_score" -> lmScore,
     "q_lm_score3" -> lmScore3,
@@ -741,6 +771,28 @@ object TextQueries extends QueryModule {
          |    list_filter(string_split($wrapped, ' '), f -> f <> ''),
          |    f -> CASE WHEN f IN ($inList) THEN [f]
          |         ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END)) AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_pieces,
+         |  array_to_string(t, ' ') AS encoded
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
+    // byte-level disjoint-piece Viterbi closed form: pretokenize,
+    // byte-map, wrap every piece occurrence in spaces (occurrences
+    // can never overlap), split, non-piece fragments decompose to
+    // single byte-stand-in unk pieces
+    "q_unigram_encode_bytes" -> {
+      val mapped = graft.operators.ByteLevel.mapWordSql("w")
+      val wrapped = UniPiecesBytes.foldLeft(mapped) { case (e, p) =>
+        s"replace($e, '$p', ' $p ')" }
+      val inList = UniPiecesBytes.map(p => s"'$p'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  flatten(list_transform(
+         |    regexp_extract_all(lower(text), '${graft.operators.ByteLevel.PreTokPattern}'),
+         |    w -> flatten(list_transform(
+         |      list_filter(string_split($wrapped, ' '), f -> f <> ''),
+         |      f -> CASE WHEN f IN ($inList) THEN [f]
+         |           ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END))))
+         |    AS t
          |  FROM documents)
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_pieces,
          |  array_to_string(t, ' ') AS encoded

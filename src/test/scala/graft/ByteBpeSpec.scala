@@ -246,6 +246,51 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(rows(1).getSeq[String](0) == Seq("ab"))
   }
 
+  test("byte-level unigram: trainBytes pieces live on the byte alphabet; encode is total and parity-exact") {
+    GraftFunctions.ensure(spark)
+    import graft.operators.Unigram
+    import graft.expressions.UnigramEncode
+    val corpus = Seq("the cat sat", "the cats sat there", "café 中文 café",
+      "the the the", "emoji 😀 end")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = Unigram.train(spark, df, col("text"),
+      vocabSize = 12, emIters = 2, maxPieceLen = 4, seedSize = 64, byteLevel = true)
+    // every piece is a string of byte stand-ins (unmapWord is total on it)
+    model.foreach(p => ByteLevel.unmapWord(p.piece))
+    // multibyte structure trained: some MULTI-char piece carries one
+    // of é/中/😀's non-ASCII stand-in bytes (EM is free to split the
+    // é pair across pieces — e.g. "afÃ" + "©" — but the byte alphabet
+    // must reach the multi-piece vocabulary)
+    assert(model.exists(p => p.piece.length > 1 && p.piece.exists(_ >= 128)),
+      s"no multi piece carries a non-ASCII stand-in: ${model.map(_.piece)}")
+    // drain == distributed, piece for piece
+    val dist = Unigram.train(spark, df, col("text"),
+      vocabSize = 12, emIters = 2, maxPieceLen = 4, seedSize = 64,
+      byteLevel = true, driverDrainMaxWords = 0)
+    assert(dist == model)
+    // native encode: parity vs the local composition (preTokens +
+    // shared Viterbi), and lossless round-trip on EVERY text incl.
+    // supplementary chars under the TRAINED model
+    val lit = Unigram.piecesLit(model)
+    val got = Texts.zipWithIndex.map(_.swap).toMap
+    val out = got.keys.toSeq.sorted.map { i =>
+      i -> spark.range(1).select(
+        call_function("unigram_encode_bytes", org.apache.spark.sql.functions.lit(got(i)), lit))
+        .head.getSeq[String](0)
+    }
+    val weights = new java.util.HashMap[String, java.lang.Double]
+    model.foreach(p => weights.put(p.piece, java.lang.Double.valueOf(p.weight)))
+    val maxLen = model.map(_.piece.length).max
+    out.foreach { case (i, toks) =>
+      val want = ByteLevel.preTokens(got(i)).flatMap { m =>
+        val segs = UnigramEncode.encodeWord(m, weights, maxLen)
+        (0 until segs.size()).map(segs.get)
+      }
+      assert(toks == want, s"text: '${got(i)}'")
+      assert(ByteLevel.unmapWord(toks.mkString("")) == got(i), s"round-trip: '${got(i)}'")
+    }
+  }
+
   test("mapWordSql fragments replay the mapping in DuckDB-compatible arithmetic") {
     // the SQL is DuckDB-side, but its CASE arithmetic is engine-free —
     // replay it here in Scala as a third independent spelling
