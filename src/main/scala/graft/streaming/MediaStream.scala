@@ -7,14 +7,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming perceptual-hash MEDIA dedup at INGESTION — the streaming
-  * member of the image-fingerprint family (q_media_dedup_px /
-  * q_media_dedup_incr), run as a Structured Streaming job over the
-  * bronze file queue (the [[SemanticStream]] discipline on the Hamming
-  * metric):
+  * member of the media-fingerprint family (q_media_dedup_px /
+  * q_media_dedup_incr / q_audio_dedup), run as a Structured Streaming
+  * job over the bronze file queue (the [[SemanticStream]] discipline
+  * on the Hamming metric):
   *
   * per micro-batch of `(media_id, media)` records — `media` is the
-  * base64 payload of a REAL image container, decoded by the REAL
-  * pipeline (`unbase64` → ImageIO → pooled gray grid → dHash):
+  * base64 payload of a REAL container, decoded by the REAL pipeline
+  * (an [[MediaStream.Extractor]]: ImageIO → pooled gray grid → dHash
+  * for images, WAV → PCM envelope → WHT signs for audio):
   *  1. within-radius pairs TOUCHING the batch
   *     ([[Dedup.incrementalSimhashPairs]] — new×new blocked banded
   *     self-pairing plus new×STATE banded probe; old×old never
@@ -37,6 +38,45 @@ import org.apache.spark.sql.types.StructType
   * would emit distance-0 self-pairs). */
 object MediaStream {
 
+  /** Pluggable payload→fingerprint extractor: which REAL decode chain
+    * turns container bytes into the banded bit-string signature. The
+    * extractor identity is part of the frozen state stamp — signatures
+    * from different extractors (or different grids/bin counts) are
+    * incomparable, so a drifted restart must fail loudly. */
+  sealed trait Extractor extends Serializable {
+    def tag: String
+    def sigLen: Int
+    def bands: Int
+    def signature(id: Long, bytes: Array[Byte]): String
+  }
+
+  /** Image tier: ImageIO decode → `gw`×`gh` pooled gray grid → dHash. */
+  final case class ImageDhash(gw: Int = 9, gh: Int = 8, bandCount: Int = 4) extends Extractor {
+    def tag: String = s"image_dhash_${gw}x$gh"
+    def sigLen: Int = gh * (gw - 1)
+    def bands: Int = bandCount
+    def signature(id: Long, bytes: Array[Byte]): String = {
+      val img = Multimodal.PixelOps.decode(bytes).getOrElse(
+        throw new IllegalStateException(
+          s"MediaStream: payload of media_id=$id is not a decodable image"))
+      Multimodal.dhashLocal(Multimodal.PixelOps.grayGrid(img, gw, gh), gw, gh)
+    }
+  }
+
+  /** Audio tier: WAV parse → 16-bit PCM → 64-bin energy envelope →
+    * WHT sign bits (volume-invariant — the q_audio_dedup chain). */
+  final case class AudioWhtEnvelope(bandCount: Int = 3) extends Extractor {
+    def tag: String = "audio_wht_env64"
+    def sigLen: Int = 63
+    def bands: Int = bandCount
+    def signature(id: Long, bytes: Array[Byte]): String = {
+      val pcm = Multimodal.AudioOps.pcm16Samples(bytes).getOrElse(
+        throw new IllegalStateException(
+          s"MediaStream: payload of media_id=$id is not a parsable 16-bit WAV"))
+      Multimodal.phashLocal(Multimodal.AudioOps.envelope(pcm, 64))
+    }
+  }
+
   def start(
       spark: SparkSession,
       srcDir: String,
@@ -46,15 +86,12 @@ object MediaStream {
       pairsDir: String,
       checkpointDir: String,
       maxDist: Int,
-      sigLen: Int = 64,
-      bands: Int = 4,
-      gw: Int = 9,
-      gh: Int = 8,
+      extractor: Extractor = ImageDhash(),
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 8): StreamingQuery = {
     require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
-    require(gh * (gw - 1) == sigLen,
-      s"dHash over a ${gw}x$gh grid is ${gh * (gw - 1)} bits, declared sigLen=$sigLen")
+    val sigLen = extractor.sigLen
+    val bands = extractor.bands
     val sigsDir = s"$stateDir/sigs"
     val metaDir = s"$stateDir/meta"
     FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger) {
@@ -66,27 +103,24 @@ object MediaStream {
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
               import spark.implicits._
-              Seq((maxDist, sigLen, bands, gw, gh))
-                .toDF("max_dist", "sig_len", "bands", "gw", "gh")
+              Seq((maxDist, sigLen, bands, extractor.tag))
+                .toDF("max_dist", "sig_len", "bands", "extractor")
                 .write.mode("overwrite").parquet(metaDir)
             }
             val meta = spark.read.parquet(metaDir).head()
             require(meta.getInt(0) == maxDist && meta.getInt(1) == sigLen &&
-                meta.getInt(2) == bands && meta.getInt(3) == gw && meta.getInt(4) == gh,
+                meta.getInt(2) == bands && meta.getString(3) == extractor.tag,
               s"MediaStream: state built with maxDist=${meta.getInt(0)} " +
-                s"sigLen=${meta.getInt(1)} bands=${meta.getInt(2)} grid=${meta.getInt(3)}x${meta.getInt(4)}, " +
-                s"probed with maxDist=$maxDist sigLen=$sigLen bands=$bands grid=${gw}x$gh " +
-                "— rebuild the index instead")
-            // REAL decode: base64 → container bytes → ImageIO → grid →
-            // dHash, batched per partition (the extractFeatures shape)
+                s"sigLen=${meta.getInt(1)} bands=${meta.getInt(2)} extractor=${meta.getString(3)}, " +
+                s"probed with maxDist=$maxDist sigLen=$sigLen bands=$bands " +
+                s"extractor=${extractor.tag} — rebuild the index instead")
+            // REAL decode: base64 → container bytes → the extractor's
+            // chain, batched per partition (the extractFeatures shape)
             val sigs = scope.pin(
               batch.select(col("media_id"), unbase64(col("media")).as("bytes"))
                 .as(Encoders.product[(Long, Array[Byte])])
                 .mapPartitions(_.map { case (id, bytes) =>
-                  val img = Multimodal.PixelOps.decode(bytes).getOrElse(
-                    throw new IllegalStateException(
-                      s"MediaStream: payload of media_id=$id is not a decodable image"))
-                  (id, Multimodal.dhashLocal(Multimodal.PixelOps.grayGrid(img, gw, gh), gw, gh))
+                  (id, extractor.signature(id, bytes))
                 })(Encoders.product[(Long, String)])
                 .toDF("id", "simhash"))
             val (live, dead) = FileQueue.liveGenerations(spark, sigsDir, batchId)

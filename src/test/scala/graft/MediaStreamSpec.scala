@@ -113,6 +113,51 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(gens == Set(2L, 3L), s"live signature generations: $gens")
   }
 
+  test("audio extractor: volume-scaled WAVs pair across batches through persisted state") {
+    val base = Files.createTempDirectory("graft_audiostream_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def run(): Unit = {
+      val q = MediaStream.start(spark, bronze, schema, s"$base/archive",
+        s"$base/state", s"$base/pairs", s"$base/ckpt",
+        maxDist = 2, extractor = graft.streaming.MediaStream.AudioWhtEnvelope(),
+        compactEvery = 3)
+      assert(q.awaitTermination(120000))
+    }
+    // planted PCM: a structured clip, its volume-scaled twin, a distinct clip
+    def clip(f: Int => Int): Array[Byte] =
+      MediaSynth.wavBytes(8000, Array.tabulate(4096)(i => f(i).toShort))
+    def s1(i: Int) = ((i / 80) % 31 - 15) * 900
+    def s2(i: Int) = ((i / 64) % 17 - 8) * 1100
+    val a = clip(s1); val aLoud = clip(i => s1(i) * 2)
+    val other = clip(s2)
+
+    // batch 0: the volume pair matches in-batch (sign invariance on
+    // REAL parsed PCM); the distinct clip stays out
+    Files.write(java.nio.file.Paths.get(bronze, "f0.json"), Seq(
+      rec(1, a), rec(2, aLoud), rec(3, other)).mkString("\n").getBytes)
+    run()
+    val p0 = spark.read.parquet(s"$base/pairs/batch_0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0 == Set((1L, 2L)))
+
+    // batch 1: a third scaling — found through the STATE probe only
+    Files.write(java.nio.file.Paths.get(bronze, "f1.json"), Seq(
+      rec(11, clip(i => s1(i) * 3 / 2))).mkString("\n").getBytes)
+    run()
+    val p1 = spark.read.parquet(s"$base/pairs/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 11L), (2L, 11L)))
+
+    // an image-extractor restart against audio state fails loudly
+    Files.write(java.nio.file.Paths.get(bronze, "f2.json"), Seq(
+      rec(21, other)).mkString("\n").getBytes)
+    val bad = MediaStream.start(spark, bronze, schema, s"$base/archive",
+      s"$base/state", s"$base/pairs", s"$base/ckpt", maxDist = 2, compactEvery = 3)
+    val err = intercept[Exception] { bad.awaitTermination(120000); bad.processAllAvailable() }
+    assert(err.getMessage != null)
+  }
+
   test("incremental == full simhashPairs restricted to batch-touching pairs") {
     // randomized signatures: the defining parity property under the
     // same banding, on both sides of the radius
