@@ -318,6 +318,33 @@ object MediaQueries extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** The media-dedup FLAGSHIP composition (q_media_pipeline — the
+    * media analog of q_corpus_pipeline): stored decoded-pixel grids →
+    * dHash signatures → banded Hamming pairs → connected components
+    * ([[graft.operators.Dedup.clusters]]) → keep-list (one
+    * representative per near-dup cluster survives). Every stage is an
+    * individually-oracled operator; the composed oracle chains the
+    * brute-force pair trial into the recursive-closure labeling, so
+    * the stages are value-checked AS a pipeline. */
+  def mediaPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    // the grid artifact feeds the signatures AND the survivor join
+    val grids = pixGridStore(spark, sfDir).cache()
+    val sig = grids.select(col("media_id").as("id"),
+      Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash"))
+    val labels = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.simhashPairs(sig, maxDist = HashDist, sigLen = 64, bands = 4)
+        .select("id_a", "id_b"))
+    val drop = labels.filter(col("id") =!= col("canon_id"))
+      .select(col("id").as("__drop_id"))
+    val reps = labels.filter(col("id") === col("canon_id"))
+      .select(col("id").as("__rep_id"))
+    grids.select("media_id")
+      .join(broadcast(drop), col("media_id") === col("__drop_id"), "left_anti")
+      .join(broadcast(reps), col("media_id") === col("__rep_id"), "left")
+      .select(col("media_id"), col("__rep_id").isNotNull.cast("int").as("is_cluster_rep"))
+      .orderBy("media_id")
+  }
+
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     pixGridStore(spark, sfDir).count()
     audioEnvStore(spark, sfDir).count()
@@ -338,7 +365,8 @@ object MediaQueries extends QueryModule {
     "q_audio_dedup_incr" -> audioDedupIncr,
     "q_audio_fingerprint" -> audioFingerprint,
     "q_video_dedup" -> videoDedup,
-    "q_video_dedup_incr" -> videoDedupIncr)
+    "q_video_dedup_incr" -> videoDedupIncr,
+    "q_media_pipeline" -> mediaPipeline)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -407,6 +435,35 @@ object MediaQueries extends QueryModule {
          |         THEN '1' ELSE '0' END), '') AS h
          |  FROM g),
          |${hammingPairsSql(64)}""".stripMargin,
+    // the composed flagship: the brute-force pair trial chained into
+    // the recursive connected-component closure and the keep-list
+    "q_media_pipeline" ->
+      s"""WITH RECURSIVE g AS (SELECT media_id, grid72 AS g FROM ${OracleArtifact.sql(PxTag)}),
+         |sig AS (SELECT media_id, array_to_string(list_transform(range(0, 64), k ->
+         |    CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1]
+         |         THEN '1' ELSE '0' END), '') AS h
+         |  FROM g),
+         |d AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS dist
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id),
+         |ver AS (SELECT id_a, id_b FROM d WHERE dist <= $HashDist),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+         |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+         |reps AS (SELECT id FROM labels WHERE id = canon_id)
+         |SELECT gg.media_id,
+         |  CAST(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_cluster_rep
+         |FROM g gg
+         |LEFT JOIN reps r ON r.id = gg.media_id
+         |WHERE gg.media_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY gg.media_id""".stripMargin,
     // the same brute-force trial restricted to batch-touching pairs:
     // the incremental member must equal the full pair set's slice
     "q_media_dedup_incr" ->
