@@ -74,20 +74,27 @@ private[queries] object FrameFixture {
   * — on the hash-exact oracle gate: the artifact is built once by the
   * engine (its build path is spec-gated for fidelity), then the whole
   * downstream chain (hash → banding → verify) runs from the stored
-  * values in BOTH engines. Rebuilt per (tag, sfDir) per JVM
-  * (overwrite), memoized thereafter; one JVM run verifies one scale
-  * factor, so the single on-disk slot per tag is never ambiguous
-  * within a Verify→compare cycle. */
-private[queries] object OracleArtifact {
-  private val built = new scala.collection.concurrent.TrieMap[(String, String), Unit]
+  * values in BOTH engines. Rebuilt per tag per JVM (overwrite),
+  * memoized thereafter — and the memo records WHICH sfDir currently
+  * occupies the tag's single on-disk slot: a later request at a
+  * DIFFERENT scale factor rebuilds (overwriting the slot) instead of
+  * serving the other scale's data as a silent memo hit (VERDICT r13
+  * nit 1: the path is tag-keyed because the oracle SQL references it
+  * literally, so the slot must always hold the LAST-requested scale). */
+private[graft] object OracleArtifact {
+  // tag -> the sfDir whose artifact currently occupies dir(tag)
+  private val current = new scala.collection.concurrent.TrieMap[String, String]
   def dir(tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_oracle_store/$tag"
   /** The DuckDB-side table expression for an artifact. */
   def sql(tag: String): String = s"read_parquet('${dir(tag)}/*.parquet')"
   def apply(spark: SparkSession, tag: String, sfDir: String)(build: => DataFrame): DataFrame = {
-    built.getOrElseUpdate((tag, sfDir), {
-      build.write.mode("overwrite").parquet(dir(tag))
-    })
+    current.synchronized {
+      if (!current.get(tag).contains(sfDir)) {
+        build.write.mode("overwrite").parquet(dir(tag))
+        current.put(tag, sfDir)
+      }
+    }
     spark.read.parquet(dir(tag))
   }
 }

@@ -51,6 +51,11 @@ object LmFilterStream {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    // the passed model is FIXED per start() call — digest it ONCE here,
+    // not per micro-batch (ADVICE r13: a per-batch digestOf(model) is a
+    // model-sized scan per batch, contradicting the "one scoring pass"
+    // cost contract at web-scale artifact sizes)
+    val passedDigest = digestOf(model)
     FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -66,7 +71,6 @@ object LmFilterStream {
                 .write.mode("overwrite").parquet(metaDir)
             }
             val meta = spark.read.parquet(metaDir).head()
-            val passedDigest = digestOf(model)
             require(meta.getInt(0) == order && meta.getLong(1) == maxAvgSurprisal &&
                 meta.getLong(2) == passedDigest,
               s"LmFilterStream: filter frozen with order=${meta.getInt(0)} " +

@@ -42,12 +42,16 @@ object MediaStream {
     * turns container bytes into the banded bit-string signature. The
     * extractor identity is part of the frozen state stamp — signatures
     * from different extractors (or different grids/bin counts) are
-    * incomparable, so a drifted restart must fail loudly. */
+    * incomparable, so a drifted restart must fail loudly. An
+    * UNDECODABLE payload returns None and is ROUTED, not thrown
+    * (ADVICE r13: crash replay re-reads the same source files, so a
+    * thrown corrupt record is a poison pill that permanently wedges
+    * the stream — the LmFilterStream null-score discipline instead). */
   sealed trait Extractor extends Serializable {
     def tag: String
     def sigLen: Int
     def bands: Int
-    def signature(id: Long, bytes: Array[Byte]): String
+    def signature(id: Long, bytes: Array[Byte]): Option[String]
   }
 
   /** Image tier: ImageIO decode → `gw`×`gh` pooled gray grid → dHash. */
@@ -55,12 +59,9 @@ object MediaStream {
     def tag: String = s"image_dhash_${gw}x$gh"
     def sigLen: Int = gh * (gw - 1)
     def bands: Int = bandCount
-    def signature(id: Long, bytes: Array[Byte]): String = {
-      val img = Multimodal.PixelOps.decode(bytes).getOrElse(
-        throw new IllegalStateException(
-          s"MediaStream: payload of media_id=$id is not a decodable image"))
-      Multimodal.dhashLocal(Multimodal.PixelOps.grayGrid(img, gw, gh), gw, gh)
-    }
+    def signature(id: Long, bytes: Array[Byte]): Option[String] =
+      Multimodal.PixelOps.decode(bytes).map(img =>
+        Multimodal.dhashLocal(Multimodal.PixelOps.grayGrid(img, gw, gh), gw, gh))
   }
 
   /** Audio tier: WAV parse → 16-bit PCM → 64-bin energy envelope →
@@ -69,12 +70,9 @@ object MediaStream {
     def tag: String = "audio_wht_env64"
     def sigLen: Int = 63
     def bands: Int = bandCount
-    def signature(id: Long, bytes: Array[Byte]): String = {
-      val pcm = Multimodal.AudioOps.pcm16Samples(bytes).getOrElse(
-        throw new IllegalStateException(
-          s"MediaStream: payload of media_id=$id is not a parsable 16-bit WAV"))
-      Multimodal.phashLocal(Multimodal.AudioOps.envelope(pcm, 64))
-    }
+    def signature(id: Long, bytes: Array[Byte]): Option[String] =
+      Multimodal.AudioOps.pcm16Samples(bytes).map(pcm =>
+        Multimodal.phashLocal(Multimodal.AudioOps.envelope(pcm, 64)))
   }
 
   def start(
@@ -88,12 +86,16 @@ object MediaStream {
       maxDist: Int,
       extractor: Extractor = ImageDhash(),
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 8): StreamingQuery = {
+      compactEvery: Int = 8,
+      rejectsDir: String = ""): StreamingQuery = {
     require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     val sigLen = extractor.sigLen
     val bands = extractor.bands
     val sigsDir = s"$stateDir/sigs"
     val metaDir = s"$stateDir/meta"
+    // undecodable payloads route here (default: next to the state) —
+    // a reject is DATA (inspect/re-ingest), never a stream failure
+    val rejects = if (rejectsDir.nonEmpty) rejectsDir else s"$stateDir/rejects"
     FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -115,14 +117,22 @@ object MediaStream {
                 s"probed with maxDist=$maxDist sigLen=$sigLen bands=$bands " +
                 s"extractor=${extractor.tag} — rebuild the index instead")
             // REAL decode: base64 → container bytes → the extractor's
-            // chain, batched per partition (the extractFeatures shape)
-            val sigs = scope.pin(
+            // chain, batched per partition (the extractFeatures shape).
+            // Undecodable payloads surface as null signatures and are
+            // ROUTED to the reject sink — one corrupt record must not
+            // fail the micro-batch (crash replay would re-read it
+            // forever: the poison-pill path ADVICE r13 flagged).
+            val decoded = scope.pin(
               batch.select(col("media_id"), unbase64(col("media")).as("bytes"))
                 .as(Encoders.product[(Long, Array[Byte])])
                 .mapPartitions(_.map { case (id, bytes) =>
-                  (id, extractor.signature(id, bytes))
+                  (id, extractor.signature(id, bytes).orNull)
                 })(Encoders.product[(Long, String)])
                 .toDF("id", "simhash"))
+            decoded.filter(col("simhash").isNull)
+              .select(col("id").as("media_id"), lit(extractor.tag).as("extractor"))
+              .write.mode("overwrite").parquet(s"$rejects/batch_$batchId")
+            val sigs = decoded.filter(col("simhash").isNotNull)
             val (live, dead) = FileQueue.liveGenerations(spark, sigsDir, batchId)
             FileQueue.deleteGenerations(spark, dead)
             val state =

@@ -47,9 +47,14 @@ object VideoStream {
       bandWidth: Int = 2,
       threshold: Double = 0.5,
       gw: Int = 9,
-      gh: Int = 8): StreamingQuery = {
+      gh: Int = 8,
+      rejectsDir: String = ""): StreamingQuery = {
     val bandsDir = s"$stateDir/bands"
     val metaDir = s"$stateDir/meta"
+    // unparsable containers route here (default: next to the state) —
+    // a reject is DATA, never a stream failure (the MediaStream
+    // poison-pill discipline; ADVICE r13)
+    val rejects = if (rejectsDir.nonEmpty) rejectsDir else s"$stateDir/rejects"
     FileQueue.start(spark, srcDir, schema, archiveDir, checkpointDir, trigger) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -71,16 +76,27 @@ object VideoStream {
                 s"grid=${meta.getInt(3)}x${meta.getInt(4)}, probed with k=$k " +
                 s"bandWidth=$bandWidth threshold=$threshold grid=${gw}x$gh " +
                 "— rebuild the index instead")
-            // REAL decode: every movi frame through ImageIO, hashed
-            val fh = batch.select(col("media_id"), unbase64(col("media")).as("bytes"))
-              .as(Encoders.product[(Long, Array[Byte])])
-              .mapPartitions(_.flatMap { case (id, bytes) =>
-                val hs = Multimodal.videoFrameHashes(bytes, gw, gh).getOrElse(
-                  throw new IllegalStateException(
-                    s"VideoStream: payload of media_id=$id is not a parsable AVI"))
-                hs.zipWithIndex.map { case (h, i) => (id, i, h) }
-              })(Encoders.product[(Long, Int, String)])
-              .toDF("media_id", "frame_idx", "fhash")
+            // REAL decode: every movi frame through ImageIO, hashed.
+            // An unparsable container yields ONE sentinel row
+            // (frame_idx = -1) instead of a throw — routed to the
+            // reject sink below, so a corrupt record cannot wedge the
+            // stream under crash replay (the MediaStream discipline).
+            // Pinned: the decode pass feeds the frames write AND the
+            // shingle build — without the pin every consumer re-decodes
+            // the batch's payloads.
+            val decoded = scope.pin(
+              batch.select(col("media_id"), unbase64(col("media")).as("bytes"))
+                .as(Encoders.product[(Long, Array[Byte])])
+                .mapPartitions(_.flatMap { case (id, bytes) =>
+                  Multimodal.videoFrameHashes(bytes, gw, gh) match {
+                    case Some(hs) => hs.zipWithIndex.map { case (h, i) => (id, i, h) }
+                    case None => Seq((id, -1, ""))
+                  }
+                })(Encoders.product[(Long, Int, String)])
+                .toDF("media_id", "frame_idx", "fhash"))
+            decoded.filter(col("frame_idx") < 0).select(col("media_id"))
+              .write.mode("overwrite").parquet(s"$rejects/batch_$batchId")
+            val fh = decoded.filter(col("frame_idx") >= 0)
             fh.write.mode("overwrite").parquet(s"$framesDir/batch_$batchId")
             def shinglesOf(frames: DataFrame): DataFrame = {
               import org.apache.spark.sql.expressions.Window

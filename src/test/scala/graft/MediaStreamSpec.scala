@@ -158,6 +158,44 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("undecodable payload routes to rejects — never a poison pill") {
+    val base = Files.createTempDirectory("graft_mediareject_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def run(): Unit = {
+      val q = MediaStream.start(spark, bronze, schema, s"$base/archive",
+        s"$base/state", s"$base/pairs", s"$base/ckpt",
+        maxDist = 2, compactEvery = 3)
+      assert(q.awaitTermination(120000))
+    }
+    // batch 0: two decodable near-dups plus one garbage payload — the
+    // batch must COMMIT (pairs found, signatures persisted) with the
+    // corrupt record routed, not thrown (crash replay re-reads the
+    // same file: a throw here wedges the stream permanently)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
+    Files.write(java.nio.file.Paths.get(bronze, "f0.json"), Seq(
+      rec(1, png(pat1)), rec(2, garbage),
+      rec(3, png((x, y) => pat1(x, y) + 12))).mkString("\n").getBytes)
+    run()
+    val p0 = spark.read.parquet(s"$base/pairs/batch_0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0 == Set((1L, 3L)))
+    val rejected = spark.read.parquet(s"$base/state/rejects/batch_0")
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected == Set(2L))
+    // the reject never entered the signature state
+    val sigs = spark.read.parquet(s"$base/state/sigs/batch_0")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L, 3L))
+    // and the stream is NOT wedged: the next batch processes normally
+    Files.write(java.nio.file.Paths.get(bronze, "f1.json"), Seq(
+      rec(11, png((x, y) => pat1(x, y) + 25))).mkString("\n").getBytes)
+    run()
+    val p1 = spark.read.parquet(s"$base/pairs/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 11L), (3L, 11L)))
+  }
+
   test("incremental == full simhashPairs restricted to batch-touching pairs") {
     // randomized signatures: the defining parity property under the
     // same banding, on both sides of the radius

@@ -84,4 +84,41 @@ class VideoStreamSpec extends AnyFunSuite {
     val err = intercept[Exception] { bad.awaitTermination(120000); bad.processAllAvailable() }
     assert(err.getMessage != null)
   }
+
+  test("unparsable container routes to rejects — never a poison pill") {
+    val base = Files.createTempDirectory("graft_videoreject_").toString
+    val bronze = s"$base/bronze/new"
+    new java.io.File(bronze).mkdirs()
+    def run(): Unit = {
+      val q = VideoStream.start(spark, bronze, schema, s"$base/archive",
+        s"$base/frames", s"$base/state", s"$base/pairs", s"$base/ckpt")
+      assert(q.awaitTermination(120000))
+    }
+    val textA = ("the quick brown fox jumps over the lazy dog again and again " * 8)
+      .trim.substring(0, 460)
+    val aviA = MediaSynth.aviFor(textA)
+    val garbage = Array.tabulate[Byte](128)(i => (i * 13 + 5).toByte)
+    // batch 0: one real video plus one garbage payload — the batch
+    // commits (frames persisted), the corrupt record is routed
+    Files.write(java.nio.file.Paths.get(bronze, "f0.json"), Seq(
+      rec(1, aviA), rec(2, garbage)).mkString("\n").getBytes)
+    run()
+    val rejected = spark.read.parquet(s"$base/state/rejects/batch_0")
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected == Set(2L))
+    val frames = spark.read.parquet(s"$base/frames/batch_0")
+    assert(frames.filter(col("media_id") === 1L).count() == 8)
+    assert(frames.filter(col("media_id") === 2L).isEmpty)
+    // the stream is NOT wedged: a truncated variant arriving next still
+    // pairs with the original through the persisted band state
+    val vA = Multimodal.HeaderDecoder.aviVideo(aviA).get
+    val truncated = MediaSynth.aviBytes(MediaSynth.FrameW, MediaSynth.FrameH,
+      MediaSynth.FrameUs, (0 until 6).map(vA.frameBytes(aviA, _)))
+    Files.write(java.nio.file.Paths.get(bronze, "f1.json"), Seq(
+      rec(11, truncated)).mkString("\n").getBytes)
+    run()
+    val p1 = spark.read.parquet(s"$base/pairs/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 11L)))
+  }
 }
