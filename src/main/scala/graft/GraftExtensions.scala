@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, UnigramEncodeBytes, WhtHash}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, FnvNgrams, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, UnigramEncodeBytes, WhtHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.unigramEncode)
     ext.injectFunction(GraftFunctions.unigramEncodeBytes)
     ext.injectFunction(GraftFunctions.whtHash)
+    ext.injectFunction(GraftFunctions.fnvNgrams)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
     // spelling becomes the native codegen'd expression
     ext.injectOptimizerRule(_ => graft.rules.DotProductRewrite)
@@ -174,12 +175,20 @@ object GraftFunctions {
       WhtHash(children.head)
     })
 
+  val fnvNgrams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fnv_ngrams"),
+    new ExpressionInfo(classOf[FnvNgrams].getName, "fnv_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"fnv_ngrams expects 3 arguments, got ${children.size}")
+      FnvNgrams(children.head, children(1), children(2))
+    })
+
   /** Register on an existing session (no-op if already present). */
   def ensure(spark: SparkSession): Unit =
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
         pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
         bpeEncodeBytes, bytePreTok, unigramEncode, unigramEncodeBytes,
-        whtHash).foreach { case (ident, info, builder) =>
+        whtHash, fnvNgrams).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EnrichQueries, EventQueries, IngestQueries, JoinQueries, KpiQueries, MediaQueries, ProfileQueries, RelationalQueries, SampleQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EnrichQueries, EventQueries, IngestQueries, JoinQueries, KpiQueries, MediaQueries, ProfileQueries, RelationalQueries, SampleQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       KpiQueries, RelationalQueries, IngestQueries, EnrichQueries,
       DedupQueries, SimilarityQueries, TextQueries, EventQueries,
-      MediaQueries, SampleQueries, JoinQueries, ProfileQueries)
+      MediaQueries, SampleQueries, JoinQueries, ProfileQueries,
+      CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the whole reference spine END TO END, including the real

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LEARNED document-quality classification — the third leg of the
+  * CCNet-style curation triad next to the heuristic gates
+  * ([[TextStats.withGateFlags]]) and the reference-LM perplexity
+  * filter ([[NgramLm.scoreBackoffPruned]]): production pipelines
+  * (GPT-3's WebText classifier, LLaMA/CCNet's fastText linear model)
+  * train a LINEAR classifier over hashed character-n-gram features to
+  * score "looks like the reference domain", because at corpus scale
+  * scoring must be a map-side dot product and training a bounded
+  * number of aggregate passes.
+  *
+  * This is that niche spelled relationally and INTEGER-EXACT:
+  *
+  *  - FEATURES are hashed char-n-gram OCCURRENCES: every length-`n`
+  *    window of the text buckets into `dim` slots via FNV-1a — the
+  *    hash fastText itself uses, spelled as codegen'd integer
+  *    arithmetic both engines reproduce bit-for-bit (an md5-prefix
+  *    bucket measured ~1.1 s over the sf0.1 gram stream; this form is
+  *    noise) — plus one constant BIAS occurrence at index `dim`, so
+  *    the model has an intercept and every non-null document is
+  *    scoreable. Occurrences (fastText's bag-of-features counts) stay
+  *    UNAGGREGATED: the only shuffle anywhere groups by document id /
+  *    bucket id, never by the (doc, bucket) cross — the per-pair
+  *    count table would be the corpus-sized intermediate.
+  *  - TRAINING is the batch perceptron: epoch e scores every labeled
+  *    document under the epoch-(e−1) weights, and the misclassified
+  *    set's label-signed occurrences fold into the weights
+  *    (`w += Σ_mis y·x`). All-integer by construction — labels ±1, so
+  *    weights and scores are exact longs on every engine, no
+  *    learning-rate float anywhere (rate scales all scores uniformly;
+  *    the sign — which is what routing uses — is rate-invariant).
+  *    Epoch 1 from zero weights classifies everything as misclassified
+  *    (y·0 ≤ 0), so `w₁ = Σ_all y·x` — the count-based
+  *    Naive-Bayes-flavored start fastText's mean-gradient step also
+  *    takes.
+  *  - SCORING is one narrow feature pass + one broadcast join against
+  *    the `dim+1`-row weight table + one per-document aggregate: the
+  *    corpus is touched once, nothing pairs with anything.
+  *
+  * 100 TB shape: the model is `dim+1` rows (broadcast everywhere);
+  * each training epoch is one bucket-keyed aggregate over the labeled
+  * frame (bounded passes, map-side combined); scoring is
+  * embarrassingly parallel. Skew-free: FNV buckets are uniform over
+  * real text by construction.
+  *
+  * Reference scope: beyond-reference (the brief's training-data
+  * curation surface); published technique only (Rosenblatt perceptron,
+  * batch form; Joulin et al. 2016 fastText feature hashing with the
+  * FNV-1a function; Brown et al. 2020 §A WebText-vs-CommonCrawl
+  * quality classifier shape).
+  */
+object QualityClassifier {
+
+  /** The bias bucket index is `dim`; real n-gram buckets are 0..dim-1. */
+  def biasBucket(dim: Int): Int = dim
+
+  /** FNV-1a 32-bit constants (Fowler–Noll–Vo; the fastText hash). */
+  val FnvOffset = 2166136261L
+  val FnvPrime = 16777619L
+  private val Mask32 = 0xffffffffL
+
+  /** The SAME fold as DuckDB SQL, generated from the same constants —
+    * `t`/`i` are SQL fragments for the text column and the window's
+    * 1-based start position. */
+  private[graft] def fnvBucketSql(t: String, i: String, n: Int, dim: Int): String = {
+    val h = (0 until n).foldLeft(FnvOffset.toString) { (acc, j) =>
+      val pos = if (j == 0) i else s"$i + $j"
+      s"((xor($acc, CAST(ascii(substr($t, $pos, 1)) AS BIGINT)) * $FnvPrime) & $Mask32)"
+    }
+    s"($h % $dim)"
+  }
+
+  /** The local-JVM mirror of [[fnvBucket]] — specs' independent
+    * reference. */
+  private[graft] def fnvBucketLocal(gram: String, dim: Int): Long = {
+    var h = FnvOffset
+    gram.codePoints().forEach(c => h = ((h ^ c) * FnvPrime) & Mask32)
+    h % dim
+  }
+
+  /** Hashed char-n-gram feature OCCURRENCES `(id, b)` — one row per
+    * window, plus the constant bias row `(id, dim)`. Null texts yield
+    * NO rows (a classifier cannot vouch for what it cannot read — the
+    * unscoreable-document contract); texts shorter than `n` yield only
+    * the bias row. The window hashing is ONE native `fnv_ngrams` call
+    * per row ([[graft.expressions.FnvNgrams]]): the declarative
+    * spellings are all O(L²) per document (per-window positional
+    * `substr` re-scans the byte prefix) or interpreted (HOF lambdas)
+    * — measured 3.4-5.6 s at sf0.1 where this shape is sub-second. */
+  def features(df: DataFrame, idCol: Column, textCol: Column,
+               n: Int, dim: Int): DataFrame = {
+    val gramRows = df.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        explode(call_function("fnv_ngrams", lower(textCol), lit(n), lit(dim))).as("b"))
+    val biasRows = df.filter(textCol.isNotNull)
+      .select(idCol.as("id"), lit(biasBucket(dim).toLong).as("b"))
+    gramRows.unionByName(biasRows)
+  }
+
+  /** Per-document integer scores under a weight table `(b, w)`:
+    * `(id, n_feats, score)` with `score = Σ_occurrences w(b)` (absent
+    * buckets weigh 0) and `n_feats` the occurrence count (bias
+    * included). One narrow pass + one broadcast join; the aggregate
+    * groups by document id only — map-side combine collapses the
+    * occurrence stream before the shuffle. */
+  private def scoreFeatures(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), Seq("b"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(0L))).as("score"))
+
+  /** Train the batch perceptron: `labeled` carries `labelCol` ∈ {+1, −1}
+    * (the reference-domain indicator). Returns the `(b, w)` weight
+    * table after `epochs` passes — integer-exact, so any engine
+    * replaying the same passes lands on the same longs. The feature
+    * frame feeds every epoch and is pinned through `scope`. */
+  def train(labeled: DataFrame, idCol: Column, textCol: Column, labelCol: Column,
+            n: Int, dim: Int, epochs: Int,
+            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(epochs >= 1, s"train: epochs must be >= 1, got $epochs")
+    val feats = scope.pin(features(labeled, idCol, textCol, n, dim))
+    val labels = scope.pin(
+      labeled.filter(textCol.isNotNull).select(idCol.as("id"), labelCol.as("y")))
+    // epoch 1 from zero weights: every document is misclassified
+    var w = scope.pin(
+      feats.join(labels, Seq("id"))
+        .groupBy("b").agg(sum(col("y")).cast("long").as("w")))
+    (2 to epochs).foreach { _ =>
+      val mis = scoreFeatures(feats, w)
+        .join(labels, Seq("id"))
+        .filter(col("y") * col("score") <= 0)
+        .select(col("id"), col("y"))
+      val delta = feats.join(mis, Seq("id"))
+        .groupBy("b").agg(sum(col("y")).cast("long").as("__d"))
+      // the weight table is dim+1 rows — pinning each epoch keeps the
+      // lineage bounded (epochs never re-run transitively)
+      w = scope.pin(
+        w.join(delta, Seq("b"), "full_outer")
+          .select(col("b"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("w")))
+    }
+    w
+  }
+
+  /** Score `docs` under a trained `(b, w)` table: `(id, n_feats,
+    * score, keep)` — `keep = score > 0` is the perceptron's decision;
+    * callers wanting a different operating point threshold `score`
+    * themselves. Documents with null text emit NO row (unscoreable). */
+  def score(docs: DataFrame, idCol: Column, textCol: Column,
+            weights: DataFrame, n: Int, dim: Int): DataFrame =
+    scoreFeatures(features(docs, idCol, textCol, n, dim), weights)
+      .select(col("id"), col("n_feats"), col("score"),
+        (col("score") > 0).cast("int").as("keep"))
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.QualityClassifier
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The learned quality classifier against an independent local
+  * reference implementation: hashed char-n-gram features, the batch
+  * perceptron's integer weight algebra, and scoring must agree value
+  * for value — and on a separable planted corpus the trained model
+  * must actually separate (100% train accuracy), since an operator
+  * that "trains" without learning would still pass a parity-only
+  * gate. */
+class QualityClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 3
+  private val Dim = 256
+  private val Epochs = 3
+
+  // ---- independent reference implementation (plain Scala) ----
+
+  /** FNV-1a-bucketed occurrence multiset `b -> count`, bias included —
+    * the independent mirror of [[QualityClassifier.features]]. The
+    * hash itself is checked against a third spelling below. */
+  private def featsOf(t: String): Map[Long, Long] = {
+    val tl = t.toLowerCase
+    val grams =
+      if (tl.length >= N) (0 to tl.length - N).map(i => tl.substring(i, i + N))
+      else Seq.empty[String]
+    val m = grams.groupBy(QualityClassifier.fnvBucketLocal(_, Dim))
+      .map { case (b, v) => b -> v.size.toLong }
+    m + (Dim.toLong -> 1L) // bias bucket; real buckets are < Dim
+  }
+
+  private def trainLocal(docs: Seq[(Long, String, Int)]): Map[Long, Long] = {
+    val feats = docs.map { case (_, t, y) => (featsOf(t), y) }
+    var w = Map.empty[Long, Long]
+    (1 to Epochs).foreach { _ =>
+      val mis = feats.filter { case (f, y) =>
+        y * f.map { case (b, c) => c * w.getOrElse(b, 0L) }.sum <= 0 }
+      val delta = mis.flatMap { case (f, y) => f.map { case (b, c) => b -> y * c } }
+        .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
+      w = (w.keySet ++ delta.keySet).map(b =>
+        b -> (w.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+    }
+    w
+  }
+
+  test("fnvBucketLocal == the textbook byte-at-a-time FNV-1a on ASCII") {
+    // independent third spelling: fold over UTF-8 bytes (== codepoints
+    // on ASCII, the oracled corpus's domain)
+    def fnvBytes(s: String, dim: Int): Long = {
+      var h = 2166136261L
+      s.getBytes("UTF-8").foreach(b => h = ((h ^ (b & 0xffL)) * 16777619L) & 0xffffffffL)
+      h % dim
+    }
+    Seq("the", "a b", "zzq", "x9!", "   ").foreach(g =>
+      assert(QualityClassifier.fnvBucketLocal(g, Dim) == fnvBytes(g, Dim), g))
+  }
+
+  // separable planted corpus: two disjoint vocabularies
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", 1),
+    (2L, "a good clear sentence with real words here", 1),
+    (3L, "another fine readable line of plain text", 1),
+    (4L, "zzq zzq vrk vrk jjx jjx wqq wqq", -1),
+    (5L, "xkcd qwrt zxvb mnpl qqqq wwww", -1),
+    (6L, "kjh gfd wqe rty zzz yyy xxx www", -1))
+
+  test("train == independent reference (integer-exact weights), and it separates") {
+    val df = docs.toDF("doc_id", "text", "y")
+    val w = QualityClassifier.train(df, col("doc_id"), col("text"), col("y"),
+        N, Dim, Epochs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = trainLocal(docs)
+    assert(w == ref)
+
+    val scored = QualityClassifier.score(df, col("doc_id"), col("text"),
+        QualityClassifier.train(df, col("doc_id"), col("text"), col("y"), N, Dim, Epochs),
+        N, Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toList
+    // score parity vs the reference dot product
+    scored.foreach { case (id, s, keep) =>
+      val (_, t, _) = docs.find(_._1 == id).get
+      val refScore = featsOf(t).map { case (b, c) => c * ref.getOrElse(b, 0L) }.sum
+      assert(s == refScore, s"doc $id")
+      assert(keep == (if (s > 0) 1 else 0))
+    }
+    // the planted corpus is separable — the trained model must get it
+    // all right (an operator that trains without learning fails here)
+    scored.foreach { case (id, _, keep) =>
+      val y = docs.find(_._1 == id).get._3
+      assert((keep == 1) == (y == 1), s"doc $id misclassified after training")
+    }
+  }
+
+  test("null text is unscoreable (no row); short text rides the bias bucket") {
+    val df = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val w = Seq((Dim.toLong, 7L)).toDF("b", "w") // bias-only model
+    val out = QualityClassifier.score(df, col("doc_id"), col("text"), w, N, Dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(2L), "null text must emit no row")
+    // "ab" is shorter than the gram width: bias row only
+    assert(out(3L) == ((1L, 7L)))
+    assert(out(1L)._2 == 7L, "only the bias bucket carries weight here")
+  }
+}
