@@ -345,6 +345,59 @@ object MediaQueries extends QueryModule {
       .orderBy("media_id")
   }
 
+  /** The THREE-MODALITY curation flagship (q_multimodal_pipeline —
+    * [[mediaPipeline]] widened to the whole media corpus, the r13
+    * verdict's unification item): every modality's near-dup edges —
+    * image dHash banded Hamming, audio WHT-envelope banded Hamming,
+    * video frame-shingle minhash + exact Jaccard — union into ONE edge
+    * set, one connected-component labeling
+    * ([[graft.operators.Dedup.clusters]]) assigns canonical ids, and
+    * the keep-list spans all three artifact stores (media ids are
+    * disjoint across modalities by the corpus contract, so the union
+    * closure equals the per-modality closures). Every stage is an
+    * individually-oracled operator; the composed oracle chains all
+    * three pair trials into the recursive closure, so one drifted
+    * modality breaks the flagship row. */
+  def multimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val grids = pixGridStore(spark, sfDir)
+    val envs = audioEnvStore(spark, sfDir)
+    // shingles feed the signature AND the Jaccard verification
+    val sh = videoShingles(spark, sfDir).cache()
+    val imgPairs = graft.operators.Dedup.simhashPairs(
+      grids.select(col("media_id").as("id"),
+        Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash")),
+      maxDist = HashDist, sigLen = 64, bands = 4)
+    val audPairs = graft.operators.Dedup.simhashPairs(
+      envs.select(col("media_id").as("id"),
+        Multimodal.phashBits(col("env")).as("simhash")),
+      maxDist = HashDist, sigLen = 63, bands = 3)
+    val vidPairs = graft.operators.Dedup.jaccardVerify(
+      graft.operators.Dedup.candidatePairs(
+        graft.operators.Dedup.lshBands(
+          graft.operators.Dedup.minhashSignature(sh, VidMinhashK),
+          VidMinhashK, VidBandWidth)),
+      sh, VidThreshold)
+    val edges = imgPairs.select("id_a", "id_b")
+      .unionByName(audPairs.select("id_a", "id_b"))
+      .unionByName(vidPairs.select("id_a", "id_b"))
+    val labels = graft.operators.Dedup.clusters(edges)
+    val drop = labels.filter(col("id") =!= col("canon_id"))
+      .select(col("id").as("__drop_id"))
+    val reps = labels.filter(col("id") === col("canon_id"))
+      .select(col("id").as("__rep_id"))
+    val allMedia = grids.select(col("media_id"), lit("image").as("kind"))
+      .unionByName(envs.select(col("media_id"), lit("audio").as("kind")))
+      .unionByName(frameHashStore(spark, sfDir).select("media_id").distinct()
+        .select(col("media_id"), lit("video").as("kind")))
+    allMedia
+      .join(broadcast(drop), col("media_id") === col("__drop_id"), "left_anti")
+      .join(broadcast(reps), col("media_id") === col("__rep_id"), "left")
+      .select(col("media_id"), col("kind"),
+        col("__rep_id").isNotNull.cast("int").as("is_cluster_rep"))
+      .orderBy("media_id")
+  }
+
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     pixGridStore(spark, sfDir).count()
     audioEnvStore(spark, sfDir).count()
@@ -366,7 +419,8 @@ object MediaQueries extends QueryModule {
     "q_audio_fingerprint" -> audioFingerprint,
     "q_video_dedup" -> videoDedup,
     "q_video_dedup_incr" -> videoDedupIncr,
-    "q_media_pipeline" -> mediaPipeline)
+    "q_media_pipeline" -> mediaPipeline,
+    "q_multimodal_pipeline" -> multimodalPipeline)
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"
@@ -464,6 +518,50 @@ object MediaQueries extends QueryModule {
          |LEFT JOIN reps r ON r.id = gg.media_id
          |WHERE gg.media_id NOT IN (SELECT id FROM dropped)
          |ORDER BY gg.media_id""".stripMargin,
+    // the three-modality flagship: all three pair trials (image dHash
+    // Hamming, audio WHT Hamming, video banded-minhash Jaccard) chain
+    // into ONE recursive closure and keep-list — ids are disjoint
+    // across modalities, so the union closure equals per-modality ones
+    "q_multimodal_pipeline" ->
+      s"""WITH RECURSIVE gi AS (SELECT media_id, grid72 AS g FROM ${OracleArtifact.sql(PxTag)}),
+         |sigi AS (SELECT media_id, array_to_string(list_transform(range(0, 64), k ->
+         |    CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1]
+         |         THEN '1' ELSE '0' END), '') AS h
+         |  FROM gi),
+         |di AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM sigi a JOIN sigi b ON a.media_id < b.media_id
+         |  WHERE CAST(list_sum(list_transform(range(1, 65), i ->
+         |    CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER)
+         |    <= $HashDist),
+         |g AS (SELECT media_id, env AS g FROM ${OracleArtifact.sql(EnvTag)}),
+         |siga AS ($whtSigSql),
+         |da AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM siga a JOIN siga b ON a.media_id < b.media_id
+         |  WHERE CAST(list_sum(list_transform(range(1, 64), i ->
+         |    CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1) THEN 1 ELSE 0 END)) AS INTEGER)
+         |    <= $HashDist),
+         |$videoChainSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM di
+         |  UNION ALL SELECT id_b, id_a FROM di
+         |  UNION ALL SELECT id_a, id_b FROM da UNION ALL SELECT id_b, id_a FROM da
+         |  UNION ALL SELECT id_a, id_b FROM ver UNION ALL SELECT id_b, id_a FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+         |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+         |reps AS (SELECT id FROM labels WHERE id = canon_id),
+         |allm AS (SELECT media_id, 'image' AS kind FROM gi
+         |  UNION ALL SELECT media_id, 'audio' FROM g
+         |  UNION ALL SELECT DISTINCT media_id, 'video' FROM fh)
+         |SELECT am.media_id, am.kind,
+         |  CAST(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_cluster_rep
+         |FROM allm am
+         |LEFT JOIN reps r ON r.id = am.media_id
+         |WHERE am.media_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY am.media_id""".stripMargin,
     // the same brute-force trial restricted to batch-touching pairs:
     // the incremental member must equal the full pair set's slice
     "q_media_dedup_incr" ->
