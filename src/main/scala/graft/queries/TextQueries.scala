@@ -352,6 +352,32 @@ object TextQueries extends QueryModule {
     array(EncRulesBytes.map { case (a, b) =>
       struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
 
+  /** [[EncRulesBytes]] routed through the INTERCHANGE round trip
+    * ([[graft.operators.TokenizerModel]] save → load), memoized per
+    * JVM: the oracled byte-level encode queries run off the LOADED
+    * ranks-file artifact, so the documented parquet contract — not
+    * just the in-memory rule list — is what the correctness gate
+    * exercises. */
+  private val interchangeModels =
+    new scala.collection.concurrent.TrieMap[String, AnyRef]
+  private def encBytesRulesLoaded(spark: SparkSession): Seq[graft.operators.Bpe.MergeRule] =
+    interchangeModels.getOrElseUpdate("bpe_bytes", {
+      val dir = s"${Scratch.root}/tokmodel_bpe_${java.util.UUID.randomUUID()}"
+      graft.operators.TokenizerModel.saveBpe(spark,
+        EncRulesBytes.zipWithIndex.map { case ((a, b), i) =>
+          graft.operators.Bpe.MergeRule(i, a, b, 0L) }, dir)
+      graft.operators.TokenizerModel.loadBpe(spark, dir)
+    }).asInstanceOf[Seq[graft.operators.Bpe.MergeRule]]
+
+  /** [[UniPiecesBytes]] through the same interchange round trip. */
+  private def uniPiecesBytesLoaded(spark: SparkSession): Seq[Unigram.Piece] =
+    interchangeModels.getOrElseUpdate("unigram_bytes", {
+      val dir = s"${Scratch.root}/tokmodel_uni_${java.util.UUID.randomUUID()}"
+      graft.operators.TokenizerModel.saveUnigram(spark,
+        UniPiecesBytes.map(p => Unigram.Piece(p, -1.0, 0L)), dir)
+      graft.operators.TokenizerModel.loadUnigram(spark, dir)
+    }).asInstanceOf[Seq[Unigram.Piece]]
+
   /** The byte-level encoder replay over one document-text SQL
     * expression: pretokenize with the SHARED [[graft.operators.ByteLevel.PreTokPattern]]
     * (RE2-compatible by construction), byte-map each pretoken
@@ -383,9 +409,12 @@ object TextQueries extends QueryModule {
     * iteration against an independent engine. */
   def bpeEncodeBytes(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.ensure(spark)
+    // the merges column comes off the LOADED interchange artifact —
+    // the ranks-file contract is on the oracled path
+    val merges = graft.operators.Bpe.mergesLit(encBytesRulesLoaded(spark))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        call_function("bpe_encode_bytes", lower(col("text")), encBytesMergesCol).as("toks"))
+        call_function("bpe_encode_bytes", lower(col("text")), merges).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -639,7 +668,8 @@ object TextQueries extends QueryModule {
     * fallback against an independent engine. */
   def unigramEncodeBytes(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.ensure(spark)
-    val model = Unigram.piecesLit(UniPiecesBytes.map(p => Unigram.Piece(p, -1.0, 0L)))
+    // the piece table comes off the LOADED interchange artifact
+    val model = Unigram.piecesLit(uniPiecesBytesLoaded(spark))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         call_function("unigram_encode_bytes", lower(col("text")), model).as("toks"))
