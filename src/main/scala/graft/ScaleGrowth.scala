@@ -431,6 +431,56 @@ object ScaleGrowth {
     g
   }
 
+  /** Learned-classifier measurements over PLAIN clones of a labeled
+    * `(doc_id, text, y)` frame: the weight TABLE is bounded by `dim+1`
+    * rows at ANY corpus size (the whole point of feature hashing), and
+    * a uniform R× on every occurrence scales each epoch's weights by
+    * exactly R — scores scale by R, so every misclassification
+    * decision (a sign test) is clone-invariant, giving `w_R = R·w_1`
+    * and IDENTICAL keep decisions. Training cost beyond the one
+    * feature pass rides the bounded weight table, never the corpus. */
+  final case class ClfGrowth(rows: Long, weightRows: Long, trainWall: Double,
+      weights: Map[Long, Long], nKeep: Long)
+
+  /** Plain clone r of a labeled frame: new ids, same text and label. */
+  def clonedLabeled(labeled: DataFrame, s: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) labeled
+      else labeled.withColumn("doc_id", col("doc_id") + lit(r * ReplicaOffset))
+    }.reduce(_ unionByName _)
+
+  def clfGrowth(labeled: DataFrame, n: Int, dim: Int, epochs: Int): ClfGrowth = {
+    import graft.operators.QualityClassifier
+    clfGrowthOf(labeled,
+      QualityClassifier.train(labeled, col("doc_id"), col("text"), col("y"),
+        n, dim, epochs), n, dim)
+  }
+
+  /** The closed-form (Rocchio rate-difference) sibling: exact integral
+    * divisions make the model BIT-INVARIANT over plain clones
+    * (R·cnt div R·tot == cnt div tot), a strictly stronger claim than
+    * the perceptron's exact R-scaling. */
+  def clfRatesGrowth(labeled: DataFrame, n: Int, dim: Int): ClfGrowth = {
+    import graft.operators.QualityClassifier
+    clfGrowthOf(labeled,
+      QualityClassifier.trainRates(labeled, col("doc_id"), col("text"), col("y"),
+        n, dim), n, dim)
+  }
+
+  private def clfGrowthOf(labeled: DataFrame, weights: DataFrame,
+                          n: Int, dim: Int): ClfGrowth = {
+    import graft.operators.QualityClassifier
+    val rows = labeled.count()
+    val t0 = System.nanoTime()
+    val w = weights.cache()
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
+    val nKeep = QualityClassifier.score(labeled, col("doc_id"), col("text"), w, n, dim)
+      .filter(col("keep") === 1).count()
+    w.unpersist(blocking = false)
+    ClfGrowth(rows, wm.size.toLong, wall, wm, nKeep)
+  }
+
   /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
     * the stride quantizer's centroid model GROWS with the corpus
     * (every 31st vector), so cell count scales linearly and per-cell
@@ -464,8 +514,8 @@ object ScaleGrowth {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|all, got $families")
+    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "clf", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -552,6 +602,24 @@ object ScaleGrowth {
         val g5 = lm5Growth(docs)
         lmRows += (f"| ngram-lm (5-gram backoff) | ${s}x | ${g5.rows} | ${g5.modelRows} | " +
           f"${g5.vocab} | ${g5.scored} |")
+      }
+      if (families == "clf" || families == "all") {
+        // the q_quality_clf planted-domain view (every third doc is
+        // the reference domain) — the operating point the queries ship
+        val labeled = clonedLabeled(
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"),
+              when(col("doc_id") % 3 === 0,
+                concat(col("text"), lit(" curated reference corpus marker" * 3)))
+                .otherwise(col("text")).as("text"),
+              when(col("doc_id") % 3 === 0, 1).otherwise(-1).as("y")),
+          s).cache()
+        val g = clfRatesGrowth(labeled, n = 3, dim = 512)
+        lmRows += (f"| quality-clf rates (3-gram, 512+1) | ${s}x | ${g.rows} | " +
+          f"${g.weightRows} | — | ${g.nKeep} |")
+        val gp = clfGrowth(labeled, n = 3, dim = 512, epochs = 3)
+        lmRows += (f"| quality-clf perceptron (3 epochs) | ${s}x | ${gp.rows} | " +
+          f"${gp.weightRows} | — | ${gp.nKeep} |")
       }
       if (families == "bpe" || families == "all") {
         val docs = clonedDocs(

@@ -146,6 +146,46 @@ object QualityClassifier {
     w
   }
 
+  /** The scaled-rate scale for [[trainRates]] (the repo's 1e6
+    * scaled-integer convention). */
+  val RateScale = 1000000L
+
+  /** CLOSED-FORM training — the Rocchio / nearest-centroid linear
+    * model (Rocchio 1971; the standard robust text-classification
+    * baseline): `w_b = S·pos_b div ptot − S·neg_b div ntot`, the
+    * scaled integer difference of the classes' per-bucket occurrence
+    * RATES. ONE aggregate pass, no epochs, no oscillation — the
+    * operating point to DEPLOY on overlapping real-corpus classes,
+    * where the batch perceptron's all-misclassified-at-once updates
+    * overshoot the margin and flip the whole decision per epoch
+    * (measured on this corpus: epochs alternate all-keep/all-drop;
+    * the rate difference splits it cleanly). [[train]] stays the
+    * iterative member for separable/near-separable reference sets
+    * (its mistake-driven margin beats the centroid there). Both emit
+    * the same `(b, w)` table shape — [[score]] and the streaming
+    * filter take either. Exactness: integer counts, two exact
+    * integral divisions per bucket — bit-identical on every engine,
+    * and CLONE-INVARIANT (R·cnt div R·tot == cnt div tot exactly), so
+    * the model does not merely scale under corpus growth, it is
+    * bit-equal. */
+  def trainRates(labeled: DataFrame, idCol: Column, textCol: Column, labelCol: Column,
+                 n: Int, dim: Int,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val labels = labeled.filter(textCol.isNotNull).select(idCol.as("id"), labelCol.as("y"))
+    // per-bucket class occurrence counts feed the totals AND the final
+    // rate difference — pin the small aggregate, not the stream
+    val cls = scope.pin(
+      features(labeled, idCol, textCol, n, dim)
+        .join(labels, Seq("id"))
+        .groupBy("b").agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("__p"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("__n")))
+    val tot = cls.agg(sum("__p").as("__pt"), sum("__n").as("__nt"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"$RateScale * __p DIV __pt - $RateScale * __n DIV __nt").as("w"))
+  }
+
   /** Score `docs` under a trained `(b, w)` table: `(id, n_feats,
     * score, keep)` — `keep = score > 0` is the perceptron's decision;
     * callers wanting a different operating point threshold `score`

@@ -10,53 +10,87 @@ import org.apache.spark.sql.functions._
   * perplexity filter are q_quality_gate / q_lm_score*) and the
   * domain-level curation pass (RefinedWeb-style blocklist + per-domain
   * cap). Everything integer-exact and mirrored in DuckDB: the
-  * perceptron's weights are exact longs, the domain ranking is the
-  * md5-prefix order both engines share. */
+  * classifier's weights are exact longs, the domain ranking is the
+  * md5-prefix order both engines share.
+  *
+  * The classifier queries run on a PLANTED reference-domain view (the
+  * q_vocab_drift / q_text_search_incr discipline): this corpus's
+  * `lang`/`source` labels are text-INDEPENDENT by construction (the
+  * language-ID profiles draw from one shared vocabulary — verified:
+  * per-lang token rates are proportional to lang doc counts), so any
+  * honest classifier on a "real" label is a coin flip and the demo
+  * degenerate. Every third document gets a marker suffix and the
+  * positive label; the operator must LEARN the planted n-grams from
+  * the labeled half and recover the domain on the full corpus, and
+  * the oracle replays training on exactly the same view. */
 object CurationQueries extends QueryModule {
 
   /** Classifier geometry: char-3-gram features hashed into 512 buckets
-    * (+1 bias), trained 3 batch-perceptron epochs. The SAME constants
-    * feed the Spark plan and the generated oracle SQL. */
+    * (+1 bias); the perceptron member runs 3 epochs. The SAME
+    * constants feed the Spark plan and the generated oracle SQL. */
   private[graft] val ClfN = 3
   private[graft] val ClfDim = 512
   private[graft] val ClfEpochs = 3
 
-  /** Labeled training view: even-id documents, labeled +1 when the
-    * document is reference-domain (`en`) — the GPT-3/CCNet "looks like
-    * the reference corpus" classification target. */
-  private def labeledView(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("text"),
-        when(col("lang") === "en", 1).otherwise(-1).as("y"))
+  /** The planted reference-domain suffix (3 repetitions — enough
+    * marker windows that the rate difference clears the body noise;
+    * one borderline doc at sf0.01 keeps the margin honest). */
+  private[graft] val ClfMarker: String = " curated reference corpus marker" * 3
 
-  /** The trained weight table as a persisted model artifact — the
-    * lmModelStore discipline: a production pipeline trains once and
-    * scores forever, so the fixture is built once per JVM and every
-    * consumer (the train query's output, the scorer, the streaming
-    * filter's parity spec) reads the same artifact. */
+  /** The classifier corpus view: positives (`doc_id % 3 = 0`) carry
+    * [[ClfMarker]]; `y` is the domain label; training uses the even
+    * half, scoring the whole view. */
+  private def clfCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(ClfMarker)))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, 1).otherwise(-1).as("y"))
+
+  private def labeledView(spark: SparkSession, sfDir: String): DataFrame =
+    clfCorpus(spark, sfDir).filter(col("doc_id") % 2 === 0)
+
+  /** The DEPLOYED model — [[QualityClassifier.trainRates]] (Rocchio
+    * scaled-rate difference: one aggregate pass, no oscillation) — as
+    * a persisted artifact, the lmModelStore discipline: train once,
+    * score forever; every consumer reads the same table. */
   private def clfWeightsStore(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.ensure(spark) // fnv_ngrams
     FrameFixture(spark, "quality_clf", sfDir) {
-      val labeled = labeledView(spark, sfDir)
-      QualityClassifier.train(labeled, col("doc_id"), col("text"), col("y"),
-        ClfN, ClfDim, ClfEpochs)
+      QualityClassifier.trainRates(labeledView(spark, sfDir),
+        col("doc_id"), col("text"), col("y"), ClfN, ClfDim)
     }
   }
 
-  /** The trained model itself on the oracle gate (q_quality_clf_train):
-    * the full `(b, w)` weight table after 3 epochs — DuckDB replays
-    * feature hashing, every epoch's misclassified set, and the integer
-    * weight algebra; one drifted update anywhere mismatches. */
+  /** The deployed model on the oracle gate (q_quality_clf_train): the
+    * full `(b, w)` rate-difference table — DuckDB replays feature
+    * hashing, the per-class occurrence counts, and both exact
+    * integral divisions; one drifted bucket anywhere mismatches. */
   def qualityClfTrain(spark: SparkSession, sfDir: String): DataFrame =
     clfWeightsStore(spark, sfDir).orderBy("b")
 
-  /** Every document scored under the trained model (q_quality_clf):
+  /** The ITERATIVE member's artifact on the oracle gate
+    * (q_quality_clf_percep): the batch-perceptron weight table after
+    * [[ClfEpochs]] epochs on the same planted view — the oracle
+    * replays every epoch's misclassified set and the label-signed
+    * occurrence folds. Its DECISION quality lives in
+    * QualityClassifierSpec (separable-corpus accuracy) — on
+    * overlapping classes the batch updates overshoot per epoch, which
+    * is exactly why the deployed scorer above is the closed form. */
+  def qualityClfPercep(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    QualityClassifier.train(labeledView(spark, sfDir),
+        col("doc_id"), col("text"), col("y"), ClfN, ClfDim, ClfEpochs)
+      .orderBy("b")
+  }
+
+  /** Every document scored under the deployed model (q_quality_clf):
     * one narrow feature pass + a broadcast join against the 513-row
     * weight table — the map-side shape the learned filter has at
-    * 100 TB. `keep` is the perceptron decision (score > 0). */
+    * 100 TB. `keep` recovers the planted domain (0 false keeps, one
+    * missed positive at sf0.01). */
   def qualityClf(spark: SparkSession, sfDir: String): DataFrame =
-    QualityClassifier.score(Tables.documents(spark, sfDir),
+    QualityClassifier.score(clfCorpus(spark, sfDir),
         col("doc_id"), col("text"), clfWeightsStore(spark, sfDir), ClfN, ClfDim)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
@@ -104,6 +138,7 @@ object CurationQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_clf_train" -> qualityClfTrain,
+    "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
     "q_domain_cap" -> domainCap)
 
@@ -112,26 +147,42 @@ object CurationQueries extends QueryModule {
     ()
   }
 
-  /** The classifier replay up to the epoch-[[ClfEpochs]] weight table
-    * `w3(b, w)`: FNV-1a-hashed 3-gram occurrences + the bias bucket,
-    * the labeled half, epoch 1 from zero weights (everything
-    * misclassified), then per epoch the misclassified set under the
-    * previous weights and the label-signed occurrence fold. Generated
-    * from the SAME constants (and the same FNV fold) as the Spark
-    * side. */
-  private def clfChainSql: String = {
+  /** The planted-view docs + FNV-hashed occurrence features + labeled
+    * half — the shared head of every classifier oracle. Generated from
+    * the SAME constants (and the same FNV fold) as the Spark side. */
+  private def clfHeadSql: String = {
     val fnv = QualityClassifier.fnvBucketSql("t", "i", ClfN, ClfDim)
-    val head =
-      s"""docs AS (SELECT doc_id, lower(text) AS t,
-         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-         |  FROM documents WHERE text IS NOT NULL),
-         |feat AS (
-         |  SELECT doc_id, $fnv AS b FROM (
-         |    SELECT doc_id, t, unnest(range(1, len(t) - ${ClfN - 2})) AS i FROM docs)
-         |  UNION ALL SELECT doc_id, $ClfDim AS b FROM docs),
-         |lab AS (SELECT doc_id, y FROM docs WHERE doc_id % 2 = 0),
-         |tf AS (SELECT f.doc_id, f.b, l.y FROM feat f JOIN lab l USING (doc_id)),
-         |w1 AS (SELECT b, CAST(SUM(y) AS BIGINT) AS w FROM tf GROUP BY b)""".stripMargin
+    s"""docs AS (SELECT doc_id,
+       |    lower(CASE WHEN doc_id % 3 = 0 THEN text || '$ClfMarker' ELSE text END) AS t,
+       |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |feat AS (
+       |  SELECT doc_id, $fnv AS b FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) - ${ClfN - 2})) AS i FROM docs)
+       |  UNION ALL SELECT doc_id, $ClfDim AS b FROM docs),
+       |lab AS (SELECT doc_id, y FROM docs WHERE doc_id % 2 = 0),
+       |tf AS (SELECT f.doc_id, f.b, l.y FROM feat f JOIN lab l USING (doc_id))""".stripMargin
+  }
+
+  /** The deployed model's replay: per-bucket class occurrence counts,
+    * class totals, both exact integral divisions. */
+  private def clfRatesSql: String =
+    s"""cls AS (SELECT b,
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM tf GROUP BY b),
+       |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pt, CAST(SUM(n) AS BIGINT) AS nt FROM cls),
+       |w AS (SELECT b,
+       |    CAST((${QualityClassifier.RateScale} * p) // pt
+       |       - (${QualityClassifier.RateScale} * n) // nt AS BIGINT) AS w
+       |  FROM cls, tot)""".stripMargin
+
+  /** The perceptron replay up to the epoch-[[ClfEpochs]] table: epoch
+    * 1 from zero weights (everything misclassified), then per epoch
+    * the misclassified set under the previous weights and the
+    * label-signed occurrence fold. */
+  private def clfPercepSql: String = {
+    val head = "w1 AS (SELECT b, CAST(SUM(y) AS BIGINT) AS w FROM tf GROUP BY b)"
     val epochs = (2 to ClfEpochs).map { e =>
       s""",
          |m${e - 1} AS (SELECT doc_id, MIN(y) AS y
@@ -149,13 +200,19 @@ object CurationQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_quality_clf_train" ->
-      s"""WITH $clfChainSql
+      s"""WITH $clfHeadSql,
+         |$clfRatesSql
+         |SELECT b, w FROM w ORDER BY b""".stripMargin,
+    "q_quality_clf_percep" ->
+      s"""WITH $clfHeadSql,
+         |$clfPercepSql
          |SELECT b, w FROM w$ClfEpochs ORDER BY b""".stripMargin,
     "q_quality_clf" ->
-      s"""WITH $clfChainSql,
+      s"""WITH $clfHeadSql,
+         |$clfRatesSql,
          |sc AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-         |    CAST(SUM(COALESCE(w, 0)) AS BIGINT) AS score
-         |  FROM feat f LEFT JOIN w$ClfEpochs USING (b) GROUP BY f.doc_id)
+         |    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+         |  FROM feat f LEFT JOIN w USING (b) GROUP BY f.doc_id)
          |SELECT doc_id, n_feats, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,

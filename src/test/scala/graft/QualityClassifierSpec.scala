@@ -96,6 +96,32 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("trainRates == independent reference (Rocchio scaled-rate difference)") {
+    val df = docs.toDF("doc_id", "text", "y")
+    val w = QualityClassifier.trainRates(df, col("doc_id"), col("text"), col("y"), N, Dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: per-bucket class occurrence counts, class
+    // totals, two floored scaled divisions
+    // .toSeq before the fill: flatMap on a Map collapses equal (b, y)
+    // tuples and would silently dedupe occurrence counts
+    val occ = docs.flatMap { case (_, t, y) =>
+      featsOf(t).toSeq.flatMap { case (b, c) => Seq.fill(c.toInt)((b, y)) } }
+    val pos = occ.filter(_._2 == 1).groupBy(_._1).map { case (b, v) => b -> v.size.toLong }
+    val neg = occ.filter(_._2 == -1).groupBy(_._1).map { case (b, v) => b -> v.size.toLong }
+    val (pt, nt) = (pos.values.sum, neg.values.sum)
+    val S = QualityClassifier.RateScale
+    val ref = (pos.keySet ++ neg.keySet).map(b =>
+      b -> (S * pos.getOrElse(b, 0L) / pt - S * neg.getOrElse(b, 0L) / nt)).toMap
+    assert(w == ref)
+    // and it separates the planted corpus too (closed form, no epochs)
+    val keeps = QualityClassifier.score(df, col("doc_id"), col("text"),
+        QualityClassifier.trainRates(df, col("doc_id"), col("text"), col("y"), N, Dim),
+        N, Dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    docs.foreach { case (id, _, y) =>
+      assert((keeps(id) == 1) == (y == 1), s"doc $id misclassified by the rate model") }
+  }
+
   test("null text is unscoreable (no row); short text rides the bias bucket") {
     val df = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("doc_id", "text")

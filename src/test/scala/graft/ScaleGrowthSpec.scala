@@ -286,6 +286,44 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quality classifier: weight table bounded, models clone-invariant, keeps exactly linear over a 10x plain clone") {
+    import org.apache.spark.sql.functions._
+    // the q_quality_clf planted-domain view (lang/source labels are
+    // text-independent in this corpus, so they are the wrong target)
+    val labeled1 = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" curated reference corpus marker" * 3)))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, 1).otherwise(-1).as("y")).cache()
+    val labeledN = ScaleGrowth.clonedLabeled(labeled1, Factor).cache()
+    // deployed member (Rocchio rates): exact integral divisions make
+    // the MODEL bit-invariant over plain clones (R·cnt div R·tot ==
+    // cnt div tot), decisions identical, keeps exactly linear — and
+    // the split must be nontrivial (the operator actually learns)
+    val g1 = ScaleGrowth.clfRatesGrowth(labeled1, n = 3, dim = 256)
+    val gN = ScaleGrowth.clfRatesGrowth(labeledN, n = 3, dim = 256)
+    assert(gN.rows == g1.rows * Factor)
+    assert(g1.weightRows <= 257 && gN.weightRows == g1.weightRows,
+      s"weight table ${g1.weightRows} -> ${gN.weightRows}: not bounded by the hash dim")
+    assert(gN.weights == g1.weights,
+      "rate-difference weights changed under uniform scaling — not clone-invariant")
+    assert(g1.nKeep > 0 && g1.nKeep < g1.rows, "degenerate split — gate is vacuous")
+    assert(gN.nKeep == g1.nKeep * Factor,
+      s"keeps ${g1.nKeep} -> ${gN.nKeep}: decisions changed under uniform scaling")
+    // iterative member (batch perceptron): a uniform R× scales every
+    // epoch's weights by exactly R (scores scale by R, so each
+    // misclassification sign test is clone-invariant) — decisions
+    // identical, whatever they are
+    val p1 = ScaleGrowth.clfGrowth(labeled1, n = 3, dim = 256, epochs = 3)
+    val pN = ScaleGrowth.clfGrowth(labeledN, n = 3, dim = 256, epochs = 3)
+    assert(pN.weights == p1.weights.map { case (b, w) => b -> w * Factor },
+      "perceptron weights are not exactly R-scaled — training is not clone-invariant")
+    assert(pN.nKeep == p1.nKeep * Factor,
+      s"perceptron keeps ${p1.nKeep} -> ${pN.nKeep}: decisions changed under scaling")
+    spark.catalog.clearCache()
+  }
+
   test("the saturating fixed-width control FAILS the band (the gate detects the bug class)") {
     val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
     val n1 = docs1.count()
