@@ -170,20 +170,45 @@ object QualityClassifier {
     * bit-equal. */
   def trainRates(labeled: DataFrame, idCol: Column, textCol: Column, labelCol: Column,
                  n: Int, dim: Int,
-                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    weightsFromCounts(rateCounts(labeled, idCol, textCol, labelCol, n, dim), scope)
+
+  /** The rate model's persistable STATE: per-bucket class occurrence
+    * counts `(b, n_pos, n_neg)`. ADDITIVE by construction — counts
+    * over a corpus equal the bucket-wise sum of counts over any
+    * partition of it — so incremental training is
+    * [[mergeRateCounts]] of the persisted state with the arriving
+    * batch's counts (the gramState / spanDigestState discipline: the
+    * old corpus is never re-read), then [[weightsFromCounts]]. */
+  def rateCounts(labeled: DataFrame, idCol: Column, textCol: Column, labelCol: Column,
+                 n: Int, dim: Int): DataFrame = {
     val labels = labeled.filter(textCol.isNotNull).select(idCol.as("id"), labelCol.as("y"))
-    // per-bucket class occurrence counts feed the totals AND the final
-    // rate difference — pin the small aggregate, not the stream
-    val cls = scope.pin(
-      features(labeled, idCol, textCol, n, dim)
-        .join(labels, Seq("id"))
-        .groupBy("b").agg(
-          sum(when(col("y") === 1, 1L).otherwise(0L)).as("__p"),
-          sum(when(col("y") === -1, 1L).otherwise(0L)).as("__n")))
-    val tot = cls.agg(sum("__p").as("__pt"), sum("__n").as("__nt"))
+    features(labeled, idCol, textCol, n, dim)
+      .join(labels, Seq("id"))
+      .groupBy("b").agg(
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("n_neg"))
+  }
+
+  /** Fold a new batch's [[rateCounts]] into persisted state:
+    * bucket-wise sums over the full outer join. */
+  def mergeRateCounts(state: DataFrame, delta: DataFrame): DataFrame =
+    state.join(delta.withColumnRenamed("n_pos", "__dp").withColumnRenamed("n_neg", "__dn"),
+        Seq("b"), "full_outer")
+      .select(col("b"),
+        (coalesce(col("n_pos"), lit(0L)) + coalesce(col("__dp"), lit(0L))).as("n_pos"),
+        (coalesce(col("n_neg"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_neg"))
+
+  /** The `(b, w)` weight table from a [[rateCounts]] state: the two
+    * exact integral divisions. The counts frame feeds the totals AND
+    * the rate difference — pinned through `scope`. */
+  def weightsFromCounts(counts: DataFrame,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cls = scope.pin(counts)
+    val tot = cls.agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"))
     cls.crossJoin(broadcast(tot))
       .select(col("b"),
-        expr(s"$RateScale * __p DIV __pt - $RateScale * __n DIV __nt").as("w"))
+        expr(s"$RateScale * n_pos DIV __pt - $RateScale * n_neg DIV __nt").as("w"))
   }
 
   /** Score `docs` under a trained `(b, w)` table: `(id, n_feats,

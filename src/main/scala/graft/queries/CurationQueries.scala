@@ -84,6 +84,42 @@ object CurationQueries extends QueryModule {
       .orderBy("b")
   }
 
+  /** The INCREMENTAL training member's persisted state: class counts
+    * over the first 80% of the labeled view (`doc_id % 10 < 8`) — an
+    * incremental trainer keeps these on disk between label batches
+    * and only ever counts the arriving batch (the gramState /
+    * sigOldStore discipline), so the query measures the BATCH leg. */
+  private def clfCountsOldStore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    FrameFixture(spark, "quality_clf_counts_old", sfDir) {
+      val old = labeledView(spark, sfDir).filter(col("doc_id") % 10 < 8)
+      QualityClassifier.rateCounts(old, col("doc_id"), col("text"), col("y"),
+        ClfN, ClfDim)
+    }
+  }
+
+  /** INCREMENTAL rate-model training (q_quality_clf_incr): the
+    * arriving label batch (`doc_id % 10 ≥ 8` of the labeled view)
+    * counts once, folds into the persisted state bucket-wise, and the
+    * weights derive from the merged counts. Counts are ADDITIVE, so
+    * the result must EQUAL direct training over the whole labeled
+    * view — which is what the oracle computes (the
+    * q_dedup_incremental "incremental == full" trial). Output is the
+    * merged state WITH its weights `(b, n_pos, n_neg, w)`. */
+  def qualityClfIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val delta = QualityClassifier.rateCounts(
+      labeledView(spark, sfDir).filter(col("doc_id") % 10 >= 8),
+      col("doc_id"), col("text"), col("y"), ClfN, ClfDim)
+    val merged = QualityClassifier.mergeRateCounts(
+      clfCountsOldStore(spark, sfDir), delta)
+      // feeds the weight derivation (totals + rates) AND the output join
+      .cache()
+    QualityClassifier.weightsFromCounts(merged)
+      .join(merged, Seq("b"))
+      .select(col("b"), col("n_pos"), col("n_neg"), col("w"))
+      .orderBy("b")
+  }
+
   /** Every document scored under the deployed model (q_quality_clf):
     * one narrow feature pass + a broadcast join against the 513-row
     * weight table — the map-side shape the learned filter has at
@@ -140,10 +176,12 @@ object CurationQueries extends QueryModule {
     "q_quality_clf_train" -> qualityClfTrain,
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
+    "q_quality_clf_incr" -> qualityClfIncr,
     "q_domain_cap" -> domainCap)
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     clfWeightsStore(spark, sfDir)
+    clfCountsOldStore(spark, sfDir)
     ()
   }
 
@@ -207,6 +245,14 @@ object CurationQueries extends QueryModule {
       s"""WITH $clfHeadSql,
          |$clfPercepSql
          |SELECT b, w FROM w$ClfEpochs ORDER BY b""".stripMargin,
+    // incremental == full: counts are additive, so the merged
+    // old-state + batch counts (and their weights) must equal direct
+    // training over the whole labeled view
+    "q_quality_clf_incr" ->
+      s"""WITH $clfHeadSql,
+         |$clfRatesSql
+         |SELECT cls.b, cls.p AS n_pos, cls.n AS n_neg, w.w
+         |FROM cls JOIN w USING (b) ORDER BY cls.b""".stripMargin,
     "q_quality_clf" ->
       s"""WITH $clfHeadSql,
          |$clfRatesSql,

@@ -122,6 +122,24 @@ class QualityClassifierSpec extends AnyFunSuite {
       assert((keeps(id) == 1) == (y == 1), s"doc $id misclassified by the rate model") }
   }
 
+  test("incremental rate counts: merged state+batch == direct training (additivity)") {
+    val df = docs.toDF("doc_id", "text", "y")
+    val old = df.filter(col("doc_id") <= 4)
+    val batch = df.filter(col("doc_id") > 4)
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.rateCounts(d, col("doc_id"), col("text"), col("y"), N, Dim)
+    val merged = QualityClassifier.mergeRateCounts(counts(old), counts(batch))
+    val direct = counts(df)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(merged) == m(direct))
+    val wInc = QualityClassifier.weightsFromCounts(merged)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wDir = QualityClassifier.trainRates(df, col("doc_id"), col("text"), col("y"), N, Dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wInc == wDir)
+  }
+
   test("null text is unscoreable (no row); short text rides the bias bucket") {
     val df = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("doc_id", "text")
