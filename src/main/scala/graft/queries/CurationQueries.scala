@@ -131,6 +131,28 @@ object CurationQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** CURRICULUM ordering (q_curriculum_order): the corpus in training
+    * order by reference-LM quality — cleanest-first (ascending mean
+    * scaled surprisal under the persisted bigram artifact, the
+    * q_lm_score model store), position assigned by the distributed
+    * dense rank ([[graft.operators.DenseId]] range-sort +
+    * zipWithIndex — never a 1-partition window). The data-ordering
+    * step between curation and the loader: downstream shards read
+    * contiguous `pos` ranges and see easy-to-hard (Bengio et al. 2009
+    * curriculum; perplexity-ordered pretraining data). Composes two
+    * oracled operators; the composed oracle chains the full LM replay
+    * into the rank. */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = graft.operators.NgramLm.score(docs, col("doc_id"), col("text"),
+        TextQueries.lmModelStore(spark, sfDir))
+      .withColumnRenamed("id", "doc_id")
+    graft.operators.DenseId.withDenseId(scored,
+        Seq(col("avg_surprisal"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("avg_surprisal"), col("pos"))
+      .orderBy("pos")
+  }
+
   /** Domain blocklist + per-domain cap — the SAME constants feed both
     * engines. */
   private[graft] val DomainBlocklist = Seq("src3", "src7")
@@ -177,6 +199,7 @@ object CurationQueries extends QueryModule {
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
     "q_quality_clf_incr" -> qualityClfIncr,
+    "q_curriculum_order" -> curriculumOrder,
     "q_domain_cap" -> domainCap)
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
@@ -262,6 +285,13 @@ object CurationQueries extends QueryModule {
          |SELECT doc_id, n_feats, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // the full q_lm_score replay (training + smoothing + scoring)
+    // chained into the curriculum rank
+    "q_curriculum_order" ->
+      s"""WITH base AS (${TextQueries.oracles("q_lm_score")})
+         |SELECT doc_id, avg_surprisal,
+         |  ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS pos
+         |FROM base ORDER BY pos""".stripMargin,
     "q_domain_cap" ->
       s"""WITH keep AS (SELECT doc_id, source FROM documents
          |  WHERE source NOT IN (${DomainBlocklist.map(s => s"'$s'").mkString(", ")})),

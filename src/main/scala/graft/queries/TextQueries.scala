@@ -503,7 +503,7 @@ object TextQueries extends QueryModule {
     * scaled smoothed-bigram surprisal — higher = less like the
     * reference. The oracle replays training, smoothing, and scoring
     * in full. */
-  private def lmModelStore(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def lmModelStore(spark: SparkSession, sfDir: String): DataFrame =
     FrameFixture(spark, "ngram_lm_en", sfDir)(
       graft.operators.NgramLm.bigramModel(
         Tables.documents(spark, sfDir).filter(col("lang") === "en"),
