@@ -194,17 +194,80 @@ object CurationQueries extends QueryModule {
       .orderBy("source", "rk")
   }
 
+  /** The incremental cap's persisted state: per-domain ADMITTED counts
+    * after the old corpus (the md5-gated ~6% slice, first hex char
+    * '0' — DECORRELATED from `source`, which is a function of
+    * doc_id mod 20, so a modular slice would land entirely in one
+    * domain; and small enough that the ledger is PARTIALLY filled at
+    * both harness scales, with a few domains saturating at sf0.1 — an
+    * 80% old side saturates every cap and the query would verify
+    * nothing, the 0-row trap) went through the cap — the
+    * DomainCapStream ledger shape as a fixture (an incremental curator
+    * keeps it on disk; the old corpus is never re-ranked). */
+  private def domainUsedOldStore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    FrameFixture(spark, "domain_used_old", sfDir) {
+      import spark.implicits._
+      val block = DomainBlocklist.toDF("source")
+      val old = Tables.documents(spark, sfDir)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(block), Seq("source"), "left_anti")
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      old.select(col("source"), col("doc_id"), (-h).as("__s"))
+        .groupBy("source")
+        .agg(call_function("top_k_by", col("__s"), col("doc_id"), lit(DomainCap)).as("__top"))
+        .select(col("source"), size(col("__top")).cast("long").as("used_before"))
+    }
+  }
+
+  /** INCREMENTAL domain-cap admission (q_domain_cap_incr): the
+    * arriving 20% batch admits per domain up to `cap` minus the
+    * PERSISTED admitted count — the quota-ledger semantics
+    * [[graft.streaming.DomainCapStream]] runs at ingestion, as an
+    * oracled batch member. Scale shape: the batch ranks per domain
+    * through the bounded `top_k_by` aggregate (remaining ≤ cap always,
+    * so the admitted set is inside the batch's per-domain top-cap —
+    * never a corpus window), the ledger join is domain-cardinality
+    * broadcast. The oracle replays old-side admission, the ledger, and
+    * the batch ranks. */
+  def domainCapIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftFunctions.ensure(spark)
+    val block = DomainBlocklist.toDF("source")
+    val batch = Tables.documents(spark, sfDir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) =!= "0")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(block), Seq("source"), "left_anti")
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    batch.select(col("source"), col("doc_id"), (-h).as("__s"))
+      .groupBy("source")
+      .agg(call_function("top_k_by", col("__s"), col("doc_id"), lit(DomainCap)).as("__top"))
+      .select(col("source"), posexplode(col("__top")))
+      .select(col("source"), col("col.payload").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .join(broadcast(domainUsedOldStore(spark, sfDir)), Seq("source"), "left")
+      .withColumn("used_before", coalesce(col("used_before"), lit(0L)))
+      .filter(col("rk") <= lit(DomainCap.toLong) - col("used_before"))
+      .select(col("source"), col("doc_id"), col("rk"), col("used_before"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_clf_train" -> qualityClfTrain,
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
     "q_quality_clf_incr" -> qualityClfIncr,
     "q_curriculum_order" -> curriculumOrder,
-    "q_domain_cap" -> domainCap)
+    "q_domain_cap" -> domainCap,
+    "q_domain_cap_incr" -> domainCapIncr)
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     clfWeightsStore(spark, sfDir)
     clfCountsOldStore(spark, sfDir)
+    domainUsedOldStore(spark, sfDir)
     ()
   }
 
@@ -292,6 +355,31 @@ object CurationQueries extends QueryModule {
          |SELECT doc_id, avg_surprisal,
          |  ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS pos
          |FROM base ORDER BY pos""".stripMargin,
+    // quota-ledger replay: old-side admission fills the ledger, the
+    // batch admits per domain up to the remainder in md5-draw order
+    "q_domain_cap_incr" ->
+      s"""WITH old AS (SELECT doc_id, source FROM documents
+         |  WHERE source NOT IN (${DomainBlocklist.map(s => s"'$s'").mkString(", ")})
+         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         |newb AS (SELECT doc_id, source FROM documents
+         |  WHERE source NOT IN (${DomainBlocklist.map(s => s"'$s'").mkString(", ")})
+         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         |oldr AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+         |               doc_id) AS rk
+         |  FROM old),
+         |used AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS used_before
+         |  FROM oldr WHERE rk <= $DomainCap GROUP BY source),
+         |newr AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+         |               doc_id) AS rk
+         |  FROM newb)
+         |SELECT n.source, n.doc_id, n.rk, COALESCE(u.used_before, 0) AS used_before
+         |FROM newr n LEFT JOIN used u USING (source)
+         |WHERE n.rk <= $DomainCap - COALESCE(u.used_before, 0)
+         |ORDER BY n.source, n.rk""".stripMargin,
     "q_domain_cap" ->
       s"""WITH keep AS (SELECT doc_id, source FROM documents
          |  WHERE source NOT IN (${DomainBlocklist.map(s => s"'$s'").mkString(", ")})),
