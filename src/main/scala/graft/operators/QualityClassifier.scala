@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LEARNED document-quality classification — the third leg of the
@@ -209,6 +209,50 @@ object QualityClassifier {
     cls.crossJoin(broadcast(tot))
       .select(col("b"),
         expr(s"$RateScale * n_pos DIV __pt - $RateScale * n_neg DIV __nt").as("w"))
+  }
+
+  /** Interchange stamp for persisted classifier models (the
+    * [[TokenizerModel]] contract discipline). */
+  val Format = "graft.linear-clf"
+  val Version = 1
+
+  /** Persist a trained `(b, w)` table under the interchange contract:
+    * `(format string, version int, n int, dim int, b bigint,
+    * w bigint)` — the feature geometry travels WITH the weights,
+    * because buckets hashed under a different `(n, dim)` are
+    * incomparable (the streaming filters' frozen-stamp rationale, made
+    * portable). Model-sized (≤ dim+1 rows): single file. */
+  def saveModel(spark: SparkSession, weights: DataFrame, n: Int, dim: Int,
+                path: String): Unit =
+    weights.select(lit(Format).as("format"), lit(Version).as("version"),
+        lit(n).as("n"), lit(dim).as("dim"), col("b"), col("w"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[Format]] artifact whose stamped geometry matches the
+    * caller's `(n, dim)`; fails loudly on a foreign format, a newer
+    * version, missing columns, or a geometry mismatch — decoding a
+    * drifted model silently re-partitions every downstream keep
+    * decision. Returns the bare `(b, w)` table [[score]] takes. */
+  def loadModel(spark: SparkSession, path: String, n: Int, dim: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set("format", "version", "n", "dim", "b", "w").subsetOf(df.columns.toSet),
+      s"QualityClassifier: $path is not a $Format v$Version artifact — " +
+        s"columns ${df.columns.toSet}")
+    val stamp = df.select("format", "version", "n", "dim").distinct().collect()
+    require(stamp.length == 1,
+      s"QualityClassifier: $path carries ${stamp.length} distinct stamps — corrupt artifact")
+    val s = stamp.head
+    require(s.getString(0) == Format,
+      s"QualityClassifier: $path carries format '${s.getString(0)}', expected " +
+        s"'$Format' — refusing to decode a foreign artifact")
+    require(s.getInt(1) == Version,
+      s"QualityClassifier: $path carries version ${s.getInt(1)}, this engine " +
+        s"reads version $Version — upgrade the engine or re-export the model")
+    require(s.getInt(2) == n && s.getInt(3) == dim,
+      s"QualityClassifier: $path was trained under n=${s.getInt(2)} " +
+        s"dim=${s.getInt(3)}, probed with n=$n dim=$dim — buckets are " +
+        "incomparable across geometries; re-train or fix the caller")
+    df.select("b", "w")
   }
 
   /** Score `docs` under a trained `(b, w)` table: `(id, n_feats,

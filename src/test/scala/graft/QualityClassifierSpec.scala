@@ -140,6 +140,34 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(wInc == wDir)
   }
 
+  test("model interchange: round trip, geometry stamp, and loud-fail paths") {
+    val df = docs.toDF("doc_id", "text", "y")
+    val w = QualityClassifier.trainRates(df, col("doc_id"), col("text"), col("y"), N, Dim)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clfmodel_").toString + "/m"
+    QualityClassifier.saveModel(spark, w, N, Dim, dir)
+    val loaded = QualityClassifier.loadModel(spark, dir, N, Dim)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(loaded) == m(w))
+    // scoring off the loaded artifact equals scoring off the live table
+    val s1 = QualityClassifier.score(df, col("doc_id"), col("text"), w, N, Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s2 = QualityClassifier.score(df, col("doc_id"), col("text"), loaded, N, Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(s1 == s2)
+    // geometry mismatch is refused (buckets are incomparable)
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.loadModel(spark, dir, N, Dim * 2) }
+    assert(e1.getMessage.contains("incomparable"))
+    // a foreign artifact is refused with the stamp in the message
+    val tok = java.nio.file.Files.createTempDirectory("graft_clfmodel_tok_").toString + "/m"
+    graft.operators.TokenizerModel.saveBpe(spark,
+      Seq(graft.operators.Bpe.MergeRule(0, "a", "b", 1L)), tok)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.loadModel(spark, tok, N, Dim) }
+    assert(e2.getMessage != null)
+  }
+
   test("null text is unscoreable (no row); short text rides the bias bucket") {
     val df = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("doc_id", "text")
