@@ -418,4 +418,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(joins.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"bucketed join shuffled an input:\n$plan")
   }
+
+  test("q_quality_clf: weight join broadcasts (the model is dim+1 rows); never sort-merge") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = staticPlan(graft.queries.CurationQueries.qualityClf(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the dim+1-row weight table must broadcast, not sort-merge:\n$plan")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    // the feature pass is the native one-pass expression, not a
+    // per-window substr chain
+    assert(s.contains("fnv_ngrams"), s"fnv_ngrams missing from:\n$plan")
+  }
+
+  test("q_domain_cap: the cap is the bounded top_k_by aggregate — no Window operator") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.CurationQueries.domainCap(spark, sf))
+    // a window ROW_NUMBER here would funnel every domain's documents
+    // through one task's sort — the low-cardinality-group failure mode
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"per-domain cap must not be a window:\n$plan")
+    assert(plan.toString.contains("top_k_by"), s"top_k_by missing from:\n$plan")
+  }
+
+  test("q_curriculum_order: position is the distributed dense rank — no whole-frame window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.CurationQueries.curriculumOrder(spark, sf))
+    val frames = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(frames.isEmpty,
+      s"curriculum position must be the range-sort dense id, not a 1-partition window:\n$plan")
+  }
 }
