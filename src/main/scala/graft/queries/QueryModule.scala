@@ -74,28 +74,59 @@ private[queries] object FrameFixture {
   * — on the hash-exact oracle gate: the artifact is built once by the
   * engine (its build path is spec-gated for fidelity), then the whole
   * downstream chain (hash → banding → verify) runs from the stored
-  * values in BOTH engines. Rebuilt per tag per JVM (overwrite),
-  * memoized thereafter — and the memo records WHICH sfDir currently
-  * occupies the tag's single on-disk slot: a later request at a
-  * DIFFERENT scale factor rebuilds (overwriting the slot) instead of
-  * serving the other scale's data as a silent memo hit (VERDICT r13
-  * nit 1: the path is tag-keyed because the oracle SQL references it
-  * literally, so the slot must always hold the LAST-requested scale). */
+  * values in BOTH engines.
+  *
+  * Layout (ADVICE r14): each (tag, sfDir) build lands in its OWN
+  * scale-suffixed directory, built once per JVM and immutable
+  * thereafter, and the ENGINE-side frame reads that concrete
+  * directory — so a frame returned for scale A stays A's data no
+  * matter what is requested later (no interleaved/concurrent
+  * aliasing; the earlier single-slot design could serve scale B's
+  * bytes to a lazily-consumed scale-A frame). The tag-keyed path the
+  * oracle SQL references literally is a SYMLINK, atomically repointed
+  * to the concrete directory of the LAST-requested scale on every
+  * call — which is exactly the sequential Verify-then-DuckDB contract
+  * the driver runs (Verify at one scale, compare, next scale). */
 private[graft] object OracleArtifact {
-  // tag -> the sfDir whose artifact currently occupies dir(tag)
-  private val current = new scala.collection.concurrent.TrieMap[String, String]
-  def dir(tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_oracle_store/$tag"
+  // (tag, sfDir) -> the concrete scale-suffixed dir already built this JVM
+  private val built = new scala.collection.concurrent.TrieMap[(String, String), String]
+  private def root: String = s"${sys.props("java.io.tmpdir")}/graft_oracle_store"
+  def dir(tag: String): String = s"$root/$tag"
+  /** The concrete per-scale directory (what Spark-side frames read). */
+  private[queries] def scaleDir(tag: String, sfDir: String): String =
+    s"$root/${tag}__${new java.io.File(sfDir).getName}"
   /** The DuckDB-side table expression for an artifact. */
   def sql(tag: String): String = s"read_parquet('${dir(tag)}/*.parquet')"
   def apply(spark: SparkSession, tag: String, sfDir: String)(build: => DataFrame): DataFrame = {
-    current.synchronized {
-      if (!current.get(tag).contains(sfDir)) {
-        build.write.mode("overwrite").parquet(dir(tag))
-        current.put(tag, sfDir)
+    val concrete = built.synchronized {
+      val d = built.getOrElseUpdate((tag, sfDir), {
+        build.write.mode("overwrite").parquet(scaleDir(tag, sfDir))
+        scaleDir(tag, sfDir)
+      })
+      // repoint the oracle symlink to this scale's build (atomic move
+      // of a fresh link over the tag path; a stale real directory from
+      // a pre-symlink run is cleared first)
+      val link = java.nio.file.Paths.get(dir(tag))
+      val target = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.isSymbolicLink(link)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(link.toFile)
       }
+      if (!java.nio.file.Files.isSymbolicLink(link) ||
+          java.nio.file.Files.readSymbolicLink(link) != target) {
+        val tmp = java.nio.file.Paths.get(s"$d.lnk_${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.createSymbolicLink(tmp, target)
+        java.nio.file.Files.move(tmp, link,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      d
     }
-    spark.read.parquet(dir(tag))
+    spark.read.parquet(concrete)
   }
 }
 

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.StructType
   * of `(doc_id, source, …)` records,
   *
   *  1. blocklisted domains route straight to `overflowDir` (reason
-  *     `blocked`);
+  *     `blocked`), and NULL-source records — which have no quota
+  *     identity — route there too (reason `null_source`), so every
+  *     input row lands in exactly one sink;
   *  2. each surviving domain's REMAINING quota is `cap` minus the
   *     PERSISTED admitted count; the batch's documents rank within
   *     their domain in md5-of-id order (the repo's deterministic draw
@@ -73,14 +75,21 @@ object DomainCapStream {
                 s"blocklist=[${meta.getString(1)}], probed with cap=$cap " +
                 s"blocklist=[$blockStamp] — a drifted quota admits a different " +
                 "set under replay; rebuild the ledger instead")
-            // split off blocked domains first — they never touch quota
+            // split off blocked domains first — they never touch quota.
+            // NULL-source rows satisfy neither isin(...) nor !isin(...)
+            // (both predicates evaluate to NULL) and have no quota
+            // identity at all, so they route to overflow with their own
+            // reason — the ClassifierFilterStream unscoreable
+            // discipline; without the coalesce they would land in
+            // NEITHER sink and silently vanish (ADVICE r14).
             val rows = scope.pin(batch)
-            val blocked =
-              if (blocklist.isEmpty) rows.limit(0)
-              else rows.filter(col("source").isin(blocklist: _*))
-            val eligible =
-              if (blocklist.isEmpty) rows
-              else rows.filter(!col("source").isin(blocklist: _*))
+            val isNullSrc = col("source").isNull
+            val isBlocked =
+              if (blocklist.isEmpty) lit(false)
+              else coalesce(col("source").isin(blocklist: _*), lit(false))
+            val unrouted = rows.filter(isNullSrc)
+            val blocked = rows.filter(isBlocked && !isNullSrc)
+            val eligible = rows.filter(!isBlocked && !isNullSrc)
             // persisted per-domain admitted counts (crash guard:
             // exclude this batch's own generation)
             val (live, dead) = FileQueue.liveGenerations(spark, countsDir, batchId)
@@ -107,6 +116,7 @@ object DomainCapStream {
               .drop("__rk", "__used", "__rem")
               .withColumn("reason", lit("quota"))
               .unionByName(blocked.withColumn("reason", lit("blocked")))
+              .unionByName(unrouted.withColumn("reason", lit("null_source")))
               .write.mode("overwrite").parquet(s"$overflowDir/batch_$batchId")
             // append this batch's admissions to the ledger (+ compact)
             val delta = admitted.groupBy("source").agg(count(lit(1)).as("n_admitted"))

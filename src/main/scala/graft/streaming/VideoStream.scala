@@ -81,6 +81,11 @@ object VideoStream {
             // (frame_idx = -1) instead of a throw — routed to the
             // reject sink below, so a corrupt record cannot wedge the
             // stream under crash replay (the MediaStream discipline).
+            // A container that PARSES but yields zero frames gets the
+            // same sentinel: it produces no shingles, no bands, and no
+            // store rows, so without the sentinel it would reach
+            // neither framesDir nor rejects and silently vanish — the
+            // every-input-routes-somewhere invariant (ADVICE r14).
             // Pinned: the decode pass feeds the frames write AND the
             // shingle build — without the pin every consumer re-decodes
             // the batch's payloads.
@@ -89,8 +94,9 @@ object VideoStream {
                 .as(Encoders.product[(Long, Array[Byte])])
                 .mapPartitions(_.flatMap { case (id, bytes) =>
                   Multimodal.videoFrameHashes(bytes, gw, gh) match {
-                    case Some(hs) => hs.zipWithIndex.map { case (h, i) => (id, i, h) }
-                    case None => Seq((id, -1, ""))
+                    case Some(hs) if hs.nonEmpty =>
+                      hs.zipWithIndex.map { case (h, i) => (id, i, h) }
+                    case _ => Seq((id, -1, ""))
                   }
                 })(Encoders.product[(Long, Int, String)])
                 .toDF("media_id", "frame_idx", "fhash"))

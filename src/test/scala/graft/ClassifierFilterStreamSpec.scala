@@ -92,8 +92,12 @@ class ClassifierFilterStreamSpec extends AnyFunSuite {
     val badDim = ClassifierFilterStream.start(spark, bronze, schema, s"$base/archive",
       s"$base/state", s"$base/pass", s"$base/drop", s"$base/ckpt",
       weights, n = N, dim = Dim * 2)
+    // specifically the frozen-filter guard, not just any failure (ADVICE r14)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e1 = intercept[Exception] { badDim.awaitTermination(120000); badDim.processAllAvailable() }
-    assert(e1.getMessage != null)
+    assert(msgs(e1).exists(m => m.contains("drifted") && m.contains(s"dim=${Dim * 2}")),
+      s"unexpected failure: ${msgs(e1)}")
     val drifted = QualityClassifier.train(
       labeled.withColumn("text", concat(col("text"), lit(" extra"))),
       col("doc_id"), col("text"), col("y"), N, Dim, epochs = 2)
@@ -101,6 +105,7 @@ class ClassifierFilterStreamSpec extends AnyFunSuite {
       s"$base/state", s"$base/pass", s"$base/drop", s"$base/ckpt",
       drifted, n = N, dim = Dim)
     val e2 = intercept[Exception] { badModel.awaitTermination(120000); badModel.processAllAvailable() }
-    assert(e2.getMessage != null)
+    assert(msgs(e2).exists(m => m.contains("drifted") && m.contains("modelDigest")),
+      s"unexpected failure: ${msgs(e2)}")
   }
 }

@@ -80,6 +80,9 @@ class ClfTrainStreamSpec extends AnyFunSuite {
       s"$base/state", s"$base/model", s"$base/ckpt", n = N, dim = Dim * 2,
       compactEvery = 3)
     val e = intercept[Exception] { bad.awaitTermination(120000); bad.processAllAvailable() }
-    assert(e.getMessage != null)
+    // specifically the geometry guard, not just any failure (ADVICE r14)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("incomparable")), s"unexpected failure: ${msgs(e)}")
   }
 }

@@ -37,14 +37,18 @@ class DomainCapStreamSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
 
     // batch 0: domain a has 2 docs (under cap 3), b has 1; a blocked
-    // domain's doc overflows with reason "blocked"
+    // domain's doc overflows with reason "blocked"; a NULL-source doc
+    // (no quota identity — it satisfies neither isin nor NOT isin)
+    // must route to overflow with its own reason, not silently vanish
+    // (ADVICE r14)
     Files.write(java.nio.file.Paths.get(bronze, "f0.json"), Seq(
-      rec(1, "a"), rec(2, "a"), rec(3, "b"), rec(4, "bad")).mkString("\n").getBytes)
+      rec(1, "a"), rec(2, "a"), rec(3, "b"), rec(4, "bad"),
+      """{"doc_id":5,"source":null}""").mkString("\n").getBytes)
     run()
     assert(ids("admit", 0) == Set(1L, 2L, 3L))
     val o0 = spark.read.parquet(s"$base/overflow/batch_0")
       .select("doc_id", "reason").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(o0 == Set((4L, "blocked")))
+    assert(o0 == Set((4L, "blocked"), (5L, "null_source")))
 
     // batch 1: THREE more domain-a docs against 1 remaining slot — the
     // md5 draw picks which one is admitted (deterministic, not arrival
@@ -104,12 +108,17 @@ class DomainCapStreamSpec extends AnyFunSuite {
     val badCap = DomainCapStream.start(spark, bronze, schema, s"$base/archive",
       s"$base/state", s"$base/admit", s"$base/overflow", s"$base/ckpt",
       cap = 4, blocklist = Seq("bad"), compactEvery = 3)
+    // specifically the frozen-quota guard, not just any failure (ADVICE r14)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e1 = intercept[Exception] { badCap.awaitTermination(120000); badCap.processAllAvailable() }
-    assert(e1.getMessage != null)
+    assert(msgs(e1).exists(m => m.contains("quotas frozen") && m.contains("cap=4")),
+      s"unexpected failure: ${msgs(e1)}")
     val badBlock = DomainCapStream.start(spark, bronze, schema, s"$base/archive",
       s"$base/state", s"$base/admit", s"$base/overflow", s"$base/ckpt",
       cap = 3, blocklist = Seq("other"), compactEvery = 3)
     val e2 = intercept[Exception] { badBlock.awaitTermination(120000); badBlock.processAllAvailable() }
-    assert(e2.getMessage != null)
+    assert(msgs(e2).exists(m => m.contains("quotas frozen") && m.contains("other")),
+      s"unexpected failure: ${msgs(e2)}")
   }
 }

@@ -165,7 +165,7 @@ class QualityClassifierSpec extends AnyFunSuite {
       Seq(graft.operators.Bpe.MergeRule(0, "a", "b", 1L)), tok)
     val e2 = intercept[IllegalArgumentException] {
       QualityClassifier.loadModel(spark, tok, N, Dim) }
-    assert(e2.getMessage != null)
+    assert(e2.getMessage.contains("is not a"), s"unexpected failure: ${e2.getMessage}")
   }
 
   test("null text is unscoreable (no row); short text rides the bias bucket") {

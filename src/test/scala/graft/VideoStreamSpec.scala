@@ -82,7 +82,11 @@ class VideoStreamSpec extends AnyFunSuite {
       s"$base/frames", s"$base/state", s"$base/pairs", s"$base/ckpt",
       threshold = 0.7)
     val err = intercept[Exception] { bad.awaitTermination(120000); bad.processAllAvailable() }
-    assert(err.getMessage != null)
+    // specifically the frozen-params guard, not just any failure
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(m => m.contains("rebuild the index") && m.contains("threshold=0.7")),
+      s"unexpected failure: ${msgs(err)}")
   }
 
   test("unparsable container routes to rejects — never a poison pill") {
@@ -98,17 +102,25 @@ class VideoStreamSpec extends AnyFunSuite {
       .trim.substring(0, 460)
     val aviA = MediaSynth.aviFor(textA)
     val garbage = Array.tabulate[Byte](128)(i => (i * 13 + 5).toByte)
-    // batch 0: one real video plus one garbage payload — the batch
-    // commits (frames persisted), the corrupt record is routed
+    // a container that PARSES but carries zero frames is the same
+    // silent-vanish class as the unparsable one: it yields no shingles
+    // and no store rows, so it must route to rejects too (ADVICE r14)
+    val zeroFrames = MediaSynth.aviBytes(MediaSynth.FrameW, MediaSynth.FrameH,
+      MediaSynth.FrameUs, Seq.empty)
+    assert(Multimodal.videoFrameHashes(zeroFrames).exists(_.isEmpty))
+    // batch 0: one real video plus one garbage payload and one
+    // zero-frame container — the batch commits (frames persisted),
+    // both degenerate records are routed
     Files.write(java.nio.file.Paths.get(bronze, "f0.json"), Seq(
-      rec(1, aviA), rec(2, garbage)).mkString("\n").getBytes)
+      rec(1, aviA), rec(2, garbage), rec(3, zeroFrames)).mkString("\n").getBytes)
     run()
     val rejected = spark.read.parquet(s"$base/state/rejects/batch_0")
       .collect().map(_.getLong(0)).toSet
-    assert(rejected == Set(2L))
+    assert(rejected == Set(2L, 3L))
     val frames = spark.read.parquet(s"$base/frames/batch_0")
     assert(frames.filter(col("media_id") === 1L).count() == 8)
     assert(frames.filter(col("media_id") === 2L).isEmpty)
+    assert(frames.filter(col("media_id") === 3L).isEmpty)
     // the stream is NOT wedged: a truncated variant arriving next still
     // pairs with the original through the persisted band state
     val vA = Multimodal.HeaderDecoder.aviVideo(aviA).get
