@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Bpe, Sample, TextStats, Unigram}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family over `documents` (token counts, quality ratios,
@@ -179,6 +179,48 @@ object TextQueries extends QueryModule {
         expr("approx_percentile(n_chars, 0.9, 1000)").as("ap90"),
         expr("approx_percentile(n_chars, 0.99, 1000)").as("ap99"))
       .orderBy("lang")
+
+  /** The percentile sketch's RANK GUARANTEE on the hash-exact oracle
+    * gate (q_len_quantiles_bound — VERDICT r14 item 1): Greenwald-
+    * Khanna with accuracy `a` returns an OBSERVED value whose rank is
+    * within `n/a` of the target rank, and that is checkable without
+    * ever hashing the engine-specific estimate. One pass computes the
+    * per-group sketch values; a second conditional-count pass ranks
+    * each sketch value against its own group — the returned value `v`
+    * occupies one-based ranks `(cnt_lt(v), cnt_le(v)]`, and the flag
+    * asserts that interval intersects `p·n ± (n/a + 1)` (the `+1`
+    * absorbs the zero/one-based rank convention). All comparisons are
+    * permille-integer; the exact type-7 percentiles ride along so the
+    * row still carries oracle-recomputable VALUES, and DuckDB expects
+    * every flag true. Scale shape: two aggregates over a narrow
+    * 2-column scan, sketch table broadcast (|langs| rows). */
+  def lenQuantilesBound(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("n_chars"))
+    val ap = docs.groupBy("lang").agg(
+      expr("approx_percentile(n_chars, 0.5, 1000)").as("__a50"),
+      expr("approx_percentile(n_chars, 0.9, 1000)").as("__a90"),
+      expr("approx_percentile(n_chars, 0.99, 1000)").as("__a99"))
+    def le(v: Column) = sum(when(col("n_chars") <= v, 1L).otherwise(0L))
+    def lt(v: Column) = sum(when(col("n_chars") < v, 1L).otherwise(0L))
+    def flag(ltC: Column, leC: Column, p1000: Int): Column =
+      ((ltC + 1) * 1000 <= lit(p1000 + 1) * col("n_docs") + 1000 &&
+        leC * 1000 >= lit(p1000 - 1) * col("n_docs") - 1000).cast("int")
+    docs.join(broadcast(ap), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Rnd.r(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        Rnd.r(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        Rnd.r(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+        lt(col("__a50")).as("__lt50"), le(col("__a50")).as("__le50"),
+        lt(col("__a90")).as("__lt90"), le(col("__a90")).as("__le90"),
+        lt(col("__a99")).as("__lt99"), le(col("__a99")).as("__le99"))
+      .select(col("lang"), col("n_docs"), col("p50"), col("p90"), col("p99"),
+        flag(col("__lt50"), col("__le50"), 500).as("w50"),
+        flag(col("__lt90"), col("__le90"), 900).as("w90"),
+        flag(col("__lt99"), col("__le99"), 990).as("w99"))
+      .orderBy("lang")
+  }
 
   /** Gopher-style repetition quality gates: per-doc duplicate-word and
     * top-bigram coverage permilles plus the keep/drop flag a curation
@@ -706,6 +748,7 @@ object TextQueries extends QueryModule {
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles,
     "q_len_quantiles_approx" -> lenQuantilesApprox,
+    "q_len_quantiles_bound" -> lenQuantilesBound,
     "q_text_repetition" -> textRepetition,
     "q_chunk_overlap" -> chunkOverlap)
 
@@ -1211,6 +1254,19 @@ object TextQueries extends QueryModule {
          |  ${Rnd.sql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
          |  ${Rnd.sql("quantile_cont(n_chars, 0.9)", 4)} AS p90,
          |  ${Rnd.sql("quantile_cont(n_chars, 0.99)", 4)} AS p99
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the oracle recomputes the exact side (counts + type-7
+    // percentiles) and expects the engine's rank-guarantee flags to be
+    // uniformly true — the sketch's published bound is what is hashed,
+    // never its engine-specific estimate
+    "q_len_quantiles_bound" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.9)", 4)} AS p90,
+         |  ${Rnd.sql("quantile_cont(n_chars, 0.99)", 4)} AS p99,
+         |  CAST(1 AS INTEGER) AS w50,
+         |  CAST(1 AS INTEGER) AS w90,
+         |  CAST(1 AS INTEGER) AS w99
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // permilles as floor of the SAME IEEE double division Spark
     // performs (exact-quotient / floor-agreement bound in the operator
