@@ -151,6 +151,68 @@ object Sample {
     * the corpus never shuffles. Order the result with the md5-of-
     * (key, epoch) rank (see q_corpus_mix) for the interleaved training
     * order. */
+  /** TEMPERATURE-weighted domain mixture — the GPT-3/PaLM/mT5 data-
+    * mixing knob, where per-domain sampling weights are derived FROM
+    * the domain counts instead of being handed in ([[mixByWeights]]'s
+    * job): domain d gets weight `n_d^T / Σ n^T`, flattening the head
+    * (a big domain contributes less than proportionally) while keeping
+    * the tail (α-sampling, Conneau & Lample 2019; `mC4`'s exponent).
+    * Implemented at the canonical `T = 1/2` operating point in EXACT
+    * integer arithmetic: `w_d = isqrt(n_d · scale²)` — IEEE sqrt is a
+    * correctly-rounded basic operation in every engine, and for
+    * integer arguments `< 2^52` (guarded) its floor equals the true
+    * integer square root, because a non-square argument keeps
+    * `sqrt(x)` at least `1/(2·isqrt(x)+1)` away from the nearest
+    * integer, far above half-ulp — so both engines compute the SAME
+    * longs and the mixture is hash-oracle-exact. Other dyadic T values
+    * swap the weight expression (e.g. iterated isqrt for T = 1/4);
+    * non-dyadic T needs libm `pow`, whose final ulps differ across
+    * engines — off the oracled path by design.
+    *
+    * Admission is the deterministic md5-threshold draw: doc k of
+    * domain d survives iff `hex32(md5('tmix:' || k)) < t_d` with
+    * `t_d = min(2^32, ((2^32·w_d) div W)·(N div targetDiv) div n_d)` —
+    * the scaled-integer spelling of the per-domain rate
+    * `p_d = N_target·w_d / (W·n_d)`, capped at certainty for tiny
+    * upweighted domains. Expected output ≈ `N div targetDiv` rows with
+    * per-domain proportions `∝ w_d`. Every division is integral and
+    * engine-exact; int64 headroom holds to corpus sizes ~2^52/scale²
+    * per domain and `2^32·N_target ≤ 2^63` overall — beyond that the
+    * same formula runs in decimal(38,0) unchanged.
+    *
+    * Plan shape (the [[balanceByUpsampling]] discipline): the count
+    * aggregate collapses map-side to |domains| rows; totals ride a
+    * window over that already-aggregated tiny frame; the threshold
+    * table joins back by BROADCAST; admission is a narrow filter — the
+    * corpus itself is never shuffled. */
+  def temperatureMix(df: DataFrame, keyCol: Column, domainCol: Column,
+      targetDiv: Long = 4, scale: Long = 1000): DataFrame = {
+    require(targetDiv >= 1, s"temperatureMix: targetDiv must be >= 1, got $targetDiv")
+    require(scale >= 1 && scale <= 1000000,
+      s"temperatureMix: scale must be in [1, 1e6], got $scale")
+    val guardMax = (1L << 52) / (scale * scale)
+    val counts = df.groupBy(domainCol.as("__dom")).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      when(col("__n") <= guardMax,
+        floor(sqrt((col("__n") * lit(scale * scale)).cast("double"))).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"temperatureMix: domain count exceeds the exact-isqrt guard $guardMax: "),
+          col("__n").cast("string")))))
+    val tot = weighted.select(col("__dom"), col("__n"), col("__w"),
+      sum(col("__w")).over(Window.partitionBy()).as("__sw"),
+      sum(col("__n")).over(Window.partitionBy()).as("__sn"))
+    val thr = tot.select(col("__dom"), col("__n").as("n_dom"), col("__w").as("w_scaled"),
+      least(lit(1L << 32),
+        expr(s"(((4294967296 * __w) DIV __sw) * (__sn DIV $targetDiv)) DIV __n"))
+        .as("thresh"))
+    val u32 = conv(substring(
+      md5(concat(lit("tmix:"), keyCol.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(thr), domainCol === col("__dom"))
+      .filter(u32 < col("thresh"))
+      .drop("__dom")
+  }
+
   def mixByWeights(df: DataFrame, keyCol: Column, sourceCol: Column,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixByWeights: empty weight map")

@@ -85,6 +85,23 @@ object SampleQueries extends QueryModule {
       .orderBy("pos")
   }
 
+  /** Temperature-weighted domain mixture (q_domain_mix,
+    * [[graft.operators.Sample.temperatureMix]]): the mT5/GPT-3
+    * α-sampling knob at T = 1/2, run over the LANGUAGE domains — the
+    * one skewed natural grouping in this corpus (`en` is ~44%; `source`
+    * is uniform by construction, so a source-keyed mixture would
+    * exercise nothing). The head flattens (en admits at ~0.18) while
+    * the tail keeps more of its mass (~0.32 at this skew); weights,
+    * thresholds, and the admitted SET are all integer-exact, and the
+    * oracle replays counts, the scaled isqrt, both integral divisions,
+    * and the salted md5 draw. */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame =
+    Sample.temperatureMix(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"))
+      .select(col("lang"), col("doc_id"), col("n_dom"), col("w_scaled"), col("thresh"))
+      .orderBy("lang", "doc_id")
+
   /** Deterministic corpus SHUFFLE for training order: position = dense
     * rank in md5-of-id order — the distributed spelling of a data
     * loader's seeded permutation (every engine and every re-run agrees
@@ -103,6 +120,7 @@ object SampleQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_mix" -> corpusMix,
+    "q_domain_mix" -> domainMix,
     "q_corpus_shuffle" -> corpusShuffle,
     "q_sample_hash" -> sampleHash,
     "q_sample_strat" -> sampleStrat,
@@ -119,6 +137,24 @@ object SampleQueries extends QueryModule {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // T = 1/2 mixture replay: counts → scaled isqrt weights → the two
+    // integral divisions → the salted md5 admission draw. DuckDB SUMs
+    // are HUGEINT, so every emitted integer is CAST back to BIGINT.
+    "q_domain_mix" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |t AS (SELECT lang, n, w,
+        |    CAST(LEAST(4294967296,
+        |      ((4294967296 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w))
+        |      * ((SELECT CAST(SUM(n) AS BIGINT) FROM w) // 4) // n) AS BIGINT) AS thresh
+        |  FROM w)
+        |SELECT d.lang, d.doc_id, t.n AS n_dom, t.w AS w_scaled, t.thresh
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      < t.thresh
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH w(source, f, gate) AS (VALUES $mixValuesSql),
          |m AS (SELECT d.doc_id, d.source, r.epoch
