@@ -153,6 +153,64 @@ object CurationQueries extends QueryModule {
       .orderBy("pos")
   }
 
+  /** The incremental curriculum's persisted state: the OLD corpus's
+    * score DISTRIBUTION — per distinct `avg_surprisal` value, how many
+    * old docs carry it (the quota-ledger discipline applied to ranks:
+    * an incremental curator keeps this table on disk and never
+    * re-scores or re-sorts scheduled data; its size is bounded by
+    * distinct score values, and the scores are already scaled
+    * integers, so a production system quantizes the same way). Old =
+    * `doc_id % 10 < 8`, scored under the SAME frozen en-reference
+    * bigram artifact every curriculum consumer reads. */
+  private def curriculumDistOldStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "curriculum_dist_old", sfDir) {
+      val old = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+      graft.operators.NgramLm.score(old, col("doc_id"), col("text"),
+          TextQueries.lmModelStore(spark, sfDir))
+        .groupBy("avg_surprisal").agg(count(lit(1)).as("n_at"))
+    }
+
+  /** INCREMENTAL curriculum ordering (q_curriculum_incr): the arriving
+    * batch (`doc_id % 10 ≥ 8`) is assigned its positions in the MERGED
+    * curriculum against the persisted score distribution — old docs
+    * are never re-scored, re-sorted, or even re-read (only their
+    * aggregated distribution is). Ties in score break OLD-FIRST (the
+    * stable-insert rule: an arriving batch never reorders already-
+    * scheduled data among itself, it interleaves after equals), then
+    * by doc_id within the batch.
+    *
+    * Scale shape: ONE distributed prefix-sum pass
+    * ([[graft.operators.PrefixSum.withRunningTotal]] — range-sort +
+    * per-partition subtotals, never a whole-frame window) over the
+    * tagged union of distribution deltas (weight = n_at) and batch
+    * rows (weight = 1): a batch row's inclusive running total IS its
+    * merged 1-based position — `#old(score ≤ s) + #new((s,id) ≤
+    * (s,id))` in one number, O(|state| + |batch|) per batch.
+    *
+    * The oracle states "incremental == full" directly: it ranks the
+    * WHOLE corpus by `(score, is_new, doc_id)` and restricts to the
+    * batch — one drifted position anywhere mismatches. */
+  def curriculumIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8)
+    val scored = graft.operators.NgramLm.score(batch, col("doc_id"), col("text"),
+        TextQueries.lmModelStore(spark, sfDir))
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("avg_surprisal"))
+    val tagged = curriculumDistOldStore(spark, sfDir)
+      .select(col("avg_surprisal"), lit(0).as("__side"),
+        lit(-1L).as("doc_id"), col("n_at").as("__w"))
+      .unionByName(scored.select(col("avg_surprisal"), lit(1).as("__side"),
+        col("doc_id"), lit(1L).as("__w")))
+    graft.operators.PrefixSum.withRunningTotal(tagged,
+        Seq(col("avg_surprisal"), col("__side"), col("doc_id")), col("__w"), "pos",
+        // (score, side, doc_id) is already total: state rows are unique
+        // per score, batch rows per doc_id — skip the content hash
+        tieBreaker = Some(col("doc_id")))
+      .filter(col("__side") === 1)
+      .select(col("doc_id"), col("avg_surprisal"), col("pos"))
+      .orderBy("pos")
+  }
+
   /** Domain blocklist + per-domain cap — the SAME constants feed both
     * engines. */
   private[graft] val DomainBlocklist = Seq("src3", "src7")
@@ -261,6 +319,7 @@ object CurationQueries extends QueryModule {
     "q_quality_clf" -> qualityClf,
     "q_quality_clf_incr" -> qualityClfIncr,
     "q_curriculum_order" -> curriculumOrder,
+    "q_curriculum_incr" -> curriculumIncr,
     "q_domain_cap" -> domainCap,
     "q_domain_cap_incr" -> domainCapIncr)
 
@@ -268,6 +327,7 @@ object CurationQueries extends QueryModule {
     clfWeightsStore(spark, sfDir)
     clfCountsOldStore(spark, sfDir)
     domainUsedOldStore(spark, sfDir)
+    curriculumDistOldStore(spark, sfDir)
     ()
   }
 
@@ -348,6 +408,17 @@ object CurationQueries extends QueryModule {
          |SELECT doc_id, n_feats, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // "incremental == full" stated directly: the oracle ranks the WHOLE
+    // corpus in the merged order (score, old-first, doc_id) and
+    // restricts to the batch — the incremental prefix-sum positions
+    // must equal the full re-rank's
+    "q_curriculum_incr" ->
+      s"""WITH base AS (${TextQueries.oracles("q_lm_score")}),
+         |m AS (SELECT doc_id, avg_surprisal,
+         |    ROW_NUMBER() OVER (ORDER BY avg_surprisal, (doc_id % 10 >= 8), doc_id) AS pos
+         |  FROM base)
+         |SELECT doc_id, avg_surprisal, pos FROM m
+         |WHERE doc_id % 10 >= 8 ORDER BY pos""".stripMargin,
     // the full q_lm_score replay (training + smoothing + scoring)
     // chained into the curriculum rank
     "q_curriculum_order" ->
