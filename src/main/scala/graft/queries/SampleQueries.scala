@@ -40,6 +40,30 @@ object SampleQueries extends QueryModule {
       .select(col("doc_id"), col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
       .orderBy("doc_id")
 
+  /** Shard-manifest interchange on the oracle gate (q_shard_manifest,
+    * [[graft.operators.ShardManifest]] — VERDICT r14 item 5): the
+    * packed corpus above no longer ends at a frame — its per-shard
+    * manifest (row count, summed units, order-free 60-bit XOR digest)
+    * is BUILT, SAVED under the stamped contract, RE-LOADED through the
+    * validating loader, and only THEN emitted, so the interchange
+    * round-trip itself sits on the correctness gate (the
+    * q_bpe_encode_bytes discipline). DuckDB recomputes every manifest
+    * row from the same packing replay — a drifted digest, count, or a
+    * lost shard mismatches. */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = PrefixSum.packByBudget(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), PackBudget, "bin",
+      tieBreaker = Some(col("doc_id")))
+    val m = graft.operators.ShardManifest.build(
+      packed, col("bin"), col("doc_id"), col("n_chars"), PackBudget)
+    val path = s"${Scratch.root}/shard_manifest_${new java.io.File(sfDir).getName}"
+    graft.operators.ShardManifest.save(m, path)
+    graft.operators.ShardManifest.load(spark, path)
+      .select(col("shard"), col("n_rows"), col("n_units"), col("digest"))
+      .orderBy("shard")
+  }
+
   /** Length-weighted Bernoulli sample: longer documents proportionally
     * likelier, decided by exact integer cross-multiplication (no float
     * op — see the operator note), per-key reproducible. */
@@ -126,7 +150,8 @@ object SampleQueries extends QueryModule {
     "q_sample_strat" -> sampleStrat,
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_balance" -> sampleBalance,
-    "q_pack_sequences" -> packSequences)
+    "q_pack_sequences" -> packSequences,
+    "q_shard_manifest" -> shardManifest)
 
   /** (source, full epochs, fractional-gate threshold) VALUES rows for
     * the oracle — the SAME driver-computed constants the plan uses. */
@@ -196,6 +221,17 @@ object SampleQueries extends QueryModule {
         |  unnest(list_transform(range(0, f.r), e -> e)) AS epoch
         |FROM documents d JOIN f USING (lang)
         |ORDER BY doc_id, epoch""".stripMargin,
+    // the manifest replay: the same packing window, then per-shard
+    // counts, unit sums, and the order-free XOR of row signatures
+    "q_shard_manifest" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |    CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)
+         |      / $PackBudget.0) AS BIGINT) AS bin
+         |  FROM documents)
+         |SELECT bin AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_units,
+         |  CAST(bit_xor(${graft.operators.ShardManifest.rowSigSql("doc_id", "n_chars")}) AS BIGINT) AS digest
+         |FROM p GROUP BY bin ORDER BY shard""".stripMargin,
     "q_pack_sequences" ->
       s"""SELECT doc_id, n_chars,
          |  CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,
