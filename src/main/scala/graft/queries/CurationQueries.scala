@@ -313,7 +313,288 @@ object CurationQueries extends QueryModule {
       .orderBy("source", "rk")
   }
 
+  /** The pipeline's per-domain cap — deliberately TIGHTER than
+    * [[DomainCap]]: at the flagship's post-filter survivor density the
+    * production cap of 20 never binds (a stage that verifies nothing —
+    * the 0-row trap's quieter sibling), while 2 binds PARTIALLY at
+    * sf0.01 (28 → 21 measured) and saturates most domains at sf0.1
+    * (≈310 → 36) — both ledger regimes on the gate. */
+  private[graft] val PipelineCap = 2
+
+  /** The END-TO-END text-curation FLAGSHIP (q_curation_pipeline — the
+    * text analog of q_multimodal_pipeline, VERDICT r14 item 2): the
+    * complete curation family as ONE plan over the planted corpus view
+    * ([[clfCorpus]]'s marked text — the frozen classifier artifact's
+    * own training domain, so the learned stage is honest):
+    *
+    *   1. heuristic gates ([[graft.operators.TextStats.withGateFlags]]
+    *      — the Gopher/C4 rule conjunction),
+    *   2. learned contamination screen ([[QualityClassifier.score]]
+    *      under the DEPLOYED rate artifact [[clfWeightsStore]]: docs
+    *      the model assigns to the planted curated-reference domain
+    *      (score > 0) are EXCLUDED — the decontamination polarity,
+    *      which also keeps the downstream stages dense (the keep
+    *      polarity would thin the corpus to the marked third's gate
+    *      survivors),
+    *   3. reference-LM filter ([[graft.operators.NgramLm
+    *      .scoreBackoffPruned]] against the persisted PRUNED 5-gram
+    *      artifact): keep docs at or below the survivor-mean scaled
+    *      surprisal — a distribution-relative cut (CCNet buckets by
+    *      perplexity quantile; the integer mean is the exact-arithmetic
+    *      stand-in) computed as one tiny aggregate broadcast back,
+    *   4. exact dedup among survivors ([[graft.operators.Dedup
+    *      .exactByDigest]] — digests shuffle, never text bytes),
+    *   5. near-dup drop by the CORPUS-WIDE minhash cluster labels
+    *      ([[graft.operators.Dedup.clusters]] over
+    *      [[DedupQueries.verifiedPairs]] — dedup services label the
+    *      whole corpus once, not per-pipeline-run),
+    *   6. domain curation: blocklist anti-join + per-domain cap
+    *      [[PipelineCap]] in md5-draw order (the [[domainCap]]
+    *      machinery, bounded `top_k_by` — no corpus window),
+    *   7. curriculum ordering by the STAGE-3 scores (one LM pass feeds
+    *      both the filter and the order — cleanest-first positions via
+    *      the distributed dense rank), and
+    *   8. sequence packing ([[graft.operators.PrefixSum.packByBudget]])
+    *      of the ordered survivors into [[SampleQueries.PackBudget]]
+    *      bins — the loader-facing artifact.
+    *
+    * Every stage is an individually-oracled operator; the composed
+    * DuckDB oracle (the q_corpus_pipeline pattern) replays ALL of them
+    * — classifier training, the pruned-LM build, the minhash closure —
+    * in one statement, so one drifted stage anywhere breaks the
+    * flagship row. Scale shape is inherited stage-wise: the corpus
+    * crosses one narrow gate pass, one feature aggregate, one 5-gram
+    * join ladder, one digest aggregate, and one bounded per-domain
+    * top-k; clusters/blocklist/threshold ride broadcasts. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordered = graft.operators.DenseId.withDenseId(
+      curationSurvivors(spark, sfDir),
+      Seq(col("avg_surprisal"), col("doc_id")), "pos")
+    graft.operators.PrefixSum.packByBudget(ordered, Seq(col("pos")),
+        col("n_chars"), SampleQueries.PackBudget, "bin",
+        tieBreaker = Some(col("pos")))
+      .select(col("doc_id"), col("source"), col("avg_surprisal"), col("pos"),
+        col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
+      .orderBy("pos")
+  }
+
+  /** The survivor frame after EACH pipeline stage — shared by the
+    * flagship (which consumes only [[CurationStages.capped]]) and the
+    * funnel report (which counts every member). `gate`/`clf`/`lm`…
+    * are id-frames; `capped` carries the metadata the rank/pack tail
+    * needs. */
+  private final case class CurationStages(
+      pv: DataFrame, gate: DataFrame, clf: DataFrame, lm: DataFrame,
+      exact: DataFrame, near: DataFrame, unblocked: DataFrame, capped: DataFrame)
+
+  /** Stages 1–6 of [[curationPipeline]] (everything before the rank /
+    * packing tail, whose [[graft.operators.DenseId]] RDD hop hides the
+    * upstream plan from inspection) — split out so PlanContractSpec
+    * can pin the filter chain's physical shape. */
+  private[graft] def curationSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    curationStages(spark, sfDir).capped
+
+  private def curationStages(spark: SparkSession, sfDir: String): CurationStages = {
+    import spark.implicits._
+    graft.GraftFunctions.ensure(spark)
+    // the pipeline's corpus: the planted view WITH domain/packing
+    // metadata — feeds the gate pass, both scoring passes, the digest,
+    // and the metadata joins (one scan, pinned)
+    val pv = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(ClfMarker)))
+          .otherwise(col("text")).as("text"))
+      .cache()
+    // 1. heuristic gates
+    val gk = graft.operators.TextStats.withGateFlags(pv, col("text"))
+      .filter(col("keep")).select("doc_id")
+      .cache() // feeds the clf conjunction AND the funnel count
+    // 2. learned screen: drop classifier-flagged reference-domain docs
+    val ck = QualityClassifier.score(pv, col("doc_id"), col("text"),
+        clfWeightsStore(spark, sfDir), ClfN, ClfDim)
+      .filter(col("score") <= 0).select(col("id").as("doc_id"))
+    val s12 = gk.join(ck, Seq("doc_id"), "left_semi")
+      .cache() // feeds the LM scan input AND the funnel count
+    // 3. pruned-LM filter at the survivor-mean surprisal
+    val lms = graft.operators.NgramLm.scoreBackoffPruned(
+        pv.join(s12, Seq("doc_id"), "left_semi"), col("doc_id"),
+        col("text"), TextQueries.lm5pModelStore(spark, sfDir), order = 5)
+      .withColumnRenamed("id", "doc_id")
+      .select("doc_id", "avg_surprisal")
+      .cache() // feeds the mean AND the filter
+    val thr = lms.agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
+    val lk = lms.crossJoin(broadcast(thr))
+      .filter(col("avg_surprisal") <= col("__thr")).drop("__thr")
+    // 4. exact dedup among survivors (min doc_id per content digest)
+    val ek = graft.operators.Dedup.exactByDigest(
+        pv.join(lk.select("doc_id"), Seq("doc_id"), "left_semi"),
+        col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    // 5. near-dup drop by corpus-wide cluster labels
+    val labels = graft.operators.Dedup.clusters(
+      DedupQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    val dropped = labels.filter(col("id") =!= col("canon_id"))
+      .select(col("id").as("__drop"))
+    val s4 = lk.join(ek, Seq("doc_id"), "left_semi")
+      .cache() // feeds the near-dup anti-join AND the funnel count
+    val s45 = s4
+      .join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
+    // 6. domain curation: blocklist + per-domain cap in md5-draw order
+    val block = DomainBlocklist.toDF("source")
+    val enriched = s45.join(pv.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .join(broadcast(block), Seq("source"), "left_anti")
+      .cache() // feeds the cap draw AND the survivor re-join below
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val capped = enriched.select(col("source"), col("doc_id"), (-h).as("__s"))
+      .groupBy("source")
+      .agg(call_function("top_k_by", col("__s"), col("doc_id"), lit(PipelineCap)).as("__top"))
+      .select(posexplode(col("__top")))
+      .select(col("col.payload").as("doc_id"))
+    CurationStages(pv = pv, gate = gk, clf = s12, lm = lk.select("doc_id"),
+      exact = s4, near = s45, unblocked = enriched,
+      capped = enriched.join(capped, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("avg_surprisal"), col("n_chars")))
+  }
+
+  /** The curation FUNNEL report (q_curation_report): survivors after
+    * every [[curationPipeline]] stage — the per-stage kill-rate audit
+    * every production curation run publishes next to its output (the
+    * RefinedWeb/Dolma removal-rate table; without it a silently
+    * over-aggressive stage reads as "pipeline ran fine"). One number
+    * per stage, computed from the SAME stage frames the flagship
+    * consumes (shared plan, pinned inputs), so the report can never
+    * disagree with the pipeline it audits. The oracle replays the
+    * full chain and counts the same eight sets. */
+  def curationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = curationStages(spark, sfDir)
+    def c(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("survivors"))
+        .select(lit(stage).as("stage"), col("survivors"))
+    c("0_input", st.pv)
+      .unionByName(c("1_gate", st.gate))
+      .unionByName(c("2_classifier", st.clf))
+      .unionByName(c("3_lm", st.lm))
+      .unionByName(c("4_exact_dedup", st.exact))
+      .unionByName(c("5_near_dedup", st.near))
+      .unionByName(c("6_blocklist", st.unblocked))
+      .unionByName(c("7_domain_cap", st.capped))
+      .orderBy("stage")
+  }
+
+  /** CROSS-MODAL pair curation (q_crossmodal_pairs — VERDICT r14 item
+    * 3, the LAION pair-filter shape): the corpus's natural doc↔media
+    * pairing (document `d` is the caption of media `d` — media ids ARE
+    * doc ids with `kind = doc_id mod 3` by the corpus contract), kept
+    * iff BOTH sides survive their modality's curation: the text side's
+    * [[DedupQueries.corpusPipeline]] keep-list (exact dedup → near-dup
+    * drop → decontamination → repetition gate) and the media side's
+    * [[MediaQueries.multimodalPipeline]] keep-list (image/audio/video
+    * near-dup closure). Emits keep/drop with per-side flags and a
+    * reason — the audit columns a pair-curation report needs. No new
+    * operator math: the value on trial is the composition, so the
+    * oracle chains BOTH flagship replays into the pair join. Scale
+    * shape: the pair frame joins each keep-list BY KEY (id-partitioned
+    * hash joins — keep-lists are corpus-sized, never driver-collected;
+    * at harness scale AQE broadcasts them, at 100 TB they shuffle on
+    * the same id key the pair table already carries). */
+  def crossmodalPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val textKeep = DedupQueries.corpusPipeline(spark, sfDir)
+      .select(col("doc_id").as("__tk"))
+    val mediaKeep = MediaQueries.multimodalPipeline(spark, sfDir)
+      .select(col("media_id").as("__mk"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("media_id", col("doc_id"))
+      .withColumn("kind",
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .join(textKeep, col("doc_id") === col("__tk"), "left")
+      .join(mediaKeep, col("media_id") === col("__mk"), "left")
+      .select(col("doc_id"), col("media_id"), col("kind"),
+        col("__tk").isNotNull.cast("int").as("doc_kept"),
+        col("__mk").isNotNull.cast("int").as("media_kept"),
+        (col("__tk").isNotNull && col("__mk").isNotNull).cast("int").as("keep"),
+        when(col("__tk").isNotNull && col("__mk").isNotNull, "ok")
+          .when(col("__tk").isNull && col("__mk").isNull, "both_dropped")
+          .when(col("__tk").isNull, "doc_dropped")
+          .otherwise("media_dropped").as("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-document QUALITY-SIGNALS table (q_quality_signals — the
+    * Dolma/RedPajama "annotate, don't filter" artifact): every
+    * curation signal the engine computes, attached to every ORIGINAL
+    * corpus document as columns, with NO filtering — downstream
+    * consumers choose their own thresholds without re-running the
+    * scans. One row per document carrying:
+    *
+    *  - the gate rule inputs + conjunction
+    *    ([[graft.operators.TextStats.withGateFlags]]),
+    *  - the deployed classifier's reference-domain score
+    *    ([[QualityClassifier.score]] under [[clfWeightsStore]] — on
+    *    the original text this is a LIKENESS signal, not a verdict),
+    *  - the pruned reference-LM mean surprisal
+    *    ([[graft.operators.NgramLm.scoreBackoffPruned]]),
+    *  - exact-dup standing (copy count + canonical flag, by content
+    *    digest),
+    *  - near-dup standing (minhash cluster canonical id — own id when
+    *    unclustered),
+    *  - eval-set contamination (winnow-fingerprint hit permille,
+    *    [[DedupQueries.contaminationScore]]).
+    *
+    * Each signal is an individually-oracled operator; the composed
+    * oracle replays all six chains into one row set. Scale shape: six
+    * independent per-document passes (each linear, each already
+    * plan-audited in its home query) joined BY doc_id — no pass ever
+    * sees another's intermediate state, so the whole table
+    * materializes in one id-partitioned join tree. */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars", "text").cache()
+    val gates = graft.operators.TextStats.withGateFlags(docs, col("text"))
+      .select(col("doc_id"), col("n_words"), col("mwl_pm"), col("distinct_pm"),
+        col("stop_hits"), col("keep").cast("int").as("gate_keep"))
+    val clf = QualityClassifier.score(docs, col("doc_id"), col("text"),
+        clfWeightsStore(spark, sfDir), ClfN, ClfDim)
+      .select(col("id").as("doc_id"), col("score").as("clf_score"))
+    val lm = graft.operators.NgramLm.scoreBackoffPruned(docs, col("doc_id"),
+        col("text"), TextQueries.lm5pModelStore(spark, sfDir), order = 5)
+      .select(col("id").as("doc_id"), col("avg_surprisal"))
+    val ex = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("__dg"))
+      .join(graft.operators.Dedup.exactByDigest(docs, col("doc_id"), col("text"))
+          .withColumnRenamed("digest", "__dg"),
+        Seq("__dg"))
+      .select(col("doc_id"), col("n_copies"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_exact_canonical"))
+    val labels = graft.operators.Dedup.clusters(
+        DedupQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("canon_id"))
+    val cont = DedupQueries.contaminationScore(spark, sfDir)
+      .select(col("doc_id"), col("n_fps"), col("n_hits"),
+        col("permille").as("contamination_pm"))
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .join(gates, Seq("doc_id"))
+      .join(clf, Seq("doc_id"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(ex, Seq("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("near_canon_id", coalesce(col("canon_id"), col("doc_id")))
+      .drop("canon_id")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("n_fps", coalesce(col("n_fps"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contamination_pm", coalesce(col("contamination_pm"), lit(0L)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> curationPipeline,
+    "q_curation_report" -> curationReport,
+    "q_quality_signals" -> qualitySignals,
+    "q_crossmodal_pairs" -> crossmodalPairs,
     "q_quality_clf_train" -> qualityClfTrain,
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
@@ -349,14 +630,16 @@ object CurationQueries extends QueryModule {
   }
 
   /** The deployed model's replay: per-bucket class occurrence counts,
-    * class totals, both exact integral divisions. */
-  private def clfRatesSql: String =
+    * class totals, both exact integral divisions. The weight CTE's
+    * name is a parameter because the signals composition also carries
+    * the winnow chain, whose own `w` would collide. */
+  private def clfRatesSql(wName: String = "w"): String =
     s"""cls AS (SELECT b,
        |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
        |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n
        |  FROM tf GROUP BY b),
        |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pt, CAST(SUM(n) AS BIGINT) AS nt FROM cls),
-       |w AS (SELECT b,
+       |$wName AS (SELECT b,
        |    CAST((${QualityClassifier.RateScale} * p) // pt
        |       - (${QualityClassifier.RateScale} * n) // nt AS BIGINT) AS w
        |  FROM cls, tot)""".stripMargin
@@ -382,10 +665,200 @@ object CurationQueries extends QueryModule {
     head + epochs
   }
 
+  /** The flagship's composed replay: every stage of
+    * [[curationPipeline]] in ONE statement — the planted view, the
+    * gate conjunction (the q_quality_gate literals), the full
+    * classifier training + scoring chain ([[clfHeadSql]] /
+    * [[clfRatesSql]]), the pruned 5-gram build + survivor scoring
+    * ([[TextQueries.lm5pModelChainSql]] — per-window CTE renamed `lsc`
+    * to dodge the classifier chain's `sc`), the digest dedup, the
+    * recursive minhash closure ([[DedupQueries.pairChainSql]]), the
+    * capped md5 draw, and the rank + packing windows. */
+  private def pipelineChainSql: String = {
+    val blockList = DomainBlocklist.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE
+       |pv AS (SELECT doc_id, source, n_chars,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '$ClfMarker' ELSE text END AS tm
+       |  FROM documents WHERE text IS NOT NULL),
+       |gs AS (SELECT doc_id,
+       |    len(string_split(lower(tm), ' ')) AS n_words,
+       |    greatest(len(string_split(lower(tm), ' ')), 1) AS n1,
+       |    (length(tm) - len(string_split(lower(tm), ' ')) + 1) * 1000 AS wc1000,
+       |    len(list_distinct(string_split(lower(tm), ' '))) * 1000 AS d1000,
+       |    len(list_intersect(list_distinct(string_split(lower(tm), ' ')),
+       |      ['a','the','and','of','to','in','is','that'])) AS stop_hits
+       |  FROM pv),
+       |gk AS (SELECT doc_id FROM gs WHERE n_words BETWEEN 30 AND 90
+       |  AND wc1000 // n1 BETWEEN 4000 AND 5000 AND stop_hits >= 2
+       |  AND d1000 // n1 >= 450),
+       |$clfHeadSql,
+       |${clfRatesSql()},
+       |csc AS (SELECT f.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+       |  FROM feat f LEFT JOIN w USING (b) GROUP BY f.doc_id),
+       |ck AS (SELECT doc_id FROM csc WHERE score <= 0),
+       |s12 AS (SELECT gk.doc_id FROM gk JOIN ck USING (doc_id)),
+       |${TextQueries.lm5pModelChainSql},
+       |${TextQueries.lm5pScoreChainSql(
+          """
+            |  SELECT p.doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
+            |    list_filter(string_split(lower(p.tm), ' '), w -> w <> '')) AS t
+            |  FROM pv p JOIN s12 USING (doc_id)""".stripMargin, "lsc")},
+       |lms AS (SELECT doc_id, CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+       |  FROM lsc GROUP BY doc_id),
+       |thr AS (SELECT CAST(SUM(avg_surprisal) // COUNT(*) AS BIGINT) AS t FROM lms),
+       |lk AS (SELECT doc_id, avg_surprisal FROM lms, thr WHERE avg_surprisal <= thr.t),
+       |ek AS (SELECT MIN(p.doc_id) AS doc_id FROM pv p JOIN lk USING (doc_id)
+       |  GROUP BY md5(p.tm)),
+       |${DedupQueries.pairChainSql},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+       |  UNION ALL SELECT id_b, id_a FROM ver),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+       |dropped AS (SELECT id FROM labels WHERE id <> canon_id),
+       |s4 AS (SELECT lk.doc_id, lk.avg_surprisal FROM lk JOIN ek USING (doc_id)),
+       |s45 AS (SELECT doc_id, avg_surprisal FROM s4
+       |  WHERE doc_id NOT IN (SELECT id FROM dropped)),
+       |ub AS (SELECT p.source, s.doc_id, s.avg_surprisal, p.n_chars
+       |  FROM s45 s JOIN pv p USING (doc_id)
+       |  WHERE p.source NOT IN ($blockList)),
+       |capr AS (SELECT source, doc_id, avg_surprisal, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+       |               doc_id) AS rk
+       |  FROM ub),
+       |capk AS (SELECT source, doc_id, avg_surprisal, n_chars FROM capr
+       |  WHERE rk <= $PipelineCap)""".stripMargin
+  }
+
+  private def pipelineOracleSql: String =
+    s"""$pipelineChainSql,
+       |ranked AS (SELECT doc_id, source, avg_surprisal, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS pos
+       |  FROM capk)
+       |SELECT doc_id, source, avg_surprisal, pos, n_chars,
+       |  CAST(SUM(n_chars) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,
+       |  CAST(FLOOR((SUM(n_chars) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - n_chars)
+       |    / ${SampleQueries.PackBudget}.0) AS BIGINT) AS bin
+       |FROM ranked ORDER BY pos""".stripMargin
+
+  /** The funnel replay: the same chain, counted after every stage. */
+  private def reportOracleSql: String =
+    s"""$pipelineChainSql
+       |SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS survivors FROM pv
+       |UNION ALL SELECT '1_gate', CAST(COUNT(*) AS BIGINT) FROM gk
+       |UNION ALL SELECT '2_classifier', CAST(COUNT(*) AS BIGINT) FROM s12
+       |UNION ALL SELECT '3_lm', CAST(COUNT(*) AS BIGINT) FROM lk
+       |UNION ALL SELECT '4_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
+       |UNION ALL SELECT '5_near_dedup', CAST(COUNT(*) AS BIGINT) FROM s45
+       |UNION ALL SELECT '6_blocklist', CAST(COUNT(*) AS BIGINT) FROM ub
+       |UNION ALL SELECT '7_domain_cap', CAST(COUNT(*) AS BIGINT) FROM capk
+       |ORDER BY stage""".stripMargin
+
+  /** The signals replay: all six chains — gate inputs, classifier
+    * training (planted view) + original-text scoring, the pruned-LM
+    * build + scoring, digest dedup standing, the recursive minhash
+    * closure, and winnow contamination — joined into one row set. */
+  private def signalsOracleSql: String = {
+    val fnv2 = QualityClassifier.fnvBucketSql("t2", "i", ClfN, ClfDim)
+    s"""WITH RECURSIVE
+       |gs AS (SELECT doc_id,
+       |    len(string_split(lower(text), ' ')) AS n_words,
+       |    greatest(len(string_split(lower(text), ' ')), 1) AS n1,
+       |    (length(text) - len(string_split(lower(text), ' ')) + 1) * 1000 AS wc1000,
+       |    len(list_distinct(string_split(lower(text), ' '))) * 1000 AS d1000,
+       |    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+       |      ['a','the','and','of','to','in','is','that'])) AS stop_hits
+       |  FROM documents),
+       |$clfHeadSql,
+       |${clfRatesSql("cw")},
+       |od AS (SELECT doc_id, lower(text) AS t2 FROM documents WHERE text IS NOT NULL),
+       |feat2 AS (
+       |  SELECT doc_id, $fnv2 AS b FROM (
+       |    SELECT doc_id, t2, unnest(range(1, len(t2) - ${ClfN - 2})) AS i FROM od)
+       |  UNION ALL SELECT doc_id, $ClfDim AS b FROM od),
+       |csc2 AS (SELECT f.doc_id, CAST(SUM(COALESCE(cw.w, 0)) AS BIGINT) AS clf_score
+       |  FROM feat2 f LEFT JOIN cw USING (b) GROUP BY f.doc_id),
+       |${TextQueries.lm5pModelChainSql},
+       |${TextQueries.lm5pScoreChainSql(
+          """
+            |  SELECT doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
+            |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+            |  FROM documents""".stripMargin, "lsc")},
+       |lms AS (SELECT doc_id, CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+       |  FROM lsc GROUP BY doc_id),
+       |ecnt AS (SELECT md5(text) AS dg, MIN(doc_id) AS kid,
+       |    CAST(COUNT(*) AS BIGINT) AS nc
+       |  FROM documents GROUP BY 1),
+       |${DedupQueries.pairChainSql},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+       |  UNION ALL SELECT id_b, id_a FROM ver),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |labels AS (SELECT a AS id, MIN(b) AS canon_id FROM reach GROUP BY a),
+       |${DedupQueries.winnowChainSql},
+       |efp AS (SELECT DISTINCT fp FROM wfp WHERE id % 50 = 0),
+       |cont AS (SELECT w.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       |    CAST(COUNT(e.fp) AS BIGINT) AS n_hits,
+       |    CAST(FLOOR(COUNT(e.fp) * 1000.0 / COUNT(*)) AS BIGINT) AS contamination_pm
+       |  FROM wfp w LEFT JOIN efp e ON e.fp = w.fp
+       |  GROUP BY w.id)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |  gs.n_words, gs.wc1000 // gs.n1 AS mwl_pm, gs.d1000 // gs.n1 AS distinct_pm,
+       |  gs.stop_hits,
+       |  CAST(gs.n_words BETWEEN 30 AND 90 AND gs.wc1000 // gs.n1 BETWEEN 4000 AND 5000
+       |    AND gs.stop_hits >= 2 AND gs.d1000 // gs.n1 >= 450 AS INT) AS gate_keep,
+       |  csc2.clf_score,
+       |  lms.avg_surprisal,
+       |  ecnt.nc AS n_copies,
+       |  CAST(d.doc_id = ecnt.kid AS INT) AS is_exact_canonical,
+       |  COALESCE(l.canon_id, d.doc_id) AS near_canon_id,
+       |  COALESCE(cont.n_fps, 0) AS n_fps,
+       |  COALESCE(cont.n_hits, 0) AS n_hits,
+       |  COALESCE(cont.contamination_pm, 0) AS contamination_pm
+       |FROM documents d
+       |JOIN gs USING (doc_id)
+       |JOIN csc2 USING (doc_id)
+       |LEFT JOIN lms ON lms.doc_id = d.doc_id
+       |JOIN ecnt ON ecnt.dg = md5(d.text)
+       |LEFT JOIN labels l ON l.id = d.doc_id
+       |LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> pipelineOracleSql,
+    "q_curation_report" -> reportOracleSql,
+    "q_quality_signals" -> signalsOracleSql,
+    // both flagship replays nested verbatim as keep-lists, chained
+    // into the pair join — one drifted stage in EITHER modality's
+    // pipeline breaks the pair row
+    "q_crossmodal_pairs" ->
+      s"""WITH tk AS (SELECT doc_id FROM (${DedupQueries.oracles("q_corpus_pipeline")})),
+         |mk AS (SELECT media_id FROM (${MediaQueries.oracles("q_multimodal_pipeline")}))
+         |SELECT d.doc_id, d.doc_id AS media_id,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(t.doc_id IS NOT NULL AS INT) AS doc_kept,
+         |  CAST(m.media_id IS NOT NULL AS INT) AS media_kept,
+         |  CAST(t.doc_id IS NOT NULL AND m.media_id IS NOT NULL AS INT) AS keep,
+         |  CASE WHEN t.doc_id IS NOT NULL AND m.media_id IS NOT NULL THEN 'ok'
+         |       WHEN t.doc_id IS NULL AND m.media_id IS NULL THEN 'both_dropped'
+         |       WHEN t.doc_id IS NULL THEN 'doc_dropped'
+         |       ELSE 'media_dropped' END AS reason
+         |FROM documents d
+         |LEFT JOIN tk t ON t.doc_id = d.doc_id
+         |LEFT JOIN mk m ON m.media_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_quality_clf_train" ->
       s"""WITH $clfHeadSql,
-         |$clfRatesSql
+         |${clfRatesSql()}
          |SELECT b, w FROM w ORDER BY b""".stripMargin,
     "q_quality_clf_percep" ->
       s"""WITH $clfHeadSql,
@@ -396,12 +869,12 @@ object CurationQueries extends QueryModule {
     // training over the whole labeled view
     "q_quality_clf_incr" ->
       s"""WITH $clfHeadSql,
-         |$clfRatesSql
+         |${clfRatesSql()}
          |SELECT cls.b, cls.p AS n_pos, cls.n AS n_neg, w.w
          |FROM cls JOIN w USING (b) ORDER BY cls.b""".stripMargin,
     "q_quality_clf" ->
       s"""WITH $clfHeadSql,
-         |$clfRatesSql,
+         |${clfRatesSql()},
          |sc AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
          |    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
          |  FROM feat f LEFT JOIN w USING (b) GROUP BY f.doc_id)

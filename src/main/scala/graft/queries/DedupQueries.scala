@@ -97,7 +97,7 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  private def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // Signatures fold per-document over the in-row shingle array — the
     // corpus-wide shingle stream is never materialized for this branch.
@@ -624,7 +624,7 @@ object DedupQueries extends QueryModule {
 
   /** The whole banded-LSH + verification chain up to `ver(id_a, id_b,
     * jaccard)` — shared by the pair query and the clustering closure. */
-  private val pairChainSql =
+  private[queries] val pairChainSql =
     s"""sh AS ($shinglesSql),
        |sig AS ($minhashSql),
        |bands AS ($bandsSql),
@@ -927,7 +927,7 @@ object DedupQueries extends QueryModule {
 
   /** Shared winnowing chain up to `wfp(id, fp)` — the fingerprint frame
     * for the winnow query and the decontamination anti-join. */
-  private lazy val winnowChainSql =
+  private[queries] lazy val winnowChainSql =
     """pos AS (
       |  SELECT id, u['pos'] AS pos, u['h'] AS h FROM (
       |    SELECT doc_id AS id,

@@ -25,7 +25,7 @@ object SampleQueries extends QueryModule {
       .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy("lang", "rk")
 
-  private val PackBudget = 2048L
+  private[queries] val PackBudget = 2048L
 
   /** Offset-based sequence packing of the corpus into 2048-char bins in
     * doc_id order: distributed prefix sum (no whole-frame window) +

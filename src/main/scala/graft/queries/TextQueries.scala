@@ -607,7 +607,7 @@ object TextQueries extends QueryModule {
     * bulk), orders 1..2 exact. */
   private val Lm5Floors = Seq(1L, 1L, 2L, 2L, 2L)
 
-  private def lm5pModelStore(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def lm5pModelStore(spark: SparkSession, sfDir: String): DataFrame =
     FrameFixture(spark, "ngram_lm5p_en", sfDir)(
       graft.operators.NgramLm.prunedBackoffModel(
         Tables.documents(spark, sfDir).filter(col("lang") === "en"),
@@ -816,6 +816,72 @@ object TextQueries extends QueryModule {
     s"replace(trim($chained, '|'), '|', ' ')"
   }
 
+  /** The pruned order-5 model replay — `reft` (4-BOS-padded en
+    * reference stream) → per-order floored count tables `o5..o1` +
+    * unigram totals `tt` — shared by the q_lm_score5p oracle and the
+    * curation-pipeline flagship's composed oracle (the [[lm5pModelStore]]
+    * artifact's SQL mirror; floors are the [[Lm5Floors]] literals). */
+  private[queries] val lm5pModelChainSql: String =
+    """reft AS (
+      |  SELECT list_concat(['<s>', '<s>', '<s>', '<s>'],
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+      |  FROM documents WHERE lang = 'en'),
+      |o5 AS (SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t) - 3),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS gram FROM reft WHERE len(t) >= 5)
+      |  GROUP BY gram HAVING COUNT(*) >= 2),
+      |o4 AS (SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t) - 2),
+      |    i -> array_to_string(t[i:i+3], ' '))) AS gram FROM reft WHERE len(t) >= 4)
+      |  GROUP BY gram HAVING COUNT(*) >= 2),
+      |o3 AS (SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS gram FROM reft WHERE len(t) >= 3)
+      |  GROUP BY gram HAVING COUNT(*) >= 2),
+      |o2 AS (SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> array_to_string(t[i:i+1], ' '))) AS gram FROM reft WHERE len(t) >= 2)
+      |  GROUP BY gram),
+      |o1 AS (SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT unnest(t) AS gram FROM reft) GROUP BY gram),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS v FROM o1)""".stripMargin
+
+  /** The pruned-backoff SCORING replay against [[lm5pModelChainSql]]'s
+    * tables: the caller supplies the token-list CTE body (`dt` — which
+    * docs, which text column) and the emitted per-window CTE's name
+    * (the flagship composition renames `sc` to dodge its classifier
+    * chain's CTE names). Emits one row per 5-gram window with its
+    * tier-resolved scaled surprisal `s`. */
+  private[queries] def lm5pScoreChainSql(dtBodySql: String, scName: String): String =
+    s"""dt AS ($dtBodySql),
+       |db AS (SELECT doc_id,
+       |    u['s0'] AS s0, u['s1'] AS s1, u['s2'] AS s2, u['s3'] AS s3,
+       |    u['c0'] AS c0, u['c1'] AS c1, u['c2'] AS c2, u['c3'] AS c3,
+       |    u['w5'] AS w5 FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> {
+       |    's0': array_to_string(t[i:i+4], ' '), 's1': array_to_string(t[i+1:i+4], ' '),
+       |    's2': array_to_string(t[i+2:i+4], ' '), 's3': array_to_string(t[i+3:i+4], ' '),
+       |    'c0': array_to_string(t[i:i+3], ' '), 'c1': array_to_string(t[i+1:i+3], ' '),
+       |    'c2': array_to_string(t[i+2:i+3], ' '), 'c3': array_to_string(t[i+3:i+3], ' '),
+       |    'w5': t[i + 4]})) AS u
+       |  FROM dt WHERE len(t) >= 5)),
+       |$scName AS (SELECT doc_id,
+       |    CASE WHEN n5.n IS NOT NULL THEN 1000000 * x0.n // n5.n
+       |         WHEN n4.n IS NOT NULL THEN (5 * 1000000 * x1.n) // (2 * n4.n)
+       |         WHEN n3.n IS NOT NULL THEN (25 * 1000000 * x2.n) // (4 * n3.n)
+       |         WHEN n2.n IS NOT NULL THEN (125 * 1000000 * x3.n) // (8 * n2.n)
+       |         ELSE (625 * 1000000 * (tt.nn + tt.v)) // (16 * (COALESCE(uu.n, 0) + 1))
+       |    END AS s
+       |  FROM db LEFT JOIN o5 n5 ON n5.gram = db.s0
+       |    LEFT JOIN o4 x0 ON x0.gram = db.c0
+       |    LEFT JOIN o4 n4 ON n4.gram = db.s1
+       |    LEFT JOIN o3 x1 ON x1.gram = db.c1
+       |    LEFT JOIN o3 n3 ON n3.gram = db.s2
+       |    LEFT JOIN o2 x2 ON x2.gram = db.c2
+       |    LEFT JOIN o2 n2 ON n2.gram = db.s3
+       |    LEFT JOIN o1 x3 ON x3.gram = db.c3
+       |    LEFT JOIN o1 uu ON uu.gram = db.w5, tt)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the same (word, freq) fold, then every substring of length
     // 2..UniMaxLen occurrence-weighted — ties impossible past the
@@ -901,63 +967,15 @@ object TextQueries extends QueryModule {
     // each floored (3..5-grams at 2), all five tiers as string-keyed
     // lookups against the pruned tables
     "q_lm_score5p" ->
-      """WITH reft AS (
-        |  SELECT list_concat(['<s>', '<s>', '<s>', '<s>'],
-        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-        |  FROM documents WHERE lang = 'en'),
-        |o5 AS (SELECT gram, COUNT(*) AS n FROM (
-        |  SELECT unnest(list_transform(range(1, len(t) - 3),
-        |    i -> array_to_string(t[i:i+4], ' '))) AS gram FROM reft WHERE len(t) >= 5)
-        |  GROUP BY gram HAVING COUNT(*) >= 2),
-        |o4 AS (SELECT gram, COUNT(*) AS n FROM (
-        |  SELECT unnest(list_transform(range(1, len(t) - 2),
-        |    i -> array_to_string(t[i:i+3], ' '))) AS gram FROM reft WHERE len(t) >= 4)
-        |  GROUP BY gram HAVING COUNT(*) >= 2),
-        |o3 AS (SELECT gram, COUNT(*) AS n FROM (
-        |  SELECT unnest(list_transform(range(1, len(t) - 1),
-        |    i -> array_to_string(t[i:i+2], ' '))) AS gram FROM reft WHERE len(t) >= 3)
-        |  GROUP BY gram HAVING COUNT(*) >= 2),
-        |o2 AS (SELECT gram, COUNT(*) AS n FROM (
-        |  SELECT unnest(list_transform(range(1, len(t)),
-        |    i -> array_to_string(t[i:i+1], ' '))) AS gram FROM reft WHERE len(t) >= 2)
-        |  GROUP BY gram),
-        |o1 AS (SELECT gram, COUNT(*) AS n FROM (
-        |  SELECT unnest(t) AS gram FROM reft) GROUP BY gram),
-        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS v FROM o1),
-        |dt AS (
-        |  SELECT doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
-        |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-        |  FROM documents),
-        |db AS (SELECT doc_id,
-        |    u['s0'] AS s0, u['s1'] AS s1, u['s2'] AS s2, u['s3'] AS s3,
-        |    u['c0'] AS c0, u['c1'] AS c1, u['c2'] AS c2, u['c3'] AS c3,
-        |    u['w5'] AS w5 FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> {
-        |    's0': array_to_string(t[i:i+4], ' '), 's1': array_to_string(t[i+1:i+4], ' '),
-        |    's2': array_to_string(t[i+2:i+4], ' '), 's3': array_to_string(t[i+3:i+4], ' '),
-        |    'c0': array_to_string(t[i:i+3], ' '), 'c1': array_to_string(t[i+1:i+3], ' '),
-        |    'c2': array_to_string(t[i+2:i+3], ' '), 'c3': array_to_string(t[i+3:i+3], ' '),
-        |    'w5': t[i + 4]})) AS u
-        |  FROM dt WHERE len(t) >= 5)),
-        |sc AS (SELECT doc_id,
-        |    CASE WHEN n5.n IS NOT NULL THEN 1000000 * x0.n // n5.n
-        |         WHEN n4.n IS NOT NULL THEN (5 * 1000000 * x1.n) // (2 * n4.n)
-        |         WHEN n3.n IS NOT NULL THEN (25 * 1000000 * x2.n) // (4 * n3.n)
-        |         WHEN n2.n IS NOT NULL THEN (125 * 1000000 * x3.n) // (8 * n2.n)
-        |         ELSE (625 * 1000000 * (tt.nn + tt.v)) // (16 * (COALESCE(uu.n, 0) + 1))
-        |    END AS s
-        |  FROM db LEFT JOIN o5 n5 ON n5.gram = db.s0
-        |    LEFT JOIN o4 x0 ON x0.gram = db.c0
-        |    LEFT JOIN o4 n4 ON n4.gram = db.s1
-        |    LEFT JOIN o3 x1 ON x1.gram = db.c1
-        |    LEFT JOIN o3 n3 ON n3.gram = db.s2
-        |    LEFT JOIN o2 x2 ON x2.gram = db.c2
-        |    LEFT JOIN o2 n2 ON n2.gram = db.s3
-        |    LEFT JOIN o1 x3 ON x3.gram = db.c3
-        |    LEFT JOIN o1 uu ON uu.gram = db.w5, tt)
-        |SELECT doc_id, COUNT(*) AS n_ngrams,
-        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lm5pModelChainSql,
+         |${lm5pScoreChainSql(
+            """
+              |  SELECT doc_id, list_concat(['<s>', '<s>', '<s>', '<s>'],
+              |    list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+              |  FROM documents""".stripMargin, "sc")}
+         |SELECT doc_id, COUNT(*) AS n_ngrams,
+         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full order-5 replay: 4-BOS-padded 5-gram training, FOUR suffix
     // marginals + contexts, all five backoff tiers as exact α-power
     // integer ratios (5^d/2^d), and the floored mean

@@ -448,4 +448,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(frames.isEmpty,
       s"curriculum position must be the range-sort dense id, not a 1-partition window:\n$plan")
   }
+
+  test("q_curation_pipeline: filter stages inherit their operators' shapes — no Window, native features, bounded cap") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // stages 1-6 (the rank/pack tail's RDD hop hides upstream plans —
+    // DenseId/PrefixSum shapes are pinned by their own contracts above)
+    val plan = staticPlan(graft.queries.CurationQueries.curationSurvivors(spark, sf))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"no pipeline stage may funnel the corpus through a window sort:\n$plan")
+    val s = plan.toString
+    assert(s.contains("fnv_ngrams"),
+      s"classifier stage must use the native one-pass feature hash:\n$plan")
+    assert(s.contains("top_k_by"),
+      s"domain cap must be the bounded top_k_by aggregate:\n$plan")
+    spark.catalog.clearCache() // pipeline pins pv/lms/enriched + pair caches
+  }
 }
