@@ -935,4 +935,46 @@ object Dedup {
       spanOccurrences(df, idCol, textCol, n)
         .join(evalDigests.select("dg"), Seq("dg"), "left_semi")
         .select(col("id"), col("pos")), n)
+
+  /** BOILERPLATE spans: maximal merged windows anchored at the
+    * corpus's `topM` most DOCUMENT-FREQUENT n-gram digests — the
+    * MassiveText/C4 repeated-boilerplate strip (headers, footers,
+    * navigation chrome: text whose problem is corpus FREQUENCY, not a
+    * pairwise match) in its fixed-budget form: production pipelines
+    * strip a bounded most-common-phrases list, which keeps the rule
+    * meaningful at ANY corpus size (an absolute doc-count threshold
+    * degenerates as the corpus grows — on this harness corpus nearly
+    * every 3-gram crosses any fixed count at sf0.1 while almost none
+    * do at sf0.01). Document frequency counts each document ONCE
+    * (per-doc positional repeats collapse before the count), and the
+    * cut ranks `(n_docs DESC, dg)` — the digest tie-break keeps the
+    * boundary deterministic in both engines.
+    *
+    * Scale shape: the digest exchange carries 16-byte md5s
+    * ([[exactByDigest]] discipline), the frequency aggregate combines
+    * map-side, the top-M is TakeOrdered (per-partition heaps + an
+    * M-row driver merge), and the M-row boilerplate set rides a
+    * broadcast back over the pinned occurrence frame — the corpus
+    * text never shuffles. */
+  def boilerplateSpans(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int, topM: Int,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(topM >= 1, s"boilerplateSpans: topM must be >= 1, got $topM")
+    val occ = scope.pin(spanOccurrences(df, idCol, textCol, n))
+    val top = occ.select("dg", "id").distinct()
+      .groupBy("dg").agg(count(lit(1)).as("__nd"))
+      .orderBy(col("__nd").desc, col("dg")).limit(topM)
+      .select("dg")
+    mergeAnchors(occ.join(broadcast(top), Seq("dg")).select(col("id"), col("pos")), n)
+  }
+
+  /** APPLY the boilerplate strip: every [[boilerplateSpans]] token
+    * deleted in place — same scale shape as [[removeRepeatedSpans]]
+    * (span lists ride one small join; deletion is a narrow in-row
+    * array filter). */
+  def removeBoilerplate(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int, topM: Int,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    applySpanRemoval(df, idCol, textCol,
+      boilerplateSpans(df, idCol, textCol, n, topM, scope))
 }

@@ -241,6 +241,34 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Boilerplate gram length + list budget — 3-grams (boilerplate
+    * phrases are short) and a 150-phrase strip list; the SAME literals
+    * feed both engines. */
+  private[queries] val BoilN = 3
+  private[queries] val BoilTopM = 150
+
+  /** FREQUENCY-based boilerplate spans ([[Dedup.boilerplateSpans]]):
+    * maximal windows anchored at the corpus's [[BoilTopM]] most
+    * document-frequent [[BoilN]]-grams — the repeated-boilerplate
+    * strip next to [[dedupSpans]]' pairwise-match member (text whose
+    * problem is corpus frequency, not a shared source). The oracle
+    * replays the distinct-doc frequency rank, the deterministic
+    * (n_docs DESC, digest) cut, and the islands merge. */
+  def boilerplateSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.boilerplateSpans(Tables.documents(spark, sfDir), col("doc_id"),
+        col("text"), BoilN, BoilTopM)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
+  /** The boilerplate APPLY step ([[Dedup.removeBoilerplate]]): the
+    * corpus with every boilerplate span deleted in place — the same
+    * small-join + in-row-filter shape as [[dedupSpansApply]]. */
+  def boilerplateApply(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.removeBoilerplate(Tables.documents(spark, sfDir), col("doc_id"),
+        col("text"), BoilN, BoilTopM)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Incremental substring dedup ([[Dedup.incrementalRepeatedSpans]]):
     * the corpus splits 80/20 into OLD state and the NEW batch (the
     * q_dedup_incremental split); output = repeated spans in batch
@@ -495,6 +523,8 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow" -> dedupWinnow,
     "q_dedup_spans" -> dedupSpans,
     "q_dedup_spans_apply" -> dedupSpansApply,
+    "q_boilerplate_spans" -> boilerplateSpans,
+    "q_boilerplate_apply" -> boilerplateApply,
     "q_dedup_spans_incr" -> dedupSpansIncr,
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
@@ -550,6 +580,17 @@ object DedupQueries extends QueryModule {
     s"""$spansOccSql,
        |rep AS (SELECT dg FROM occ GROUP BY dg HAVING MIN(doc_id) <> MAX(doc_id)),
        |anch AS (SELECT doc_id, pos, pos + $SpanN - 1 AS e FROM occ JOIN rep USING (dg)),
+       |$spansIslandSql""".stripMargin
+
+  /** [[Dedup.boilerplateSpans]]' replay: distinct-doc frequency per
+    * digest, the deterministic (n_docs DESC, dg) top-[[BoilTopM]]
+    * cut, anchors at boilerplate grams, the shared islands tail. */
+  private[queries] val boilChainSql =
+    s"""${spansOccSqlN(BoilN)},
+       |top AS (SELECT dg FROM (
+       |  SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY dg
+       |  ORDER BY nd DESC, dg LIMIT $BoilTopM)),
+       |anch AS (SELECT doc_id, pos, pos + $BoilN - 1 AS e FROM occ JOIN top USING (dg)),
        |$spansIslandSql""".stripMargin
 
   /** [[Dedup.evalOverlapSpans]]' replay: anchors are corpus positions
@@ -821,6 +862,21 @@ object DedupQueries extends QueryModule {
          |  CAST(x - s + 1 AS BIGINT) AS span_tokens
          |FROM spansq
          |ORDER BY doc_id, span_start""".stripMargin,
+    // doc-frequency rank + deterministic top-M cut + islands merge
+    "q_boilerplate_spans" ->
+      s"""WITH $boilChainSql
+         |SELECT doc_id,
+         |  CAST(s AS BIGINT) AS span_start,
+         |  CAST(x AS BIGINT) AS span_end,
+         |  CAST(x - s + 1 AS BIGINT) AS span_tokens
+         |FROM spansq
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // the boilerplate chain spliced into the shared deletion tail
+    "q_boilerplate_apply" ->
+      s"""WITH $boilChainSql,
+         |$spansApplyTailSql
+         |SELECT doc_id, clean_text, n_removed FROM cleaned
+         |ORDER BY doc_id""".stripMargin,
     // incremental = full-corpus spans restricted to the batch (exact:
     // a batch gram's cross-doc partner is an old doc — state membership
     // — or another batch doc; old×old-only digests anchor nothing here)
