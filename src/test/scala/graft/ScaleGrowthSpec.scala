@@ -324,6 +324,71 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("temperature mixture: per-domain thresholds scale-stable, admissions linear over a 10x clone") {
+    import org.apache.spark.sql.functions._
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "lang").cache()
+    // id-offset clone preserving the domain column: per-lang counts
+    // scale EXACTLY R (the mixture's only count input)
+    val docsN = (0 until Factor).map(r =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(r * 100000000L)))
+      .reduce(_ unionByName _).cache()
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sample.temperatureMix(df, col("doc_id"), col("lang"))
+    def policy(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      mix(df).select("lang", "n_dom", "thresh").distinct()
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def admitted(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      mix(df).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (p1, pN) = (policy(docs1), policy(docsN))
+    val (a1, aN) = (admitted(docs1), admitted(docsN))
+    assert(p1.keySet == pN.keySet && p1.size >= 3, s"domain sets drifted: ${p1.keySet} vs ${pN.keySet}")
+    p1.foreach { case (lang, (n1, th1)) =>
+      val (nN, thN) = pN(lang)
+      assert(nN == n1 * Factor, s"$lang: counts $n1 -> $nN not exactly ${Factor}x")
+      // thresholds are RATIOS of R-scaled quantities: exactly invariant
+      // up to the integral-division floors — pin a 2% + 2-ulp band so a
+      // policy that silently re-weights under growth fails here
+      assert(math.abs(thN - th1) <= th1 / 50 + 2,
+        s"$lang: admission threshold drifted $th1 -> $thN under a uniform ${Factor}x")
+      // the salted-md5 draw admits ~n·thresh/2^32 per domain: at 1x the
+      // small-domain counts sit several binomial sigmas wide (fr drew 13
+      // on an expectation of ~19 — comparing R×observed would flag pure
+      // draw noise), so assert each scale against its ANALYTIC
+      // expectation with a 4-sigma band. The draw is deterministic per
+      // id, so this is a fixed fact of the corpus, not a flaky sample.
+      def inBand(adm: Long, n: Long, th: Long, tag: String): Unit = {
+        val exp = n.toDouble * th / 4294967296d
+        assert(math.abs(adm - exp) <= 4 * math.sqrt(exp) + 5,
+          f"$lang%s $tag%s: admissions $adm%d vs expectation $exp%.1f — " +
+            "the draw is not tracking the policy")
+      }
+      val (adm1, admN) = (a1.getOrElse(lang, 0L), aN.getOrElse(lang, 0L))
+      assert(adm1 > 0, s"$lang: zero admissions at 1x — the trial is vacuous")
+      inBand(adm1, n1, th1, "1x")
+      inBand(admN, nN, thN, s"${Factor}x")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("boilerplate strip: span volume bounded by the fixed budget over a 10x clone") {
+    import org.apache.spark.sql.functions._
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.scaledDocs(docs1, Factor).cache()
+    def stripped(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Dedup.boilerplateSpans(df, col("doc_id"), col("text"),
+          n = 3, topM = 150)
+        .agg(sum("span_tokens")).head().getLong(0)
+    val (s1, sN) = (stripped(docs1), stripped(docsN))
+    assert(s1 > 0, "no boilerplate found at 1x — the trial is vacuous")
+    // the strip list is a FIXED budget (top-M grams), so the stripped
+    // volume tracks the budget, not the corpus: the contrast row to the
+    // spans family's linear anchors above. Band 2x, same as occupancy.
+    assert(sN <= s1 * 2,
+      s"stripped tokens $s1 -> $sN over ${Factor}x — the fixed-budget strip grew with the corpus")
+    spark.catalog.clearCache()
+  }
+
   test("the saturating fixed-width control FAILS the band (the gate detects the bug class)") {
     val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
     val n1 = docs1.count()
