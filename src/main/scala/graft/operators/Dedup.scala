@@ -959,14 +959,31 @@ object Dedup {
   def boilerplateSpans(df: DataFrame, idCol: Column, textCol: Column,
                        n: Int, topM: Int,
                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(topM >= 1, s"boilerplateSpans: topM must be >= 1, got $topM")
     val occ = scope.pin(spanOccurrences(df, idCol, textCol, n))
-    val top = occ.select("dg", "id").distinct()
+    mergeAnchors(occ.join(broadcast(topDigests(occ, topM)), Seq("dg"))
+      .select(col("id"), col("pos")), n)
+  }
+
+  /** The deterministic (n_docs DESC, dg) top-M cut over an occurrence
+    * frame — shared by [[boilerplateSpans]] and the strip-LIST
+    * artifact builder below. */
+  private def topDigests(occ: DataFrame, topM: Int): DataFrame = {
+    require(topM >= 1, s"boilerplate: topM must be >= 1, got $topM")
+    occ.select("dg", "id").distinct()
       .groupBy("dg").agg(count(lit(1)).as("__nd"))
       .orderBy(col("__nd").desc, col("dg")).limit(topM)
       .select("dg")
-    mergeAnchors(occ.join(broadcast(top), Seq("dg")).select(col("id"), col("pos")), n)
   }
+
+  /** The boilerplate STRIP LIST as a persisted artifact: the top-M
+    * most document-frequent n-gram digests of a reference corpus —
+    * what an incremental pipeline freezes and applies to every
+    * arriving batch ([[evalOverlapSpans]] consumes it directly; the
+    * list drifts only when deliberately rebuilt, the lmModelStore
+    * discipline). M-row output — broadcast it at any corpus size. */
+  def boilerplateDigests(df: DataFrame, idCol: Column, textCol: Column,
+                         n: Int, topM: Int): DataFrame =
+    topDigests(spanOccurrences(df, idCol, textCol, n), topM)
 
   /** APPLY the boilerplate strip: every [[boilerplateSpans]] token
     * deleted in place — same scale shape as [[removeRepeatedSpans]]

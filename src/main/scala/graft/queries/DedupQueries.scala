@@ -269,6 +269,30 @@ object DedupQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The persisted strip-list artifact: top-[[BoilTopM]] digests over
+    * the OLD corpus (`doc_id % 10 < 8`) — an incremental pipeline
+    * freezes this list and applies it to every arriving batch; the
+    * list drifts only when deliberately rebuilt. */
+  private def boilListStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "boilerplate_top", sfDir)(
+      Dedup.boilerplateDigests(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8),
+        col("doc_id"), col("text"), BoilN, BoilTopM))
+
+  /** INCREMENTAL boilerplate strip (q_boilerplate_incr): the arriving
+    * 20% batch's spans under the FROZEN old-corpus strip list —
+    * [[Dedup.evalOverlapSpans]] pointed at the boilerplate artifact
+    * (per-batch cost = batch grams + one M-row broadcast probe; the
+    * old corpus is never re-read). The oracle replays the old-side
+    * top-M cut and restricts anchors to batch documents. */
+  def boilerplateIncr(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.evalOverlapSpans(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8),
+        col("doc_id"), col("text"),
+        broadcast(boilListStore(spark, sfDir)), BoilN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
   /** Incremental substring dedup ([[Dedup.incrementalRepeatedSpans]]):
     * the corpus splits 80/20 into OLD state and the NEW batch (the
     * q_dedup_incremental split); output = repeated spans in batch
@@ -525,6 +549,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_spans_apply" -> dedupSpansApply,
     "q_boilerplate_spans" -> boilerplateSpans,
     "q_boilerplate_apply" -> boilerplateApply,
+    "q_boilerplate_incr" -> boilerplateIncr,
     "q_dedup_spans_incr" -> dedupSpansIncr,
     "q_dedup_keep" -> dedupKeep,
     "q_decontaminate" -> decontaminate,
@@ -542,6 +567,7 @@ object DedupQueries extends QueryModule {
     gramStateStore(spark, sfDir)
     gramFreqStore(spark, sfDir)
     winnowStore(spark, sfDir)
+    boilListStore(spark, sfDir)
     ()
   }
 
@@ -877,6 +903,23 @@ object DedupQueries extends QueryModule {
          |$spansApplyTailSql
          |SELECT doc_id, clean_text, n_removed FROM cleaned
          |ORDER BY doc_id""".stripMargin,
+    // the FROZEN old-corpus strip list applied to the arriving batch:
+    // old-side top-M cut replayed, anchors restricted to batch docs
+    "q_boilerplate_incr" ->
+      s"""WITH ${spansOccSqlN(BoilN)},
+         |oldtop AS (SELECT dg FROM (
+         |  SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM occ
+         |  WHERE doc_id % 10 < 8 GROUP BY dg
+         |  ORDER BY nd DESC, dg LIMIT $BoilTopM)),
+         |anch AS (SELECT doc_id, pos, pos + $BoilN - 1 AS e FROM occ JOIN oldtop USING (dg)
+         |  WHERE doc_id % 10 >= 8),
+         |$spansIslandSql
+         |SELECT doc_id,
+         |  CAST(s AS BIGINT) AS span_start,
+         |  CAST(x AS BIGINT) AS span_end,
+         |  CAST(x - s + 1 AS BIGINT) AS span_tokens
+         |FROM spansq
+         |ORDER BY doc_id, span_start""".stripMargin,
     // incremental = full-corpus spans restricted to the batch (exact:
     // a batch gram's cross-doc partner is an old doc — state membership
     // — or another batch doc; old×old-only digests anchor nothing here)
