@@ -483,6 +483,26 @@ object CurationQueries extends QueryModule {
       .orderBy("stage")
   }
 
+  /** The flagship's SHARD MANIFEST (q_curation_manifest): the curated,
+    * ordered, packed corpus no longer ends at a frame — its per-shard
+    * manifest ([[graft.operators.ShardManifest]]: row count, unit sum,
+    * order-free XOR digest) is BUILT, SAVED under the stamped
+    * contract, RE-LOADED through the validating loader, and emitted —
+    * so a training loader can consume and verify the flagship's
+    * output end to end (the q_shard_manifest discipline applied to
+    * the curation pipeline's own bins). The oracle replays the whole
+    * pipeline chain into per-shard counts and digests. */
+  def curationManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = curationPipeline(spark, sfDir)
+    val m = graft.operators.ShardManifest.build(
+      packed, col("bin"), col("doc_id"), col("n_chars"), SampleQueries.PackBudget)
+    val path = s"${Scratch.root}/curation_manifest_${new java.io.File(sfDir).getName}"
+    graft.operators.ShardManifest.save(m, path)
+    graft.operators.ShardManifest.load(spark, path)
+      .select(col("shard"), col("n_rows"), col("n_units"), col("digest"))
+      .orderBy("shard")
+  }
+
   /** CROSS-MODAL pair curation (q_crossmodal_pairs — VERDICT r14 item
     * 3, the LAION pair-filter shape): the corpus's natural doc↔media
     * pairing (document `d` is the caption of media `d` — media ids ARE
@@ -593,6 +613,7 @@ object CurationQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_pipeline" -> curationPipeline,
     "q_curation_report" -> curationReport,
+    "q_curation_manifest" -> curationManifest,
     "q_quality_signals" -> qualitySignals,
     "q_crossmodal_pairs" -> crossmodalPairs,
     "q_quality_clf_train" -> qualityClfTrain,
@@ -832,9 +853,27 @@ object CurationQueries extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The manifest replay: the pipeline chain packed in curriculum
+    * order, then per-shard counts, unit sums, and the order-free XOR
+    * of row signatures. */
+  private def manifestOracleSql: String =
+    s"""$pipelineChainSql,
+       |ranked AS (SELECT doc_id, source, avg_surprisal, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS pos
+       |  FROM capk),
+       |pk AS (SELECT doc_id, n_chars,
+       |    CAST(FLOOR((SUM(n_chars) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - n_chars)
+       |      / ${SampleQueries.PackBudget}.0) AS BIGINT) AS bin
+       |  FROM ranked)
+       |SELECT bin AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_units,
+       |  CAST(bit_xor(${graft.operators.ShardManifest.rowSigSql("doc_id", "n_chars")}) AS BIGINT) AS digest
+       |FROM pk GROUP BY bin ORDER BY shard""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_curation_pipeline" -> pipelineOracleSql,
     "q_curation_report" -> reportOracleSql,
+    "q_curation_manifest" -> manifestOracleSql,
     "q_quality_signals" -> signalsOracleSql,
     // both flagship replays nested verbatim as keep-lists, chained
     // into the pair join — one drifted stage in EITHER modality's
