@@ -98,16 +98,26 @@ object RelationalQueries extends QueryModule {
   def approxDistinctBound(spark: SparkSession, sfDir: String): DataFrame = {
     def within(approx: Column, exact: Column): Column =
       (abs(approx - exact) * 10000 <= lit(600) * exact).cast("int")
-    Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("__ap"))
+    // one leg per key column, each over the PRE-DISTINCTED (group, key)
+    // pairs: two distinct columns in ONE aggregate would plan as the
+    // Expand operator (every input row duplicated per distinct column —
+    // measured 4.6 s at sf0.1 vs 1.3 s for this shape), while the
+    // pre-distinct is an ordinary two-level aggregate with map-side
+    // partials. The sketch is computed over the SAME distinct set (HLL
+    // register updates are duplicate-idempotent), so the estimate — and
+    // the oracle-checked bound — is unchanged.
+    def leg(key: String, exactName: String, withinName: String): DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col(key)).distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as(exactName),
+          approx_count_distinct(col(key), 0.02).as("__a"))
+        .select(col("l_returnflag"), col(exactName),
+          within(col("__a"), col(exactName)).as(withinName))
+    leg("l_orderkey", "exact_orders", "within_orders")
+      .join(leg("l_partkey", "exact_parts", "within_parts"), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
-        within(col("__ao"), col("exact_orders")).as("within_orders"),
-        within(col("__ap"), col("exact_parts")).as("within_parts"))
+        col("within_orders"), col("within_parts"))
       .orderBy("l_returnflag")
   }
 
