@@ -644,4 +644,58 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (dotQ(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos"))
   }
+
+  /** Exact integer SQUARED L2 between a quantized vector column and a
+    * literal quantized vector: Σ(aᵢ−bᵢ)². Bounded: 64 dims × (2·10⁶)²
+    * ≈ 2.6·10¹⁴ per vector — far inside long. */
+  private def distSqLit(q: Column, b: Seq[Long]): Column =
+    aggregate(zip_with(q, typedLit(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** GREEDY k-CENTER selection (farthest-point traversal, Gonzalez
+    * 1985 — the coreset/diversity data-selection step of a training
+    * pipeline, Sener & Savarese 2018): seed at the MIN id, then k−1
+    * times pick the vector farthest (exact integer squared L2 on the
+    * quantized grid; ties to the lower id) from everything selected so
+    * far. Output `(step, id, dist_sq)` — `dist_sq` is the selected
+    * point's distance to the prior set (the 2-approximation's covering
+    * radius ladder; 0 for the seed).
+    *
+    * Scale shape: k is a small constant, and each round is ONE
+    * map-side distance update against the single newly-selected vector
+    * (broadcast as a literal) + ONE TakeOrdered(1) argmax
+    * (per-partition maxima, a k-free driver merge) — never an
+    * all-pairs, never a corpus sort. Driver state is the k selected
+    * vectors (model-sized, the bounded-gather discipline); the
+    * running min-distance frame is re-cached per round so lineage
+    * stays one update deep. */
+  def selectKCenter(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1, s"selectKCenter: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val base = scope.pin(df.select(idCol.as("id"), quantize(vecCol).as("q")))
+    val seed = base.agg(min("id")).head().getLong(0)
+    def vecOf(id: Long): Seq[Long] =
+      base.filter(col("id") === id).head().getSeq[Long](1)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]((1, seed, 0L))
+    var lastVec = vecOf(seed)
+    // (id, q, d): min squared distance to the selected set so far
+    var minDist = base.filter(col("id") =!= seed)
+      .select(col("id"), col("q"), distSqLit(col("q"), lastVec).as("d"))
+    (2 to k).foreach { step =>
+      val cur = scope.pin(minDist)
+      cur.orderBy(col("d").desc, col("id")).limit(1).collect().headOption match {
+        case None => () // corpus exhausted below k — emit what exists
+        case Some(far) =>
+          val (farId, farD) = (far.getLong(0), far.getLong(2))
+          picked += ((step, farId, farD))
+          lastVec = far.getSeq[Long](1)
+          minDist = cur.filter(col("id") =!= farId)
+            .select(col("id"), col("q"),
+              least(col("d"), distSqLit(col("q"), lastVec)).as("d"))
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("step", "id", "dist_sq")
+  }
 }

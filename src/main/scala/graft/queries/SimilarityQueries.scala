@@ -347,7 +347,29 @@ object SimilarityQueries extends QueryModule {
       AnnJoin.annJoinProbe(l, r,
         Similarity.strideCentroids(p, IvfStride), k = 3, nprobe = NProbe))
 
+  /** Selection budget for the k-center query — small by the algorithm's
+    * nature (a coreset is a constant-size summary), and each extra step
+    * unrolls one more oracle stage. */
+  private val KCenterK = 8
+
+  /** GREEDY k-CENTER diversity selection (q_select_kcenter,
+    * [[Similarity.selectKCenter]]): the coreset data-selection step —
+    * pick [[KCenterK]] embeddings by farthest-point traversal on the
+    * exact quantized-integer squared-L2 grid, seeded at the min id,
+    * ties to the lower id. `dist_sq` is each pick's distance to the
+    * prior set (the covering-radius ladder — necessarily
+    * non-increasing). The oracle replays the greedy loop as
+    * [[KCenterK]] − 1 UNROLLED SQL stages (the clfPercepSql epoch
+    * discipline): each stage's argmax and min-distance fold are exact
+    * integers, so one drifted pick anywhere mismatches. */
+  def selectKcenter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.selectKCenter(
+        Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"), KCenterK)
+      .select(col("step"), col("id").as("vec_id"), col("dist_sq"))
+      .orderBy("step")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_select_kcenter" -> selectKcenter,
     "q_sim_join" -> simJoinAnn,
     "q_sim_join_recall" -> simJoinRecall,
     "q_sim_join_recall_probe" -> simJoinRecallProbe,
@@ -443,7 +465,41 @@ object SimilarityQueries extends QueryModule {
        |FROM (SELECT DISTINCT query_id FROM tr) q LEFT JOIN h ON h.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** The k-center replay: the greedy loop unrolled — stage i holds the
+    * running min-distance frame `d<i>` and the pick `s<i+1>` (argmax by
+    * (d DESC, vec_id)); every distance is the exact integer Σ(aⱼ−bⱼ)². */
+  private def kcenterOracleSql: String = {
+    def dist(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(range(1, len($a.q) + 1),
+         |      j -> ($a.q[j] - $b.q[j]) * ($a.q[j] - $b.q[j]))) AS BIGINT)""".stripMargin
+    val stages = (2 to KCenterK).map { i =>
+      val prev = s"d${i - 1}"
+      val pick = s"""s$i AS (SELECT vec_id, q, d FROM $prev
+                    |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      val next =
+        if (i == KCenterK) ""
+        else s""",
+                |d$i AS (SELECT $prev.vec_id, $prev.q,
+                |    LEAST($prev.d, ${dist(prev, s"s$i")}) AS d
+                |  FROM $prev, s$i WHERE $prev.vec_id <> s$i.vec_id)""".stripMargin
+      pick + next
+    }.mkString(",\n")
+    val tail = (2 to KCenterK)
+      .map(i => s"UNION ALL SELECT $i, vec_id, d FROM s$i").mkString("\n")
+    s"""WITH qv AS ($qvSql),
+       |vv AS (SELECT vec_id, list(q ORDER BY i) AS q FROM qv GROUP BY vec_id),
+       |sv1 AS (SELECT vec_id, q FROM vv WHERE vec_id = (SELECT MIN(vec_id) FROM vv)),
+       |d1 AS (SELECT vv.vec_id, vv.q, ${dist("vv", "sv1")} AS d
+       |  FROM vv, sv1 WHERE vv.vec_id <> sv1.vec_id),
+       |$stages
+       |SELECT CAST(1 AS INT) AS step, (SELECT MIN(vec_id) FROM vv) AS vec_id,
+       |  CAST(0 AS BIGINT) AS dist_sq
+       |$tail
+       |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_select_kcenter" -> kcenterOracleSql,
     // q_sim_join_probe: the q_sim_ivf_probe replay with the collection
     // split — left side probes its nprobe nearest cells (rn <= NProbe,
     // the same (c DESC, cent_id) tie rule as assignment), right side
