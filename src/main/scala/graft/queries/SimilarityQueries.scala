@@ -368,8 +368,38 @@ object SimilarityQueries extends QueryModule {
       .select(col("step"), col("id").as("vec_id"), col("dist_sq"))
       .orderBy("step")
 
+  /** LABEL-AGREEMENT audit (q_label_agreement — the confident-learning
+    * / cleanlab mislabel screen): for a deterministic md5-gated ~6%
+    * audit sample, find each vector's exact 1-NN by cosine over the
+    * whole corpus and report whether the neighbor shares its label —
+    * the `label` column's curation use (a vector whose nearest
+    * neighbor disagrees is the mislabel candidate a labeling pass
+    * re-queues). The exact brute pass is the AUDIT shape: query side
+    * sampled and broadcast, corpus side streamed once (the q_sim_topk
+    * contract); production screens the full corpus with the ANN
+    * index and audits the sample exactly — this query IS the audit.
+    * Float cosines divide identical integer dots by identical norms,
+    * so the 1-NN argmax is engine-exact (the q_sim_topk precedent). */
+  def labelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val p = prepped(spark, sfDir).cache() // corpus side + query filter
+    val audit = p.filter(
+      substring(md5(col("id").cast("string").cast("binary")), 1, 1) === "0")
+    val lbl = emb.select(col("vec_id"), col("label"))
+    Similarity.bruteTopK(p, audit, 1)
+      .join(lbl.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nn_label")),
+        Seq("neighbor_id"))
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("neighbor_id").as("nn_id"), col("nn_label"),
+        (col("label") === col("nn_label")).cast("int").as("agree"),
+        Rnd.r(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_select_kcenter" -> selectKcenter,
+    "q_label_agreement" -> labelAgreement,
     "q_sim_join" -> simJoinAnn,
     "q_sim_join_recall" -> simJoinRecall,
     "q_sim_join_recall_probe" -> simJoinRecallProbe,
@@ -500,6 +530,31 @@ object SimilarityQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_select_kcenter" -> kcenterOracleSql,
+    // exact 1-NN over the audit sample + both label joins — the
+    // q_sim_topk arithmetic restricted to rk = 1
+    "q_label_agreement" ->
+      s"""WITH qv AS ($qvSql),
+         |nrm AS ($nrmSql),
+         |qs AS (SELECT vec_id FROM embeddings
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+         |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q*b.q) AS dp
+         |  FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  JOIN qs ON qs.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cosv AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS c
+         |  FROM dots JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+         |  FROM cosv)
+         |SELECT r.query_id AS vec_id, la.label, r.neighbor_id AS nn_id,
+         |  lb.label AS nn_label,
+         |  CAST(la.label = lb.label AS INT) AS agree,
+         |  ${Rnd.sql("r.c", 6)} AS cos
+         |FROM r
+         |JOIN embeddings la ON la.vec_id = r.query_id
+         |JOIN embeddings lb ON lb.vec_id = r.neighbor_id
+         |WHERE r.rk = 1 ORDER BY vec_id""".stripMargin,
     // q_sim_join_probe: the q_sim_ivf_probe replay with the collection
     // split — left side probes its nprobe nearest cells (rn <= NProbe,
     // the same (c DESC, cent_id) tie rule as assignment), right side
