@@ -497,19 +497,24 @@ object SimilarityQueries extends QueryModule {
 
   /** The k-center replay: the greedy loop unrolled — stage i holds the
     * running min-distance frame `d<i>` and the pick `s<i+1>` (argmax by
-    * (d DESC, vec_id)); every distance is the exact integer Σ(aⱼ−bⱼ)². */
+    * (d DESC, vec_id)); every distance is the exact integer Σ(aⱼ−bⱼ)².
+    * Every stage CTE is MATERIALIZED: each `d<i>` is referenced twice
+    * (its pick AND the next fold), so DuckDB's default inlining grows
+    * the evaluation tree 2× per stage — measured 8 s at sf0.01 and an
+    * OOM at sf0.1 for the plain spelling vs 0.2 s / 0.8 s materialized
+    * (the stages are tiny tables; the blow-up was pure re-evaluation). */
   private def kcenterOracleSql: String = {
     def dist(a: String, b: String): String =
       s"""CAST(list_sum(list_transform(range(1, len($a.q) + 1),
          |      j -> ($a.q[j] - $b.q[j]) * ($a.q[j] - $b.q[j]))) AS BIGINT)""".stripMargin
     val stages = (2 to KCenterK).map { i =>
       val prev = s"d${i - 1}"
-      val pick = s"""s$i AS (SELECT vec_id, q, d FROM $prev
+      val pick = s"""s$i AS MATERIALIZED (SELECT vec_id, q, d FROM $prev
                     |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
       val next =
         if (i == KCenterK) ""
         else s""",
-                |d$i AS (SELECT $prev.vec_id, $prev.q,
+                |d$i AS MATERIALIZED (SELECT $prev.vec_id, $prev.q,
                 |    LEAST($prev.d, ${dist(prev, s"s$i")}) AS d
                 |  FROM $prev, s$i WHERE $prev.vec_id <> s$i.vec_id)""".stripMargin
       pick + next
@@ -517,9 +522,9 @@ object SimilarityQueries extends QueryModule {
     val tail = (2 to KCenterK)
       .map(i => s"UNION ALL SELECT $i, vec_id, d FROM s$i").mkString("\n")
     s"""WITH qv AS ($qvSql),
-       |vv AS (SELECT vec_id, list(q ORDER BY i) AS q FROM qv GROUP BY vec_id),
+       |vv AS MATERIALIZED (SELECT vec_id, list(q ORDER BY i) AS q FROM qv GROUP BY vec_id),
        |sv1 AS (SELECT vec_id, q FROM vv WHERE vec_id = (SELECT MIN(vec_id) FROM vv)),
-       |d1 AS (SELECT vv.vec_id, vv.q, ${dist("vv", "sv1")} AS d
+       |d1 AS MATERIALIZED (SELECT vv.vec_id, vv.q, ${dist("vv", "sv1")} AS d
        |  FROM vv, sv1 WHERE vv.vec_id <> sv1.vec_id),
        |$stages
        |SELECT CAST(1 AS INT) AS step, (SELECT MIN(vec_id) FROM vv) AS vec_id,
