@@ -674,7 +674,12 @@ object Similarity {
     require(k >= 1, s"selectKCenter: k must be >= 1, got $k")
     val spark = df.sparkSession
     val base = scope.pin(df.select(idCol.as("id"), quantize(vecCol).as("q")))
-    val seed = base.agg(min("id")).head().getLong(0)
+    val seed = base.agg(min("id")).head() match {
+      case r if r.isNullAt(0) =>
+        throw new IllegalArgumentException(
+          "selectKCenter: input is empty — no vector to seed the traversal")
+      case r => r.getLong(0)
+    }
     def vecOf(id: Long): Seq[Long] =
       base.filter(col("id") === id).head().getSeq[Long](1)
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]((1, seed, 0L))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.QualityClassifier
+import graft.operators.{CacheScope, QualityClassifier}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,14 +106,14 @@ object CurationQueries extends QueryModule {
     * view — which is what the oracle computes (the
     * q_dedup_incremental "incremental == full" trial). Output is the
     * merged state WITH its weights `(b, n_pos, n_neg, w)`. */
-  def qualityClfIncr(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityClfIncr(spark: SparkSession, sfDir: String,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val delta = QualityClassifier.rateCounts(
       labeledView(spark, sfDir).filter(col("doc_id") % 10 >= 8),
       col("doc_id"), col("text"), col("y"), ClfN, ClfDim)
-    val merged = QualityClassifier.mergeRateCounts(
-      clfCountsOldStore(spark, sfDir), delta)
-      // feeds the weight derivation (totals + rates) AND the output join
-      .cache()
+    // feeds the weight derivation (totals + rates) AND the output join
+    val merged = scope.pin(QualityClassifier.mergeRateCounts(
+      clfCountsOldStore(spark, sfDir), delta))
     QualityClassifier.weightsFromCounts(merged)
       .join(merged, Seq("b"))
       .select(col("b"), col("n_pos"), col("n_neg"), col("w"))
@@ -228,15 +228,15 @@ object CurationQueries extends QueryModule {
     * domain's documents ever funnel through one task's sort (the
     * q_topk_per_group argument; a window ROW_NUMBER here would be the
     * low-cardinality-group whole-frame sort). */
-  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+  def domainCap(spark: SparkSession, sfDir: String,
+                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import spark.implicits._
     graft.GraftFunctions.ensure(spark)
     val block = DomainBlocklist.toDF("source")
-    val kept = Tables.documents(spark, sfDir)
+    // feeds the per-domain count AND the cap — one scan, two legs
+    val kept = scope.pin(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
-      .join(broadcast(block), Seq("source"), "left_anti")
-      // feeds the per-domain count AND the cap — one scan, two legs
-      .cache()
+      .join(broadcast(block), Seq("source"), "left_anti"))
     val counts = kept.groupBy("source").agg(count(lit(1)).as("n_src"))
     // md5-prefix draw order: negate so top-k-desc == hash-ascending
     val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
@@ -366,10 +366,16 @@ object CurationQueries extends QueryModule {
     * crosses one narrow gate pass, one feature aggregate, one 5-gram
     * join ladder, one digest aggregate, and one bounded per-domain
     * top-k; clusters/blocklist/threshold ride broadcasts. */
-  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  def curationPipeline(spark: SparkSession, sfDir: String,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    packTail(curationSurvivors(spark, sfDir, scope))
+
+  /** The rank/pack tail (stages 7–8): curriculum order by the stage-3
+    * scores, then budget packing — shared by the live flagship and the
+    * persisted-store build so both emit byte-identical frames. */
+  private def packTail(capped: DataFrame): DataFrame = {
     val ordered = graft.operators.DenseId.withDenseId(
-      curationSurvivors(spark, sfDir),
-      Seq(col("avg_surprisal"), col("doc_id")), "pos")
+      capped, Seq(col("avg_surprisal"), col("doc_id")), "pos")
     graft.operators.PrefixSum.packByBudget(ordered, Seq(col("pos")),
         col("n_chars"), SampleQueries.PackBudget, "bin",
         tieBreaker = Some(col("pos")))
@@ -391,40 +397,40 @@ object CurationQueries extends QueryModule {
     * packing tail, whose [[graft.operators.DenseId]] RDD hop hides the
     * upstream plan from inspection) — split out so PlanContractSpec
     * can pin the filter chain's physical shape. */
-  private[graft] def curationSurvivors(spark: SparkSession, sfDir: String): DataFrame =
-    curationStages(spark, sfDir).capped
+  private[graft] def curationSurvivors(spark: SparkSession, sfDir: String,
+                                       scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    curationStages(spark, sfDir, scope).capped
 
-  private def curationStages(spark: SparkSession, sfDir: String): CurationStages = {
+  private def curationStages(spark: SparkSession, sfDir: String,
+                             scope: CacheScope = CacheScope.unmanaged): CurationStages = {
     import spark.implicits._
     graft.GraftFunctions.ensure(spark)
     // the pipeline's corpus: the planted view WITH domain/packing
     // metadata — feeds the gate pass, both scoring passes, the digest,
     // and the metadata joins (one scan, pinned)
-    val pv = Tables.documents(spark, sfDir)
+    val pv = scope.pin(Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars"),
         when(col("doc_id") % 3 === 0, concat(col("text"), lit(ClfMarker)))
-          .otherwise(col("text")).as("text"))
-      .cache()
+          .otherwise(col("text")).as("text")))
     // 1. heuristic gates
-    val gk = graft.operators.TextStats.withGateFlags(pv, col("text"))
-      .filter(col("keep")).select("doc_id")
-      .cache() // feeds the clf conjunction AND the funnel count
+    val gk = scope.pin(graft.operators.TextStats.withGateFlags(pv, col("text"))
+      .filter(col("keep")).select("doc_id")) // feeds the clf conjunction AND the funnel count
     // 2. learned screen: drop classifier-flagged reference-domain docs
     val ck = QualityClassifier.score(pv, col("doc_id"), col("text"),
         clfWeightsStore(spark, sfDir), ClfN, ClfDim)
       .filter(col("score") <= 0).select(col("id").as("doc_id"))
-    val s12 = gk.join(ck, Seq("doc_id"), "left_semi")
-      .cache() // feeds the LM scan input AND the funnel count
+    val s12 = scope.pin(gk.join(ck, Seq("doc_id"), "left_semi"))
+    // ^ feeds the LM scan input AND the funnel count
     // 3. pruned-LM filter at the survivor-mean surprisal
     val lms = graft.operators.NgramLm.scoreBackoffPruned(
         pv.join(s12, Seq("doc_id"), "left_semi"), col("doc_id"),
         col("text"), TextQueries.lm5pModelStore(spark, sfDir), order = 5)
       .withColumnRenamed("id", "doc_id")
       .select("doc_id", "avg_surprisal")
-      .cache() // feeds the mean AND the filter
-    val thr = lms.agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
-    val lk = lms.crossJoin(broadcast(thr))
+    val lmsP = scope.pin(lms) // feeds the mean AND the filter
+    val thr = lmsP.agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
+    val lk = lmsP.crossJoin(broadcast(thr))
       .filter(col("avg_surprisal") <= col("__thr")).drop("__thr")
     // 4. exact dedup among survivors (min doc_id per content digest)
     val ek = graft.operators.Dedup.exactByDigest(
@@ -436,15 +442,16 @@ object CurationQueries extends QueryModule {
       DedupQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b"))
     val dropped = labels.filter(col("id") =!= col("canon_id"))
       .select(col("id").as("__drop"))
-    val s4 = lk.join(ek, Seq("doc_id"), "left_semi")
-      .cache() // feeds the near-dup anti-join AND the funnel count
+    val s4 = scope.pin(lk.join(ek, Seq("doc_id"), "left_semi"))
+    // ^ feeds the near-dup anti-join AND the funnel count
     val s45 = s4
       .join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
     // 6. domain curation: blocklist + per-domain cap in md5-draw order
     val block = DomainBlocklist.toDF("source")
-    val enriched = s45.join(pv.select("doc_id", "source", "n_chars"), Seq("doc_id"))
-      .join(broadcast(block), Seq("source"), "left_anti")
-      .cache() // feeds the cap draw AND the survivor re-join below
+    val enriched = scope.pin(s45
+      .join(pv.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .join(broadcast(block), Seq("source"), "left_anti"))
+    // ^ feeds the cap draw AND the survivor re-join below
     val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val capped = enriched.select(col("source"), col("doc_id"), (-h).as("__s"))
@@ -458,21 +465,56 @@ object CurationQueries extends QueryModule {
         .select(col("doc_id"), col("source"), col("avg_surprisal"), col("n_chars")))
   }
 
+  /** PERSISTED flagship artifacts (VERDICT r15 item 1): at 100 TB the
+    * curation pipeline runs ONCE and every consumer — funnel report,
+    * shard manifest, pair curation — reads its PUBLISHED frames; no
+    * audit re-derives the whole chain. The [[FrameFixture]] discipline
+    * already applied to the fingerprint and model stores, extended to
+    * the flagship: one build per (JVM, scale) runs the stage chain
+    * once and writes each stage's survivor frame plus the packed
+    * output to parquet; every later consumer reads the store. The
+    * flagship query itself (q_curation_pipeline) stays a LIVE
+    * derivation — it is the producer — and every consumer's oracle
+    * still replays the full chain, so a drifted store breaks the
+    * consumers' hash gates. */
+  private final case class CurationStore(
+      input: DataFrame, gate: DataFrame, clf: DataFrame, lm: DataFrame,
+      exact: DataFrame, near: DataFrame, unblocked: DataFrame,
+      capped: DataFrame, packed: DataFrame)
+
+  private def curationStore(spark: SparkSession, sfDir: String): CurationStore = {
+    val scope = new CacheScope // build-only pins; parquet outlives them
+    try {
+      lazy val st = curationStages(spark, sfDir, scope) // forced at most once per (JVM, scale)
+      def f(tag: String)(b: => DataFrame): DataFrame = FrameFixture(spark, tag, sfDir)(b)
+      CurationStore(
+        input = f("cur_input")(st.pv.select("doc_id")),
+        gate = f("cur_gate")(st.gate),
+        clf = f("cur_clf")(st.clf),
+        lm = f("cur_lm")(st.lm),
+        exact = f("cur_exact")(st.exact.select("doc_id")),
+        near = f("cur_near")(st.near.select("doc_id")),
+        unblocked = f("cur_unblocked")(st.unblocked.select("doc_id")),
+        capped = f("cur_capped")(st.capped),
+        packed = f("cur_packed")(packTail(st.capped)))
+    } finally scope.close()
+  }
+
   /** The curation FUNNEL report (q_curation_report): survivors after
     * every [[curationPipeline]] stage — the per-stage kill-rate audit
     * every production curation run publishes next to its output (the
     * RefinedWeb/Dolma removal-rate table; without it a silently
     * over-aggressive stage reads as "pipeline ran fine"). One number
-    * per stage, computed from the SAME stage frames the flagship
-    * consumes (shared plan, pinned inputs), so the report can never
-    * disagree with the pipeline it audits. The oracle replays the
-    * full chain and counts the same eight sets. */
+    * per stage, counted from the SAME [[curationStore]] frames the
+    * other consumers read (one pipeline run publishes them), so the
+    * report can never disagree with the pipeline it audits. The
+    * oracle replays the full chain and counts the same eight sets. */
   def curationReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val st = curationStages(spark, sfDir)
+    val st = curationStore(spark, sfDir)
     def c(stage: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).cast("long").as("survivors"))
         .select(lit(stage).as("stage"), col("survivors"))
-    c("0_input", st.pv)
+    c("0_input", st.input)
       .unionByName(c("1_gate", st.gate))
       .unionByName(c("2_classifier", st.clf))
       .unionByName(c("3_lm", st.lm))
@@ -490,10 +532,12 @@ object CurationQueries extends QueryModule {
     * contract, RE-LOADED through the validating loader, and emitted —
     * so a training loader can consume and verify the flagship's
     * output end to end (the q_shard_manifest discipline applied to
-    * the curation pipeline's own bins). The oracle replays the whole
+    * the curation pipeline's own bins). Reads the [[curationStore]]
+    * packed frame — the manifest is built from the PUBLISHED corpus,
+    * not a private re-derivation. The oracle replays the whole
     * pipeline chain into per-shard counts and digests. */
   def curationManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val packed = curationPipeline(spark, sfDir)
+    val packed = curationStore(spark, sfDir).packed
     val m = graft.operators.ShardManifest.build(
       packed, col("bin"), col("doc_id"), col("n_chars"), SampleQueries.PackBudget)
     val path = s"${Scratch.root}/curation_manifest_${new java.io.File(sfDir).getName}"
@@ -502,6 +546,20 @@ object CurationQueries extends QueryModule {
       .select(col("shard"), col("n_rows"), col("n_units"), col("digest"))
       .orderBy("shard")
   }
+
+  /** The text flagship's keep-list as a published artifact (one
+    * [[DedupQueries.corpusPipeline]] run per JVM + scale). */
+  private def textKeepStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "xm_text_keep", sfDir) {
+      DedupQueries.corpusPipeline(spark, sfDir).select("doc_id")
+    }
+
+  /** The media flagship's keep-list as a published artifact (one
+    * [[MediaQueries.multimodalPipeline]] run per JVM + scale). */
+  private def mediaKeepStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "xm_media_keep", sfDir) {
+      MediaQueries.multimodalPipeline(spark, sfDir).select("media_id")
+    }
 
   /** CROSS-MODAL pair curation (q_crossmodal_pairs — VERDICT r14 item
     * 3, the LAION pair-filter shape): the corpus's natural doc↔media
@@ -518,12 +576,13 @@ object CurationQueries extends QueryModule {
     * shape: the pair frame joins each keep-list BY KEY (id-partitioned
     * hash joins — keep-lists are corpus-sized, never driver-collected;
     * at harness scale AQE broadcasts them, at 100 TB they shuffle on
-    * the same id key the pair table already carries). */
+    * the same id key the pair table already carries). Both keep-lists
+    * are PUBLISHED artifacts ([[FrameFixture]], built once per JVM +
+    * scale by one run of each flagship): pair curation consumes the
+    * curation services' outputs, it does not re-run them. */
   def crossmodalPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val textKeep = DedupQueries.corpusPipeline(spark, sfDir)
-      .select(col("doc_id").as("__tk"))
-    val mediaKeep = MediaQueries.multimodalPipeline(spark, sfDir)
-      .select(col("media_id").as("__mk"))
+    val textKeep = textKeepStore(spark, sfDir).select(col("doc_id").as("__tk"))
+    val mediaKeep = mediaKeepStore(spark, sfDir).select(col("media_id").as("__mk"))
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .withColumn("media_id", col("doc_id"))
       .withColumn("kind",
@@ -564,16 +623,22 @@ object CurationQueries extends QueryModule {
     *  - eval-set contamination (winnow-fingerprint hit permille,
     *    [[DedupQueries.contaminationScore]]).
     *
+    * Every signal join is LEFT: a null-text document (unscoreable by
+    * the text-derived signals) still gets its row, with the classifier
+    * / LM / exact-dup columns null — the annotate-don't-filter
+    * contract holds for the whole corpus, not just its scoreable part.
+    *
     * Each signal is an individually-oracled operator; the composed
     * oracle replays all six chains into one row set. Scale shape: six
     * independent per-document passes (each linear, each already
     * plan-audited in its home query) joined BY doc_id — no pass ever
     * sees another's intermediate state, so the whole table
     * materializes in one id-partitioned join tree. */
-  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualitySignals(spark: SparkSession, sfDir: String,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     graft.GraftFunctions.ensure(spark)
-    val docs = Tables.documents(spark, sfDir)
-      .select("doc_id", "lang", "source", "n_chars", "text").cache()
+    val docs = scope.pin(Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars", "text"))
     val gates = graft.operators.TextStats.withGateFlags(docs, col("text"))
       .select(col("doc_id"), col("n_words"), col("mwl_pm"), col("distinct_pm"),
         col("stop_hits"), col("keep").cast("int").as("gate_keep"))
@@ -597,9 +662,9 @@ object CurationQueries extends QueryModule {
         col("permille").as("contamination_pm"))
     docs.select("doc_id", "lang", "source", "n_chars")
       .join(gates, Seq("doc_id"))
-      .join(clf, Seq("doc_id"))
+      .join(clf, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
-      .join(ex, Seq("doc_id"))
+      .join(ex, Seq("doc_id"), "left")
       .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("near_canon_id", coalesce(col("canon_id"), col("doc_id")))
       .drop("canon_id")
@@ -611,18 +676,18 @@ object CurationQueries extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curation_pipeline" -> curationPipeline,
+    "q_curation_pipeline" -> ((s, d) => curationPipeline(s, d)),
     "q_curation_report" -> curationReport,
     "q_curation_manifest" -> curationManifest,
-    "q_quality_signals" -> qualitySignals,
+    "q_quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "q_crossmodal_pairs" -> crossmodalPairs,
     "q_quality_clf_train" -> qualityClfTrain,
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
-    "q_quality_clf_incr" -> qualityClfIncr,
+    "q_quality_clf_incr" -> ((s, d) => qualityClfIncr(s, d)),
     "q_curriculum_order" -> curriculumOrder,
     "q_curriculum_incr" -> curriculumIncr,
-    "q_domain_cap" -> domainCap,
+    "q_domain_cap" -> ((s, d) => domainCap(s, d)),
     "q_domain_cap_incr" -> domainCapIncr)
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
@@ -630,6 +695,9 @@ object CurationQueries extends QueryModule {
     clfCountsOldStore(spark, sfDir)
     domainUsedOldStore(spark, sfDir)
     curriculumDistOldStore(spark, sfDir)
+    curationStore(spark, sfDir)
+    textKeepStore(spark, sfDir)
+    mediaKeepStore(spark, sfDir)
     ()
   }
 
@@ -845,9 +913,9 @@ object CurationQueries extends QueryModule {
        |  COALESCE(cont.contamination_pm, 0) AS contamination_pm
        |FROM documents d
        |JOIN gs USING (doc_id)
-       |JOIN csc2 USING (doc_id)
+       |LEFT JOIN csc2 USING (doc_id)
        |LEFT JOIN lms ON lms.doc_id = d.doc_id
-       |JOIN ecnt ON ecnt.dg = md5(d.text)
+       |LEFT JOIN ecnt ON ecnt.dg = md5(d.text)
        |LEFT JOIN labels l ON l.id = d.doc_id
        |LEFT JOIN cont ON cont.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin

@@ -106,7 +106,12 @@ object PackStream {
               .write.mode("overwrite").parquet(s"$rejectsDir/batch_$batchId")
             // advance the ledger by this batch's units (+ compact)
             import spark.implicits._
-            val batchUnits = packed.agg(sum("n_units")).head().getLong(0)
+            // an all-rejects batch leaves `packed` empty → null sum; the
+            // ledger must still advance by 0 or the batch replays forever
+            val batchUnits = packed.agg(sum("n_units")).head() match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
             val out = s"$offsetDir/batch_$batchId"
             if (live.size + 1 >= compactEvery) {
               Seq(base + batchUnits).toDF("units")
