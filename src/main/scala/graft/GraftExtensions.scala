@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, FnvNgrams, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, UnigramEncodeBytes, WhtHash}
+import graft.expressions.{BloomBuildAgg, BloomContains, BpeEncode, BpeEncodeBytes, BytePreTok, CmsBuildAgg, CmsQuery, FnvNgrams, HammingDist, NearestCentroid, NearestCentroidDbl, PqAdc, PqEncode, QuantizedDot, TopKBy, UnigramEncode, UnigramEncodeBytes, WhtHash, WordPieceEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bytePreTok)
     ext.injectFunction(GraftFunctions.unigramEncode)
     ext.injectFunction(GraftFunctions.unigramEncodeBytes)
+    ext.injectFunction(GraftFunctions.wordpieceEncode)
     ext.injectFunction(GraftFunctions.whtHash)
     ext.injectFunction(GraftFunctions.fnvNgrams)
     // auto-vectorization: the built-in aggregate(zip_with(...)) dot
@@ -167,6 +168,14 @@ object GraftFunctions {
       UnigramEncodeBytes(children.head, children(1))
     })
 
+  val wordpieceEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wordpiece_encode"),
+    new ExpressionInfo(classOf[WordPieceEncode].getName, "wordpiece_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"wordpiece_encode expects 2 arguments, got ${children.size}")
+      WordPieceEncode(children.head, children(1))
+    })
+
   val whtHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("wht_hash"),
     new ExpressionInfo(classOf[WhtHash].getName, "wht_hash"),
@@ -188,7 +197,7 @@ object GraftFunctions {
     Seq(quantizedDot, hammingDist, topKBy, bloomBuild, bloomContains, cmsBuild, cmsQuery,
         pqEncode, pqAdc, nearestCentroid, nearestCentroidDbl, bpeEncode,
         bpeEncodeBytes, bytePreTok, unigramEncode, unigramEncodeBytes,
-        whtHash, fnvNgrams).foreach { case (ident, info, builder) =>
+        wordpieceEncode, whtHash, fnvNgrams).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

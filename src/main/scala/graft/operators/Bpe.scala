@@ -271,7 +271,7 @@ object Bpe {
     * exactly `lhs` and the incoming symbol is `rhs`. Returns the INPUT
     * array unchanged when no fusion fires (callers detect change by
     * length — a fusion always shortens). */
-  private def mergeLocal(syms: Array[Int], lhs: Int, rhs: Int, fused: Int): Array[Int] = {
+  private[operators] def mergeLocal(syms: Array[Int], lhs: Int, rhs: Int, fused: Int): Array[Int] = {
     val out = new Array[Int](syms.length)
     var n = 0
     var changed = false
@@ -298,7 +298,7 @@ object Bpe {
     * tracks [[DriverDrainBytesPerChar]]. Member order is not part of
     * the contract: rule application commutes across words (per-word
     * merges are independent; count deltas sum). */
-  private final class IntVec {
+  private[operators] final class IntVec {
     var a = new Array[Int](8)
     var n = 0
     def add(x: Int): Unit = {
@@ -318,7 +318,7 @@ object Bpe {
       a(n) = x; n += 1
     }
   }
-  private object IntVec {
+  private[operators] object IntVec {
     /** Lists below this stay append-only (dedup cost would dominate). */
     val DedupeAt = 64
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-model INTERCHANGE — the documented parquet contract that
-  * lets a trained [[Bpe]]/[[Unigram]] artifact leave the engine (and
+  * lets a trained [[Bpe]]/[[Unigram]]/[[WordPiece]] artifact leave the engine (and
   * arrive from outside it): the HuggingFace-style split of a ranks
   * file (BPE merges in application order) and a piece table (unigram
   * pieces with log-weights), each as ONE self-describing parquet table
@@ -32,6 +32,7 @@ object TokenizerModel {
 
   val FormatBpe = "graft.bpe"
   val FormatUnigram = "graft.unigram"
+  val FormatWordPiece = "graft.wordpiece"
   val Version = 1
 
   /** Persist a trained BPE rule list under the interchange contract. */
@@ -71,6 +72,29 @@ object TokenizerModel {
     rows.foreach(r => stampCheck(r.getString(0), r.getInt(1), FormatUnigram, path))
     rows.map(r => Unigram.Piece(r.getString(2), r.getDouble(3), r.getLong(4)))
       .sortBy(p => (-p.count, p.piece)).toSeq
+  }
+
+  /** Persist a trained WordPiece vocabulary under the interchange
+    * contract (`format = "graft.wordpiece"`, `version = 1`):
+    * `(format string, version int, idx int, piece string)` — `idx` is
+    * the canonical vocabulary index ([[WordPiece.vocab]]'s order:
+    * `[UNK]`, alphabet, then fused pieces in merge-rank order; row
+    * order in the file is NOT significant). */
+  def saveWordPiece(spark: SparkSession, vocab: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (p, i) => (FormatWordPiece, Version, i, p) }
+      .toDF("format", "version", "idx", "piece")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[FormatWordPiece]] artifact, index-ordered; fails loudly
+    * on a foreign format or version. */
+  def loadWordPiece(spark: SparkSession, path: String): Seq[String] = {
+    val df = spark.read.parquet(path)
+    stampCheck(df.columns.toSet, Set("idx", "piece"), FormatWordPiece, path)
+    val rows = df.select("format", "version", "idx", "piece").collect()
+    rows.foreach(r => stampCheck(r.getString(0), r.getInt(1), FormatWordPiece, path))
+    rows.map(r => (r.getInt(2), r.getString(3))).sortBy(_._1).map(_._2).toSeq
   }
 
   private def stampCheck(cols: Set[String], need: Set[String],

@@ -463,6 +463,105 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** WordPiece training's iteration-0 LIKELIHOOD table on the oracle
+    * (q_wordpiece_pairs — the [[bpePairs]] discipline applied to the
+    * likelihood-greedy trainer): top-50 adjacent piece pairs of the
+    * raw `##`-pieced vocabulary by `n / (n_lhs · n_rhs)` (the
+    * WordPiece merge score), ties to the smaller (lhs, rhs). The
+    * score ORDER is computed in IEEE doubles — identical bit-for-bit
+    * in both engines over exact long inputs, and ties fall through to
+    * the lexicographic columns — while every OUTPUT column is an
+    * exact long; the final frame re-sorts on (lhs, rhs) so row order
+    * never rides the float. The iterative argmax loop and the encoder
+    * are gated by WordPieceSpec (two-path + reference parity); this
+    * row keeps the corpus-pass count algebra on the hash-exact
+    * oracle. */
+  def wordpiecePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wp = graft.operators.WordPiece.withPieces(
+      Bpe.wordFreq(Tables.documents(spark, sfDir), col("text")))
+    val pairs = Bpe.pairCounts(wp)
+    val syms = graft.operators.WordPiece.symbolCounts(wp)
+    pairs
+      .join(syms.withColumnRenamed("sym", "lhs").withColumnRenamed("c", "n_lhs"),
+        Seq("lhs"))
+      .join(syms.withColumnRenamed("sym", "rhs").withColumnRenamed("c", "n_rhs"),
+        Seq("rhs"))
+      .orderBy(
+        (col("n").cast("double") /
+          (col("n_lhs") * col("n_rhs")).cast("double")).desc,
+        asc("lhs"), asc("rhs"))
+      .limit(50)
+      .select(col("lhs"), col("rhs"), col("n"), col("n_lhs"), col("n_rhs"))
+      .orderBy("lhs", "rhs")
+  }
+
+  /** Fixed encoder vocabulary for [[wordpieceEncode]] — hand-picked
+    * over the corpus alphabet to exercise every branch the greedy
+    * longest-match encoder has: multi-char plain pieces that shadow
+    * their single-char prefixes ("sc" > "s", "join" > "j"),
+    * multi-char continuations that shadow theirs ("##atch", "##lumn",
+    * "##rge"), and deliberate HOLES (no "##y") so real corpus words
+    * ("query", "key") take the whole-word `[UNK]` rule. What makes
+    * the query oracle-able: the vocabulary is a CONSTANT, so "longest
+    * match at position p" is a generated CASE over fixed lengths
+    * ([[wpMatchLenSql]]) and the per-word scan is a plain recursive
+    * CTE — no aggregation inside the recursion. */
+  private val EncVocabWp: Seq[String] = Seq(
+    "a", "b", "c", "co", "d", "f", "g", "h", "j", "join", "k", "l", "m",
+    "o", "or", "p", "q", "r", "s", "sc", "sp", "t", "ta", "v", "w",
+    "##a", "##an", "##ar", "##ark", "##atch", "##b", "##c", "##ch",
+    "##d", "##e", "##er", "##g", "##h", "##i", "##in", "##j", "##k",
+    "##l", "##le", "##low", "##lumn", "##m", "##mn", "##n", "##o",
+    "##ow", "##p", "##r", "##rge", "##s", "##t", "##u", "##v", "##w")
+
+  /** [[EncVocabWp]] through the INTERCHANGE round trip
+    * ([[graft.operators.TokenizerModel]] save → load), memoized per
+    * JVM — the oracled encode runs off the LOADED vocab-file artifact,
+    * the [[encBytesRulesLoaded]] discipline. */
+  private def wpVocabLoaded(spark: SparkSession): Seq[String] =
+    interchangeModels.getOrElseUpdate("wordpiece", {
+      val dir = s"${Scratch.root}/tokmodel_wp_${java.util.UUID.randomUUID()}"
+      graft.operators.TokenizerModel.saveWordPiece(spark,
+        graft.operators.WordPiece.UnkToken +: EncVocabWp, dir)
+      graft.operators.TokenizerModel.loadWordPiece(spark, dir)
+    }).asInstanceOf[Seq[String]]
+
+  /** The native `wordpiece_encode` expression end-to-end on the
+    * oracle: each document greedily longest-matched under
+    * [[EncVocabWp]], output as token count + the space-joined token
+    * string (hash-exact both ways). The TRAINED-vocab path is
+    * WordPieceSpec's reference-parity gate; this row pins the
+    * expression's per-word greedy scan, `##` position classes,
+    * longest-first shadowing, whole-word `[UNK]` failure, and word
+    * iteration against an independent engine's replay of the same
+    * constant vocabulary. */
+  def wordpieceEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val vocab = graft.operators.WordPiece.vocabLit(wpVocabLoaded(spark))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("wordpiece_encode", lower(col("text")), vocab).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
+  /** "Longest [[EncVocabWp]] match at `posExpr`" as a generated CASE:
+    * plain pieces at position 1, stripped `##` bodies after, probed
+    * longest length first — NULL when nothing matches (the `[UNK]`
+    * signal the recursive replay reads). */
+  private def wpMatchLenSql(wordExpr: String, posExpr: String): String = {
+    def cases(pieces: Seq[String]): String =
+      pieces.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, ps) =>
+        s"WHEN substr($wordExpr, $posExpr, $l) IN (${ps.sorted.map(p => s"'$p'").mkString(", ")}) THEN $l"
+      }.mkString(" ")
+    val plain = EncVocabWp.filterNot(_.startsWith("##"))
+    val cont = EncVocabWp.filter(_.startsWith("##")).map(_.drop(2))
+    s"(CASE WHEN $posExpr = 1 THEN (CASE ${cases(plain)} END) " +
+      s"ELSE (CASE ${cases(cont)} END) END)"
+  }
+
   /** Token budget per packed training sequence for q_pack_tokens. */
   private val TokenBudget = 512L
 
@@ -732,6 +831,8 @@ object TextQueries extends QueryModule {
     "q_lm_score5p" -> lmScore5p,
     "q_tok_pipeline" -> tokPipeline,
     "q_bpe_pairs" -> bpePairs,
+    "q_wordpiece_pairs" -> wordpiecePairs,
+    "q_wordpiece_encode" -> wordpieceEncode,
     "q_bpe_encode" -> bpeEncode,
     "q_bpe_encode_bytes" -> bpeEncodeBytes,
     "q_pack_tokens" -> packTokens,
@@ -1169,6 +1270,67 @@ object TextQueries extends QueryModule {
         |  FROM pos)
         |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
         |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
+    // WordPiece iteration-0 likelihood replay: ##-pieced vocabulary,
+    // pair + symbol occurrence counts, IEEE-double score ORDER with
+    // lexicographic ties, exact-long output re-sorted on (lhs, rhs)
+    "q_wordpiece_pairs" ->
+      """WITH wf AS (
+        |  SELECT w AS word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |pc AS (
+        |  SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+        |              ELSE '##' || substr(word, i, 1) END AS lhs,
+        |    '##' || substr(word, i + 1, 1) AS rhs, freq
+        |  FROM (SELECT word, freq, unnest(range(1, len(word))) AS i FROM wf) t),
+        |pairs AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n
+        |  FROM pc GROUP BY lhs, rhs),
+        |syms AS (
+        |  SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+        |              ELSE '##' || substr(word, i, 1) END AS sym,
+        |    CAST(SUM(freq) AS BIGINT) AS c
+        |  FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM wf) t
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT p.lhs, p.rhs, p.n, l.c AS n_lhs, r.c AS n_rhs
+        |  FROM pairs p JOIN syms l ON l.sym = p.lhs JOIN syms r ON r.sym = p.rhs
+        |  ORDER BY CAST(p.n AS DOUBLE) / CAST(l.c * r.c AS DOUBLE) DESC, p.lhs, p.rhs
+        |  LIMIT 50)
+        |SELECT lhs, rhs, n, n_lhs, n_rhs FROM top ORDER BY lhs, rhs""".stripMargin,
+    // greedy longest-match replay: per (doc, word) a recursive scan
+    // whose step length is the generated constant-vocab CASE; a NULL
+    // match (or an over-length word) fails the WHOLE word to [UNK]
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE
+         |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |w AS (SELECT doc_id, i AS widx, ws[i] AS word
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws) t
+         |  WHERE ws[i] <> ''),
+         |step(doc_id, widx, word, pos, tok, failed) AS (
+         |  SELECT doc_id, widx, word, 1, CAST(NULL AS VARCHAR), len(word) > 100 FROM w
+         |  UNION ALL
+         |  SELECT doc_id, widx, word,
+         |    pos + COALESCE(ml, len(word) + 1),
+         |    CASE WHEN ml IS NULL THEN NULL
+         |         WHEN pos = 1 THEN substr(word, pos, ml)
+         |         ELSE '##' || substr(word, pos, ml) END,
+         |    ml IS NULL
+         |  FROM (SELECT *, ${wpMatchLenSql("word", "pos")} AS ml
+         |        FROM step WHERE NOT failed AND pos <= len(word)) t),
+         |toks AS (SELECT doc_id, widx,
+         |    CASE WHEN bool_or(failed) THEN '[UNK]'
+         |         ELSE string_agg(tok, ' ' ORDER BY pos) END AS wtoks,
+         |    CASE WHEN bool_or(failed) THEN 1 ELSE count(tok) END AS n
+         |  FROM step GROUP BY doc_id, widx),
+         |enc AS (SELECT doc_id,
+         |    string_agg(wtoks, ' ' ORDER BY widx) AS encoded,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(e.n_tokens, 0) AS n_tokens,
+         |  COALESCE(e.encoded, '') AS encoded
+         |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // literal mirror of the GateRules defaults: every division is
     // positive-integer floor (`//` here, idiv there), so flags hash-match
     "q_quality_gate" ->
