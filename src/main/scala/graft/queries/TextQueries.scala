@@ -56,6 +56,67 @@ object TextQueries extends QueryModule {
         Profiles.keys.toSeq.sorted.map(l => col(s"hits_$l")) :+ col("predicted_lang"): _*)
       .orderBy("doc_id")
 
+  /** Lang-ID classifier geometry (the [[CurationQueries]] clf family's
+    * constants, shared with the generated oracle SQL). */
+  private[graft] val LangIdN = 3
+  private[graft] val LangIdDim = 512
+  private[graft] val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-language planted marker (the [[CurationQueries.ClfMarker]]
+    * discipline, one suffix per class): this corpus's `lang` labels
+    * are text-INDEPENDENT by construction (see the module doc), so an
+    * honest classifier on the raw text is a coin flip and the demo
+    * degenerate. The planted view restores a learnable signal — the
+    * operator must RECOVER each language's marker n-grams from the
+    * labeled half — while real-text accuracy lives in LangIdSpec's
+    * separable-corpus gates. */
+  private def langMarker(l: String): String = s" ${l}corpusmark" * 3
+
+  /** The planted lang-ID corpus view: every document suffixed with its
+    * language's marker; training uses the even half, scoring the whole
+    * view. */
+  private def langIdView(spark: SparkSession, sfDir: String): DataFrame = {
+    val markerCase = LangIdLangs.foldRight(lit(null: String)) { (l, rest) =>
+      when(col("lang") === l, langMarker(l)).otherwise(rest)
+    }
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), markerCase).as("text"))
+  }
+
+  /** The DEPLOYED lang-ID model as a persisted artifact (the
+    * lmModelStore discipline: train once, score forever). */
+  private def langIdWeightsStore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    FrameFixture(spark, "langid_clf", sfDir) {
+      graft.operators.LangId.trainRates(
+        langIdView(spark, sfDir).filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), col("lang"), LangIdN, LangIdDim)
+    }
+  }
+
+  /** CORPUS-TRAINED language ID on the oracle (q_langid_trained —
+    * VERDICT r15 item 4): every document of the planted view scored
+    * under the deployed [[graft.operators.LangId]] rate model — one
+    * long score per class, argmax prediction with alphabetical ties,
+    * and the per-document hit flag against the actual label. The
+    * oracle replays TRAINING (labeled-half class counts, per-class
+    * totals, both exact divisions) and SCORING (the same FNV feature
+    * pass over the full view) in one statement — one drifted bucket
+    * anywhere mismatches. Decision QUALITY on separable real-text
+    * corpora is LangIdSpec's gate. */
+  def langIdTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val view = langIdView(spark, sfDir)
+    val scored = graft.operators.LangId.score(view, col("doc_id"), col("text"),
+      langIdWeightsStore(spark, sfDir), LangIdLangs, LangIdN, LangIdDim)
+    view.select(col("doc_id"), col("lang"))
+      .join(scored.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("hit", (col("predicted_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide vocabulary heavy-hitters: explode tokens → count →
     * top-K. Partial aggregation combines per-task before the single
     * |vocab|-sized shuffle, and the top-K is TakeOrdered (per-partition
@@ -562,6 +623,53 @@ object TextQueries extends QueryModule {
       s"ELSE (CASE ${cases(cont)} END) END)"
   }
 
+  /** The q_langid_trained replay, generated from the SAME constants
+    * as the Spark side: planted marker suffixes, the shared FNV window
+    * fold, labeled-half per-class bucket counts, per-class totals, the
+    * exact scaled division, the same scoring join, and the same
+    * argmax-with-alphabetical-ties CASE chain. */
+  private def langIdOracleSql: String = {
+    val fnv = graft.operators.QualityClassifier.fnvBucketSql("t", "i", LangIdN, LangIdDim)
+    val markers = LangIdLangs.map(l => s"WHEN '$l' THEN '${langMarker(l)}'").mkString(" ")
+    val scoreCols = LangIdLangs.map(l =>
+      s"CAST(SUM(CASE WHEN w.lang = '$l' THEN w.w ELSE 0 END) AS BIGINT) AS score_$l")
+      .mkString(",\n    ")
+    val predCase = {
+      val init = LangIdLangs.init.zipWithIndex.map { case (l, i) =>
+        val later = LangIdLangs.drop(i + 1).map(x => s"score_$x")
+        val best = if (later.size == 1) later.head
+          else s"greatest(${later.mkString(", ")})"
+        s"WHEN score_$l >= $best THEN '$l'"
+      }.mkString(" ")
+      s"CASE $init ELSE '${LangIdLangs.last}' END"
+    }
+    val scSel = LangIdLangs.map(l => s"sc.score_$l").mkString(", ")
+    val outSel = LangIdLangs.map(l => s"score_$l").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, lang,
+       |    lower(text || CASE lang $markers END) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |feat AS (
+       |  SELECT doc_id, $fnv AS b FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) - ${LangIdN - 2})) AS i FROM docs)
+       |  UNION ALL SELECT doc_id, $LangIdDim AS b FROM docs),
+       |lab AS (SELECT doc_id, lang FROM docs WHERE doc_id % 2 = 0),
+       |cc AS (SELECT l.lang, f.b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM feat f JOIN lab l USING (doc_id) GROUP BY l.lang, f.b),
+       |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t2 FROM cc GROUP BY lang),
+       |wt AS (SELECT cc.lang, cc.b,
+       |    ${graft.operators.QualityClassifier.RateScale} * cc.cnt // tot.t2 AS w
+       |  FROM cc JOIN tot USING (lang)),
+       |sc AS (SELECT f.doc_id,
+       |    $scoreCols
+       |  FROM feat f JOIN wt w ON w.b = f.b GROUP BY f.doc_id),
+       |pred AS (SELECT d.doc_id, d.lang, $scSel,
+       |    $predCase AS predicted_lang
+       |  FROM docs d JOIN sc ON sc.doc_id = d.doc_id)
+       |SELECT doc_id, lang, $outSel,
+       |  predicted_lang, CAST(predicted_lang = lang AS INT) AS hit
+       |FROM pred ORDER BY doc_id""".stripMargin
+  }
+
   /** Token budget per packed training sequence for q_pack_tokens. */
   private val TokenBudget = 512L
 
@@ -842,6 +950,7 @@ object TextQueries extends QueryModule {
     "q_quality_gate" -> qualityGate,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
+    "q_langid_trained" -> langIdTrained,
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
     "q_heavy_hitters" -> heavyHitters,
@@ -860,6 +969,7 @@ object TextQueries extends QueryModule {
     lm5pModelStore(spark, sfDir)
     fullIndexDir(spark, sfDir)
     oldIndexDir(spark, sfDir)
+    langIdWeightsStore(spark, sfDir)
     ()
   }
 
@@ -1270,6 +1380,9 @@ object TextQueries extends QueryModule {
         |  FROM pos)
         |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
         |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
+    // corpus-trained lang-ID replay: planted markers, FNV features,
+    // per-class counts/totals/exact-division rates, argmax CASE chain
+    "q_langid_trained" -> langIdOracleSql,
     // WordPiece iteration-0 likelihood replay: ##-pieced vocabulary,
     // pair + symbol occurrence counts, IEEE-double score ORDER with
     // lexicographic ties, exact-long output re-sorted on (lhs, rhs)
