@@ -510,12 +510,122 @@ object ScaleGrowth {
       agg.getLong(3), agg.getLong(4))
   }
 
+  /** Curation-funnel measurements over a PLAIN clone under FROZEN 1×
+    * artifacts (VERDICT r15 item 5) — the deployed-model discipline: a
+    * production pipeline trains its classifier and reference LM once
+    * and runs them over the grown corpus. The clone offset is
+    * divisible by 6 so the planted marker (`doc_id % 3`) and the
+    * labeled half (`% 2`) replicate exactly; every replica then takes
+    * IDENTICAL per-stage decisions, so the funnel's growth law is
+    * exact, not statistical:
+    *
+    *  - input / gate / classifier / LM legs grow EXACTLY ×R (per-doc
+    *    decisions replicate; the LM threshold is a mean whose
+    *    numerator and denominator both scale by R, and
+    *    `(R·S) div (R·C) = S div C` exactly);
+    *  - the exact-dedup leg COLLAPSES to the 1× survivor count (every
+    *    replica shares its original's digest and the original id is
+    *    the min — the dedup stage catching all clones IS its job).
+    *
+    * Costs: one gate pass + one feature pass + one 5-gram join ladder
+    * + one digest aggregate, each corpus-linear. */
+  final case class FunnelGrowth(input: Long, gate: Long, clf: Long,
+      lm: Long, exact: Long, wall: Double)
+
+  /** Clone offset divisible by 6 (marker and label-half invariance). */
+  private val FunnelOffset = 600000000L
+
+  def curationFunnelGrowth(spark: SparkSession, docsRaw: DataFrame, s: Int): FunnelGrowth = {
+    import graft.operators.{CacheScope, Dedup, NgramLm, QualityClassifier, TextStats}
+    graft.GraftFunctions.ensure(spark)
+    val scope = new CacheScope
+    try {
+      val marker = " curated reference corpus marker" * 3
+      def planted(df: DataFrame): DataFrame = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(marker)))
+            .otherwise(col("text")).as("text"))
+      val pv1 = scope.pin(planted(docsRaw))
+      // frozen 1x artifacts
+      val w = scope.pin(QualityClassifier.trainRates(
+        pv1.filter(col("doc_id") % 2 === 0)
+          .withColumn("y", when(col("doc_id") % 3 === 0, 1).otherwise(-1)),
+        col("doc_id"), col("text"), col("y"), 3, 512))
+      w.count()
+      val lmModel = scope.pin(NgramLm.prunedBackoffModel(
+        docsRaw.filter(col("lang") === "en"), col("doc_id"), col("text"),
+        order = 5, minCounts = Seq(1L, 1L, 2L, 2L, 2L)))
+      lmModel.count()
+      val pvN = scope.pin(planted(
+        (0 until s).map { r =>
+          if (r == 0) docsRaw
+          else docsRaw.withColumn("doc_id", col("doc_id") + lit(r * FunnelOffset))
+        }.reduce(_ unionByName _)))
+      val t0 = System.nanoTime()
+      val input = pvN.count()
+      val gk = scope.pin(TextStats.withGateFlags(pvN, col("text"))
+        .filter(col("keep")).select("doc_id"))
+      val gate = gk.count()
+      val ck = QualityClassifier.score(pvN, col("doc_id"), col("text"), w, 3, 512)
+        .filter(col("score") <= 0).select(col("id").as("doc_id"))
+      val s12 = scope.pin(gk.join(ck, Seq("doc_id"), "left_semi"))
+      val clf = s12.count()
+      val lms = scope.pin(NgramLm.scoreBackoffPruned(
+          pvN.join(s12, Seq("doc_id"), "left_semi"),
+          col("doc_id"), col("text"), lmModel, order = 5)
+        .withColumnRenamed("id", "doc_id").select("doc_id", "avg_surprisal"))
+      val thr = lms.agg(expr("sum(avg_surprisal) DIV count(1)").as("__t"))
+      val lk = scope.pin(lms.crossJoin(broadcast(thr))
+        .filter(col("avg_surprisal") <= col("__t")).select("doc_id"))
+      val lmCount = lk.count()
+      val ek = Dedup.exactByDigest(pvN.join(lk, Seq("doc_id"), "left_semi"),
+        col("doc_id"), col("text")).select(col("keep_id").as("doc_id"))
+      val exact = lk.join(ek, Seq("doc_id"), "left_semi").count()
+      FunnelGrowth(input, gate, clf, lmCount, exact, (System.nanoTime() - t0) / 1e9)
+    } finally scope.close()
+  }
+
+  /** k-center traversal measurements: the ladder is k sequential
+    * rounds, so the DRIVER JOB COUNT must ride k alone — the same k at
+    * 1× and R× must submit the SAME number of jobs (each job's inside
+    * is the corpus-linear part). Jobs are counted by job group via the
+    * status tracker, polled to stability (listener delivery is
+    * asynchronous). */
+  final case class KCenterGrowth(rows: Long, k: Int, jobs: Int,
+      lastDist: Long, wall: Double)
+
+  def kcenterGrowth(spark: SparkSession, emb: DataFrame, s: Int, k: Int,
+                    dim: Int = 64): KCenterGrowth = {
+    val p = scaledEmb(emb, s, dim).cache()
+    val rows = p.count()
+    val tag = s"kcenter_${s}x_${k}_${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(tag, tag)
+    val t0 = System.nanoTime()
+    val ladder =
+      try Similarity.selectKCenter(p, col("vec_id"), col("embedding"), k)
+        .orderBy("step").collect()
+      finally spark.sparkContext.clearJobGroup()
+    val wall = (System.nanoTime() - t0) / 1e9
+    var prev = -1
+    var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    while (cur != prev) {
+      Thread.sleep(200)
+      prev = cur
+      cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    p.unpersist(blocking = false)
+    require(ladder.length == k, s"kcenter: expected $k rows, got ${ladder.length}")
+    KCenterGrowth(rows, k, cur, ladder.last.getLong(2), wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
-    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "clf", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|all, got $families")
+    require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "clf",
+        "curation", "kcenter", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|curation|kcenter|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -531,6 +641,7 @@ object ScaleGrowth {
     println("|---|---|---|---|---|---|---|---|---|")
 
     val indexRows = scala.collection.mutable.ArrayBuffer[String]()
+    val curationRows = scala.collection.mutable.ArrayBuffer[String]()
     val bpeRows = scala.collection.mutable.ArrayBuffer[String]()
     val lmRows = scala.collection.mutable.ArrayBuffer[String]()
     val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
@@ -657,6 +768,49 @@ object ScaleGrowth {
             f"${g.vocab} | ${g.trainWall}%.1f | ${g.rules.size} | $head |")
         }
       }
+      if (families == "curation" || families == "all") {
+        val g = curationFunnelGrowth(spark, Tables.documents(spark, sfDir), s)
+        curationRows += (f"| curation-funnel (frozen 1x models) | ${s}x | ${g.input} | " +
+          f"${g.gate} | ${g.clf} | ${g.lm} | ${g.exact} | ${g.wall}%.1f |")
+      }
+      if (families == "kcenter" || families == "all") {
+        val g = kcenterGrowth(spark,
+          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), s, k = 8)
+        curationRows += (f"| kcenter (k=8) | ${s}x | ${g.rows} | ${g.jobs} jobs | — | — | " +
+          f"${g.lastDist} | ${g.wall}%.1f |")
+      }
+      if (families == "curation" || families == "all") {
+        // fixed-budget boilerplate strip over the PERTURBED clone (the
+        // ScaleGrowthSpec trial's transform): the top-M budget is
+        // corpus-independent, so stripped volume must stay in a
+        // constant band — a plain clone would instead scale the
+        // occurrence volume of the same 150 grams linearly (fixed
+        // LIST, growing corpus), which is the other true law, not the
+        // budget claim under test
+        val docsB = scaledDocs(Tables.documents(spark, sfDir)
+          .select("doc_id", "text").filter(col("text").isNotNull), s).cache()
+        val nB = docsB.count()
+        val tB = System.nanoTime()
+        val stripped = graft.operators.Dedup.boilerplateSpans(
+            docsB, col("doc_id"), col("text"), n = 3, topM = 150)
+          .agg(sum("span_tokens")).head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        curationRows += (f"| boilerplate strip (3gram, top-150) | ${s}x | $nB | " +
+          f"stripped $stripped | — | — | — | ${(System.nanoTime() - tB) / 1e9}%.1f |")
+        // temperature mixture: admissions track the analytic policy
+        val docsT = (0 until s).map { r =>
+          val d = Tables.documents(spark, sfDir).select("doc_id", "lang")
+          if (r == 0) d else d.withColumn("doc_id", col("doc_id") + lit(r * ReplicaOffset))
+        }.reduce(_ unionByName _).cache()
+        val nT = docsT.count()
+        val tT = System.nanoTime()
+        val adm = graft.operators.Sample.temperatureMix(
+          docsT, col("doc_id"), col("lang")).count()
+        curationRows += (f"| temperature-mix (isqrt, div 4) | ${s}x | $nT | " +
+          f"admitted $adm | — | — | — | ${(System.nanoTime() - tT) / 1e9}%.1f |")
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
@@ -677,6 +831,12 @@ object ScaleGrowth {
       println("| family | scale | rows | model n-grams | successor vocab | docs scored |")
       println("|---|---|---|---|---|---|")
       lmRows.foreach(println)
+    }
+    if (curationRows.nonEmpty) {
+      println()
+      println("| family | scale | input | gate | clf | lm | exact/dist | wall (s) |")
+      println("|---|---|---|---|---|---|---|---|")
+      curationRows.foreach(println)
     }
     if (indexRows.nonEmpty) {
       println()

@@ -100,8 +100,22 @@ object PackStream {
                   floor((col("offset_end") - col("n_units")) / budget).cast("long"))
                 .select(col("doc_id"), col("n_units"), col("offset_end"), col("bin")))
             packed.write.mode("overwrite").parquet(s"$shardsDir/batch_$batchId")
-            ShardManifest.build(packed, col("bin"), col("doc_id"), col("n_units"), budget)
-              .write.mode("overwrite").parquet(s"$manifestDir/batch_$batchId")
+            val compacting = live.size + 1 >= compactEvery
+            // manifest delta — or, on a compaction batch, the RE-MANIFEST:
+            // every live delta folds with this batch's into ONE full
+            // manifest (marked _FULL), so a loader reads one manifest +
+            // the tail deltas instead of the whole batch history; dead
+            // generations below the previous full marker are pruned here
+            val delta = ShardManifest.build(
+              packed, col("bin"), col("doc_id"), col("n_units"), budget)
+            val (mLive, mDead) = FileQueue.liveGenerations(spark, manifestDir, batchId)
+            FileQueue.deleteGenerations(spark, mDead)
+            val manifestOut =
+              if (compacting && mLive.nonEmpty)
+                foldManifest(spark.read.parquet(mLive: _*).unionByName(delta), manifestDir)
+              else delta
+            manifestOut.write.mode("overwrite").parquet(s"$manifestDir/batch_$batchId")
+            if (compacting) FileQueue.markFull(spark, s"$manifestDir/batch_$batchId")
             rejects.withColumn("reason", lit("null_units"))
               .write.mode("overwrite").parquet(s"$rejectsDir/batch_$batchId")
             // advance the ledger by this batch's units (+ compact)
@@ -113,7 +127,7 @@ object PackStream {
               case r => r.getLong(0)
             }
             val out = s"$offsetDir/batch_$batchId"
-            if (live.size + 1 >= compactEvery) {
+            if (compacting) {
               Seq(base + batchUnits).toDF("units")
                 .write.mode("overwrite").parquet(out)
               FileQueue.markFull(spark, out)
@@ -125,18 +139,25 @@ object PackStream {
     }
   }
 
-  /** Fold every batch's manifest delta into the manifest of the whole
-    * stream-so-far: counts/units ADD, digests XOR — shard-wise exact,
-    * the loader-side companion of [[ShardManifest.verify]]. Fails
-    * loudly on mixed stamps (a foreign delta folded in would silently
-    * corrupt every straddled shard). */
+  /** Fold every LIVE manifest generation (the newest `_FULL`
+    * re-manifest plus later deltas — on an uncompacted stream, all
+    * deltas) into the manifest of the whole stream-so-far:
+    * counts/units ADD, digests XOR — shard-wise exact, the loader-side
+    * companion of [[ShardManifest.verify]]. Fails loudly on mixed
+    * stamps (a foreign delta folded in would silently corrupt every
+    * straddled shard). */
   def mergedManifest(spark: SparkSession, manifestDir: String): DataFrame = {
-    val gens = FileQueue.batchDirs(spark, manifestDir).map(_._2)
-    require(gens.nonEmpty, s"PackStream: no manifest deltas under $manifestDir")
-    val all = spark.read.parquet(gens: _*)
+    val (live, _) = FileQueue.liveGenerations(spark, manifestDir, excludeId = -1L)
+    require(live.nonEmpty, s"PackStream: no manifest deltas under $manifestDir")
+    foldManifest(spark.read.parquet(live: _*), manifestDir)
+  }
+
+  /** The shard-wise fold shared by [[mergedManifest]] and the
+    * compaction-batch re-manifest. */
+  private def foldManifest(all: DataFrame, dir: String): DataFrame = {
     val stamp = all.select("format", "version", "budget").distinct().collect()
     require(stamp.length == 1,
-      s"PackStream: manifest deltas under $manifestDir carry ${stamp.length} " +
+      s"PackStream: manifest deltas under $dir carry ${stamp.length} " +
         "distinct stamps — refusing to fold mixed artifacts")
     all.groupBy("shard")
       .agg(sum("n_rows").as("n_rows"), sum("n_units").as("n_units"),

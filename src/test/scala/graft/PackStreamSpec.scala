@@ -90,6 +90,39 @@ class PackStreamSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(g2 == Seq(30L), s"planted generation survived: $g2")
 
+    // COMPACTION RE-MANIFEST: the compaction batch's manifest
+    // generation is the FOLDED manifest of the whole stream so far
+    // (marked _FULL), byte-equal to the single-pass manifest — a
+    // loader reads one manifest + tail deltas, never the history
+    assert(new java.io.File(s"$base/manifest/batch_2/_FULL").exists(),
+      "compaction batch did not mark its re-manifest _FULL")
+    def singlePass(rows: Seq[(Long, Long, Long)]): Set[(Long, Long, Long, Long)] =
+      ShardManifest.build(
+        PrefixSum.packByBudget(rows.toDF("b", "doc_id", "n_units"),
+          Seq(col("b"), col("doc_id")), col("n_units"), Budget, "bin",
+          tieBreaker = Some(col("doc_id"))),
+        col("bin"), col("doc_id"), col("n_units"), Budget)
+        .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    def mergedSet(): Set[(Long, Long, Long, Long)] =
+      PackStream.mergedManifest(spark, s"$base/manifest")
+        .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val all2 = Seq((0L, 1L, 4L), (0L, 2L, 5L), (0L, 3L, 7L),
+      (1L, 4L, 2L), (1L, 5L, 9L), (2L, 6L, 3L))
+    assert(spark.read.parquet(s"$base/manifest/batch_2")
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      == singlePass(all2), "the re-manifest is not the exact single-pass manifest")
+    assert(mergedSet() == singlePass(all2))
+
+    // the NEXT batch prunes the superseded deltas (below the _FULL
+    // marker) and the fold becomes full + tail delta — still exact
+    Files.write(java.nio.file.Paths.get(bronze, "f2b.json"), Seq(
+      rec(8, 4L)).mkString("\n").getBytes)
+    run()
+    assert(!new java.io.File(s"$base/manifest/batch_0").exists() &&
+      !new java.io.File(s"$base/manifest/batch_1").exists(),
+      "superseded manifest deltas survived the re-manifest")
+    assert(mergedSet() == singlePass(all2 :+ (3L, 8L, 4L)))
+
     // a drifted budget fails loudly with the frozen-vs-probed values
     Files.write(java.nio.file.Paths.get(bronze, "f3.json"), Seq(
       rec(7, 1L)).mkString("\n").getBytes)

@@ -405,4 +405,42 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"fixed-width control stayed in band (${f1.meanOcc} -> ${fN.meanOcc}) — gate is not discriminating")
     spark.catalog.clearCache()
   }
+
+  test("curation funnel: pre-dedup legs exactly corpus-linear, the dedup leg collapses clones") {
+    val docs = Tables.documents(spark, sf)
+    val g1 = ScaleGrowth.curationFunnelGrowth(spark, docs, 1)
+    val gN = ScaleGrowth.curationFunnelGrowth(spark, docs, Factor)
+    assert(g1.gate > 0 && g1.clf > 0 && g1.lm > 0 && g1.exact > 0,
+      s"vacuous trial: 1x funnel $g1")
+    // frozen 1x models + a %6-aligned clone make every replica's
+    // decisions identical — the growth law is exact, not a band
+    assert(gN.input == g1.input * Factor, s"input ${g1.input} -> ${gN.input}")
+    assert(gN.gate == g1.gate * Factor, s"gate ${g1.gate} -> ${gN.gate}")
+    assert(gN.clf == g1.clf * Factor, s"clf ${g1.clf} -> ${gN.clf}")
+    assert(gN.lm == g1.lm * Factor, s"lm ${g1.lm} -> ${gN.lm}")
+    // exact dedup must catch every clone: the survivor count is the
+    // 1x count, FLAT in the clone factor
+    assert(gN.exact == g1.exact,
+      s"exact-dedup survivors ${g1.exact} -> ${gN.exact} over ${Factor}x — clones leaked through")
+    spark.catalog.clearCache()
+  }
+
+  test("k-center: driver job count rides k alone — same k, 10x corpus, same jobs") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val k = 6
+    val g1 = ScaleGrowth.kcenterGrowth(spark, emb, 1, k)
+    val gN = ScaleGrowth.kcenterGrowth(spark, emb, Factor, k)
+    assert(g1.rows > 0 && gN.rows == g1.rows * Factor)
+    assert(g1.jobs > 0, "vacuous trial: no jobs recorded at 1x")
+    // the ladder is k sequential rounds; what each round submits is
+    // corpus-INDEPENDENT (one cache-materializing argmax collect + one
+    // seed/vector lookup amortized) — a corpus-sized job count here
+    // would mean the traversal re-pairs or re-sorts the corpus
+    assert(gN.jobs == g1.jobs,
+      s"job count ${g1.jobs} -> ${gN.jobs} over a ${Factor}x corpus at fixed k=$k — " +
+        "per-round work is no longer one bounded argmax")
+    // Gonzalez ladder sanity at both scales: k rows, radius non-increasing
+    assert(g1.k == k && gN.k == k)
+    spark.catalog.clearCache()
+  }
 }
