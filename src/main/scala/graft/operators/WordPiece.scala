@@ -143,11 +143,19 @@ object WordPiece {
         .otherwise(concat(acc, array(s))))
 
   /** Train `nMerges` WordPiece merges over `df[textCol]` (lowercased
-    * by [[Bpe.wordFreq]]'s contract). Stops early when no adjacent
-    * pair reaches `minFreq` raw occurrences (the dry rule shared with
-    * [[Bpe.train]] — a likelihood ratio over vanishing counts is
-    * noise, not signal). Same two execution paths as BPE, selected by
-    * the same MEASURED drain gate, producing identical merges. */
+    * by [[Bpe.wordFreq]]'s contract). `minFreq` excludes pairs below
+    * the raw-count floor from every argmax (a likelihood ratio over
+    * vanishing counts is noise, not signal) and dries the loop when
+    * nothing clears it. NOTE the floor is ABSOLUTE: unlike BPE (whose
+    * count-argmax can never be won from below the floor), WordPiece's
+    * score argmax CAN — rare-sided pairs score highest — so corpus
+    * growth lifts previously-excluded candidates over a fixed floor
+    * and the merge sequence legitimately shifts. Retraining that must
+    * be bit-stable under uniform growth scales `minFreq` with the
+    * corpus (gated in WordPieceSpec's clone trial, fixed-floor
+    * divergence control included). Same two execution paths as BPE,
+    * selected by the same MEASURED drain gate, producing identical
+    * merges. */
   def train(spark: SparkSession, df: DataFrame, textCol: Column,
             nMerges: Int, minFreq: Long = 2L,
             driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords): Seq[Merge] = {

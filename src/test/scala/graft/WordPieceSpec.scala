@@ -195,6 +195,34 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got == refTrain(corpus, 300, minFreq = 1L))
   }
 
+  test("plain clone invariance holds iff the count floor scales with the corpus") {
+    // every pair count n and both side counts scale by R, so the score
+    // n/(l*r) scales by 1/R UNIFORMLY and the argmax order cannot move
+    // — PROVIDED the candidate set is the same. minFreq is an ABSOLUTE
+    // floor: cloning lifts below-floor rare pairs (which can carry the
+    // HIGHEST scores — rare sides) over it, so a fixed floor changes
+    // the candidate set and the merge sequence legitimately diverges
+    // (unlike BPE, whose count-argmax can never be won from below the
+    // floor). Scale-calibrated floor → bit-stable retraining.
+    val df1 = Corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val dfN = (0 until 10).flatMap(r =>
+      Corpus.zipWithIndex.map { case (t, i) => ((r * 1000 + i).toLong, t) })
+      .toDF("id", "text")
+    val m1 = WordPiece.train(spark, df1, col("text"), nMerges = 10, minFreq = 2L)
+    val mN = WordPiece.train(spark, dfN, col("text"), nMerges = 10, minFreq = 20L)
+    assert(mN.map(r => (r.rank, r.lhs, r.rhs)) == m1.map(r => (r.rank, r.lhs, r.rhs)),
+      "the merge sequence moved under a uniform clone with a scaled floor")
+    mN.zip(m1).foreach { case (n, one) =>
+      assert(n.n == one.n * 10 && n.nLhs == one.nLhs * 10 && n.nRhs == one.nRhs * 10,
+        s"counts not exactly 10x at rank ${one.rank}: $one -> $n")
+    }
+    // the control: the FIXED floor diverges (measured, not argued) —
+    // below-floor pairs surfaced by the clone win on score
+    val mFixed = WordPiece.train(spark, dfN, col("text"), nMerges = 10, minFreq = 2L)
+    assert(mFixed.map(r => (r.lhs, r.rhs)) != m1.map(r => (r.lhs, r.rhs)),
+      "expected the fixed-floor control to diverge on this corpus")
+  }
+
   test("fusedOf strips the continuation prefix; rejects a plain rhs") {
     assert(WordPiece.fusedOf("a", "##b") == "ab")
     assert(WordPiece.fusedOf("##a", "##b") == "##ab")
