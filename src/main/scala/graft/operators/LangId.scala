@@ -46,6 +46,16 @@ object LangId {
       .groupBy("lang", "b").agg(count(lit(1)).cast("long").as("cnt"))
   }
 
+  /** Fold a new label batch's [[classCounts]] into persisted state:
+    * (lang, bucket)-wise sums over the full outer join — counts are
+    * additive, so incremental training EQUALS direct training over
+    * the union (the [[QualityClassifier.mergeRateCounts]] discipline
+    * with the class in the key). */
+  def mergeClassCounts(state: DataFrame, delta: DataFrame): DataFrame =
+    state.join(delta.withColumnRenamed("cnt", "__d"), Seq("lang", "b"), "full_outer")
+      .select(col("lang"), col("b"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("cnt"))
+
   /** The `(lang, b, w)` weight table from a [[classCounts]] state:
     * `w = RateScale·cnt div tot_lang` — each class's per-bucket
     * occurrence RATE as a scaled integer. Rates (not raw counts) make

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Sample, TextStats, Unigram}
+import graft.operators.{Bpe, CacheScope, Sample, TextStats, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,86 @@ object TextQueries extends QueryModule {
       .join(scored.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
       .withColumn("hit", (col("predicted_lang") === col("lang")).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** The INCREMENTAL lang-ID trainer's persisted state: per-class
+    * bucket counts over the first 80% of the labeled (even) half —
+    * the clfCountsOldStore discipline with the class in the key. */
+  private def langIdCountsOldStore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    FrameFixture(spark, "langid_counts_old", sfDir) {
+      graft.operators.LangId.classCounts(
+        langIdView(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 < 8),
+        col("doc_id"), col("text"), col("lang"), LangIdN, LangIdDim)
+    }
+  }
+
+  /** INCREMENTAL lang-ID training (q_langid_incr): the arriving label
+    * batch (`doc_id % 10 ≥ 8` of the even half) counts once, folds
+    * into the persisted per-class state (lang, bucket)-wise, and the
+    * weights derive from the merged counts. Counts are ADDITIVE, so
+    * the result must EQUAL direct training over the whole labeled
+    * half — which is what the oracle computes (the q_quality_clf_incr
+    * "incremental == full" trial, multi-class). Output the merged
+    * state WITH its weights `(lang, b, cnt, w)`. */
+  def langIdIncr(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val delta = graft.operators.LangId.classCounts(
+      langIdView(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 >= 8),
+      col("doc_id"), col("text"), col("lang"), LangIdN, LangIdDim)
+    // feeds the per-class totals AND the output join
+    val merged = scope.pin(graft.operators.LangId.mergeClassCounts(
+      langIdCountsOldStore(spark, sfDir), delta))
+    graft.operators.LangId.weightsFromCounts(merged, scope)
+      .join(merged, Seq("lang", "b"))
+      .select(col("lang"), col("b"), col("cnt"), col("w"))
+      .orderBy("lang", "b")
+  }
+
+  /** TOKENIZER-FERTILITY EVAL (q_tokenizer_eval): the standard
+    * tokenizer comparison artifact — for EVERY implemented encoder
+    * family (BPE word + byte, unigram word + byte, WordPiece), the
+    * corpus-wide token total and the two exact integer efficiency
+    * ratios every tokenizer report carries: fertility (tokens per
+    * 1000 whitespace words) and compression (chars per 1000 tokens).
+    * ONE corpus scan computes all five token totals — the encoders
+    * are native codegen'd expressions, so the five encodes ride the
+    * same WholeStageCodegen pass over the pinned text column — then a
+    * `stack` unpivots to one row per family. The oracle composes all
+    * five families' existing encode replays (replace chains, the
+    * byte-map arithmetic, the recursive greedy WordPiece scan) into
+    * one statement: a drift in ANY encoder family mismatches its row.
+    * Scale shape: one scan + five per-row expressions + one 1-row
+    * aggregate; the models are plan literals (bounded). */
+  def tokenizerEval(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val bpeW = array(EncRules.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+    val bpeB = graft.operators.Bpe.mergesLit(encBytesRulesLoaded(spark))
+    val uniW = Unigram.piecesLit(UniPieces.map(p => Unigram.Piece(p, -1.0, 0L)))
+    val uniB = Unigram.piecesLit(uniPiecesBytesLoaded(spark))
+    val wpV = graft.operators.WordPiece.vocabLit(wpVocabLoaded(spark))
+    val lt = lower(col("text"))
+    val agg = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .agg(
+        sum(size(filter(split(lt, " "), w => w =!= ""))).cast("bigint").as("n_words"),
+        sum(length(col("text"))).cast("bigint").as("n_chars"),
+        sum(size(call_function("bpe_encode", lt, bpeW))).cast("bigint").as("t_bpe_word"),
+        sum(size(call_function("bpe_encode_bytes", lt, bpeB))).cast("bigint").as("t_bpe_byte"),
+        sum(size(call_function("unigram_encode", lt, uniW))).cast("bigint").as("t_uni_word"),
+        sum(size(call_function("unigram_encode_bytes", lt, uniB))).cast("bigint").as("t_uni_byte"),
+        sum(size(call_function("wordpiece_encode", lt, wpV))).cast("bigint").as("t_wordpiece"))
+    agg.select(col("n_words"), col("n_chars"),
+        expr("stack(5, 'bpe_byte', t_bpe_byte, 'bpe_word', t_bpe_word, " +
+          "'unigram_byte', t_uni_byte, 'unigram_word', t_uni_word, " +
+          "'wordpiece', t_wordpiece) AS (family, n_tokens)"))
+      .select(col("family"), col("n_tokens"), col("n_words"), col("n_chars"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_pm"),
+        expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_pm"))
+      .orderBy("family")
   }
 
   /** Corpus-wide vocabulary heavy-hitters: explode tokens → count →
@@ -670,6 +750,102 @@ object TextQueries extends QueryModule {
        |FROM pred ORDER BY doc_id""".stripMargin
   }
 
+  /** The q_langid_incr replay: direct class-count training over the
+    * WHOLE labeled half plus the exact per-class rate division — the
+    * incremental fold must land on identical rows. */
+  private def langIdIncrOracleSql: String = {
+    val fnv = graft.operators.QualityClassifier.fnvBucketSql("t", "i", LangIdN, LangIdDim)
+    val markers = LangIdLangs.map(l => s"WHEN '$l' THEN '${langMarker(l)}'").mkString(" ")
+    s"""WITH docs AS (SELECT doc_id, lang,
+       |    lower(text || CASE lang $markers END) AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+       |feat AS (
+       |  SELECT doc_id, $fnv AS b FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) - ${LangIdN - 2})) AS i FROM docs)
+       |  UNION ALL SELECT doc_id, $LangIdDim AS b FROM docs),
+       |cc AS (SELECT d.lang, f.b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM feat f JOIN docs d USING (doc_id) GROUP BY d.lang, f.b),
+       |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t2 FROM cc GROUP BY lang)
+       |SELECT cc.lang, cc.b, cc.cnt,
+       |  ${graft.operators.QualityClassifier.RateScale} * cc.cnt // tot.t2 AS w
+       |FROM cc JOIN tot USING (lang)
+       |ORDER BY cc.lang, cc.b""".stripMargin
+  }
+
+  /** The q_tokenizer_eval replay: all five encode chains composed —
+    * per-family corpus token totals from the SAME generated
+    * replace-chain / byte-map / recursive-greedy machinery as the
+    * per-document encode oracles, then the two exact ratios. */
+  private def tokenizerEvalOracleSql: String = {
+    val bpeWord = s"""SELECT CAST(SUM(CASE WHEN e = '' THEN 0
+      ELSE len(string_split(e, ' ')) END) AS BIGINT) AS n FROM (
+      SELECT array_to_string(list_transform(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''),
+        w -> $encSqlExpr), ' ') AS e FROM base)"""
+    val bpeByte = s"""SELECT CAST(SUM(CASE WHEN e = '' THEN 0
+      ELSE len(string_split(e, ' ')) END) AS BIGINT) AS n FROM (
+      SELECT ${byteEncSqlExpr("lower(text)")} AS e FROM base)"""
+    def uniCount(pieces: Seq[String], byte: Boolean): String = {
+      val inList = pieces.map(p => s"'$p'").mkString(", ")
+      if (!byte) {
+        val wrapped = pieces.foldLeft("lower(text)") { case (e, p) =>
+          s"replace($e, '$p', ' $p ')" }
+        s"""SELECT CAST(SUM(len(flatten(list_transform(
+          list_filter(string_split($wrapped, ' '), f -> f <> ''),
+          f -> CASE WHEN f IN ($inList) THEN [f]
+               ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END))))
+          AS BIGINT) AS n FROM base"""
+      } else {
+        val mapped = graft.operators.ByteLevel.mapWordSql("w")
+        val wrapped = pieces.foldLeft(mapped) { case (e, p) =>
+          s"replace($e, '$p', ' $p ')" }
+        s"""SELECT CAST(SUM(len(flatten(list_transform(
+          regexp_extract_all(lower(text), '${graft.operators.ByteLevel.PreTokPattern}'),
+          w -> flatten(list_transform(
+            list_filter(string_split($wrapped, ' '), f -> f <> ''),
+            f -> CASE WHEN f IN ($inList) THEN [f]
+                 ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END))))))
+          AS BIGINT) AS n FROM base"""
+      }
+    }
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |wc AS (SELECT
+       |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> '')))
+       |      AS BIGINT) AS n_words,
+       |    CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM base),
+       |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM base),
+       |w AS (SELECT doc_id, i AS widx, ws[i] AS word
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws) t
+       |  WHERE ws[i] <> ''),
+       |step(doc_id, widx, word, pos, tok, failed) AS (
+       |  SELECT doc_id, widx, word, 1, CAST(NULL AS VARCHAR), len(word) > 100 FROM w
+       |  UNION ALL
+       |  SELECT doc_id, widx, word,
+       |    pos + COALESCE(ml, len(word) + 1),
+       |    CASE WHEN ml IS NULL THEN NULL
+       |         WHEN pos = 1 THEN substr(word, pos, ml)
+       |         ELSE '##' || substr(word, pos, ml) END,
+       |    ml IS NULL
+       |  FROM (SELECT *, ${wpMatchLenSql("word", "pos")} AS ml
+       |        FROM step WHERE NOT failed AND pos <= len(word)) t),
+       |wptoks AS (SELECT doc_id, widx,
+       |    CASE WHEN bool_or(failed) THEN 1 ELSE count(tok) END AS n
+       |  FROM step GROUP BY doc_id, widx),
+       |wpn AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM wptoks),
+       |fam AS (
+       |  SELECT 'bpe_byte' AS family, ($bpeByte) AS n_tokens
+       |  UNION ALL SELECT 'bpe_word', ($bpeWord)
+       |  UNION ALL SELECT 'unigram_byte', (${uniCount(UniPiecesBytes, byte = true)})
+       |  UNION ALL SELECT 'unigram_word', (${uniCount(UniPieces, byte = false)})
+       |  UNION ALL SELECT 'wordpiece', (SELECT n FROM wpn))
+       |SELECT f.family, f.n_tokens, wc.n_words, wc.n_chars,
+       |  f.n_tokens * 1000 // wc.n_words AS fertility_pm,
+       |  wc.n_chars * 1000 // f.n_tokens AS chars_per_token_pm
+       |FROM fam f CROSS JOIN wc
+       |ORDER BY f.family""".stripMargin
+  }
+
   /** Token budget per packed training sequence for q_pack_tokens. */
   private val TokenBudget = 512L
 
@@ -951,6 +1127,8 @@ object TextQueries extends QueryModule {
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_langid_trained" -> langIdTrained,
+    "q_tokenizer_eval" -> tokenizerEval,
+    "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
     "q_heavy_hitters" -> heavyHitters,
@@ -1380,6 +1558,11 @@ object TextQueries extends QueryModule {
         |  FROM pos)
         |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
         |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
+    // incremental lang-ID: the oracle trains DIRECTLY on the whole
+    // labeled half — additivity means the merged state must equal it
+    "q_langid_incr" -> langIdIncrOracleSql,
+    // composed tokenizer eval: all five encode replays -> totals + ratios
+    "q_tokenizer_eval" -> tokenizerEvalOracleSql,
     // corpus-trained lang-ID replay: planted markers, FNV features,
     // per-class counts/totals/exact-division rates, argmax CASE chain
     "q_langid_trained" -> langIdOracleSql,

@@ -120,6 +120,22 @@ class LangIdSpec extends AnyFunSuite {
     assert(rows == Set(1L))
   }
 
+  test("incremental class counts: merged state equals direct training over the union") {
+    val data = corpus(7, 60)
+    val old = data.filter(_._1 % 10 < 8)
+    val batch = data.filter(_._1 % 10 >= 8)
+    val merged = LangId.mergeClassCounts(
+        LangId.classCounts(old.toDF("id", "text", "lang"),
+          col("id"), col("text"), col("lang"), N, Dim),
+        LangId.classCounts(batch.toDF("id", "text", "lang"),
+          col("id"), col("text"), col("lang"), N, Dim))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = LangId.classCounts(data.toDF("id", "text", "lang"),
+        col("id"), col("text"), col("lang"), N, Dim)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full, "additivity broke: incremental != full")
+  }
+
   test("interchange round trip; foreign format and drifted geometry refused") {
     val train = corpus(5, 30)
     val w = LangId.trainRates(train.toDF("id", "text", "lang"),
