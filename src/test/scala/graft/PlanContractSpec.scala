@@ -463,4 +463,32 @@ class PlanContractSpec extends AnyFunSuite {
       s"domain cap must be the bounded top_k_by aggregate:\n$plan")
     spark.catalog.clearCache() // pipeline pins pv/lms/enriched + pair caches
   }
+
+  test("q_tokenizer_eval: ONE corpus scan carries all five native encoders — no per-family re-read") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.TextQueries.tokenizerEval(spark, sf))
+    val docScans = scans(plan).filter(_.toString.contains("documents"))
+    assert(docScans.size == 1,
+      s"expected exactly one documents scan, got ${docScans.size}:\n$plan")
+    val ps = plan.toString
+    Seq("bpe_encode", "bpe_encode_bytes", "unigram_encode",
+        "unigram_encode_bytes", "wordpiece_encode").foreach { f =>
+      assert(ps.contains(s"$f("), s"encoder $f missing from the single pass:\n$plan")
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"the eval is one aggregate, never a window:\n$plan")
+  }
+
+  test("q_langid_trained: native feature hash, broadcast model join, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.TextQueries.langIdTrained(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams"),
+      s"lang-ID scoring must use the native one-pass feature hash:\n$plan")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"the L*(dim+1)-row model must ride a broadcast join:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"per-class scores are one grouped aggregate, never a window:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
