@@ -88,6 +88,17 @@ object LangId {
             weights: DataFrame, langs: Seq[String], n: Int, dim: Int): DataFrame = {
     require(langs.nonEmpty, "LangId.score: langs must be non-empty")
     val ls = langs.sorted
+    // Enforce the documented contract (ADVICE r16): the class list must
+    // COVER the model — a weight row whose lang is outside `langs` hits
+    // no score column and its class silently loses every argmax. The
+    // check is one model-sized distinct (L rows), bounded at any scale.
+    val modelLangs =
+      weights.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val uncovered = modelLangs -- ls.toSet
+    require(uncovered.isEmpty,
+      s"LangId.score: model carries class(es) ${uncovered.toSeq.sorted.mkString(", ")} " +
+        s"outside langs=[${ls.mkString(", ")}] — their weights would silently " +
+        "vanish from every score; pass the model's full class list")
     val feats = QualityClassifier.features(docs, idCol, textCol, n, dim)
     val scoreCols = ls.map(l =>
       sum(when(col("lang") === l, col("w")).otherwise(0L)).as(s"score_$l"))

@@ -509,8 +509,12 @@ object TextQueries extends QueryModule {
     val merges = array(EncRules.map { case (a, b) =>
       struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
     Tables.documents(spark, sfDir)
+      // null text encodes as empty (0 tokens, '' — ADVICE r16): without
+      // the coalesce the expression returns NULL and size(NULL) is -1
+      // under the default non-ANSI config, diverging from the oracle
       .select(col("doc_id"),
-        call_function("bpe_encode", lower(col("text")), merges).as("toks"))
+        call_function("bpe_encode", coalesce(lower(col("text")), lit("")), merges)
+          .as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -596,8 +600,10 @@ object TextQueries extends QueryModule {
     // the ranks-file contract is on the oracled path
     val merges = graft.operators.Bpe.mergesLit(encBytesRulesLoaded(spark))
     Tables.documents(spark, sfDir)
+      // null text encodes as empty — the bpeEncode null contract
       .select(col("doc_id"),
-        call_function("bpe_encode_bytes", lower(col("text")), merges).as("toks"))
+        call_function("bpe_encode_bytes", coalesce(lower(col("text")), lit("")), merges)
+          .as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -628,8 +634,12 @@ object TextQueries extends QueryModule {
       .join(syms.withColumnRenamed("sym", "rhs").withColumnRenamed("c", "n_rhs"),
         Seq("rhs"))
       .orderBy(
+        // each side cast to double BEFORE the multiply (ADVICE r16): a
+        // long product of web-scale side counts (~1e12 each) would wrap
+        // silently here while DuckDB raises — doubles can't overflow,
+        // and the IEEE product/divide is bit-identical in both engines
         (col("n").cast("double") /
-          (col("n_lhs") * col("n_rhs")).cast("double")).desc,
+          (col("n_lhs").cast("double") * col("n_rhs").cast("double"))).desc,
         asc("lhs"), asc("rhs"))
       .limit(50)
       .select(col("lhs"), col("rhs"), col("n"), col("n_lhs"), col("n_rhs"))
@@ -680,8 +690,11 @@ object TextQueries extends QueryModule {
     graft.GraftFunctions.ensure(spark)
     val vocab = graft.operators.WordPiece.vocabLit(wpVocabLoaded(spark))
     Tables.documents(spark, sfDir)
+      // null text encodes as empty — matches the oracle's LEFT JOIN +
+      // COALESCE(0, '') rows for docs its word CTE never sees
       .select(col("doc_id"),
-        call_function("wordpiece_encode", lower(col("text")), vocab).as("toks"))
+        call_function("wordpiece_encode", coalesce(lower(col("text")), lit("")), vocab)
+          .as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -725,9 +738,16 @@ object TextQueries extends QueryModule {
     }
     val scSel = LangIdLangs.map(l => s"sc.score_$l").mkString(", ")
     val outSel = LangIdLangs.map(l => s"score_$l").mkString(", ")
+    // `lang IN (...)` mirrors the engine's null-text contract (ADVICE
+    // r16): a corpus lang outside LangIdLangs gets a NULL marker, so
+    // its planted text is NULL and the Spark side drops the document
+    // everywhere (features filter null text; the output join is inner).
+    // Without the filter the oracle's bias-feature leg would keep such
+    // docs, train foreign classes, and emit prediction rows.
+    val inLangs = LangIdLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH docs AS (SELECT doc_id, lang,
        |    lower(text || CASE lang $markers END) AS t
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL AND lang IN ($inLangs)),
        |feat AS (
        |  SELECT doc_id, $fnv AS b FROM (
        |    SELECT doc_id, t, unnest(range(1, len(t) - ${LangIdN - 2})) AS i FROM docs)
@@ -756,9 +776,12 @@ object TextQueries extends QueryModule {
   private def langIdIncrOracleSql: String = {
     val fnv = graft.operators.QualityClassifier.fnvBucketSql("t", "i", LangIdN, LangIdDim)
     val markers = LangIdLangs.map(l => s"WHEN '$l' THEN '${langMarker(l)}'").mkString(" ")
+    // lang IN (...): same null-text contract mirror as q_langid_trained
+    val inLangs = LangIdLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH docs AS (SELECT doc_id, lang,
        |    lower(text || CASE lang $markers END) AS t
-       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND lang IN ($inLangs) AND doc_id % 2 = 0),
        |feat AS (
        |  SELECT doc_id, $fnv AS b FROM (
        |    SELECT doc_id, t, unnest(range(1, len(t) - ${LangIdN - 2})) AS i FROM docs)
@@ -865,8 +888,10 @@ object TextQueries extends QueryModule {
     val merges = array(EncRules.map { case (a, b) =>
       struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
     val toks = Tables.documents(spark, sfDir)
+      // null text packs as 0 tokens — the bpeEncode null contract
+      // (without the coalesce, size(NULL) = -1 would poison the sums)
       .select(col("doc_id"),
-        size(call_function("bpe_encode", lower(col("text")), merges))
+        size(call_function("bpe_encode", coalesce(lower(col("text")), lit("")), merges))
           .cast("long").as("n_tokens"))
     graft.operators.PrefixSum.packByBudget(
       toks, Seq(col("doc_id")), col("n_tokens"), TokenBudget, "bin",
@@ -1066,8 +1091,10 @@ object TextQueries extends QueryModule {
     graft.GraftFunctions.ensure(spark)
     val model = Unigram.piecesLit(UniPieces.map(p => Unigram.Piece(p, -1.0, 0L)))
     Tables.documents(spark, sfDir)
+      // null text encodes as empty — the bpeEncode null contract
       .select(col("doc_id"),
-        call_function("unigram_encode", lower(col("text")), model).as("toks"))
+        call_function("unigram_encode", coalesce(lower(col("text")), lit("")), model)
+          .as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_pieces"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -1096,8 +1123,10 @@ object TextQueries extends QueryModule {
     // the piece table comes off the LOADED interchange artifact
     val model = Unigram.piecesLit(uniPiecesBytesLoaded(spark))
     Tables.documents(spark, sfDir)
+      // null text encodes as empty — the bpeEncode null contract
       .select(col("doc_id"),
-        call_function("unigram_encode_bytes", lower(col("text")), model).as("toks"))
+        call_function("unigram_encode_bytes", coalesce(lower(col("text")), lit("")), model)
+          .as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_pieces"),
         concat_ws(" ", col("toks")).as("encoded"))
@@ -1291,7 +1320,8 @@ object TextQueries extends QueryModule {
     // spaces (occurrences can never overlap), split, then each
     // non-piece fragment decomposes to single-char unk pieces
     "q_unigram_encode" -> {
-      val wrapped = UniPieces.foldLeft("lower(text)") { case (e, p) =>
+      // coalesce: null text encodes as empty, the engine-side contract
+      val wrapped = UniPieces.foldLeft("lower(coalesce(text, ''))") { case (e, p) =>
         s"replace($e, '$p', ' $p ')" }
       val inList = UniPieces.map(p => s"'$p'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id,
@@ -1315,7 +1345,8 @@ object TextQueries extends QueryModule {
       val inList = UniPiecesBytes.map(p => s"'$p'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id,
          |  flatten(list_transform(
-         |    regexp_extract_all(lower(text), '${graft.operators.ByteLevel.PreTokPattern}'),
+         |    regexp_extract_all(lower(coalesce(text, '')),
+         |      '${graft.operators.ByteLevel.PreTokPattern}'),
          |    w -> flatten(list_transform(
          |      list_filter(string_split($wrapped, ' '), f -> f <> ''),
          |      f -> CASE WHEN f IN ($inList) THEN [f]
@@ -1503,9 +1534,10 @@ object TextQueries extends QueryModule {
          |FROM sel ORDER BY doc_id""".stripMargin,
     // byte-level encode replay: shared-pattern pretokens, UTF-8 →
     // stand-in mapping by arithmetic, rank-order replace chain
+    // (coalesce: null text encodes as empty, the engine-side contract)
     "q_bpe_encode_bytes" ->
       s"""WITH enc AS (
-         |  SELECT doc_id, ${byteEncSqlExpr("lower(text)")} AS encoded
+         |  SELECT doc_id, ${byteEncSqlExpr("lower(coalesce(text, ''))")} AS encoded
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(CASE WHEN encoded = '' THEN 0
@@ -1515,7 +1547,8 @@ object TextQueries extends QueryModule {
     "q_bpe_encode" ->
       s"""WITH enc AS (
          |  SELECT doc_id, array_to_string(
-         |    list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |    list_transform(
+         |      list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> ''),
          |      w -> $encSqlExpr), ' ') AS encoded
          |  FROM documents)
          |SELECT doc_id,
@@ -1528,7 +1561,8 @@ object TextQueries extends QueryModule {
     "q_pack_tokens" ->
       s"""WITH enc AS (
          |  SELECT doc_id, array_to_string(
-         |    list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |    list_transform(
+         |      list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> ''),
          |      w -> $encSqlExpr), ' ') AS encoded
          |  FROM documents),
          |tok AS (
@@ -1590,7 +1624,7 @@ object TextQueries extends QueryModule {
         |top AS (
         |  SELECT p.lhs, p.rhs, p.n, l.c AS n_lhs, r.c AS n_rhs
         |  FROM pairs p JOIN syms l ON l.sym = p.lhs JOIN syms r ON r.sym = p.rhs
-        |  ORDER BY CAST(p.n AS DOUBLE) / CAST(l.c * r.c AS DOUBLE) DESC, p.lhs, p.rhs
+        |  ORDER BY CAST(p.n AS DOUBLE) / (CAST(l.c AS DOUBLE) * CAST(r.c AS DOUBLE)) DESC, p.lhs, p.rhs
         |  LIMIT 50)
         |SELECT lhs, rhs, n, n_lhs, n_rhs FROM top ORDER BY lhs, rhs""".stripMargin,
     // greedy longest-match replay: per (doc, word) a recursive scan
