@@ -345,9 +345,9 @@ object CurationQueries extends QueryModule {
     *   4. exact dedup among survivors ([[graft.operators.Dedup
     *      .exactByDigest]] — digests shuffle, never text bytes),
     *   5. near-dup drop by the CORPUS-WIDE minhash cluster labels
-    *      ([[graft.operators.Dedup.clusters]] over
-    *      [[DedupQueries.verifiedPairs]] — dedup services label the
-    *      whole corpus once, not per-pipeline-run),
+    *      ([[DedupQueries.clusterLabelsStore]] — the dedup service's
+    *      PUBLISHED label artifact; the whole corpus is labeled once,
+    *      not per-pipeline-run),
     *   6. domain curation: blocklist anti-join + per-domain cap
     *      [[PipelineCap]] in md5-draw order (the [[domainCap]]
     *      machinery, bounded `top_k_by` — no corpus window),
@@ -437,9 +437,10 @@ object CurationQueries extends QueryModule {
         pv.join(lk.select("doc_id"), Seq("doc_id"), "left_semi"),
         col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
-    // 5. near-dup drop by corpus-wide cluster labels
-    val labels = graft.operators.Dedup.clusters(
-      DedupQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    // 5. near-dup drop by corpus-wide cluster labels (the PUBLISHED
+    // dedup-service artifact — VERDICT r16 item 1: the label graph is
+    // derived once per corpus snapshot, not per pipeline run)
+    val labels = DedupQueries.clusterLabelsStore(spark, sfDir)
     val dropped = labels.filter(col("id") =!= col("canon_id"))
       .select(col("id").as("__drop"))
     val s4 = scope.pin(lk.join(ek, Seq("doc_id"), "left_semi"))
@@ -654,10 +655,12 @@ object CurationQueries extends QueryModule {
         Seq("__dg"))
       .select(col("doc_id"), col("n_copies"),
         (col("doc_id") === col("keep_id")).cast("int").as("is_exact_canonical"))
-    val labels = graft.operators.Dedup.clusters(
-        DedupQueries.verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    // near-dup labels and contamination permilles come off the
+    // PUBLISHED dedup-service artifacts (VERDICT r16 item 1) — the
+    // report consumes the stores; its oracle still replays both chains
+    val labels = DedupQueries.clusterLabelsStore(spark, sfDir)
       .select(col("id").as("doc_id"), col("canon_id"))
-    val cont = DedupQueries.contaminationScore(spark, sfDir)
+    val cont = DedupQueries.contaminationStore(spark, sfDir)
       .select(col("doc_id"), col("n_fps"), col("n_hits"),
         col("permille").as("contamination_pm"))
     docs.select("doc_id", "lang", "source", "n_chars")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, SetSimJoin, StableAgg}
+import graft.operators.{CacheScope, Dedup, SetSimJoin, StableAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,8 +46,13 @@ object DedupQueries extends QueryModule {
       graft.operators.TextStats.normalized(col("text")))
       .orderBy("keep_id")
 
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    verifiedPairs(spark, sfDir).orderBy("id_a", "id_b")
+  /** q_dedup_minhash stays the LIVE producer (the q_curation_pipeline
+    * discipline): its run exercises the full signature → band → bucket
+    * → verify build path on the hash-exact gate, while every OTHER
+    * consumer reads the published [[verifiedPairsStore]]. */
+  def dedupMinhash(spark: SparkSession, sfDir: String,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    verifiedPairsLive(spark, sfDir, scope).orderBy("id_a", "id_b")
 
   /** Incremental ingestion dedup: the corpus splits 80/20 by
     * doc_id mod 10 into OLD state and the NEW batch; output = verified
@@ -72,14 +77,15 @@ object DedupQueries extends QueryModule {
         Tables.documents(spark, sfDir).filter(!isNewDoc),
         col("doc_id"), col("text"), n = 3, k = K))
 
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isNew = isNewDoc
-    val sigNew = Dedup.minhashSignatureArr(
-      docs.filter(isNew), col("doc_id"), col("text"), n = 3, k = K).cache()
+    val sigNew = scope.pin(Dedup.minhashSignatureArr(
+      docs.filter(isNew), col("doc_id"), col("text"), n = 3, k = K))
     val sigOld = sigOldStore(spark, sfDir)
-    val cands = Dedup.incrementalCandidates(
-      Dedup.lshBands(sigNew, K, BandWidth), Dedup.lshBands(sigOld, K, BandWidth)).cache()
+    val cands = scope.pin(Dedup.incrementalCandidates(
+      Dedup.lshBands(sigNew, K, BandWidth), Dedup.lshBands(sigOld, K, BandWidth)))
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
@@ -91,24 +97,30 @@ object DedupQueries extends QueryModule {
   /** Canonicalization over the verified near-dup pairs: connected
     * components → (doc_id, canon_id = min doc of the cluster) — the
     * keep-one-representative step. Oracled via DuckDB's RECURSIVE
-    * transitive closure over the identical pair chain. */
+    * transitive closure over the identical pair chain. The closure
+    * COMPUTATION stays live here (this query is its producer gate);
+    * the pairs come off the published store, and every other
+    * label consumer reads [[clusterLabelsStore]]. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    Dedup.clusters(verifiedPairsStore(spark, sfDir).select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  private[queries] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The LIVE verified-pair derivation — shingle → MinHash → LSH bands
+    * → bucket self-join → exact-Jaccard verify. Exactly two callers:
+    * [[dedupMinhash]] (the producer query on the hash-exact gate) and
+    * the [[verifiedPairsStore]] build. */
+  private def verifiedPairsLive(spark: SparkSession, sfDir: String,
+                                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // Signatures fold per-document over the in-row shingle array — the
     // corpus-wide shingle stream is never materialized for this branch.
     // The signature frame (|docs| rows) feeds both sides of the bucket
     // self-join; the candidate frame (|pairs| rows) feeds the id
     // semi-join and both verify probes. Both are tiny — pin them.
-    // (Cache contract: Bench/Verify clear the session cache between
-    // queries; library callers do the same or unpersist after
-    // materializing.)
-    val sig = Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = K).cache()
-    val cands = Dedup.candidatePairs(Dedup.lshBands(sig, K, BandWidth)).cache()
+    val sig = scope.pin(
+      Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = K))
+    val cands = scope.pin(Dedup.candidatePairs(Dedup.lshBands(sig, K, BandWidth)))
     // Exact-Jaccard verification only ever looks at candidate ids, so
     // shingle explosion is confined to candidate DOCUMENTS up front
     // (LSH candidates are a vanishing fraction of the corpus);
@@ -119,6 +131,31 @@ object DedupQueries extends QueryModule {
     val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     Dedup.jaccardVerify(cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), Threshold)
   }
+
+  /** The corpus's verified near-dup PAIR GRAPH as a published artifact
+    * (VERDICT r16 item 1 — the [[CurationQueries]] curationStore
+    * discipline applied to the last expensive recomputed chain): at
+    * 100 TB a dedup service derives the pair graph ONCE per corpus
+    * snapshot and persists it; quality-signal reports, split
+    * assignment, and curation pipelines consume the store. Built once
+    * per (JVM, scale) by the same live chain q_dedup_minhash gates;
+    * every consumer's oracle still replays the full chain, so a
+    * drifted store breaks their hash gates. */
+  private[queries] def verifiedPairsStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val scope = new CacheScope // build-only pins; parquet outlives them
+    try FrameFixture(spark, "neardup_pairs", sfDir)(
+      verifiedPairsLive(spark, sfDir, scope))
+    finally scope.close()
+  }
+
+  /** The connected-component CLUSTER LABELS over [[verifiedPairsStore]]
+    * as a published artifact — `(id, canon_id)`, the frame every
+    * "drop non-canonical members" / "pin split to representative"
+    * consumer joins against. The closure computation itself stays live
+    * (and oracle-gated) in q_dedup_clusters. */
+  private[queries] def clusterLabelsStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "neardup_labels", sfDir)(
+      Dedup.clusters(verifiedPairsStore(spark, sfDir).select("id_a", "id_b")))
 
   /** 16-bit SimHash fingerprint per document. Served from the per-JVM
     * fingerprint store ([[FrameFixture]] — a signature table is a
@@ -156,7 +193,7 @@ object DedupQueries extends QueryModule {
     * representative). */
   def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    val labels = clusterLabelsStore(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("canon_id"))
       .select(col("id").as("__drop_id"))
     val reps = labels.filter(col("id") === col("canon_id"))
@@ -378,13 +415,24 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination permille as a published artifact (the
+    * [[verifiedPairsStore]] discipline): the score join runs once per
+    * (JVM, scale); report consumers (q_quality_signals) read the
+    * store. q_contamination_score stays the live producer gate. */
+  private[queries] def contaminationStore(spark: SparkSession, sfDir: String): DataFrame =
+    FrameFixture(spark, "contamination_pm", sfDir) {
+      val fps = winnowStore(spark, sfDir)
+      Dedup.contaminationScore(fps, fps.filter(pmod(col("id"), lit(50)) === 0))
+        .withColumnRenamed("id", "doc_id")
+    }
+
   /** Leakage-aware split assignment: near-dup clusters (the
     * q_dedup_clusters labels) pin every member's split to the cluster
     * representative's hash, so no near-duplicate pair straddles
     * train/val/test. */
   def splitByCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b"))
+    val labels = clusterLabelsStore(spark, sfDir)
     Dedup.splitByCluster(
       docs.select(col("doc_id"), col("lang"), col("source")), col("doc_id"), labels,
       nSplits = 10)
@@ -406,8 +454,9 @@ object DedupQueries extends QueryModule {
     val exactKeep = Dedup.exactByDigest(docs, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     val exact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-    // 2. near-dup labels — shared by the drop filter AND the split
-    val labels = Dedup.clusters(verifiedPairs(spark, sfDir).select("id_a", "id_b")).cache()
+    // 2. near-dup labels — the published store feeds the drop filter
+    // AND the split (a parquet read per use, no session-cache pin)
+    val labels = clusterLabelsStore(spark, sfDir)
     val dropped = labels.filter(col("id") =!= col("canon_id")).select(col("id").as("__drop"))
     val deduped = exact.join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
     // 3. decontamination (same winnow store + eval set as q_decontaminate)
@@ -539,8 +588,8 @@ object DedupQueries extends QueryModule {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_exact_text" -> dedupExactText,
     "q_dedup_normalized" -> dedupNormalized,
-    "q_dedup_incremental" -> dedupIncremental,
-    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
+    "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -568,6 +617,9 @@ object DedupQueries extends QueryModule {
     gramFreqStore(spark, sfDir)
     winnowStore(spark, sfDir)
     boilListStore(spark, sfDir)
+    verifiedPairsStore(spark, sfDir)
+    clusterLabelsStore(spark, sfDir)
+    contaminationStore(spark, sfDir)
     ()
   }
 
