@@ -40,9 +40,13 @@ object HotBucketBench {
       (0 until 52).map(b => if (((i >> (b % 48)) & 1L) == 1L) '1' else '0').mkString
     def payloadOf(i: Long): String =
       if (mode == "lev") f"item#$i%09d" else sigOf(i)
-    val assign = ((1L to n.toLong).map(i => (i, 0, "hot", payloadOf(i))) ++
-      (1L to 1000L).map(i => (1000000L + i, 1, s"cold${i % 500}", payloadOf(i))))
-      .toDF("id", "band_idx", "band_val", "sig").cache()
+    // process-lifetime pin (the bench measures the joins, not this
+    // build); the tracked-scope spelling keeps the library contract
+    val scope = new graft.operators.CacheScope
+    val assign = scope.pin(
+      ((1L to n.toLong).map(i => (i, 0, "hot", payloadOf(i))) ++
+        (1L to 1000L).map(i => (1000000L + i, 1, s"cold${i % 500}", payloadOf(i))))
+        .toDF("id", "band_idx", "band_val", "sig"))
     assign.count()
     def time(tag: String)(f: => Long): Double = {
       val t0 = System.nanoTime(); val c = f

@@ -182,32 +182,40 @@ object ScaleGrowth {
 
   /** MinHash banded LSH at the q_dedup_minhash operating point. */
   def minhashStats(docs: DataFrame, nDocs: Long): FamilyStats = {
-    val sig = Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = 8).cache()
-    val bands = Dedup.lshBands(sig, 8, 2).cache()
-    val (b, mo, mx, bp) = bucketStats(bands, Seq("band_idx", "band_val"))
-    val cands = Dedup.candidatePairs(bands).cache()
-    val nCand = cands.count()
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val nVer = Dedup.jaccardVerify(
-      cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), 0.6).count()
-    FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+    val scope = new graft.operators.CacheScope // measurement-local pins
+    try {
+      val sig = scope.pin(
+        Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), n = 3, k = 8))
+      val bands = scope.pin(Dedup.lshBands(sig, 8, 2))
+      val (b, mo, mx, bp) = bucketStats(bands, Seq("band_idx", "band_val"))
+      val cands = scope.pin(Dedup.candidatePairs(bands))
+      val nCand = cands.count()
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val nVer = Dedup.jaccardVerify(
+        cands, Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), 0.6).count()
+      FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+    } finally scope.close()
   }
 
   /** SimHash at an EXPLICIT width (bands × w bits) — `w = 8` is the
     * fixed-width control row; [[simhashAdaptiveStats]] passes the
     * corpus-derived width. */
   def simhashStats(docs: DataFrame, nDocs: Long, w: Int, bands: Int = 4): FamilyStats = {
-    val sig = Dedup.simhash(docs, col("doc_id"), col("text"), bits = bands * w).cache()
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map(bx =>
-        struct(lit(bx).as("band_idx"),
-          substring(col("simhash"), bx * w + 1, w).as("band_val"))): _*)).as("b"))
-      .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    val (b, mo, mx, bp) = bucketStats(banded, Seq("band_idx", "band_val"))
-    val pairs = Dedup.simhashPairs(sig, maxDist = 2, sigLen = bands * w).count()
-    FamilyStats(nDocs, b, mo, mx, bp, pairs, pairs)
+    val scope = new graft.operators.CacheScope // measurement-local pins
+    try {
+      val sig = scope.pin(
+        Dedup.simhash(docs, col("doc_id"), col("text"), bits = bands * w))
+      val banded = sig.select(col("id"),
+        explode(array((0 until bands).map(bx =>
+          struct(lit(bx).as("band_idx"),
+            substring(col("simhash"), bx * w + 1, w).as("band_val"))): _*)).as("b"))
+        .select(col("id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+      val (b, mo, mx, bp) = bucketStats(banded, Seq("band_idx", "band_val"))
+      val pairs = Dedup.simhashPairs(sig, maxDist = 2, sigLen = bands * w).count()
+      FamilyStats(nDocs, b, mo, mx, bp, pairs, pairs)
+    } finally scope.close()
   }
 
   def simhashAdaptiveStats(docs: DataFrame, nDocs: Long): (Int, FamilyStats) = {
@@ -221,18 +229,21 @@ object ScaleGrowth {
     * flat, and candidates/verified ~s× — the linearity the prefix
     * filter promises (an all-pairs generator would go s²). */
   def simjoinStats(docs: DataFrame, nDocs: Long): FamilyStats = {
-    val toks = Dedup.shingles(docs, col("doc_id"), col("text"), n = 3)
-      .withColumnRenamed("shingle", "token").cache()
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("__freq"))
-    val ordered = SetSimJoin.orderedDocs(toks, freq).cache()
-    val prefixes = SetSimJoin.prefixRows(ordered, 0.6)
-    val (b, mo, mx, bp) = bucketStats(prefixes, Seq("token"))
-    val cand = SetSimJoin.filterCandidates(
-      PairEnum.bucketPairs(prefixes, Seq("token"),
-        payloadCols = Seq("__rk", "__s")), 0.6).cache()
-    val nCand = cand.count()
-    val nVer = SetSimJoin.verifyPairs(cand, ordered, ordered, 0.6).count()
-    FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+    val scope = new graft.operators.CacheScope // measurement-local pins
+    try {
+      val toks = scope.pin(Dedup.shingles(docs, col("doc_id"), col("text"), n = 3)
+        .withColumnRenamed("shingle", "token"))
+      val freq = toks.groupBy("token").agg(count(lit(1)).as("__freq"))
+      val ordered = scope.pin(SetSimJoin.orderedDocs(toks, freq))
+      val prefixes = SetSimJoin.prefixRows(ordered, 0.6)
+      val (b, mo, mx, bp) = bucketStats(prefixes, Seq("token"))
+      val cand = scope.pin(SetSimJoin.filterCandidates(
+        PairEnum.bucketPairs(prefixes, Seq("token"),
+          payloadCols = Seq("__rk", "__s")), 0.6))
+      val nCand = cand.count()
+      val nVer = SetSimJoin.verifyPairs(cand, ordered, ordered, 0.6).count()
+      FamilyStats(nDocs, b, mo, mx, bp, nCand, nVer)
+    } finally scope.close()
   }
 
   /** Adaptive hyperplane LSH over prepped embeddings (q_sim_lsh). */
@@ -254,10 +265,13 @@ object ScaleGrowth {
           substring(col("sig"), b * width + 1, width).as("band_val"))): _*)).as("bb"))
       .select(col("id"), col("bb.band_idx").as("band_idx"), col("bb.band_val").as("band_val"))
     val (b, mo, mx, bp) = bucketStats(banded, Seq("band_idx", "band_val"))
-    val pairs = Similarity.lshBandedPairs(p, dim).cache()
-    val cand = pairs.count()
-    val ver = pairs.filter(col("cos") >= 0.25).count()
-    (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
+    val scope = new graft.operators.CacheScope // measurement-local pins
+    try {
+      val pairs = scope.pin(Similarity.lshBandedPairs(p, dim, scope = scope))
+      val cand = pairs.count()
+      val ver = pairs.filter(col("cos") >= 0.25).count()
+      (width, FamilyStats(nVec, b, mo, mx, bp, cand, ver))
+    } finally scope.close()
   }
 
   /** Replica r of a (name) string collection: every DIGIT remapped
@@ -286,18 +300,21 @@ object ScaleGrowth {
     * pairs. The id IS the name (the q_fuzzy contract). */
   def editDistStats(names: DataFrame, nRows: Long, maxDist: Int = 1,
                     q: Int = 3): FamilyStats = {
-    import graft.operators.{EditDist, PairEnum}
-    val base = names.select(col("name").as("id"), col("name").as("s")).cache()
-    val sl = maxDist * q + q - 1
-    val grams = EditDist.gramRows(base.filter(length(col("s")) > sl), q)
-    val freq = grams.groupBy("g").agg(count(lit(1)).as("__f"))
-    val prefix = EditDist.prefixRows(grams, freq, maxDist * q + 1).cache()
-    val (b, mo, mx, bp) = bucketStats(prefix, Seq("g"))
-    val cands = PairEnum.bucketPairs(prefix, Seq("g"), payloadCols = Seq("s"))
-      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .select("id_a", "id_b").distinct().count()
-    val ver = EditDist.similarPairs(base, col("id"), col("s"), maxDist, q).count()
-    FamilyStats(nRows, b, mo, mx, bp, cands, ver)
+    import graft.operators.{CacheScope, EditDist, PairEnum}
+    val scope = new CacheScope // measurement-local pins
+    try {
+      val base = scope.pin(names.select(col("name").as("id"), col("name").as("s")))
+      val sl = maxDist * q + q - 1
+      val grams = EditDist.gramRows(base.filter(length(col("s")) > sl), q)
+      val freq = grams.groupBy("g").agg(count(lit(1)).as("__f"))
+      val prefix = scope.pin(EditDist.prefixRows(grams, freq, maxDist * q + 1))
+      val (b, mo, mx, bp) = bucketStats(prefix, Seq("g"))
+      val cands = PairEnum.bucketPairs(prefix, Seq("g"), payloadCols = Seq("s"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+        .select("id_a", "id_b").distinct().count()
+      val ver = EditDist.similarPairs(base, col("id"), col("s"), maxDist, q).count()
+      FamilyStats(nRows, b, mo, mx, bp, cands, ver)
+    } finally scope.close()
   }
 
   /** Substring-span family ([[Dedup.repeatedSpans]]) over [[scaledDocs]]
@@ -365,6 +382,63 @@ object ScaleGrowth {
     BpeGrowth(rows, vocab, (System.nanoTime() - t0) / 1e9, rules)
   }
 
+  /** WordPiece-training measurements over PLAIN clones (VERDICT r16
+    * item 5): the vocabulary is flat in the clone factor, so the drain
+    * gate's decision is clone-invariant (plain growth never flips it —
+    * the gate watches the VOCABULARY, not the corpus), and a uniform
+    * R× on every count divides every likelihood score by exactly R
+    * (score_R = R·n / (R·nl · R·nr) = score₁/R) — order and
+    * lexicographic ties hold, so the merge LIST is invariant with
+    * counts scaled by R, PROVIDED the count floor scales with the
+    * corpus (the scale-calibrated floor law: a FIXED floor admits
+    * previously-excluded rare pairs as the corpus grows and the
+    * sequence legitimately shifts — the WordPieceSpec divergence
+    * control). `drained` records which path the measured gate picked,
+    * so the flip point is a published number, and forcing the gate off
+    * (maxWords = 0) must land on the identical merges — the flip
+    * changes the PLAN, never the MODEL. */
+  final case class WpGrowth(rows: Long, vocab: Long, chars: Long,
+      drained: Boolean, trainWall: Double,
+      merges: Seq[graft.operators.WordPiece.Merge])
+
+  def wordpieceGrowth(spark: SparkSession, docs: DataFrame, nMerges: Int,
+                      minFreq: Long,
+                      driverDrainMaxWords: Long = Bpe.DriverDrainMaxWords): WpGrowth = {
+    val rows = docs.count()
+    val m = Bpe.wordFreq(docs, col("text"))
+      .agg(count(lit(1)), coalesce(sum(length(col("word"))), lit(0L))).head()
+    val (vocab, chars) = (m.getLong(0), m.getLong(1))
+    val drained = vocab <= driverDrainMaxWords && chars <= Bpe.driverDrainMaxChars
+    val t0 = System.nanoTime()
+    val merges = graft.operators.WordPiece.train(spark, docs, col("text"),
+      nMerges, minFreq, driverDrainMaxWords)
+    WpGrowth(rows, vocab, chars, drained, (System.nanoTime() - t0) / 1e9, merges)
+  }
+
+  /** Lang-ID rate-model measurements over PLAIN clones of a labeled
+    * `(doc_id, text, lang)` frame (VERDICT r16 item 5): per-class
+    * bucket counts are ADDITIVE (clones add exactly R−1 more of each
+    * count) and the rate weight is an exact integral division, so
+    * `R·cnt div R·tot = cnt div tot` — the weight table is
+    * BIT-INVARIANT over clones (the clfRatesGrowth claim with the
+    * class in the key), counts exactly ×R, and the model stays
+    * `L·(dim+1)`-row bounded at any corpus size. */
+  final case class LangIdGrowth(rows: Long, modelRows: Long,
+      weights: Map[(String, Long), Long], counts: Map[(String, Long), Long])
+
+  def langIdGrowth(labeled: DataFrame, n: Int, dim: Int): LangIdGrowth = {
+    import graft.operators.{CacheScope, LangId}
+    val scope = new CacheScope
+    try {
+      val cc = scope.pin(LangId.classCounts(labeled, col("doc_id"), col("text"),
+        col("lang"), n, dim))
+      val w = LangId.weightsFromCounts(cc, scope)
+      val wm = w.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cm = cc.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      LangIdGrowth(labeled.count(), wm.size.toLong, wm, cm)
+    } finally scope.close()
+  }
+
   /** Unigram-tokenizer training measurements: the final model (pieces +
     * counts + weights) over PLAIN clones. A uniform R× on every
     * substring and char count leaves the seed top-k (ties break
@@ -396,39 +470,43 @@ object ScaleGrowth {
   final case class LmGrowth(rows: Long, modelRows: Long, vocab: Long, scored: Long)
 
   def lmGrowth(docs: DataFrame): LmGrowth = {
-    import graft.operators.NgramLm
-    val model = NgramLm.bigramModel(docs, col("doc_id"), col("text")).cache()
-    val g = LmGrowth(docs.count(), model.count(),
-      model.select("w2").distinct().count(),
-      NgramLm.score(docs, col("doc_id"), col("text"), model).count())
-    model.unpersist(blocking = false)
-    g
+    import graft.operators.{CacheScope, NgramLm}
+    val scope = new CacheScope
+    try {
+      val model = scope.pin(NgramLm.bigramModel(docs, col("doc_id"), col("text")))
+      LmGrowth(docs.count(), model.count(),
+        model.select("w2").distinct().count(),
+        NgramLm.score(docs, col("doc_id"), col("text"), model).count())
+    } finally scope.close()
   }
 
   /** The order-3 sibling: the trigram-count artifact (the WHOLE backoff
     * model — lower orders are marginals) must be exactly flat over
     * plain clones, with scoring linear, same as [[lmGrowth]]. */
   def lm3Growth(docs: DataFrame): LmGrowth = {
-    import graft.operators.NgramLm
-    val model = NgramLm.trigramModel(docs, col("doc_id"), col("text")).cache()
-    val g = LmGrowth(docs.count(), model.count(),
-      model.select("w3").distinct().count(),
-      NgramLm.scoreBackoff(docs, col("doc_id"), col("text"), model).count())
-    model.unpersist(blocking = false)
-    g
+    import graft.operators.{CacheScope, NgramLm}
+    val scope = new CacheScope
+    try {
+      val model = scope.pin(NgramLm.trigramModel(docs, col("doc_id"), col("text")))
+      LmGrowth(docs.count(), model.count(),
+        model.select("w3").distinct().count(),
+        NgramLm.scoreBackoff(docs, col("doc_id"), col("text"), model).count())
+    } finally scope.close()
   }
 
   /** The order-5 sibling: ONE observed-5-gram artifact is the whole
     * five-tier backoff model (every lower order a suffix marginal) —
     * must be exactly flat over plain clones, scoring linear. */
   def lm5Growth(docs: DataFrame): LmGrowth = {
-    import graft.operators.NgramLm
-    val model = NgramLm.ngramModel(docs, col("doc_id"), col("text"), order = 5).cache()
-    val g = LmGrowth(docs.count(), model.count(),
-      model.select("w5").distinct().count(),
-      NgramLm.scoreBackoffN(docs, col("doc_id"), col("text"), model, order = 5).count())
-    model.unpersist(blocking = false)
-    g
+    import graft.operators.{CacheScope, NgramLm}
+    val scope = new CacheScope
+    try {
+      val model = scope.pin(
+        NgramLm.ngramModel(docs, col("doc_id"), col("text"), order = 5))
+      LmGrowth(docs.count(), model.count(),
+        model.select("w5").distinct().count(),
+        NgramLm.scoreBackoffN(docs, col("doc_id"), col("text"), model, order = 5).count())
+    } finally scope.close()
   }
 
   /** Learned-classifier measurements over PLAIN clones of a labeled
@@ -469,16 +547,18 @@ object ScaleGrowth {
 
   private def clfGrowthOf(labeled: DataFrame, weights: DataFrame,
                           n: Int, dim: Int): ClfGrowth = {
-    import graft.operators.QualityClassifier
+    import graft.operators.{CacheScope, QualityClassifier}
     val rows = labeled.count()
     val t0 = System.nanoTime()
-    val w = weights.cache()
-    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val wall = (System.nanoTime() - t0) / 1e9
-    val nKeep = QualityClassifier.score(labeled, col("doc_id"), col("text"), w, n, dim)
-      .filter(col("keep") === 1).count()
-    w.unpersist(blocking = false)
-    ClfGrowth(rows, wm.size.toLong, wall, wm, nKeep)
+    val scope = new CacheScope
+    try {
+      val w = scope.pin(weights)
+      val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nKeep = QualityClassifier.score(labeled, col("doc_id"), col("text"), w, n, dim)
+        .filter(col("keep") === 1).count()
+      ClfGrowth(rows, wm.size.toLong, wall, wm, nKeep)
+    } finally scope.close()
   }
 
   /** Corpus×corpus ANN-join measurements over [[scaledEmb]] clones:
@@ -495,19 +575,21 @@ object ScaleGrowth {
 
   def annJoinGrowth(spark: SparkSession, emb: DataFrame, s: Int,
                     dim: Int): AnnJoinGrowth = {
-    val p = Similarity.prep(scaledEmb(emb, s, dim),
-      col("vec_id"), col("embedding")).cache()
-    val cells = Similarity.ivfCellsMapSide(p, 31).cache()
-    val (l, r) = (cells.filter(col("id") % 2 === 0), cells.filter(col("id") % 2 === 1))
-    val prod = l.groupBy("cell").agg(count(lit(1)).as("nl"))
-      .join(r.groupBy("cell").agg(count(lit(1)).as("nr")), "cell")
-      .select(col("cell"), (col("nl") * col("nr")).as("prod"))
-      .cache()
-    val agg = prod.agg(count(lit(1)), avg("prod"), max("prod"), sum("prod"),
-      sum(when(col("prod") > graft.operators.AnnJoin.DefaultBlockPairs, 1L)
-        .otherwise(0L))).head
-    AnnJoinGrowth(p.count(), agg.getLong(0), agg.getDouble(1), agg.getLong(2),
-      agg.getLong(3), agg.getLong(4))
+    val scope = new graft.operators.CacheScope // measurement-local pins
+    try {
+      val p = scope.pin(Similarity.prep(scaledEmb(emb, s, dim),
+        col("vec_id"), col("embedding")))
+      val cells = scope.pin(Similarity.ivfCellsMapSide(p, 31))
+      val (l, r) = (cells.filter(col("id") % 2 === 0), cells.filter(col("id") % 2 === 1))
+      val prod = scope.pin(l.groupBy("cell").agg(count(lit(1)).as("nl"))
+        .join(r.groupBy("cell").agg(count(lit(1)).as("nr")), "cell")
+        .select(col("cell"), (col("nl") * col("nr")).as("prod")))
+      val agg = prod.agg(count(lit(1)), avg("prod"), max("prod"), sum("prod"),
+        sum(when(col("prod") > graft.operators.AnnJoin.DefaultBlockPairs, 1L)
+          .otherwise(0L))).head
+      AnnJoinGrowth(p.count(), agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+        agg.getLong(3), agg.getLong(4))
+    } finally scope.close()
   }
 
   /** Curation-funnel measurements over a PLAIN clone under FROZEN 1×
@@ -597,26 +679,28 @@ object ScaleGrowth {
 
   def kcenterGrowth(spark: SparkSession, emb: DataFrame, s: Int, k: Int,
                     dim: Int = 64): KCenterGrowth = {
-    val p = scaledEmb(emb, s, dim).cache()
-    val rows = p.count()
-    val tag = s"kcenter_${s}x_${k}_${System.nanoTime()}"
-    spark.sparkContext.setJobGroup(tag, tag)
-    val t0 = System.nanoTime()
-    val ladder =
-      try Similarity.selectKCenter(p, col("vec_id"), col("embedding"), k)
-        .orderBy("step").collect()
-      finally spark.sparkContext.clearJobGroup()
-    val wall = (System.nanoTime() - t0) / 1e9
-    var prev = -1
-    var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
-    while (cur != prev) {
-      Thread.sleep(200)
-      prev = cur
-      cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
-    }
-    p.unpersist(blocking = false)
-    require(ladder.length == k, s"kcenter: expected $k rows, got ${ladder.length}")
-    KCenterGrowth(rows, k, cur, ladder.last.getLong(2), wall)
+    val scope = new graft.operators.CacheScope
+    try {
+      val p = scope.pin(scaledEmb(emb, s, dim))
+      val rows = p.count()
+      val tag = s"kcenter_${s}x_${k}_${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(tag, tag)
+      val t0 = System.nanoTime()
+      val ladder =
+        try Similarity.selectKCenter(p, col("vec_id"), col("embedding"), k)
+          .orderBy("step").collect()
+        finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      while (cur != prev) {
+        Thread.sleep(200)
+        prev = cur
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      }
+      require(ladder.length == k, s"kcenter: expected $k rows, got ${ladder.length}")
+      KCenterGrowth(rows, k, cur, ladder.last.getLong(2), wall)
+    } finally scope.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -646,8 +730,12 @@ object ScaleGrowth {
     val lmRows = scala.collection.mutable.ArrayBuffer[String]()
     val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
+      // iteration-local pins (the scaled inputs each family re-reads);
+      // closed before the end-of-scale session sweep
+      val iterScope = new graft.operators.CacheScope
       if (families == "docs" || families == "all") {
-        val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val docs = iterScope.pin(
+          scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s))
         val nDocs = docs.count()
         row("minhash-lsh (k=8,w=2)", s, minhashStats(docs, nDocs))
         // the saturating control: quadratic by design, unmeasurable at 100×
@@ -658,20 +746,21 @@ object ScaleGrowth {
         row("simjoin-prefix (3gram,t=0.6)", s, simjoinStats(docs, nDocs))
       }
       if (families == "spans" || families == "all") {
-        val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val docs = iterScope.pin(
+          scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s))
         row("spans-exact (8gram)", s, spansStats(docs, docs.count()))
       }
       if (families == "fuzzy" || families == "all") {
-        val names = scaledNames(
+        val names = iterScope.pin(scaledNames(
           Tables.customer(spark, sfDir).select(col("c_name").as("name")).distinct(),
-          s).cache()
+          s))
         row("editdist-prefix (k=1,q=3)", s, editDistStats(names, names.count()))
       }
       if (families == "emb" || families == "all") {
         val dim = 64
-        val p = Similarity.prep(
+        val p = iterScope.pin(Similarity.prep(
           scaledEmb(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), s, dim),
-          col("vec_id"), col("embedding")).cache()
+          col("vec_id"), col("embedding")))
         val nVec = p.count()
         val (bits, annStats) = annLshStats(p, nVec, dim)
         row(s"ann-lsh (adaptive ${bits}b)", s, annStats)
@@ -679,7 +768,8 @@ object ScaleGrowth {
         row(s"embed-banded (4x${width}b)", s, embStats)
       }
       if (families == "index" || families == "all") {
-        val docs = scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val docs = iterScope.pin(
+          scaledDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), s))
         val idxDir = new java.io.File(
           s"${sys.props("java.io.tmpdir")}/graft_scalegrowth_index_$s")
         def rm(f: java.io.File): Unit = {
@@ -702,8 +792,8 @@ object ScaleGrowth {
           f"${g.meanProduct}%.1f | ${g.maxProduct} | ${g.candidates} | ${g.hotCells} |")
       }
       if (families == "lm" || families == "all") {
-        val docs = clonedDocs(
-          Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val docs = iterScope.pin(clonedDocs(
+          Tables.documents(spark, sfDir).select("doc_id", "text"), s))
         val g = lmGrowth(docs)
         lmRows += (f"| ngram-lm (bigram) | ${s}x | ${g.rows} | ${g.modelRows} | " +
           f"${g.vocab} | ${g.scored} |")
@@ -717,24 +807,31 @@ object ScaleGrowth {
       if (families == "clf" || families == "all") {
         // the q_quality_clf planted-domain view (every third doc is
         // the reference domain) — the operating point the queries ship
-        val labeled = clonedLabeled(
+        val labeled = iterScope.pin(clonedLabeled(
           Tables.documents(spark, sfDir)
             .select(col("doc_id"),
               when(col("doc_id") % 3 === 0,
                 concat(col("text"), lit(" curated reference corpus marker" * 3)))
                 .otherwise(col("text")).as("text"),
               when(col("doc_id") % 3 === 0, 1).otherwise(-1).as("y")),
-          s).cache()
+          s))
         val g = clfRatesGrowth(labeled, n = 3, dim = 512)
         lmRows += (f"| quality-clf rates (3-gram, 512+1) | ${s}x | ${g.rows} | " +
           f"${g.weightRows} | — | ${g.nKeep} |")
         val gp = clfGrowth(labeled, n = 3, dim = 512, epochs = 3)
         lmRows += (f"| quality-clf perceptron (3 epochs) | ${s}x | ${gp.rows} | " +
           f"${gp.weightRows} | — | ${gp.nKeep} |")
+        // multi-class lang-ID rates: the model must be L·(dim+1)-row
+        // bounded and (gated in ScaleGrowthSpec) bit-invariant
+        val langLab = iterScope.pin(clonedLabeled(
+          Tables.documents(spark, sfDir).select("doc_id", "text", "lang"), s))
+        val lg = langIdGrowth(langLab, n = 3, dim = 512)
+        lmRows += (f"| langid-rates (3-gram, 512+1, multi-class) | ${s}x | ${lg.rows} | " +
+          f"${lg.modelRows} | — | — |")
       }
       if (families == "bpe" || families == "all") {
-        val docs = clonedDocs(
-          Tables.documents(spark, sfDir).select("doc_id", "text"), s).cache()
+        val docs = iterScope.pin(clonedDocs(
+          Tables.documents(spark, sfDir).select("doc_id", "text"), s))
         // Drain path at production-shaped merge counts: wall must be
         // dominated by the ONE corpus fold, near-flat in nMerges (the
         // distributed control's wall is ~nMerges × fixed job overhead,
@@ -751,6 +848,14 @@ object ScaleGrowth {
         val uhead = ug.model.take(3).map(p => s"${p.piece}:${p.count}").mkString(" ")
         bpeRows += (f"| unigram-train (200 pieces, 2 EM iters) | ${s}x | ${ug.rows} | " +
           f"${ug.vocab} | ${ug.trainWall}%.1f | ${ug.model.size} | $uhead |")
+        // WordPiece at the scale-calibrated floor (2·R — the clone-
+        // invariance law); the row records which path the drain gate
+        // picked at this scale
+        val wg = wordpieceGrowth(spark, docs, nMerges = 16, minFreq = 2L * s)
+        val whead = wg.merges.take(3).map(m => s"${m.lhs}+${m.rhs}").mkString(" ")
+        bpeRows += (f"| wordpiece-train (16 merges, floor 2R, " +
+          f"${if (wg.drained) "drain" else "distributed"}) | ${s}x | ${wg.rows} | " +
+          f"${wg.vocab} | ${wg.trainWall}%.1f | ${wg.merges.size} | $whead |")
         if (s == 1) {
           bpeRow("16 merges, distributed ctl", 16, 0L)
           // The plain fixture's 31-word vocabulary dries out at ~107
@@ -758,10 +863,10 @@ object ScaleGrowth {
           // shaped vocabulary. 20 distinct 8-hex-char words per doc →
           // ~100k distinct words over a 17-symbol alphabet: thousands
           // of live merges, measured on the drain path.
-          val rich = Tables.documents(spark, sfDir).select(col("doc_id"),
+          val rich = iterScope.pin(Tables.documents(spark, sfDir).select(col("doc_id"),
             concat_ws(" ", transform(sequence(lit(1), lit(20)),
               i => substring(md5(concat(col("doc_id").cast("string"),
-                lit(":"), i.cast("string"))), 1, 8))).as("text")).cache()
+                lit(":"), i.cast("string"))), 1, 8))).as("text")))
           val g = bpeGrowth(spark, rich, nMerges = 2000)
           val head = g.rules.take(3).map(r => s"${r.lhs}+${r.rhs}").mkString(" ")
           bpeRows += (f"| bpe-train (2000 merges, drain, hash-vocab) | ${s}x | ${g.rows} | " +
@@ -787,8 +892,8 @@ object ScaleGrowth {
         // occurrence volume of the same 150 grams linearly (fixed
         // LIST, growing corpus), which is the other true law, not the
         // budget claim under test
-        val docsB = scaledDocs(Tables.documents(spark, sfDir)
-          .select("doc_id", "text").filter(col("text").isNotNull), s).cache()
+        val docsB = iterScope.pin(scaledDocs(Tables.documents(spark, sfDir)
+          .select("doc_id", "text").filter(col("text").isNotNull), s))
         val nB = docsB.count()
         val tB = System.nanoTime()
         val stripped = graft.operators.Dedup.boilerplateSpans(
@@ -800,10 +905,10 @@ object ScaleGrowth {
         curationRows += (f"| boilerplate strip (3gram, top-150) | ${s}x | $nB | " +
           f"stripped $stripped | — | — | — | ${(System.nanoTime() - tB) / 1e9}%.1f |")
         // temperature mixture: admissions track the analytic policy
-        val docsT = (0 until s).map { r =>
+        val docsT = iterScope.pin((0 until s).map { r =>
           val d = Tables.documents(spark, sfDir).select("doc_id", "lang")
           if (r == 0) d else d.withColumn("doc_id", col("doc_id") + lit(r * ReplicaOffset))
-        }.reduce(_ unionByName _).cache()
+        }.reduce(_ unionByName _))
         val nT = docsT.count()
         val tT = System.nanoTime()
         val adm = graft.operators.Sample.temperatureMix(
@@ -811,6 +916,9 @@ object ScaleGrowth {
         curationRows += (f"| temperature-mix (isqrt, div 4) | ${s}x | $nT | " +
           f"admitted $adm | — | — | — | ${(System.nanoTime() - tT) / 1e9}%.1f |")
       }
+      iterScope.close()
+      // backstop sweep: localCheckpoint blocks and any pin a measured
+      // operator left in the returned plan are not scope-tracked
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -39,37 +39,42 @@ object Kpis {
   private def positive: Column = sum(when(col("sentiment"), 1).otherwise(0)).as("positive_reviews")
   private def negative: Column = sum(when(!col("sentiment"), 1).otherwise(0)).as("negative_reviews")
 
-  private def withScores(grouped: DataFrame): DataFrame = {
-    val scored = grouped.withColumn(
+  private def withScores(grouped: DataFrame, scope: CacheScope): DataFrame = {
+    val scored = scope.pin(grouped.withColumn(
       "likeness_score",
       col("positive_reviews").cast("double") /
-        when(col("negative_reviews") > 0, col("negative_reviews")).otherwise(lit(1)))
+        when(col("negative_reviews") > 0, col("negative_reviews")).otherwise(lit(1))))
       // MinMax.normalize references its input twice (the min/max aggregate
-      // and the crossJoin branch). Without caching, the whole upstream
+      // and the crossJoin branch). Without the pin, the whole upstream
       // scan→join→groupBy chain appears in the plan twice; the post-agg
       // frame is tiny (|group keys| rows), so pin it and both branches
       // read memory instead of re-running the shuffle.
       // Cache contract: the pin lives inside the returned lazy plan, so
-      // the CALLER releases it after materializing (Bench/Verify clear
-      // between queries; EtlPipeline unpersists its own batch's caches).
-      .cache()
+      // the CALLER releases it after materializing — a tracking scope's
+      // close(), or the session sweep under the unmanaged default
+      // (Bench/Verify clear between queries; EtlPipeline passes its
+      // batch scope).
     MinMax.normalize(scored, "likeness_score", "normalized_likeness_score")
   }
 
   /** user_kpis: {id, average_spent, positive_reviews, negative_reviews,
     * likeness_score, normalized_likeness_score} (`README.md:115-121`). */
-  def userKpis(facts: DataFrame, userCol: String = "id", priceCol: String = "price"): DataFrame =
+  def userKpis(facts: DataFrame, userCol: String = "id", priceCol: String = "price",
+               scope: CacheScope = CacheScope.unmanaged): DataFrame =
     withScores(
       facts
         .groupBy(col(userCol).as("id"))
-        .agg(StableAgg.savg(col(priceCol)).as("average_spent"), positive, negative))
+        .agg(StableAgg.savg(col(priceCol)).as("average_spent"), positive, negative),
+      scope)
 
   /** shop_kpis: same shape keyed by shop_id with average_profit. */
-  def shopKpis(facts: DataFrame, shopCol: String = "shop_id", priceCol: String = "price"): DataFrame =
+  def shopKpis(facts: DataFrame, shopCol: String = "shop_id", priceCol: String = "price",
+               scope: CacheScope = CacheScope.unmanaged): DataFrame =
     withScores(
       facts
         .groupBy(col(shopCol).as("shop_id"))
-        .agg(StableAgg.savg(col(priceCol)).as("average_profit"), positive, negative))
+        .agg(StableAgg.savg(col(priceCol)).as("average_profit"), positive, negative),
+      scope)
 
   /** date_kpis: {date, average_profit_per_day} (`data_transformer.py:140-143`
     * groups the raw string date column; we format the timestamp to the same

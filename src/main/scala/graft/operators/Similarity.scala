@@ -252,26 +252,28 @@ object Similarity {
         .withColumn("cnorm", sqrt(dotDbl(col("cvec"), col("cvec"))))
       // per-point distance to the nearest candidate; feeds BOTH the
       // normalizer aggregate and the sample filter — pin for the round
-      val costs = prepped.join(broadcast(candsDf))
-        .select(col("id"), col("q"),
-          (lit(1.0) - dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("d"))
-        .groupBy(col("id"), col("q")).agg(min(col("d")).as("dist"))
-        .cache()
-      val phi = costs.agg(sum(col("dist"))).head().getDouble(0)
-      if (phi <= 1e-12) saturated = true // every point sits on a candidate
-      else {
-        // deterministic uniform draw in [0,1): high 32 bits of md5(round:id)
-        val draw = conv(substring(
-          md5(concat(lit(s"kmpp:$r:"), col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast("double") / lit(4294967296.0)
-        val picked = costs
-          .filter(draw < least(lit(1.0), lit(2.0 * k) * col("dist") / lit(phi)))
-          .select(col("id"), col("q")).collect()
-          .sortBy(_.getLong(0)) // partition order is not a contract
-          .map(_.getSeq[Long](1).map(_.toDouble))
-        cands = (cands ++ picked).distinct
-      }
-      costs.unpersist(blocking = false)
+      // (a round-local scope: both consumers run before the round ends)
+      val roundScope = new CacheScope
+      try {
+        val costs = roundScope.pin(prepped.join(broadcast(candsDf))
+          .select(col("id"), col("q"),
+            (lit(1.0) - dotDbl(col("q"), col("cvec")) / (col("norm") * col("cnorm"))).as("d"))
+          .groupBy(col("id"), col("q")).agg(min(col("d")).as("dist")))
+        val phi = costs.agg(sum(col("dist"))).head().getDouble(0)
+        if (phi <= 1e-12) saturated = true // every point sits on a candidate
+        else {
+          // deterministic uniform draw in [0,1): high 32 bits of md5(round:id)
+          val draw = conv(substring(
+            md5(concat(lit(s"kmpp:$r:"), col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0)
+          val picked = costs
+            .filter(draw < least(lit(1.0), lit(2.0 * k) * col("dist") / lit(phi)))
+            .select(col("id"), col("q")).collect()
+            .sortBy(_.getLong(0)) // partition order is not a contract
+            .map(_.getSeq[Long](1).map(_.toDouble))
+          cands = (cands ++ picked).distinct
+        }
+      } finally roundScope.close()
     }
     // weight candidates by won points (one argmax pass), then greedy
     // weighted k-center on the driver (|cands| ~ 2k·log k entries)
@@ -457,13 +459,15 @@ object Similarity {
     * Cache contract (this and the query layers that pin frames): the
     * pinned frame backs BOTH sides of the self-join of the RETURNED
     * lazy plan, so the operator cannot unpersist it itself — the caller
-    * owns the lifetime. Bench/Verify/EtlPipeline all release caches
-    * after materializing; a library caller should `spark.catalog
-    * .clearCache()` (or track+unpersist) once the result is consumed. */
-  def lshPairs(prepped: DataFrame, planes: Int, dim: Int): DataFrame = {
+    * owns the lifetime: pass a tracking [[CacheScope]] and `close()` it
+    * after materializing, or rely on a session-level sweep (Bench/
+    * Verify/EtlPipeline clear the session cache between queries —
+    * the default unmanaged scope's contract). */
+  def lshPairs(prepped: DataFrame, planes: Int, dim: Int,
+               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // both sides of the bucket self-join — pin so quantization + the
     // signature compute once per row, not twice
-    val sig = prepped.withColumn("sig", lshSignature(col("q"), planes, dim)).cache()
+    val sig = scope.pin(prepped.withColumn("sig", lshSignature(col("q"), planes, dim)))
     // blocked triangular enumeration: a content cluster (identical
     // vectors → identical signature) beyond the block size splits into
     // bounded cells instead of one c²/2 task (PairEnum rationale)
@@ -562,9 +566,11 @@ object Similarity {
     * (q_dedup_semantic). Returns `(vec_a, vec_b, cos)`, `vec_a <
     * vec_b`. */
   def semanticPairs(prepped: DataFrame, stride: Int, threshold: Double,
-                    blockSize: Int = 4096): DataFrame = {
+                    blockSize: Int = 4096,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // assignment frame feeds both sides of the within-cell self-pairing
-    val cells = ivfCellsMapSide(prepped, stride).cache()
+    // (caller-owned lifetime — the lshPairs cache contract)
+    val cells = scope.pin(ivfCellsMapSide(prepped, stride))
     PairEnum.bucketPairs(cells, Seq("cell"), payloadCols = Seq("q", "norm"),
         blockSize = blockSize)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
@@ -630,11 +636,12 @@ object Similarity {
         payloadCols = Seq("q", "norm"), blockSize = blockSize)))
   }
 
-  def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4): DataFrame = {
+  def lshBandedPairs(prepped: DataFrame, dim: Int, bands: Int = 4, minWidth: Int = 4,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(bands >= 1, s"lshBandedPairs: bands must be >= 1, got $bands")
     val width = adaptiveBits(prepped.count(), minWidth)
-    val banded = bandAssignments(prepped, dim, bands, width)
-      .cache() // both sides of the bucket self-join
+    val banded = scope.pin( // both sides of the bucket self-join
+      bandAssignments(prepped, dim, bands, width))
     val cand = PairEnum.bucketPairs(banded, Seq("band", "bsig"))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       .distinct()

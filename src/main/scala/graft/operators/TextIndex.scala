@@ -210,12 +210,13 @@ object TextIndex {
                  files: Int = 16, idCol: String = "doc_id",
                  textCol: String = "text"): Unit = {
     // three consumers (segment write, term stats, corpus stats) — pin
-    // so tokenization runs once
-    val post = postings(docs, idCol, textCol).cache()
+    // so tokenization runs once; build-local scope, released on exit
+    val scope = new CacheScope
     try {
+      val post = scope.pin(postings(docs, idCol, textCol))
       writeSegment(spark, dir, 0L, post, None, files)
       statsFrom(spark, post, dir, asofSeg = 0L)
-    } finally { post.unpersist(false); () }
+    } finally scope.close()
   }
 
   private def statsFrom(spark: SparkSession, post: DataFrame, dir: String,
@@ -275,10 +276,22 @@ object TextIndex {
   private def applyDeltaInner(spark: SparkSession, dir: String, oldDocs: DataFrame,
                               feed: DataFrame, files: Int, idCol: String,
                               textCol: String): Unit = {
+    // delta-local scope: feed (four consumers), plusPost (two), and the
+    // stats delta (two) pin for the duration of the apply and release
+    // on every exit path (applyDelta's RDD sweep remains the backstop
+    // for localCheckpoint blocks, which are not cache entries)
+    val scope = new CacheScope
+    try applyDeltaPinned(spark, dir, oldDocs, feed, files, idCol, textCol, scope)
+    finally scope.close()
+  }
+
+  private def applyDeltaPinned(spark: SparkSession, dir: String, oldDocs: DataFrame,
+                               feed: DataFrame, files: Int, idCol: String,
+                               textCol: String, scope: CacheScope): Unit = {
     // the feed is consumed four times (digest, retractions, additions,
     // the doc-count delta) and is typically the product of a diff
     // chain — pin it for the duration of the delta
-    val feedC = feed.cache()
+    val feedC = scope.pin(feed)
     // EXACTLY-ONCE on retry: a segment carries the digest of the feed
     // that built it (written after the segment data commits, before
     // any stats swap). If the LAST segment already carries THIS feed's
@@ -298,8 +311,7 @@ object TextIndex {
     if (lastSeg.exists(s =>
         readFeedMarker(spark, s._2).exists(markerMatches(_, digest)))) {
       if (staleBy(spark, dir).isDefined) compactIndex(spark, dir, files)
-      feedC.unpersist(false)
-      return
+      return // the caller's scope releases the feed pin
     }
     // self-heal the documented crash window before compounding on it: a
     // stale stats marker means a prior delta's segment landed without
@@ -325,9 +337,9 @@ object TextIndex {
     // minusPost has one consumer (the delta union), no pin needed
     val minusPost = postings(
       oldDocs.join(retractIds, Seq(idCol), "left_semi"), idCol, textCol)
-    val plusPost = postings(
+    val plusPost = scope.pin(postings(
       feedC.filter(col("change_type") =!= "removed")
-        .select(col(idCol), col(textCol)), idCol, textCol).cache()
+        .select(col(idCol), col(textCol)), idCol, textCol))
     writeSegment(spark, dir, segId, plusPost,
       Some(tombstoneIds.select(col(idCol).as("doc_id"))), files,
       feedMark = Some(digest))
@@ -336,11 +348,11 @@ object TextIndex {
     // Σ(±tf) IS added-minus-retracted total tokens (dl = Σ tf per doc),
     // so the corpus constant needs no second pass over either posting
     // side. Pinned: the terms join and the token aggregate both read it.
-    val delta = plusPost.select(col("term"), lit(1L).as("__w"), col("tf"))
-      .unionByName(minusPost.select(col("term"), lit(-1L).as("__w"), col("tf")))
-      .groupBy("term").agg(sum(col("__w")).as("__d"),
-        sum(col("__w") * col("tf")).as("__t"))
-      .cache()
+    val delta = scope.pin(
+      plusPost.select(col("term"), lit(1L).as("__w"), col("tf"))
+        .unionByName(minusPost.select(col("term"), lit(-1L).as("__w"), col("tf")))
+        .groupBy("term").agg(sum(col("__w")).as("__d"),
+          sum(col("__w") * col("tf")).as("__t")))
     val terms = readStats(spark, s"$dir/terms")
       .join(delta.select("term", "__d"), Seq("term"), "full_outer")
       .select(col("term"),
@@ -360,8 +372,7 @@ object TextIndex {
         lit(c.getAs[Long]("n_docs") + dDocs).as("n_docs"),
         lit(c.getAs[Long]("total_tokens") + dTokens).as("total_tokens"),
         lit(segId).as("asof_seg")))
-    plusPost.unpersist(false); delta.unpersist(false)
-    feedC.unpersist(false); ()
+    // pins released by the caller's scope
   }
 
   /** Live postings across all segments: every segment's rows minus

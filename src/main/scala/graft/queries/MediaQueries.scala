@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{CacheScope, Multimodal}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -277,9 +277,10 @@ object MediaQueries extends QueryModule {
       .distinct()
   }
 
-  def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def videoDedup(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // feeds the signature AND the Jaccard verification
-    val sh = videoShingles(spark, sfDir).cache()
+    val sh = scope.pin(videoShingles(spark, sfDir))
     val sig = graft.operators.Dedup.minhashSignature(sh, VidMinhashK)
     val cand = graft.operators.Dedup.candidatePairs(
       graft.operators.Dedup.lshBands(sig, VidMinhashK, VidBandWidth))
@@ -309,8 +310,9 @@ object MediaQueries extends QueryModule {
     FrameFixture(spark, "video_bands_old", sfDir)(
       vidBandsOf(videoShingles(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8)))
 
-  def videoDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = videoShingles(spark, sfDir).cache()
+  def videoDedupIncr(spark: SparkSession, sfDir: String,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = scope.pin(videoShingles(spark, sfDir))
     val isNew = pmod(col("id"), lit(10)) >= 8
     val cand = graft.operators.Dedup.incrementalCandidates(
       vidBandsOf(sh.filter(isNew)), vidBandsOldStore(spark, sfDir))
@@ -326,9 +328,10 @@ object MediaQueries extends QueryModule {
     * individually-oracled operator; the composed oracle chains the
     * brute-force pair trial into the recursive-closure labeling, so
     * the stages are value-checked AS a pipeline. */
-  def mediaPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  def mediaPipeline(spark: SparkSession, sfDir: String,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // the grid artifact feeds the signatures AND the survivor join
-    val grids = pixGridStore(spark, sfDir).cache()
+    val grids = scope.pin(pixGridStore(spark, sfDir))
     val sig = grids.select(col("media_id").as("id"),
       Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash"))
     val labels = graft.operators.Dedup.clusters(
@@ -358,12 +361,13 @@ object MediaQueries extends QueryModule {
     * individually-oracled operator; the composed oracle chains all
     * three pair trials into the recursive closure, so one drifted
     * modality breaks the flagship row. */
-  def multimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  def multimodalPipeline(spark: SparkSession, sfDir: String,
+                         scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     graft.GraftFunctions.ensure(spark)
     val grids = pixGridStore(spark, sfDir)
     val envs = audioEnvStore(spark, sfDir)
     // shingles feed the signature AND the Jaccard verification
-    val sh = videoShingles(spark, sfDir).cache()
+    val sh = scope.pin(videoShingles(spark, sfDir))
     val imgPairs = graft.operators.Dedup.simhashPairs(
       grids.select(col("media_id").as("id"),
         Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash")),
@@ -417,10 +421,10 @@ object MediaQueries extends QueryModule {
     "q_audio_dedup" -> audioDedup,
     "q_audio_dedup_incr" -> audioDedupIncr,
     "q_audio_fingerprint" -> audioFingerprint,
-    "q_video_dedup" -> videoDedup,
-    "q_video_dedup_incr" -> videoDedupIncr,
-    "q_media_pipeline" -> mediaPipeline,
-    "q_multimodal_pipeline" -> multimodalPipeline)
+    "q_video_dedup" -> ((s, d) => videoDedup(s, d)),
+    "q_video_dedup_incr" -> ((s, d) => videoDedupIncr(s, d)),
+    "q_media_pipeline" -> ((s, d) => mediaPipeline(s, d)),
+    "q_multimodal_pipeline" -> ((s, d) => multimodalPipeline(s, d)))
 
   // min(n_chars)=48 > 22, so byte positions 0/1/7/14/21 never wrap.
   private def by(pos: Int) = s"ascii(substr(text, ${pos + 1}, 1))"

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AnnJoin, Dedup, Pq, Similarity}
+import graft.operators.{AnnJoin, CacheScope, Dedup, Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,9 +40,10 @@ object SimilarityQueries extends QueryModule {
     * thresholded on exact quantized cosine. The filter runs on the raw
     * cosine (bit-identical across engines); only the output is
     * rounded. */
-  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = prepped(spark, sfDir).cache() // backs signature + both scoring sides
-    Similarity.lshBandedPairs(p, dim = EmbDim)
+  def dedupEmbed(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.pin(prepped(spark, sfDir)) // backs signature + both scoring sides
+    Similarity.lshBandedPairs(p, dim = EmbDim, scope = scope)
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), Rnd.r(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
@@ -151,10 +152,12 @@ object SimilarityQueries extends QueryModule {
     * assign to their max-cosine centroid, queries probe only their own
     * cell. Approximate by design; the oracle replays the identical
     * quantizer, so the result is exact under the hash compare. */
-  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def simIvf(spark: SparkSession, sfDir: String,
+             scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // prepped feeds BOTH the centroid extraction and the assignment side
     // of ivfCells — pin it so the scan + quantization run once
-    val cells = Similarity.ivfCellsMapSide(prepped(spark, sfDir).cache(), IvfStride).cache()
+    val cells = scope.pin(
+      Similarity.ivfCellsMapSide(scope.pin(prepped(spark, sfDir)), IvfStride))
     Similarity.ivfTopK(cells, id => id < 10, k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         Rnd.r(col("cos"), 6).as("cos"))
@@ -166,9 +169,10 @@ object SimilarityQueries extends QueryModule {
   /** IVF with nprobe=2: each query searches its two nearest cells — the
     * recall knob over [[simIvf]], with the query→cells step on the
     * native bounded top_k_by aggregate. */
-  def simIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = prepped(spark, sfDir).cache()
-    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+  def simIvfProbe(spark: SparkSession, sfDir: String,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.pin(prepped(spark, sfDir))
+    val cells = scope.pin(Similarity.ivfCellsMapSide(p, IvfStride))
     Similarity.ivfTopKProbe(cells, Similarity.strideCentroids(p, IvfStride),
       id => id < 10, k = 3, nprobe = NProbe)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -185,9 +189,10 @@ object SimilarityQueries extends QueryModule {
     * `pq_encode`, queries scored by `pq_adc` table lookups — all
     * exact-integer squared-L2, so codes and distances hash-match the
     * oracle. The compression story: 64 longs → 4 ints per vector. */
-  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def simPq(spark: SparkSession, sfDir: String,
+            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // prepped feeds the codebook collect AND the encode — pin it
-    val p = prepped(spark, sfDir).cache()
+    val p = scope.pin(prepped(spark, sfDir))
     val cb = Pq.strideCodebook(p, PqStride, PqKsub, PqM)
     val codes = p.select(col("id"), Pq.encode(col("q"), cb, PqM).as("codes"))
     val qs = p.filter(col("id") < 10)
@@ -205,11 +210,12 @@ object SimilarityQueries extends QueryModule {
     * integer vectors (residuals stay exact longs), at the price of
     * per-(query, cell) tables. Same k and cells as q_sim_ivf, so the
     * two results diff the PQ approximation directly. */
-  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = prepped(spark, sfDir).cache()
+  def simIvfPq(spark: SparkSession, sfDir: String,
+               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.pin(prepped(spark, sfDir))
     val cb = Pq.strideCodebook(p, PqStride, PqKsub, PqM)
     // cells feed both the encode side and the query side — pin
-    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+    val cells = scope.pin(Similarity.ivfCellsMapSide(p, IvfStride))
     val coded = cells.select(col("id"), col("cell"),
       Pq.encode(col("q"), cb, PqM).as("codes"))
     val qs = cells.filter(col("id") < 10)
@@ -226,14 +232,15 @@ object SimilarityQueries extends QueryModule {
     * residuals stay exact longs and the whole composition sits on the
     * hash-compared oracle path; diffing against q_sim_ivfpq measures
     * what residual coding buys at identical compression. */
-  def simIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = prepped(spark, sfDir).cache()
+  def simIvfPqRes(spark: SparkSession, sfDir: String,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.pin(prepped(spark, sfDir))
     // cells/residuals each feed the codebook collect AND the scoring
     // sides; CacheManager dedups the structurally-equal residual plan
     // built inside topKAdcResidual against this pinned one
-    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+    val cells = scope.pin(Similarity.ivfCellsMapSide(p, IvfStride))
     val cents = Similarity.strideCentroids(p, IvfStride)
-    val res = Pq.residuals(cells, cents).cache()
+    val res = scope.pin(Pq.residuals(cells, cents))
     val cb = Pq.strideCodebook(res, PqStride, PqKsub, PqM)
     Pq.topKAdcResidual(cells, cents, cb, _ < 10, k = 3, m = PqM, ksub = PqKsub)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("adist"))
@@ -248,14 +255,16 @@ object SimilarityQueries extends QueryModule {
     * Scale: ground truth cost is bounded by the QUERY SAMPLE (10 ids
     * broadcast against the corpus, one pass); the approx leg reuses the
     * IVF plan unchanged; the final joins touch ≤ k·|sample| rows. */
-  def simRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def simRecall(spark: SparkSession, sfDir: String,
+                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // one pinned scan feeds ground truth (both sides) and the IVF leg
-    val p = prepped(spark, sfDir).cache()
+    val p = scope.pin(prepped(spark, sfDir))
     val truth = Similarity.bruteTopK(p, p.filter(col("id") < 10), 3)
       .select(col("query_id"), col("neighbor_id"))
     // pin the cell assignments too — ivfTopK reads them on both the
     // query and the candidate side (the simIvf idiom)
-    val approx = Similarity.ivfTopK(Similarity.ivfCellsMapSide(p, IvfStride).cache(),
+    val approx = Similarity.ivfTopK(
+        scope.pin(Similarity.ivfCellsMapSide(p, IvfStride)),
         id => id < 10, k = 3)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
@@ -280,8 +289,10 @@ object SimilarityQueries extends QueryModule {
     * rule, so the approximate result is exact under the hash compare.
     * (The adaptive grid-block path is exercised by AnnJoinSpec with a
     * forced tiny pair budget — same output, bounded tasks.) */
-  def simJoinAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Similarity.ivfCellsMapSide(prepped(spark, sfDir).cache(), IvfStride).cache()
+  def simJoinAnn(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cells = scope.pin(
+      Similarity.ivfCellsMapSide(scope.pin(prepped(spark, sfDir)), IvfStride))
     AnnJoin.annJoin(cells.filter(col("id") % 2 === 0),
         cells.filter(col("id") % 2 === 1), k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -294,9 +305,10 @@ object SimilarityQueries extends QueryModule {
     * cells of the odd-id collection (fan-out multiplies only the left
     * side). Same tie rule as cell assignment, so the oracle's
     * rn <= 2 ranking replays the probe set exactly. */
-  def simJoinAnnProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = prepped(spark, sfDir).cache()
-    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+  def simJoinAnnProbe(spark: SparkSession, sfDir: String,
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.pin(prepped(spark, sfDir))
+    val cells = scope.pin(Similarity.ivfCellsMapSide(p, IvfStride))
     AnnJoin.annJoinProbe(cells.filter(col("id") % 2 === 0),
         cells.filter(col("id") % 2 === 1),
         Similarity.strideCentroids(p, IvfStride), k = 3, nprobe = NProbe)
@@ -314,10 +326,11 @@ object SimilarityQueries extends QueryModule {
     * flaky float compare. Scale: ground truth is bounded by the sample
     * (10 queries broadcast against one corpus pass); the join leg is
     * the production plan with the left side filtered. */
-  private def joinRecallHarness(spark: SparkSession, sfDir: String)(
+  private def joinRecallHarness(spark: SparkSession, sfDir: String,
+      scope: CacheScope = CacheScope.unmanaged)(
       approxOf: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val p = prepped(spark, sfDir).cache()
-    val cells = Similarity.ivfCellsMapSide(p, IvfStride).cache()
+    val p = scope.pin(prepped(spark, sfDir))
+    val cells = scope.pin(Similarity.ivfCellsMapSide(p, IvfStride))
     val isQuery = col("id") % 2 === 0 && col("id") < 20
     val truth = Similarity.bruteTopK(
         p.filter(col("id") % 2 === 1), p.filter(isQuery), 3)
@@ -380,9 +393,10 @@ object SimilarityQueries extends QueryModule {
     * index and audits the sample exactly — this query IS the audit.
     * Float cosines divide identical integer dots by identical norms,
     * so the 1-NN argmax is engine-exact (the q_sim_topk precedent). */
-  def labelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+  def labelAgreement(spark: SparkSession, sfDir: String,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val p = prepped(spark, sfDir).cache() // corpus side + query filter
+    val p = scope.pin(prepped(spark, sfDir)) // corpus side + query filter
     val audit = p.filter(
       substring(md5(col("id").cast("string").cast("binary")), 1, 1) === "0")
     val lbl = emb.select(col("vec_id"), col("label"))
@@ -399,23 +413,23 @@ object SimilarityQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_select_kcenter" -> selectKcenter,
-    "q_label_agreement" -> labelAgreement,
-    "q_sim_join" -> simJoinAnn,
+    "q_label_agreement" -> ((s, d) => labelAgreement(s, d)),
+    "q_sim_join" -> ((s, d) => simJoinAnn(s, d)),
     "q_sim_join_recall" -> simJoinRecall,
     "q_sim_join_recall_probe" -> simJoinRecallProbe,
-    "q_sim_join_probe" -> simJoinAnnProbe,
+    "q_sim_join_probe" -> ((s, d) => simJoinAnnProbe(s, d)),
     "q_sim_topk" -> simTopK,
-    "q_sim_recall" -> simRecall,
+    "q_sim_recall" -> ((s, d) => simRecall(s, d)),
     "q_sim_lsh" -> simLsh,
-    "q_sim_ivf_probe" -> simIvfProbe,
-    "q_dedup_embed" -> dedupEmbed,
+    "q_sim_ivf_probe" -> ((s, d) => simIvfProbe(s, d)),
+    "q_dedup_embed" -> ((s, d) => dedupEmbed(s, d)),
     "q_dedup_semantic" -> dedupSemantic,
     "q_dedup_semantic_incr" -> dedupSemanticIncr,
     "q_decontaminate_embed" -> decontaminateEmbed,
-    "q_sim_ivf" -> simIvf,
-    "q_sim_pq" -> simPq,
-    "q_sim_ivfpq" -> simIvfPq,
-    "q_sim_ivfpq_res" -> simIvfPqRes)
+    "q_sim_ivf" -> ((s, d) => simIvf(s, d)),
+    "q_sim_pq" -> ((s, d) => simPq(s, d)),
+    "q_sim_ivfpq" -> ((s, d) => simIvfPq(s, d)),
+    "q_sim_ivfpq_res" -> ((s, d) => simIvfPqRes(s, d)))
 
   override def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
     semStateStore(spark, sfDir)

@@ -115,29 +115,32 @@ object CdcStream {
       maxFilesPerTrigger = 1) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // read twice (diff + state write) — pin per batch
-          val newDig = batch
-            .select(keys.map(col) :+ digestOf(batch).as("digest"): _*)
-            .cache()
-          val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
-            .filter(_._1 < batchId).sortBy(_._1).lastOption
-          val gen = checkGeneration(spark, srcDir, checkpointDir, batchId,
-            prior.map(_._2), "CdcStream")
-          val changes = prior match {
-            case Some((_, p)) =>
-              SnapshotDiff.diffDigests(spark.read.parquet(p), newDig, keys)
-            case None => // first generation: everything is an add
-              newDig.select(keys.map(col) :+ lit("added").as("change_type"): _*)
-          }
-          changes.write.mode("overwrite").parquet(s"$changesDir/batch_$batchId")
-          newDig.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
-          writeMarker(spark, s"$stateDir/batch_$batchId", gen)
-          newDig.unpersist(blocking = false)
-          // retention: once this generation's state is committed, only
-          // the prior can ever be read again (and only by a replay of
-          // THIS batch) — everything below it is dead weight
-          prior.foreach { case (id, _) =>
-            FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id) }
+          // batch-scoped pins — a long-running stream must not
+          // accumulate one cache entry per micro-batch
+          val scope = new graft.operators.CacheScope
+          try {
+            // read twice (diff + state write) — pin per batch
+            val newDig = scope.pin(batch
+              .select(keys.map(col) :+ digestOf(batch).as("digest"): _*))
+            val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
+              .filter(_._1 < batchId).sortBy(_._1).lastOption
+            val gen = checkGeneration(spark, srcDir, checkpointDir, batchId,
+              prior.map(_._2), "CdcStream")
+            val changes = prior match {
+              case Some((_, p)) =>
+                SnapshotDiff.diffDigests(spark.read.parquet(p), newDig, keys)
+              case None => // first generation: everything is an add
+                newDig.select(keys.map(col) :+ lit("added").as("change_type"): _*)
+            }
+            changes.write.mode("overwrite").parquet(s"$changesDir/batch_$batchId")
+            newDig.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+            writeMarker(spark, s"$stateDir/batch_$batchId", gen)
+            // retention: once this generation's state is committed, only
+            // the prior can ever be read again (and only by a replay of
+            // THIS batch) — everything below it is dead weight
+            prior.foreach { case (id, _) =>
+              FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id) }
+          } finally scope.close()
         }
     }
   }

@@ -52,41 +52,41 @@ object DedupStream {
         if (!batch.isEmpty) {
           val docs = batch.select(col("doc_id"), col("text"))
           docs.write.mode("overwrite").parquet(s"$corpusDir/batch_$batchId")
-          // the batch is read twice (bands + the corpus write above) and
-          // the bands thrice (self-pairs gate, probe, state write) — pin
-          // per batch, release below
-          val bands = Dedup.lshBands(
-            Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), shingleN, k),
-            k, bandWidth).cache()
-          // CRASH-REPLAY GUARD: a crash between this batch's state write
-          // and the checkpoint commit replays the batch with its OWN
-          // bands already persisted — reading them back as "old" state
-          // would violate incrementalCandidates' disjoint-id contract
-          // and emit self-pairs. Exclude batch_<id> explicitly, so a
-          // replay sees exactly the state the original run saw.
-          val priorState: Seq[String] = FileQueue.batchDirs(spark, stateDir)
-            .filter(_._1 != batchId).map(_._2)
-          val cands =
-            if (priorState.nonEmpty)
-              Dedup.incrementalCandidates(bands, spark.read.parquet(priorState: _*))
-            else Dedup.candidatePairs(bands)
-          // verification text comes from the corpus store (batch
-          // included — written first), confined to candidate ids
-          val candIds = cands.select(col("id_a").as("doc_id"))
-            .union(cands.select(col("id_b").as("doc_id"))).distinct()
-          val candDocs = spark.read.parquet(s"$corpusDir/*")
-            .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          // jaccardVerify's internal candidate-shingle pin rides a
-          // batch-owned scope — a long-running stream must not
-          // accumulate one cache entry per micro-batch
+          // batch-owned scope for every pin this batch creates (the
+          // bands frame, jaccardVerify's candidate-shingle set) — a
+          // long-running stream must not accumulate one cache entry per
+          // micro-batch
           val scope = new CacheScope
-          try Dedup.jaccardVerify(cands,
-              Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), shingleN), threshold,
-              scope)
-            .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
-          finally scope.close()
-          bands.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
-          bands.unpersist(blocking = false)
+          try {
+            // the batch is read twice (bands + the corpus write above)
+            // and the bands thrice (self-pairs gate, probe, state write)
+            val bands = scope.pin(Dedup.lshBands(
+              Dedup.minhashSignatureArr(docs, col("doc_id"), col("text"), shingleN, k),
+              k, bandWidth))
+            // CRASH-REPLAY GUARD: a crash between this batch's state write
+            // and the checkpoint commit replays the batch with its OWN
+            // bands already persisted — reading them back as "old" state
+            // would violate incrementalCandidates' disjoint-id contract
+            // and emit self-pairs. Exclude batch_<id> explicitly, so a
+            // replay sees exactly the state the original run saw.
+            val priorState: Seq[String] = FileQueue.batchDirs(spark, stateDir)
+              .filter(_._1 != batchId).map(_._2)
+            val cands =
+              if (priorState.nonEmpty)
+                Dedup.incrementalCandidates(bands, spark.read.parquet(priorState: _*))
+              else Dedup.candidatePairs(bands)
+            // verification text comes from the corpus store (batch
+            // included — written first), confined to candidate ids
+            val candIds = cands.select(col("id_a").as("doc_id"))
+              .union(cands.select(col("id_b").as("doc_id"))).distinct()
+            val candDocs = spark.read.parquet(s"$corpusDir/*")
+              .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+            Dedup.jaccardVerify(cands,
+                Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), shingleN), threshold,
+                scope)
+              .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+            bands.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+          } finally scope.close()
         }
     }
 }

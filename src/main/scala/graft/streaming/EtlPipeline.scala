@@ -102,14 +102,15 @@ object EtlPipeline {
           // write, gold KPI upsert) — pin it so the scorer runs ONCE per
           // batch: an uncached plan would re-invoke the model for the
           // second action, doubling LLM calls. Released by the
-          // batch-scoped unpersist below.
+          // batch scope below (clearCache remains the backstop).
           // scoreCols picks what the scorer sees per row: the default
           // `signal` feeds the deterministic test scorer; a production
           // OpenAiCompatScorer takes the raw review text instead
           // (scoreCols = Seq("description"), reviewCol = "description")
+          val batchScope = new graft.operators.CacheScope
           val analysis = Enrich.enrich(
             items.select(("item_id" +: scoreCols).map(col): _*), scorer, cfg)
-          val enriched = Enrich.merge(items.drop("signal"), analysis).cache()
+          val enriched = batchScope.pin(Enrich.merge(items.drop("signal"), analysis))
           // K4 silver (50k-row chunks in production; here per micro-batch)
           Sinks.chunkedWrite(enriched, s"$silverDir/batch_$batchId")
           // K2 gold: upsert this batch's user KPIs into the keyed table
@@ -128,7 +129,7 @@ object EtlPipeline {
           // is then replayed from the checkpoint and re-merges the same
           // updates — upsertByKey replaces by key, so the re-apply is
           // idempotent and heals every partial bucket.
-          val kpis = Kpis.userKpis(enriched)
+          val kpis = Kpis.userKpis(enriched, scope = batchScope)
             .withColumn("kbucket",
               pmod(xxhash64(col("id")), lit(GoldBuckets)).cast("int"))
           val goldPath = new org.apache.hadoop.fs.Path(s"$goldDir/user_kpis")
@@ -209,7 +210,7 @@ object EtlPipeline {
                 .withColumn("average_spent", col("average_spent").cast("double")),
               url, "user_kpis", Seq("id"), batchId)
             graft.sinks.JdbcMerge.mergeIntoLedgered(
-              Kpis.shopKpis(enriched)
+              Kpis.shopKpis(enriched, scope = batchScope)
                 .withColumn("average_profit", col("average_profit").cast("double")),
               url, "shop_kpis", Seq("shop_id"), batchId)
             graft.sinks.JdbcMerge.mergeIntoLedgered(
@@ -223,15 +224,15 @@ object EtlPipeline {
           // localCheckpoint'd frames)
           // Release this batch's pins — a long-running stream must not
           // accumulate one per batch:
-          //  - enriched.cache() + the KPI path's internal pin are CACHE
-          //    MANAGER entries; only clearCache() removes entries (an
-          //    RDD-block sweep alone leaks one entry per batch). The
-          //    stream therefore OWNS its session's cache namespace:
-          //    callers sharing the session must not pin caches across
-          //    micro-batches (documented contract — operator-internal
-          //    pins cannot be evicted selectively from public APIs).
+          //  - enriched + the KPI path's internal pin ride batchScope
+          //    (tracked scope, released here); clearCache() stays as the
+          //    backstop for any session-namespace entries a foreign
+          //    operator might add. The stream OWNS its session's cache
+          //    namespace: callers sharing the session must not pin
+          //    caches across micro-batches (documented contract).
           //  - localCheckpoint blocks (the gold pin) are not cache
           //    entries; the RDD delta sweep frees those.
+          batchScope.close()
           spark.catalog.clearCache()
           }
           } finally {

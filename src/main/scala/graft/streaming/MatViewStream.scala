@@ -85,10 +85,13 @@ object MatViewStream {
       maxFilesPerTrigger = 1) {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val newState = batch.select(
+          // batch-scoped pin — a long-running stream must not
+          // accumulate one cache entry per micro-batch
+          val scope = new graft.operators.CacheScope
+          try {
+          val newState = scope.pin(batch.select(
             keys.map(col) ++ Seq(digestOf(batch).as("digest")) ++
-              (groups ++ sums).map { case (a, c) => c.as(a) }: _*)
-            .cache()
+              (groups ++ sums).map { case (a, c) => c.as(a) }: _*))
           val prior: Option[(Long, String)] = FileQueue.batchDirs(spark, stateDir)
             .filter(_._1 < batchId).sortBy(_._1).lastOption
           // a multi-file dump split across triggers would double-count
@@ -120,11 +123,11 @@ object MatViewStream {
           refreshed.write.mode("overwrite").parquet(s"$viewDir/batch_$batchId")
           newState.write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
           CdcStream.writeMarker(spark, s"$stateDir/batch_$batchId", gen)
-          newState.unpersist(blocking = false)
           prior.foreach { case (id, _) =>
             FileQueue.pruneBatchDirsBelow(spark, stateDir, keepFrom = id)
             FileQueue.pruneBatchDirsBelow(spark, viewDir, keepFrom = id)
           }
+          } finally scope.close()
         }
     }
   }
