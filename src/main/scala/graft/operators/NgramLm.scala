@@ -116,6 +116,64 @@ object NgramLm {
         expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
   }
 
+  /** KEYED (per-partition) bigram models — the CCNet per-language
+    * reference-LM shape: the corpus carries a partition key (the
+    * lang-ID router's `predicted_lang`), and every key's slice trains
+    * its OWN independent [[bigramModel]]. ONE corpus pass and one
+    * keyed aggregate build all `L` models (`(k, w1, w2, n)`), not `L`
+    * passes; each key's slice of the output equals [[bigramModel]]
+    * over that slice exactly (the group-by key only subdivides the
+    * count groups). 100 TB shape: the output is Σ per-key observed
+    * bigrams — model-sized, not corpus-sized; the shuffle key is
+    * `(k, w1, w2)`, map-side combined. */
+  def bigramModelBy(ref: DataFrame, idCol: Column, textCol: Column,
+                    keyCol: Column): DataFrame =
+    bigramsBy(docTokensBy(ref, idCol, textCol, keyCol))
+      .groupBy("k", "w1", "w2").agg(count(lit(1)).as("n"))
+
+  /** Score each document under ITS key's model slice — the [[score]]
+    * arithmetic with the key in every join: transitions LEFT join the
+    * model on `(k, w1, w2)` and its context totals on `(k, w1)`; the
+    * smoothing vocabulary V is per key (each language smooths over its
+    * own successor vocabulary, exactly as L independent [[score]]
+    * calls would). Output `(id, k, n_bigrams, avg_surprisal)`. */
+  def scoreBy(docs: DataFrame, idCol: Column, textCol: Column, keyCol: Column,
+              model: DataFrame,
+              scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // model feeds three consumers (per-key vocab, context totals, the
+    // transition join) — pin so the artifact is read once
+    val m = scope.pin(model)
+    val ctx = m.groupBy("k", "w1").agg(sum("n").as("__cn"))
+    // |keys| rows — broadcast (the score() one-row vocab, per key)
+    val vocab = m.groupBy("k").agg(countDistinct("w2").as("__v"))
+    bigramsBy(docTokensBy(docs, idCol, textCol, keyCol))
+      .join(m, Seq("k", "w1", "w2"), "left")
+      .join(ctx, Seq("k", "w1"), "left")
+      .join(broadcast(vocab), Seq("k"))
+      .select(col("id"), col("k"),
+        expr(s"$Scale * (coalesce(__cn, 0L) + __v) DIV (coalesce(n, 0L) + 1)")
+          .as("__s"))
+      .groupBy("id", "k")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(CAST(__s AS DECIMAL(30, 0))) DIV count(1)").as("avg_surprisal"))
+  }
+
+  /** [[docTokens]] with a partition key carried through. */
+  private def docTokensBy(df: DataFrame, idCol: Column, textCol: Column,
+                          keyCol: Column): DataFrame =
+    df.select(idCol.as("id"), keyCol.as("k"),
+        concat(array(lit(Bos)),
+          filter(split(lower(textCol), " "), w => w =!= "")).as("t"))
+      .filter(size(col("t")) >= 2)
+
+  /** [[bigrams]] with the key carried through. */
+  private def bigramsBy(toks: DataFrame): DataFrame =
+    toks.select(col("id"), col("k"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("k"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   /** One row per trigram window over the double-BOS-padded stream:
     * `(id, w1, w2, w3)` — a document with L tokens contributes exactly
     * L windows (positions 1..L of `[<s>, <s>, tok…]`), so every real

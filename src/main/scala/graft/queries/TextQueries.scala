@@ -197,6 +197,132 @@ object TextQueries extends QueryModule {
       .orderBy("family")
   }
 
+  /** The router's `(doc_id, predicted_lang)` assignment frame under
+    * the DEPLOYED lang-ID model (one scoring pass over the planted
+    * view against [[langIdWeightsStore]]) — the corpus-partitioning
+    * service output q_tokenizer_eval_lang and q_multilingual_curation
+    * consume. Documents the router cannot score (null text) carry no
+    * row: a router cannot vouch for what it cannot read (the
+    * LangIdRouteStream rejects contract). */
+  private def langRoutes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LangId.score(langIdView(spark, sfDir), col("doc_id"), col("text"),
+        langIdWeightsStore(spark, sfDir), LangIdLangs, LangIdN, LangIdDim)
+      .select(col("id").as("doc_id"), col("predicted_lang"))
+
+  /** PER-LANGUAGE tokenizer-fertility report (q_tokenizer_eval_lang —
+    * VERDICT r16 item 4, the tokenizer-PARITY artifact): the
+    * [[tokenizerEval]] totals for every encoder family, grouped by the
+    * router's `predicted_lang` — the table a multilingual tokenizer
+    * review reads to see which languages pay more tokens per word
+    * under a shared vocabulary. Composition of two green chains: the
+    * q_langid_trained routing pass assigns each document its language;
+    * ONE corpus scan then computes all five token totals per group
+    * (the encode pass stays one codegen'd scan — the q_tokenizer_eval
+    * plan contract — joined BY doc_id to the bounded routing frame).
+    * The oracle composes the full router replay with all five encode
+    * replays, grouped by the predicted language. */
+  def tokenizerEvalByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val bpeW = array(EncRules.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs")) }: _*)
+    val bpeB = graft.operators.Bpe.mergesLit(encBytesRulesLoaded(spark))
+    val uniW = Unigram.piecesLit(UniPieces.map(p => Unigram.Piece(p, -1.0, 0L)))
+    val uniB = Unigram.piecesLit(uniPiecesBytesLoaded(spark))
+    val wpV = graft.operators.WordPiece.vocabLit(wpVocabLoaded(spark))
+    val lt = lower(col("text"))
+    val agg = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")) // ORIGINAL text — markers are router-internal
+      .join(langRoutes(spark, sfDir), Seq("doc_id"))
+      .groupBy("predicted_lang")
+      .agg(
+        sum(size(filter(split(lt, " "), w => w =!= ""))).cast("bigint").as("n_words"),
+        sum(length(col("text"))).cast("bigint").as("n_chars"),
+        sum(size(call_function("bpe_encode", lt, bpeW))).cast("bigint").as("t_bpe_word"),
+        sum(size(call_function("bpe_encode_bytes", lt, bpeB))).cast("bigint").as("t_bpe_byte"),
+        sum(size(call_function("unigram_encode", lt, uniW))).cast("bigint").as("t_uni_word"),
+        sum(size(call_function("unigram_encode_bytes", lt, uniB))).cast("bigint").as("t_uni_byte"),
+        sum(size(call_function("wordpiece_encode", lt, wpV))).cast("bigint").as("t_wordpiece"))
+    agg.select(col("predicted_lang"), col("n_words"), col("n_chars"),
+        expr("stack(5, 'bpe_byte', t_bpe_byte, 'bpe_word', t_bpe_word, " +
+          "'unigram_byte', t_uni_byte, 'unigram_word', t_uni_word, " +
+          "'wordpiece', t_wordpiece) AS (family, n_tokens)"))
+      .select(col("predicted_lang"), col("family"), col("n_tokens"),
+        col("n_words"), col("n_chars"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_pm"),
+        expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_pm"))
+      .orderBy("predicted_lang", "family")
+  }
+
+  /** MULTILINGUAL curation flagship (q_multilingual_curation — VERDICT
+    * r16 item 3, the CCNet end-to-end shape): the round's language
+    * pieces COMPOSED — the corpus-trained router partitions the corpus
+    * by predicted language, then each language partition runs its OWN
+    * reference-LM filter and exact dedup, producing the per-language
+    * funnel report a multilingual curation run publishes:
+    *
+    *  1. ROUTE: every scoreable document gets its [[langRoutes]]
+    *     prediction (CCNet's fastText lang-ID split);
+    *  2. per-language REFERENCE LM: ONE keyed aggregate trains all L
+    *     bigram models ([[graft.operators.NgramLm.bigramModelBy]]) and
+    *     every document scores against ITS language's model
+    *     ([[graft.operators.NgramLm.scoreBy]]) — keep documents at or
+    *     below their LANGUAGE's mean scaled surprisal (the
+    *     distribution-relative CCNet cut, computed per language as a
+    *     bounded aggregate broadcast back);
+    *  3. per-language EXACT DEDUP among the LM survivors: distinct
+    *     content digests per language (digests shuffle, never text).
+    *
+    * Output: one row per predicted language — routed docs, scored
+    * docs, LM survivors, distinct post-dedup documents. The oracle
+    * replays the ENTIRE composition (router training + scoring, all L
+    * bigram models, the per-language thresholds, the digest dedup) in
+    * one statement, so a drift in any stage breaks the row. Scale
+    * shape: per-language cost rides that language's share — the
+    * routing pass, the bigram pass, and the digest pass are each one
+    * corpus-linear scan keyed by language; models and thresholds are
+    * bounded broadcasts; nothing pairs. */
+  def multilingualCuration(spark: SparkSession, sfDir: String,
+                           scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    import graft.operators.NgramLm
+    // 1. routed corpus: ORIGINAL text + the router's assignment
+    // (pinned: feeds LM training, scoring, the funnel count, and the
+    // dedup digest pass)
+    val routed = scope.pin(Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id")))
+    // 2. per-language LM filter at each language's mean surprisal
+    val model = NgramLm.bigramModelBy(
+      routed, col("doc_id"), col("text"), col("predicted_lang"))
+    val scored = scope.pin(NgramLm.scoreBy(
+        routed, col("doc_id"), col("text"), col("predicted_lang"), model, scope)
+      .withColumnRenamed("k", "predicted_lang")
+      .withColumnRenamed("id", "doc_id"))
+    val thr = scored.groupBy("predicted_lang")
+      .agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
+    val kept = scope.pin(scored.join(broadcast(thr), Seq("predicted_lang"))
+      .filter(col("avg_surprisal") <= col("__thr"))
+      .select("predicted_lang", "doc_id"))
+    // 3. exact dedup among survivors, within each language partition
+    val deduped = routed.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("predicted_lang"), md5(col("text").cast("binary")).as("__dg"))
+      .distinct()
+    routed.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
+      .join(scored.groupBy("predicted_lang").agg(count(lit(1)).as("n_scored")),
+        Seq("predicted_lang"), "left")
+      .join(kept.groupBy("predicted_lang").agg(count(lit(1)).as("n_lm_kept")),
+        Seq("predicted_lang"), "left")
+      .join(deduped.groupBy("predicted_lang").agg(count(lit(1)).as("n_dedup_kept")),
+        Seq("predicted_lang"), "left")
+      .select(col("predicted_lang"),
+        col("n_routed"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept"),
+        coalesce(col("n_dedup_kept"), lit(0L)).as("n_dedup_kept"))
+      .orderBy("predicted_lang")
+  }
+
   /** Corpus-wide vocabulary heavy-hitters: explode tokens → count →
     * top-K. Partial aggregation combines per-task before the single
     * |vocab|-sized shuffle, and the top-K is TakeOrdered (per-partition
@@ -251,12 +377,13 @@ object TextQueries extends QueryModule {
     * broadcast when the vocab side is small); the per-doc top-3 window
     * is bounded by each document's own vocabulary — parallel across
     * docs, never a whole-frame sort. */
-  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+  def tfidfTopTerms(spark: SparkSession, sfDir: String,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(spark, sfDir)
+    val tf = scope.pin(Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .cache() // read twice: the df aggregate and the score join
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+      // ^ read twice: the df aggregate and the score join
     val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_scaled").desc, col("token"))
     tf.join(dfx, "token")
@@ -716,12 +843,17 @@ object TextQueries extends QueryModule {
       s"ELSE (CASE ${cases(cont)} END) END)"
   }
 
-  /** The q_langid_trained replay, generated from the SAME constants
-    * as the Spark side: planted marker suffixes, the shared FNV window
-    * fold, labeled-half per-class bucket counts, per-class totals, the
-    * exact scaled division, the same scoring join, and the same
-    * argmax-with-alphabetical-ties CASE chain. */
-  private def langIdOracleSql: String = {
+  /** The SHARED lang-ID replay chain — CTEs `docs` (planted marker
+    * view) through `pred(doc_id, lang, score_*, predicted_lang)` —
+    * generated from the SAME constants as the Spark side: planted
+    * marker suffixes, the shared FNV window fold, labeled-half
+    * per-class bucket counts, per-class totals, the exact scaled
+    * division, the same scoring join, and the same
+    * argmax-with-alphabetical-ties CASE chain. ONE builder feeds
+    * q_langid_trained, q_tokenizer_eval_lang, and
+    * q_multilingual_curation, so the router replay can never
+    * desynchronize across its consumers (the cdCcosSql discipline). */
+  private def langIdPredChainCtes: String = {
     val fnv = graft.operators.QualityClassifier.fnvBucketSql("t", "i", LangIdN, LangIdDim)
     val markers = LangIdLangs.map(l => s"WHEN '$l' THEN '${langMarker(l)}'").mkString(" ")
     val scoreCols = LangIdLangs.map(l =>
@@ -737,7 +869,6 @@ object TextQueries extends QueryModule {
       s"CASE $init ELSE '${LangIdLangs.last}' END"
     }
     val scSel = LangIdLangs.map(l => s"sc.score_$l").mkString(", ")
-    val outSel = LangIdLangs.map(l => s"score_$l").mkString(", ")
     // `lang IN (...)` mirrors the engine's null-text contract (ADVICE
     // r16): a corpus lang outside LangIdLangs gets a NULL marker, so
     // its planted text is NULL and the Spark side drops the document
@@ -745,7 +876,7 @@ object TextQueries extends QueryModule {
     // Without the filter the oracle's bias-feature leg would keep such
     // docs, train foreign classes, and emit prediction rows.
     val inLangs = LangIdLangs.map(l => s"'$l'").mkString(", ")
-    s"""WITH docs AS (SELECT doc_id, lang,
+    s"""docs AS (SELECT doc_id, lang,
        |    lower(text || CASE lang $markers END) AS t
        |  FROM documents WHERE text IS NOT NULL AND lang IN ($inLangs)),
        |feat AS (
@@ -764,7 +895,13 @@ object TextQueries extends QueryModule {
        |  FROM feat f JOIN wt w ON w.b = f.b GROUP BY f.doc_id),
        |pred AS (SELECT d.doc_id, d.lang, $scSel,
        |    $predCase AS predicted_lang
-       |  FROM docs d JOIN sc ON sc.doc_id = d.doc_id)
+       |  FROM docs d JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
+  }
+
+  /** The q_langid_trained replay: the shared chain + the hit flag. */
+  private def langIdOracleSql: String = {
+    val outSel = LangIdLangs.map(l => s"score_$l").mkString(", ")
+    s"""WITH $langIdPredChainCtes
        |SELECT doc_id, lang, $outSel,
        |  predicted_lang, CAST(predicted_lang = lang AS INT) AS hit
        |FROM pred ORDER BY doc_id""".stripMargin
@@ -793,6 +930,59 @@ object TextQueries extends QueryModule {
        |  ${graft.operators.QualityClassifier.RateScale} * cc.cnt // tot.t2 AS w
        |FROM cc JOIN tot USING (lang)
        |ORDER BY cc.lang, cc.b""".stripMargin
+  }
+
+  /** The per-(doc, word) WordPiece token-count chain over a `base`
+    * CTE carrying `(doc_id, text)`: word split → recursive greedy
+    * longest-match scan → `wptoks(doc_id, widx, n)` (a failed word
+    * counts 1 — the `[UNK]` rule). ONE builder feeds q_tokenizer_eval
+    * and q_tokenizer_eval_lang so the replay cannot desynchronize. */
+  private def wpTokChainCtes: String =
+    s"""ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM base),
+       |w AS (SELECT doc_id, i AS widx, ws[i] AS word
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws) t
+       |  WHERE ws[i] <> ''),
+       |step(doc_id, widx, word, pos, tok, failed) AS (
+       |  SELECT doc_id, widx, word, 1, CAST(NULL AS VARCHAR), len(word) > 100 FROM w
+       |  UNION ALL
+       |  SELECT doc_id, widx, word,
+       |    pos + COALESCE(ml, len(word) + 1),
+       |    CASE WHEN ml IS NULL THEN NULL
+       |         WHEN pos = 1 THEN substr(word, pos, ml)
+       |         ELSE '##' || substr(word, pos, ml) END,
+       |    ml IS NULL
+       |  FROM (SELECT *, ${wpMatchLenSql("word", "pos")} AS ml
+       |        FROM step WHERE NOT failed AND pos <= len(word)) t),
+       |wptoks AS (SELECT doc_id, widx,
+       |    CASE WHEN bool_or(failed) THEN 1 ELSE count(tok) END AS n
+       |  FROM step GROUP BY doc_id, widx)""".stripMargin
+
+  /** Per-document unigram piece counts over a `base` CTE — the
+    * disjoint-piece Viterbi closed form of the encode oracles, emitted
+    * as `(doc_id, n)` so callers can total (q_tokenizer_eval) or
+    * group (q_tokenizer_eval_lang). */
+  private def uniPerDocSql(pieces: Seq[String], byte: Boolean): String = {
+    val inList = pieces.map(p => s"'$p'").mkString(", ")
+    if (!byte) {
+      val wrapped = pieces.foldLeft("lower(text)") { case (e, p) =>
+        s"replace($e, '$p', ' $p ')" }
+      s"""SELECT doc_id, CAST(len(flatten(list_transform(
+        list_filter(string_split($wrapped, ' '), f -> f <> ''),
+        f -> CASE WHEN f IN ($inList) THEN [f]
+             ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END)))
+        AS BIGINT) AS n FROM base"""
+    } else {
+      val mapped = graft.operators.ByteLevel.mapWordSql("w")
+      val wrapped = pieces.foldLeft(mapped) { case (e, p) =>
+        s"replace($e, '$p', ' $p ')" }
+      s"""SELECT doc_id, CAST(len(flatten(list_transform(
+        regexp_extract_all(lower(text), '${graft.operators.ByteLevel.PreTokPattern}'),
+        w -> flatten(list_transform(
+          list_filter(string_split($wrapped, ' '), f -> f <> ''),
+          f -> CASE WHEN f IN ($inList) THEN [f]
+               ELSE list_transform(range(1, len(f) + 1), i -> substr(f, i, 1)) END)))))
+        AS BIGINT) AS n FROM base"""
+    }
   }
 
   /** The q_tokenizer_eval replay: all five encode chains composed —
@@ -837,24 +1027,7 @@ object TextQueries extends QueryModule {
        |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> '')))
        |      AS BIGINT) AS n_words,
        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM base),
-       |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM base),
-       |w AS (SELECT doc_id, i AS widx, ws[i] AS word
-       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws) t
-       |  WHERE ws[i] <> ''),
-       |step(doc_id, widx, word, pos, tok, failed) AS (
-       |  SELECT doc_id, widx, word, 1, CAST(NULL AS VARCHAR), len(word) > 100 FROM w
-       |  UNION ALL
-       |  SELECT doc_id, widx, word,
-       |    pos + COALESCE(ml, len(word) + 1),
-       |    CASE WHEN ml IS NULL THEN NULL
-       |         WHEN pos = 1 THEN substr(word, pos, ml)
-       |         ELSE '##' || substr(word, pos, ml) END,
-       |    ml IS NULL
-       |  FROM (SELECT *, ${wpMatchLenSql("word", "pos")} AS ml
-       |        FROM step WHERE NOT failed AND pos <= len(word)) t),
-       |wptoks AS (SELECT doc_id, widx,
-       |    CASE WHEN bool_or(failed) THEN 1 ELSE count(tok) END AS n
-       |  FROM step GROUP BY doc_id, widx),
+       |$wpTokChainCtes,
        |wpn AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM wptoks),
        |fam AS (
        |  SELECT 'bpe_byte' AS family, ($bpeByte) AS n_tokens
@@ -867,6 +1040,108 @@ object TextQueries extends QueryModule {
        |  wc.n_chars * 1000 // f.n_tokens AS chars_per_token_pm
        |FROM fam f CROSS JOIN wc
        |ORDER BY f.family""".stripMargin
+  }
+
+  /** The q_tokenizer_eval_lang replay: the full lang-ID router chain
+    * ([[langIdPredChainCtes]]) composed with all five per-document
+    * encode replays, grouped by the predicted language. */
+  private def tokenizerEvalLangOracleSql: String = {
+    s"""WITH RECURSIVE
+       |$langIdPredChainCtes,
+       |base AS (SELECT d.doc_id, d.text FROM documents d JOIN pred USING (doc_id)),
+       |pdc AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS n_chars FROM base),
+       |ebw AS (SELECT doc_id,
+       |    CAST(CASE WHEN e = '' THEN 0 ELSE len(string_split(e, ' ')) END AS BIGINT) AS n
+       |  FROM (SELECT doc_id, array_to_string(
+       |    list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+       |      w -> $encSqlExpr), ' ') AS e FROM base)),
+       |ebb AS (SELECT doc_id,
+       |    CAST(CASE WHEN e = '' THEN 0 ELSE len(string_split(e, ' ')) END AS BIGINT) AS n
+       |  FROM (SELECT doc_id, ${byteEncSqlExpr("lower(text)")} AS e FROM base)),
+       |euw AS (${uniPerDocSql(UniPieces, byte = false)}),
+       |eub AS (${uniPerDocSql(UniPiecesBytes, byte = true)}),
+       |$wpTokChainCtes,
+       |wpd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n FROM wptoks GROUP BY doc_id),
+       |grp AS (SELECT p.predicted_lang,
+       |    CAST(SUM(pdc.n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(pdc.n_chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM(ebw.n) AS BIGINT) AS t_bpe_word,
+       |    CAST(SUM(ebb.n) AS BIGINT) AS t_bpe_byte,
+       |    CAST(SUM(euw.n) AS BIGINT) AS t_uni_word,
+       |    CAST(SUM(eub.n) AS BIGINT) AS t_uni_byte,
+       |    CAST(SUM(COALESCE(wpd.n, 0)) AS BIGINT) AS t_wordpiece
+       |  FROM pdc JOIN pred p USING (doc_id)
+       |  JOIN ebw USING (doc_id) JOIN ebb USING (doc_id)
+       |  JOIN euw USING (doc_id) JOIN eub USING (doc_id)
+       |  LEFT JOIN wpd USING (doc_id)
+       |  GROUP BY p.predicted_lang),
+       |fam AS (
+       |  SELECT predicted_lang, 'bpe_byte' AS family, t_bpe_byte AS n_tokens,
+       |    n_words, n_chars FROM grp
+       |  UNION ALL SELECT predicted_lang, 'bpe_word', t_bpe_word, n_words, n_chars FROM grp
+       |  UNION ALL SELECT predicted_lang, 'unigram_byte', t_uni_byte, n_words, n_chars FROM grp
+       |  UNION ALL SELECT predicted_lang, 'unigram_word', t_uni_word, n_words, n_chars FROM grp
+       |  UNION ALL SELECT predicted_lang, 'wordpiece', t_wordpiece, n_words, n_chars FROM grp)
+       |SELECT predicted_lang, family, n_tokens, n_words, n_chars,
+       |  n_tokens * 1000 // n_words AS fertility_pm,
+       |  n_chars * 1000 // n_tokens AS chars_per_token_pm
+       |FROM fam ORDER BY predicted_lang, family""".stripMargin
+  }
+
+  /** The q_multilingual_curation replay: the router chain, then per
+    * predicted language a full bigram-LM replay (train on the routed
+    * partition, add-one smoothing, integer surprisal), the exact
+    * per-language mean cut, and distinct content digests among the
+    * survivors. */
+  private def multilingualOracleSql: String = {
+    s"""WITH $langIdPredChainCtes,
+       |corpus AS (SELECT d.doc_id, d.text, p.predicted_lang
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |dtk AS (SELECT doc_id, predicted_lang,
+       |    list_prepend('<s>', list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+       |  FROM corpus),
+       |dbg AS (SELECT doc_id, predicted_lang, u['w1'] AS w1, u['w2'] AS w2 FROM (
+       |  SELECT doc_id, predicted_lang, unnest(list_transform(range(1, len(t)),
+       |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+       |  FROM dtk WHERE len(t) >= 2)),
+       |model AS (SELECT predicted_lang, w1, w2, COUNT(*) AS n FROM dbg GROUP BY 1, 2, 3),
+       |ctx AS (SELECT predicted_lang, w1, CAST(SUM(n) AS BIGINT) AS cn
+       |  FROM model GROUP BY 1, 2),
+       |voc AS (SELECT predicted_lang, COUNT(DISTINCT w2) AS v FROM model GROUP BY 1),
+       |sc2 AS (SELECT b.doc_id, b.predicted_lang,
+       |    1000000 * (COALESCE(c.cn, 0) + voc.v) // (COALESCE(m.n, 0) + 1) AS s
+       |  FROM dbg b
+       |  LEFT JOIN model m USING (predicted_lang, w1, w2)
+       |  LEFT JOIN ctx c USING (predicted_lang, w1)
+       |  JOIN voc USING (predicted_lang)),
+       |dsc AS (SELECT doc_id, predicted_lang,
+       |    SUM(s) // COUNT(*) AS avg_surprisal
+       |  FROM sc2 GROUP BY 1, 2),
+       |thr AS (SELECT predicted_lang, SUM(avg_surprisal) // COUNT(*) AS th
+       |  FROM dsc GROUP BY 1),
+       |kept AS (SELECT dsc.doc_id, dsc.predicted_lang
+       |  FROM dsc JOIN thr USING (predicted_lang)
+       |  WHERE dsc.avg_surprisal <= thr.th),
+       |dd AS (SELECT DISTINCT c.predicted_lang, md5(c.text) AS dg
+       |  FROM corpus c JOIN kept k ON k.doc_id = c.doc_id),
+       |r AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_routed
+       |  FROM corpus GROUP BY 1),
+       |s2 AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_scored
+       |  FROM dsc GROUP BY 1),
+       |k2 AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_lm_kept
+       |  FROM kept GROUP BY 1),
+       |d2 AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_dedup_kept
+       |  FROM dd GROUP BY 1)
+       |SELECT r.predicted_lang, r.n_routed,
+       |  CAST(COALESCE(s2.n_scored, 0) AS BIGINT) AS n_scored,
+       |  CAST(COALESCE(k2.n_lm_kept, 0) AS BIGINT) AS n_lm_kept,
+       |  CAST(COALESCE(d2.n_dedup_kept, 0) AS BIGINT) AS n_dedup_kept
+       |FROM r LEFT JOIN s2 USING (predicted_lang)
+       |LEFT JOIN k2 USING (predicted_lang)
+       |LEFT JOIN d2 USING (predicted_lang)
+       |ORDER BY r.predicted_lang""".stripMargin
   }
 
   /** Token budget per packed training sequence for q_pack_tokens. */
@@ -1157,11 +1432,13 @@ object TextQueries extends QueryModule {
     "q_text_langid" -> textLangId,
     "q_langid_trained" -> langIdTrained,
     "q_tokenizer_eval" -> tokenizerEval,
+    "q_tokenizer_eval_lang" -> tokenizerEvalByLang,
+    "q_multilingual_curation" -> ((s, d) => multilingualCuration(s, d)),
     "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
     "q_heavy_hitters" -> heavyHitters,
-    "q_tfidf_topterms" -> tfidfTopTerms,
+    "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_len_histogram" -> lenHistogram,
     "q_len_quantiles" -> lenQuantiles,
     "q_len_quantiles_approx" -> lenQuantilesApprox,
@@ -1597,6 +1874,12 @@ object TextQueries extends QueryModule {
     "q_langid_incr" -> langIdIncrOracleSql,
     // composed tokenizer eval: all five encode replays -> totals + ratios
     "q_tokenizer_eval" -> tokenizerEvalOracleSql,
+    // router chain + all five per-doc encode replays, grouped by the
+    // predicted language — the tokenizer-parity artifact
+    "q_tokenizer_eval_lang" -> tokenizerEvalLangOracleSql,
+    // router chain + L bigram-LM replays + per-language mean cut +
+    // survivor digest dedup — the CCNet composition end to end
+    "q_multilingual_curation" -> multilingualOracleSql,
     // corpus-trained lang-ID replay: planted markers, FNV features,
     // per-class counts/totals/exact-division rates, argmax CASE chain
     "q_langid_trained" -> langIdOracleSql,

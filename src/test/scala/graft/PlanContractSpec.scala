@@ -491,4 +491,44 @@ class PlanContractSpec extends AnyFunSuite {
       s"per-class scores are one grouped aggregate, never a window:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("q_tokenizer_eval_lang: one encode scan + one routing scan, all five encoders, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(graft.queries.TextQueries.tokenizerEvalByLang(spark, sf))
+    // exactly THREE documents scans: the routing pass reads the marker
+    // view twice (QualityClassifier.features' gram leg UNION ALL bias
+    // leg) and the ENCODE pass stays ONE scan (q_tokenizer_eval's
+    // one-scan contract, joined BY doc_id to the routing frame) — a
+    // per-family encode re-read fails here
+    val docScans = scans(plan).filter(_.toString.contains("documents"))
+    assert(docScans.size == 3,
+      s"expected routing (2: gram + bias legs) + encode (1) documents scans, " +
+        s"got ${docScans.size}:\n$plan")
+    val ps = plan.toString
+    Seq("bpe_encode", "bpe_encode_bytes", "unigram_encode",
+        "unigram_encode_bytes", "wordpiece_encode").foreach { f =>
+      assert(ps.contains(s"$f("), s"encoder $f missing from the single pass:\n$plan")
+    }
+    assert(ps.contains("fnv_ngrams"),
+      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"the per-language eval is grouped aggregates, never a window:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q_multilingual_curation: keyed aggregates end to end — no window, no cartesian corpus pair") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(graft.queries.TextQueries.multilingualCuration(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams"),
+      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"per-language thresholds are bounded aggregates, never a window:\n$plan")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no stage may cross-pair the corpus:\n$plan")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"per-language vocab/threshold frames must ride broadcast joins:\n$plan")
+    spark.catalog.clearCache()
+  }
 }

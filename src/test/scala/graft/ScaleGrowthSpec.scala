@@ -286,6 +286,67 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("wordpiece training: vocab flat, merges invariant with the scale-calibrated floor over a 10x plain clone") {
+    // plain clones keep the vocabulary flat, so the drain gate's
+    // decision never flips under plain growth; a uniform R× divides
+    // every likelihood score by exactly R (R·n / (R·nl · R·nr)), so
+    // with the floor scaled 2 -> 2R the merge list is invariant and
+    // every winning count scales exactly by R. (The fixed-floor
+    // divergence control lives in WordPieceSpec.)
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsN = ScaleGrowth.clonedDocs(docs1, Factor).cache()
+    val g1 = ScaleGrowth.wordpieceGrowth(spark, docs1, nMerges = 8, minFreq = 2L)
+    val gN = ScaleGrowth.wordpieceGrowth(spark, docsN, nMerges = 8,
+      minFreq = 2L * Factor)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.vocab == g1.vocab,
+      s"vocab ${g1.vocab} -> ${gN.vocab} over ${Factor}x plain clone")
+    assert(g1.drained && gN.drained,
+      "plain clones must not flip the vocabulary-watching drain gate")
+    assert(gN.merges.map(m => (m.rank, m.lhs, m.rhs)) ==
+      g1.merges.map(m => (m.rank, m.lhs, m.rhs)),
+      "merge list changed under uniform scaling + scaled floor — " +
+        "likelihood argmax/tie-break is not scale-invariant")
+    assert(gN.merges.map(m => (m.n, m.nLhs, m.nRhs)) ==
+      g1.merges.map(m => (m.n * Factor, m.nLhs * Factor, m.nRhs * Factor)),
+      "winning counts did not scale exactly with the clone factor")
+    spark.catalog.clearCache()
+  }
+
+  test("wordpiece drain gate: forcing the distributed path lands on identical merges (the flip changes the plan, never the model)") {
+    val docs1 = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val drain = ScaleGrowth.wordpieceGrowth(spark, docs1, nMerges = 8, minFreq = 2L)
+    val dist = ScaleGrowth.wordpieceGrowth(spark, docs1, nMerges = 8, minFreq = 2L,
+      driverDrainMaxWords = 0L)
+    assert(drain.drained && !dist.drained,
+      "the maxWords = 0 override must force the distributed path")
+    assert(dist.merges == drain.merges,
+      "drain and distributed paths diverged — the gate is not plan-only")
+    spark.catalog.clearCache()
+  }
+
+  test("lang-ID rates: weight table bit-invariant, counts exactly linear over a 10x plain clone") {
+    import org.apache.spark.sql.functions._
+    // the multi-class Rocchio closed form: counts additive, the rate
+    // an exact integral division — R·cnt div R·tot == cnt div tot, so
+    // the deployed model is BIT-identical however much the corpus is
+    // uniformly grown (retraining on a grown corpus is a no-op)
+    val labeled1 = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").cache()
+    val labeledN = ScaleGrowth.clonedLabeled(labeled1, Factor).cache()
+    val g1 = ScaleGrowth.langIdGrowth(labeled1, n = 3, dim = 512)
+    val gN = ScaleGrowth.langIdGrowth(labeledN, n = 3, dim = 512)
+    assert(gN.rows == g1.rows * Factor)
+    assert(gN.modelRows == g1.modelRows,
+      s"weight table ${g1.modelRows} -> ${gN.modelRows} rows over ${Factor}x — " +
+        "the model must be L*(dim+1)-bounded, never corpus-sized")
+    assert(gN.weights == g1.weights,
+      "weights changed under uniform scaling — the exact-division model is not clone-invariant")
+    assert(gN.counts == g1.counts.map { case (k, v) => k -> v * Factor },
+      "class counts did not scale exactly with the clone factor")
+    spark.catalog.clearCache()
+  }
+
   test("quality classifier: weight table bounded, models clone-invariant, keeps exactly linear over a 10x plain clone") {
     import org.apache.spark.sql.functions._
     // the q_quality_clf planted-domain view (lang/source labels are
