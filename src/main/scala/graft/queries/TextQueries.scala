@@ -323,6 +323,54 @@ object TextQueries extends QueryModule {
       .orderBy("predicted_lang")
   }
 
+  /** Per-language mix weights for [[packByLang]] — upsample the
+    * low-resource tail, thin the head (the mT5 stratified-epochs
+    * shape); a 2.0, a pure fraction, two mixed fractions, and an exact
+    * 1.0 exercise every gate branch. Both engines derive their integer
+    * gate constants from THIS map. */
+  private val LangMixWeights: Seq[(String, Double)] = Seq(
+    "de" -> 2.0, "en" -> 0.5, "es" -> 1.5, "fr" -> 1.25, "zh" -> 1.0)
+
+  /** PER-LANGUAGE STRATIFIED PACK (q_pack_by_lang — the VERDICT r16
+    * optional surface): the router's language partitions, each
+    * stratified to its target epochs ([[Sample.mixByWeights]] keyed by
+    * `predicted_lang` — fractional epochs ride the md5 gate) and
+    * packed INDEPENDENTLY into its own character-budget bin sequence
+    * ([[graft.operators.PrefixSum.packByBudget]] in md5-interleaved
+    * order) — the per-language shard layout a multilingual loader
+    * consumes (language-pure bins; each language's mix knob moves only
+    * its own shards). Scale shape: one routing pass + one narrow
+    * mix/explode map, then L bounded plan branches (L is the router's
+    * constant class list — the CCNet per-language run), each the
+    * distributed prefix sum, never a corpus window. The oracle replays
+    * router + gate constants + the per-language window sum. */
+  def packByLang(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val routed = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id"))
+    // feeds L per-language pack branches — pin so routing + the mix
+    // gate run once
+    val mixed = scope.pin(
+      Sample.mixByWeights(routed, col("doc_id"), col("predicted_lang"),
+          LangMixWeights.toMap)
+        .withColumn("__key",
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string")).cast("binary"))))
+    LangIdLangs.map { l =>
+      graft.operators.PrefixSum.packByBudget(
+        mixed.filter(col("predicted_lang") === l),
+        Seq(col("__key"), col("doc_id"), col("epoch")),
+        col("n_chars"), SampleQueries.PackBudget, "bin",
+        tieBreaker = Some(col("__key")))
+    }.reduce(_ unionByName _)
+      .select(col("predicted_lang"), col("doc_id"), col("epoch"), col("n_chars"),
+        col("bin_end").as("offset_end"), col("bin"))
+      .orderBy("predicted_lang", "doc_id", "epoch")
+  }
+
   /** Corpus-wide vocabulary heavy-hitters: explode tokens → count →
     * top-K. Partial aggregation combines per-task before the single
     * |vocab|-sized shuffle, and the top-K is TakeOrdered (per-partition
@@ -1090,6 +1138,38 @@ object TextQueries extends QueryModule {
        |FROM fam ORDER BY predicted_lang, family""".stripMargin
   }
 
+  /** The q_pack_by_lang replay: the router chain, the mix gate from
+    * the SAME driver-computed constants as the plan (the q_corpus_mix
+    * VALUES discipline), then one window sum PARTITIONED by the
+    * predicted language — per-language offsets and bins. */
+  private def packByLangOracleSql: String = {
+    val values = LangMixWeights.map { case (s, w) =>
+      val full = math.floor(w).toLong
+      val gate = math.floor((w - math.floor(w)) * 4294967296d).toLong
+      s"('$s', $full, $gate)"
+    }.mkString(", ")
+    val budget = SampleQueries.PackBudget
+    s"""WITH $langIdPredChainCtes,
+       |corpus AS (SELECT d.doc_id, d.n_chars, p.predicted_lang
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |mw(lang, f, gate) AS (VALUES $values),
+       |m AS (SELECT c.doc_id, c.predicted_lang, c.n_chars, r.epoch
+       |  FROM corpus c JOIN mw ON c.predicted_lang = mw.lang
+       |  JOIN range(0, 65) r(epoch) ON r.epoch <= mw.f
+       |  WHERE r.epoch < mw.f
+       |     OR CAST('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < mw.gate),
+       |k AS (SELECT doc_id, predicted_lang, n_chars, epoch,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS key
+       |  FROM m)
+       |SELECT predicted_lang, doc_id, epoch, n_chars,
+       |  CAST(SUM(n_chars) OVER (PARTITION BY predicted_lang
+       |    ORDER BY key, doc_id, epoch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS offset_end,
+       |  CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY predicted_lang
+       |    ORDER BY key, doc_id, epoch ROWS UNBOUNDED PRECEDING) - n_chars)
+       |    / $budget.0) AS BIGINT) AS bin
+       |FROM k ORDER BY predicted_lang, doc_id, epoch""".stripMargin
+  }
+
   /** The q_multilingual_curation replay: the router chain, then per
     * predicted language a full bigram-LM replay (train on the routed
     * partition, add-one smoothing, integer surprisal), the exact
@@ -1434,6 +1514,7 @@ object TextQueries extends QueryModule {
     "q_tokenizer_eval" -> tokenizerEval,
     "q_tokenizer_eval_lang" -> tokenizerEvalByLang,
     "q_multilingual_curation" -> ((s, d) => multilingualCuration(s, d)),
+    "q_pack_by_lang" -> ((s, d) => packByLang(s, d)),
     "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
     "q_text_redact" -> textRedact,
     "q_vocab_topk" -> vocabTopK,
@@ -1880,6 +1961,9 @@ object TextQueries extends QueryModule {
     // router chain + L bigram-LM replays + per-language mean cut +
     // survivor digest dedup — the CCNet composition end to end
     "q_multilingual_curation" -> multilingualOracleSql,
+    // router chain + the mixByWeights gate constants + a per-language
+    // window sum — the stratified per-language pack
+    "q_pack_by_lang" -> packByLangOracleSql,
     // corpus-trained lang-ID replay: planted markers, FNV features,
     // per-class counts/totals/exact-division rates, argmax CASE chain
     "q_langid_trained" -> langIdOracleSql,
