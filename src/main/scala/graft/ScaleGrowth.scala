@@ -668,6 +668,93 @@ object ScaleGrowth {
     } finally scope.close()
   }
 
+  /** MULTILINGUAL-funnel measurements over PLAIN clones under FROZEN
+    * 1× artifacts (the [[curationFunnelGrowth]] discipline applied to
+    * the q_multilingual_curation composition): the router trains once
+    * on the 1× labeled half and the per-language reference LMs train
+    * once on the 1× routed corpus; the grown corpus then routes and
+    * scores under the frozen models. The clone offset is even, so the
+    * labeled half replicates exactly; text is clone-identical, so
+    * router predictions and per-document surprisals replicate — the
+    * growth law is EXACT per language:
+    *
+    *  - routed / scored / LM-kept grow exactly ×R (each language's
+    *    mean threshold is `(R·S) div (R·C) = S div C` exactly);
+    *  - the per-language dedup leg COLLAPSES to the 1× distinct-digest
+    *    count (every clone shares its original's digest).
+    *
+    * Per-language cost rides that language's share: one routing pass,
+    * one keyed bigram join, one digest pass — each linear in the
+    * language's rows. */
+  final case class MlLangGrowth(lang: String, routed: Long, scored: Long,
+      lmKept: Long, dedupKept: Long)
+
+  def multilingualGrowth(spark: SparkSession, docsRaw: DataFrame,
+                         s: Int): Seq[MlLangGrowth] = {
+    import graft.operators.{CacheScope, LangId, NgramLm}
+    graft.GraftFunctions.ensure(spark)
+    val scope = new CacheScope
+    try {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      // the q_langid_trained planted view (corpus lang labels are
+      // text-independent; the marker restores the learnable signal)
+      val markerCase = langs.foldRight(lit(null: String)) { (l, rest) =>
+        when(col("lang") === l, s" ${l}corpusmark" * 3).otherwise(rest)
+      }
+      def planted(df: DataFrame): DataFrame = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), markerCase).as("text"))
+      def routesOf(pv: DataFrame, w: DataFrame): DataFrame =
+        LangId.score(pv, col("doc_id"), col("text"), w, langs, 3, 512)
+          .select(col("id").as("doc_id"), col("predicted_lang"))
+      // frozen 1x artifacts: the router...
+      val w = scope.pin(LangId.trainRates(
+        planted(docsRaw.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "text")),
+        col("doc_id"), col("text"), col("lang"), 3, 512))
+      w.count()
+      // ...and the per-language reference LMs over the 1x routed corpus
+      val routed1 = scope.pin(docsRaw.filter(col("text").isNotNull)
+        .select("doc_id", "text")
+        .join(routesOf(planted(docsRaw.select("doc_id", "lang", "text")), w),
+          Seq("doc_id")))
+      val model = scope.pin(NgramLm.bigramModelBy(
+        routed1, col("doc_id"), col("text"), col("predicted_lang")))
+      model.count()
+      // the grown corpus under the frozen models
+      val docsN = clonedLabeled(docsRaw.select("doc_id", "lang", "text"), s)
+      val routedN = scope.pin(docsN.filter(col("text").isNotNull)
+        .select("doc_id", "text")
+        .join(routesOf(planted(docsN), w), Seq("doc_id")))
+      val scored = scope.pin(NgramLm.scoreBy(
+          routedN, col("doc_id"), col("text"), col("predicted_lang"), model, scope)
+        .withColumnRenamed("k", "predicted_lang")
+        .withColumnRenamed("id", "doc_id"))
+      val thr = scored.groupBy("predicted_lang")
+        .agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
+      val kept = scope.pin(scored.join(broadcast(thr), Seq("predicted_lang"))
+        .filter(col("avg_surprisal") <= col("__thr"))
+        .select("predicted_lang", "doc_id"))
+      val dd = routedN.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("predicted_lang"), md5(col("text").cast("binary")).as("__dg"))
+        .distinct()
+      val out = routedN.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
+        .join(scored.groupBy("predicted_lang").agg(count(lit(1)).as("n_scored")),
+          Seq("predicted_lang"), "left")
+        .join(kept.groupBy("predicted_lang").agg(count(lit(1)).as("n_lm")),
+          Seq("predicted_lang"), "left")
+        .join(dd.groupBy("predicted_lang").agg(count(lit(1)).as("n_dd")),
+          Seq("predicted_lang"), "left")
+        .orderBy("predicted_lang")
+        .collect()
+      out.map(r => MlLangGrowth(r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4))).toSeq
+    } finally scope.close()
+  }
+
   /** k-center traversal measurements: the ladder is k sequential
     * rounds, so the DRIVER JOB COUNT must ride k alone — the same k at
     * 1× and R× must submit the SAME number of jobs (each job's inside
@@ -877,6 +964,13 @@ object ScaleGrowth {
         val g = curationFunnelGrowth(spark, Tables.documents(spark, sfDir), s)
         curationRows += (f"| curation-funnel (frozen 1x models) | ${s}x | ${g.input} | " +
           f"${g.gate} | ${g.clf} | ${g.lm} | ${g.exact} | ${g.wall}%.1f |")
+        val t0 = System.nanoTime()
+        val ml = multilingualGrowth(spark, Tables.documents(spark, sfDir), s)
+        val mlWall = (System.nanoTime() - t0) / 1e9
+        ml.foreach(m => curationRows += (
+          f"| multilingual-funnel ${m.lang} (frozen 1x router+LMs) | ${s}x | " +
+            f"${m.routed} | — | — | ${m.lmKept} | ${m.dedupKept} | " +
+            f"${mlWall / ml.size}%.1f |"))
       }
       if (families == "kcenter" || families == "all") {
         val g = kcenterGrowth(spark,

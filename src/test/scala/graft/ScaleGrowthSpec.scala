@@ -325,6 +325,34 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("multilingual funnel: per-language legs exactly linear, the dedup leg collapses clones") {
+    // frozen 1x router + per-language LMs (the deployed-model
+    // discipline): clone text is identical, so predictions and
+    // per-document surprisals replicate — routed/scored/LM-kept grow
+    // EXACTLY xR per language (means are exact under DIV), and the
+    // per-language dedup leg collapses every clone to its original's
+    // digest — flat at the 1x value. Per-language cost rides the
+    // language's share of the corpus.
+    val g1 = ScaleGrowth.multilingualGrowth(spark, Tables.documents(spark, sf), 1)
+    val gN = ScaleGrowth.multilingualGrowth(spark, Tables.documents(spark, sf), Factor)
+    assert(g1.map(_.lang) == gN.map(_.lang), "language set drifted under cloning")
+    assert(g1.forall(g => g.routed > 0 && g.lmKept > 0 && g.dedupKept > 0),
+      s"vacuous trial — some language leg is empty: $g1")
+    g1.zip(gN).foreach { case (a, b) =>
+      assert(b.routed == a.routed * Factor,
+        s"${a.lang}: routed ${a.routed} -> ${b.routed}, expected exactly x$Factor")
+      assert(b.scored == a.scored * Factor,
+        s"${a.lang}: scored ${a.scored} -> ${b.scored}, expected exactly x$Factor")
+      assert(b.lmKept == a.lmKept * Factor,
+        s"${a.lang}: lmKept ${a.lmKept} -> ${b.lmKept}, expected exactly x$Factor " +
+          "(the frozen-model mean threshold is exact under DIV)")
+      assert(b.dedupKept == a.dedupKept,
+        s"${a.lang}: dedupKept ${a.dedupKept} -> ${b.dedupKept} — " +
+          "the per-language dedup leg must collapse clones flat")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("lang-ID rates: weight table bit-invariant, counts exactly linear over a 10x plain clone") {
     import org.apache.spark.sql.functions._
     // the multi-class Rocchio closed form: counts additive, the rate
