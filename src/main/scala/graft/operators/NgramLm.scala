@@ -136,7 +136,17 @@ object NgramLm {
     * model on `(k, w1, w2)` and its context totals on `(k, w1)`; the
     * smoothing vocabulary V is per key (each language smooths over its
     * own successor vocabulary, exactly as L independent [[score]]
-    * calls would). Output `(id, k, n_bigrams, avg_surprisal)`. */
+    * calls would). Output `(id, k, n_bigrams, avg_surprisal)`.
+    *
+    * UNCOVERED-KEY CONTRACT (ADVICE r17): a document whose key has NO
+    * slice in the model (a frozen/deployed model missing that
+    * language) SURFACES with `avg_surprisal = NULL` — there is no
+    * vocabulary to smooth against, so no number is honest, and an
+    * inner join would make the document vanish from the output without
+    * error (the silent-vanish failure class LangId.score's coverage
+    * guard exists to prevent). Callers decide: a curation cut's
+    * `avg_surprisal <= t` predicate drops nulls EXPLICITLY at the
+    * filter, and an audit query can count them. */
   def scoreBy(docs: DataFrame, idCol: Column, textCol: Column, keyCol: Column,
               model: DataFrame,
               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
@@ -144,12 +154,14 @@ object NgramLm {
     // transition join) — pin so the artifact is read once
     val m = scope.pin(model)
     val ctx = m.groupBy("k", "w1").agg(sum("n").as("__cn"))
-    // |keys| rows — broadcast (the score() one-row vocab, per key)
+    // |keys| rows — broadcast (the score() one-row vocab, per key).
+    // LEFT: an uncovered key keeps its rows with __v null → null score
+    // (see the contract above); covered keys are unaffected.
     val vocab = m.groupBy("k").agg(countDistinct("w2").as("__v"))
     bigramsBy(docTokensBy(docs, idCol, textCol, keyCol))
       .join(m, Seq("k", "w1", "w2"), "left")
       .join(ctx, Seq("k", "w1"), "left")
-      .join(broadcast(vocab), Seq("k"))
+      .join(broadcast(vocab), Seq("k"), "left")
       .select(col("id"), col("k"),
         expr(s"$Scale * (coalesce(__cn, 0L) + __v) DIV (coalesce(n, 0L) + 1)")
           .as("__s"))

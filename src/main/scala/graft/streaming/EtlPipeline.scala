@@ -108,6 +108,12 @@ object EtlPipeline {
           // OpenAiCompatScorer takes the raw review text instead
           // (scoreCols = Seq("description"), reviewCol = "description")
           val batchScope = new graft.operators.CacheScope
+          // ADVICE r17: the release below must survive a failing batch
+          // body (a JDBC merge or gold-write exception would otherwise
+          // skip the close and leak the tracked entries — the exact
+          // per-batch accumulation this scope exists to prevent), so
+          // the whole body rides try/finally like CdcStream/DedupStream.
+          try {
           val analysis = Enrich.enrich(
             items.select(("item_id" +: scoreCols).map(col): _*), scorer, cfg)
           val enriched = batchScope.pin(Enrich.merge(items.drop("signal"), analysis))
@@ -232,8 +238,10 @@ object EtlPipeline {
           //    caches across micro-batches (documented contract).
           //  - localCheckpoint blocks (the gold pin) are not cache
           //    entries; the RDD delta sweep frees those.
-          batchScope.close()
-          spark.catalog.clearCache()
+          } finally {
+            batchScope.close()
+            spark.catalog.clearCache()
+          }
           }
           } finally {
             // Free every RDD this batch persisted. localCheckpoint blocks

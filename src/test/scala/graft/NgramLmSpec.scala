@@ -285,4 +285,53 @@ class NgramLmSpec extends AnyFunSuite {
     assert(m10.keySet == m1.keySet)
     assert(m10.forall { case (k, n) => n == 10 * m1(k) })
   }
+
+  // ---- keyed (per-language) members: the CCNet reference-LM shape ----
+
+  private lazy val keyedRef = Seq(
+    (1L, "en", "a b"), (2L, "en", "a b c"),
+    (3L, "fr", "x y"), (4L, "fr", "x y z"))
+    .toDF("id", "lang", "text")
+
+  test("bigramModelBy equals an independent bigramModel per key slice") {
+    val keyed = NgramLm.bigramModelBy(keyedRef, col("id"), col("text"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    for (l <- Seq("en", "fr")) {
+      val solo = NgramLm.bigramModel(keyedRef.filter(col("lang") === l),
+          col("id"), col("text"))
+        .collect().map(r => (l, r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(keyed.view.filterKeys(_._1 == l).toMap == solo)
+    }
+  }
+
+  test("scoreBy equals an independent score per key slice (per-key smoothing V)") {
+    val m = NgramLm.bigramModelBy(keyedRef, col("id"), col("text"), col("lang"))
+    val docs = Seq((10L, "en", "a b"), (11L, "en", "c q"),
+      (12L, "fr", "x y"), (13L, "fr", "q q")).toDF("id", "lang", "text")
+    val keyed = NgramLm.scoreBy(docs, col("id"), col("text"), col("lang"), m)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for (l <- Seq("en", "fr")) {
+      val soloModel = NgramLm.bigramModel(keyedRef.filter(col("lang") === l),
+        col("id"), col("text"))
+      val solo = NgramLm.score(docs.filter(col("lang") === l),
+          col("id"), col("text"), soloModel)
+        .collect().map(r => (r.getLong(0), l) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(keyed.view.filterKeys(_._2 == l).toMap == solo)
+    }
+  }
+
+  test("scoreBy SURFACES uncovered-key documents with null avg_surprisal (ADVICE r17)") {
+    // model trained on en only; a frozen model missing 'fr' must not
+    // silently vanish fr documents from the score output
+    val m = NgramLm.bigramModelBy(keyedRef.filter(col("lang") === "en"),
+      col("id"), col("text"), col("lang"))
+    val docs = Seq((10L, "en", "a b"), (20L, "fr", "x y")).toDF("id", "lang", "text")
+    val rows = NgramLm.scoreBy(docs, col("id"), col("text"), col("lang"), m)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(rows.keySet == Set((10L, "en"), (20L, "fr")), "fr doc must surface, not vanish")
+    assert(rows((10L, "en"))._2.isDefined)
+    assert(rows((20L, "fr")) == ((2L, None)),
+      "uncovered key: bigrams counted, surprisal honestly unknown (null)")
+  }
 }
