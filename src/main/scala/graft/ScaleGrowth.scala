@@ -755,6 +755,127 @@ object ScaleGrowth {
     } finally scope.close()
   }
 
+  /** Per-language NEAR-DUP growth (the q_multilingual_neardup leg):
+    * one row per (language, scale). */
+  final case class MlNearDupGrowth(lang: String, routed: Long,
+      exactDistinct: Long, candPairs: Long, verPairs: Long, keep: Long)
+
+  /** NEAR-CLONE replica r of the labeled corpus: same text plus ONE
+    * replica-specific tail token — a paragraph-shape variant the exact
+    * digest CANNOT collapse (every replica's digest differs) but the
+    * banded MinHash chain MUST: with T tokens (every harness doc has
+    * ≥ 10), original-vs-variant Jaccard is (T-2)/(T-1) and
+    * variant-vs-variant (T-2)/T — both ≫ 0.6. This is the clone
+    * transform that exercises the near-dup leg specifically; plain
+    * clones would be eaten by the digest stage and perturbed clones
+    * ([[scaledDocs]]) share no shingles at all. Carries `base_text`
+    * (the parent's text) alongside the variant `text`: the trial
+    * ROUTES on the parent — variants inherit their original's
+    * partition the way a URL-keyed re-crawl does — so the measured law
+    * is the NEAR-DUP leg's alone; content-routing boundary jitter (a
+    * variant token CAN flip a borderline document's argmax — observed:
+    * 2 of 500 harness docs) is the funnel trial's subject, not this
+    * one's. */
+  def nearClonedLabeled(labeled: DataFrame, s: Int): DataFrame =
+    (0 until s).map { r =>
+      if (r == 0) labeled.select(col("doc_id"), col("lang"),
+        col("text"), col("text").as("base_text"))
+      else labeled.select(
+        (col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"),
+        col("lang"),
+        concat(col("text"), lit(s" nearvariant$r")).as("text"),
+        col("text").as("base_text"))
+    }.reduce(_ unionByName _)
+
+  /** The near-dup growth law under a FROZEN 1× router (the deployed
+    * discipline), measured per language over [[nearClonedLabeled]]
+    * variants:
+    *
+    *  - routed and exact-distinct legs grow ×R (every variant routes
+    *    with its original — the planted marker dominates the one
+    *    variant token — and every variant carries a distinct digest:
+    *    the exact stage is structurally blind to these);
+    *  - candidate/verified pairs grow ~R² WITHIN each original's
+    *    variant clique — the pair graph is quadratic in clique size by
+    *    definition, which is why the chain never materializes pairs
+    *    outside LSH buckets and why [[graft.operators.PairEnum]]
+    *    blocks hot buckets;
+    *  - the KEEP count (cluster representatives) COLLAPSES to the 1×
+    *    keep count per language: R variants, one survivor — the
+    *    near-dup leg doing the job the digest stage cannot. */
+  def multilingualNearDupGrowth(spark: SparkSession, docsRaw: DataFrame,
+                                s: Int): Seq[MlNearDupGrowth] = {
+    import graft.operators.{CacheScope, Dedup, LangId, PairEnum}
+    graft.GraftFunctions.ensure(spark)
+    val scope = new CacheScope
+    try {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val markerCase = langs.foldRight(lit(null: String)) { (l, rest) =>
+        when(col("lang") === l, s" ${l}corpusmark" * 3).otherwise(rest)
+      }
+      def planted(df: DataFrame): DataFrame = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), markerCase).as("text"))
+      // frozen 1x router
+      val w = scope.pin(LangId.trainRates(
+        planted(docsRaw.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "text")),
+        col("doc_id"), col("text"), col("lang"), 3, 512))
+      w.count()
+      val docsN = nearClonedLabeled(docsRaw.select("doc_id", "lang", "text"), s)
+      // route on base_text (partition inheritance — see nearClonedLabeled)
+      val routes = LangId.score(
+        planted(docsN.select(col("doc_id"), col("lang"), col("base_text").as("text"))),
+        col("doc_id"), col("text"), w, langs, 3, 512)
+        .select(col("id").as("doc_id"), col("predicted_lang"))
+      val routedN = scope.pin(docsN.filter(col("text").isNotNull)
+        .select("doc_id", "text")
+        .join(routes, Seq("doc_id")))
+      // exact leg: per-language distinct digests (structurally ×R here)
+      val exact = routedN
+        .select(col("predicted_lang"), md5(col("text").cast("binary")).as("__dg"))
+        .distinct()
+        .groupBy("predicted_lang").agg(count(lit(1)).as("n_exact"))
+      // near-dup leg: the q_multilingual_neardup chain
+      val sig = scope.pin(Dedup.minhashSignatureArr(
+        routedN, col("doc_id"), col("text"), n = 3, k = 8))
+      val bands = Dedup.lshBands(sig, 8, 2)
+        .join(routedN.select(col("doc_id").as("id"), col("predicted_lang")), Seq("id"))
+      val cands = scope.pin(PairEnum.bucketPairs(
+          bands, Seq("predicted_lang", "band_idx", "band_val")).distinct())
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      val candDocs = routedN.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val ver = scope.pin(Dedup.jaccardVerify(cands,
+          Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3), 0.6)
+        .join(routedN.select(col("doc_id").as("id_a"), col("predicted_lang")),
+          Seq("id_a")))
+      // keep = routed minus non-representative cluster members
+      val dupMembers = Dedup.clusters(ver.select("id_a", "id_b"))
+        .filter(col("id") =!= col("canon_id"))
+        .select(col("id").as("doc_id"))
+      val keep = routedN.join(dupMembers, Seq("doc_id"), "left_anti")
+        .groupBy("predicted_lang").agg(count(lit(1)).as("n_keep"))
+      val out = routedN.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
+        .join(exact, Seq("predicted_lang"), "left")
+        .join(cands.join(routedN.select(col("doc_id").as("id_a"),
+              col("predicted_lang")), Seq("id_a"))
+            .groupBy("predicted_lang").agg(count(lit(1)).as("n_cand")),
+          Seq("predicted_lang"), "left")
+        .join(ver.groupBy("predicted_lang").agg(count(lit(1)).as("n_ver")),
+          Seq("predicted_lang"), "left")
+        .join(keep, Seq("predicted_lang"), "left")
+        .orderBy("predicted_lang")
+        .collect()
+      out.map(r => MlNearDupGrowth(r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4),
+        if (r.isNullAt(5)) 0L else r.getLong(5))).toSeq
+    } finally scope.close()
+  }
+
   /** k-center traversal measurements: the ladder is k sequential
     * rounds, so the DRIVER JOB COUNT must ride k alone — the same k at
     * 1× and R× must submit the SAME number of jobs (each job's inside
@@ -795,8 +916,8 @@ object ScaleGrowth {
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
     require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "clf",
-        "curation", "kcenter", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|curation|kcenter|all, got $families")
+        "curation", "neardup", "kcenter", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|curation|neardup|kcenter|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -816,6 +937,7 @@ object ScaleGrowth {
     val bpeRows = scala.collection.mutable.ArrayBuffer[String]()
     val lmRows = scala.collection.mutable.ArrayBuffer[String]()
     val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
+    val neardupRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
       // iteration-local pins (the scaled inputs each family re-reads);
       // closed before the end-of-scale session sweep
@@ -972,6 +1094,18 @@ object ScaleGrowth {
             f"${m.routed} | — | — | ${m.lmKept} | ${m.dedupKept} | " +
             f"${mlWall / ml.size}%.1f |"))
       }
+      // quadratic-by-design pair graph inside variant cliques: not in
+      // "all" (R=100 cliques alone mean ~5k pairs per original) — run
+      // explicitly with modest scales, e.g. `1,3,10 neardup`
+      if (families == "neardup") {
+        val t0 = System.nanoTime()
+        val nd = multilingualNearDupGrowth(spark, Tables.documents(spark, sfDir), s)
+        val ndWall = (System.nanoTime() - t0) / 1e9
+        nd.foreach(m => neardupRows += (
+          f"| neardup-by-lang ${m.lang} (frozen 1x router) | ${s}x | ${m.routed} | " +
+            f"${m.exactDistinct} | ${m.candPairs} | ${m.verPairs} | ${m.keep} | " +
+            f"${ndWall / nd.size}%.1f |"))
+      }
       if (families == "kcenter" || families == "all") {
         val g = kcenterGrowth(spark,
           Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), s, k = 8)
@@ -1039,6 +1173,12 @@ object ScaleGrowth {
       println("| family | scale | input | gate | clf | lm | exact/dist | wall (s) |")
       println("|---|---|---|---|---|---|---|---|")
       curationRows.foreach(println)
+    }
+    if (neardupRows.nonEmpty) {
+      println()
+      println("| family | scale | routed | exact distinct | cand pairs | verified pairs | keep | wall/lang (s) |")
+      println("|---|---|---|---|---|---|---|---|")
+      neardupRows.foreach(println)
     }
     if (indexRows.nonEmpty) {
       println()

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
-  private val K = 8
-  private val BandWidth = 2
-  private val Threshold = 0.6
+  // shared with the multilingual keyed near-dup (TextQueries) so the
+  // two families can never drift apart on LSH geometry
+  private[queries] val K = 8
+  private[queries] val BandWidth = 2
+  private[queries] val Threshold = 0.6
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exactByKey(

@@ -18,19 +18,38 @@ private[graft] trait QueryModule {
   def warmFixtures(spark: SparkSession, sfDir: String): Unit = ()
 }
 
-/** Shared per-JVM scratch root for queries that materialize files
-  * (bronze round-trips, bucketed tables, on-disk indexes): previous
-  * processes' leftovers are removed on first use, and this process
-  * cleans its own on exit — repeated Verify/Bench rounds must not
-  * accumulate /tmp garbage. */
+/** PER-PROCESS scratch root for queries that materialize files
+  * (bronze round-trips, bucketed tables, on-disk indexes). The root is
+  * pid-suffixed: two graft JVMs (a Verify run and a concurrently
+  * launched test suite) must never share — the previous shared-root
+  * design wiped the directory on first use, so a second JVM starting
+  * mid-run DELETED the first one's live fixtures (the r17 "single
+  * writer" operational hazard: 11 spurious FAILs from one overlap,
+  * and 14 more reproduced in round 18). This process cleans its own
+  * root on exit; roots left by DEAD processes (kill -9, OOM) are swept
+  * on first use by liveness-checking each sibling's pid — repeated
+  * Verify/Bench rounds must not accumulate /tmp garbage. */
 private[queries] object Scratch {
+  private val Prefix = "graft_query_scratch_"
   lazy val root: String = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_query_scratch")
-    if (dir.exists()) rm(dir)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    // sweep siblings whose owning process is gone (liveness via
+    // ProcessHandle — a live pid's root is someone else's WORKING
+    // fixtures and must not be touched)
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(Prefix)) {
+        val alive = f.getName.stripPrefix(Prefix).toLongOption
+          .exists(p => ProcessHandle.of(p).isPresent)
+        if (!alive) rm(f)
+      }
+    })
+    val dir = new java.io.File(tmp, s"$Prefix$pid")
+    if (dir.exists()) rm(dir) // same-pid leftover: impossible in practice, stale by definition
     dir.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
     dir.toString

@@ -323,6 +323,60 @@ object TextQueries extends QueryModule {
       .orderBy("predicted_lang")
   }
 
+  /** PER-LANGUAGE NEAR-DUP (q_multilingual_neardup — VERDICT r17
+    * item 1, the stage where the CCNet composition's dedup leg goes
+    * from exact digests to PARAGRAPH-SHAPE near-duplicates): the
+    * router's language partitions each run the full banded-MinHash
+    * chain WITHIN the partition — signature → bands → bucket pairing
+    * KEYED BY LANGUAGE → exact-Jaccard verify — so a reformatted
+    * near-copy collapses inside its language while documents of
+    * different languages are never even candidates (the bucket key is
+    * `(predicted_lang, band_idx, band_val)`; dedup across languages is
+    * a non-goal of the per-language run by design). Geometry is
+    * [[DedupQueries.K]]/[[DedupQueries.BandWidth]]/
+    * [[DedupQueries.Threshold]] — shared constants, so this family
+    * cannot drift from q_dedup_minhash's. Output: one row per verified
+    * within-language pair `(predicted_lang, id_a, id_b, jaccard)`.
+    *
+    * Scale shape: signatures are per-document map-side folds
+    * (language-independent — keying costs nothing until the bucket
+    * key); the ONLY pairing join buckets on the 3-part key through
+    * [[graft.operators.PairEnum.bucketPairs]] (a hot boilerplate
+    * bucket splits into bounded triangular cells); verification
+    * shingles candidate documents only. The oracle folds the banded
+    * replay ([[DedupQueries.pairChainSql]]'s algebra over the ROUTED
+    * corpus with the language in the bucket key) into the composed
+    * router replay — one drifted band anywhere mismatches. */
+  def multilingualNearDup(spark: SparkSession, sfDir: String,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    import graft.operators.Dedup
+    val routed = scope.pin(Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id")))
+    val sig = scope.pin(Dedup.minhashSignatureArr(
+      routed, col("doc_id"), col("text"), n = 3, k = DedupQueries.K))
+    // the language enters HERE: banded assignments carry their
+    // document's partition, and the pair enumeration buckets on it
+    val bands = Dedup.lshBands(sig, DedupQueries.K, DedupQueries.BandWidth)
+      .join(routed.select(col("doc_id").as("id"), col("predicted_lang")), Seq("id"))
+    val cands = scope.pin(graft.operators.PairEnum.bucketPairs(
+        bands, Seq("predicted_lang", "band_idx", "band_val"))
+      .distinct())
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = routed.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerify(cands,
+        Dedup.shinglesRaw(candDocs, col("doc_id"), col("text"), n = 3),
+        DedupQueries.Threshold)
+      // a verified pair is language-pure by construction — id_a's
+      // partition is the pair's partition
+      .join(routed.select(col("doc_id").as("id_a"), col("predicted_lang")), Seq("id_a"))
+      .select(col("predicted_lang"), col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("predicted_lang", "id_a", "id_b")
+  }
+
   /** Per-language mix weights for [[packByLang]] — upsample the
     * low-resource tail, thin the head (the mT5 stratified-epochs
     * shape); a 2.0, a pure fraction, two mixed fractions, and an exact
@@ -344,21 +398,26 @@ object TextQueries extends QueryModule {
     * constant class list — the CCNet per-language run), each the
     * distributed prefix sum, never a corpus window. The oracle replays
     * router + gate constants + the per-language window sum. */
-  def packByLang(spark: SparkSession, sfDir: String,
-                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+  private[graft] def packByLangMixed(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.ensure(spark)
     val routed = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars"))
       .join(langRoutes(spark, sfDir), Seq("doc_id"))
-    // feeds L per-language pack branches — pin so routing + the mix
-    // gate run once
-    val mixed = scope.pin(
-      Sample.mixByWeights(routed, col("doc_id"), col("predicted_lang"),
-          LangMixWeights.toMap)
-        .withColumn("__key",
-          md5(concat(col("doc_id").cast("string"), lit(":"),
-            col("epoch").cast("string")).cast("binary"))))
+    // feeds L per-language pack branches — the caller pins so routing
+    // + the mix gate run once. Exposed private[graft]: the plan
+    // contract pins THIS stage (the routing/mix passes live above the
+    // prefix sum's RDD boundary, invisible in the final plan).
+    Sample.mixByWeights(routed, col("doc_id"), col("predicted_lang"),
+        LangMixWeights.toMap)
+      .withColumn("__key",
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string")).cast("binary")))
+  }
+
+  def packByLang(spark: SparkSession, sfDir: String,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val mixed = scope.pin(packByLangMixed(spark, sfDir))
     LangIdLangs.map { l =>
       graft.operators.PrefixSum.packByBudget(
         mixed.filter(col("predicted_lang") === l),
@@ -1224,6 +1283,49 @@ object TextQueries extends QueryModule {
        |ORDER BY r.predicted_lang""".stripMargin
   }
 
+  /** The q_multilingual_neardup replay: the shared router chain, then
+    * the q_dedup_minhash banded-LSH algebra over the ROUTED corpus
+    * with `predicted_lang` in the bucket key — candidates only ever
+    * form within a language. Constants come from [[DedupQueries]]
+    * (shared geometry). */
+  private def multilingualNearDupOracleSql: String = {
+    val k = DedupQueries.K
+    val bw = DedupQueries.BandWidth
+    val mins = (0 until k).map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")
+    val bands = (0 until k / bw).map { bx =>
+      val v = (bx * bw until (bx + 1) * bw).map(i => s"m$i").mkString(" || ")
+      s"SELECT id, $bx AS band_idx, $v AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $langIdPredChainCtes,
+       |corpus AS (SELECT d.doc_id, d.text, p.predicted_lang
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |sh AS (SELECT DISTINCT id, shingle FROM (
+       |  SELECT doc_id AS id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus))),
+       |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+       |bands AS ($bands),
+       |kb AS (SELECT b.id, b.band_idx, b.band_val, c.predicted_lang
+       |  FROM bands b JOIN corpus c ON c.doc_id = b.id),
+       |cand AS (SELECT DISTINCT a.predicted_lang, a.id AS id_a, b.id AS id_b
+       |  FROM kb a JOIN kb b
+       |  ON a.predicted_lang = b.predicted_lang
+       |    AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.id < b.id),
+       |cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.predicted_lang, c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.id = c.id_a
+       |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2, 3)
+       |SELECT predicted_lang, id_a, id_b,
+       |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= ${DedupQueries.Threshold}
+       |ORDER BY predicted_lang, id_a, id_b""".stripMargin
+  }
+
   /** Token budget per packed training sequence for q_pack_tokens. */
   private val TokenBudget = 512L
 
@@ -1514,6 +1616,7 @@ object TextQueries extends QueryModule {
     "q_tokenizer_eval" -> tokenizerEval,
     "q_tokenizer_eval_lang" -> tokenizerEvalByLang,
     "q_multilingual_curation" -> ((s, d) => multilingualCuration(s, d)),
+    "q_multilingual_neardup" -> ((s, d) => multilingualNearDup(s, d)),
     "q_pack_by_lang" -> ((s, d) => packByLang(s, d)),
     "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
     "q_text_redact" -> textRedact,
@@ -1961,6 +2064,7 @@ object TextQueries extends QueryModule {
     // router chain + L bigram-LM replays + per-language mean cut +
     // survivor digest dedup — the CCNet composition end to end
     "q_multilingual_curation" -> multilingualOracleSql,
+    "q_multilingual_neardup" -> multilingualNearDupOracleSql,
     // router chain + the mixByWeights gate constants + a per-language
     // window sum — the stratified per-language pack
     "q_pack_by_lang" -> packByLangOracleSql,

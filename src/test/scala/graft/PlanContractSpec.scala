@@ -531,4 +531,66 @@ class PlanContractSpec extends AnyFunSuite {
       s"per-language vocab/threshold frames must ride broadcast joins:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("q_multilingual_neardup: the language is IN the bucket key — no cross-language pairing, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = staticPlan(graft.queries.TextQueries.multilingualNearDup(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams"),
+      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no stage may cross-pair the corpus:\n$plan")
+    // the ONLY pairing join is the bucket self-join; its equi-keys must
+    // carry predicted_lang alongside the band columns — a rewrite that
+    // drops the language from the bucket key would pair across
+    // languages and fails here. The candidate frame is pinned, so the
+    // bucket join lives inside an InMemoryRelation — expand those.
+    def allPlans(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case q => q } ++ p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allPlans(s.relation.cachedPlan)
+      }.flatten
+    val equiKeySets = allPlans(plan).collect {
+      case j: SortMergeJoinExec => j.leftKeys.map(_.toString)
+      case j: ShuffledHashJoinExec => j.leftKeys.map(_.toString)
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.toString)
+    }
+    val bucketJoins = equiKeySets.filter(_.exists(_.contains("band_val")))
+    assert(bucketJoins.nonEmpty,
+      s"expected the banded bucket self-join in the plan:\n$plan")
+    bucketJoins.foreach { keys =>
+      assert(keys.exists(_.contains("predicted_lang")),
+        s"bucket join lost the language from its key: $keys\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q_pack_by_lang: one routing/mix pass + L bounded prefix-sum branches, never a corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // Stage 1 — the routing/mix pass (everything above the prefix
+    // sum's RDD boundary, so it must be pinned HERE; the final plan
+    // cannot see it): native feature hash, no window, no cartesian.
+    val mixPlan = staticPlan(graft.queries.TextQueries.packByLangMixed(spark, sf))
+    val mps = mixPlan.toString
+    assert(mps.contains("fnv_ngrams"),
+      s"routing must use the native one-pass feature hash:\n$mixPlan")
+    assert(mixPlan.collect { case w: WindowExec => w }.isEmpty,
+      s"the mix gate is a per-row md5 threshold, never a window:\n$mixPlan")
+    assert(mixPlan.collect { case c: CartesianProductExec => c }.isEmpty, mps)
+    // Stage 2 — the full query: exactly L language branches under ONE
+    // union (each the RDD-backed distributed prefix sum), and no
+    // WindowExec anywhere — a global-window rewrite of the pack
+    // (sum().over(orderBy) with no partition key: the one-task funnel)
+    // fails here.
+    val plan = staticPlan(graft.queries.TextQueries.packByLang(spark, sf))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"the pack is the two-phase prefix sum, never a corpus window:\n$plan")
+    val rddScans = plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.size == 5,
+      s"expected L=5 per-language prefix-sum branches, got ${rddScans.size}:\n$plan")
+    spark.catalog.clearCache()
+  }
 }

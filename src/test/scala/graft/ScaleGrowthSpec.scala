@@ -353,6 +353,36 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("multilingual near-dup: variants defeat the digest leg, the near-dup leg collapses them per language") {
+    // NEAR-clone variants (one tail token per replica): exact digests
+    // grow xR (the digest stage is structurally blind to them), the
+    // pair graph inside each original's variant clique is quadratic by
+    // definition, and the KEEP count collapses flat to the 1x value —
+    // the near-dup leg doing the job exact dedup cannot. Factor kept
+    // modest: pairs grow ~R^2 per clique by design.
+    val F = 3
+    val g1 = ScaleGrowth.multilingualNearDupGrowth(spark, Tables.documents(spark, sf), 1)
+    val gN = ScaleGrowth.multilingualNearDupGrowth(spark, Tables.documents(spark, sf), F)
+    assert(g1.map(_.lang) == gN.map(_.lang), "language set drifted under near-cloning")
+    assert(g1.forall(g => g.routed > 0 && g.keep > 0),
+      s"vacuous trial — some language leg is empty: $g1")
+    g1.zip(gN).foreach { case (a, b) =>
+      assert(b.routed == a.routed * F,
+        s"${a.lang}: routed ${a.routed} -> ${b.routed}, expected exactly x$F " +
+          "(variants inherit their parent's partition — base_text routing)")
+      assert(b.exactDistinct == a.exactDistinct * F,
+        s"${a.lang}: exact-distinct ${a.exactDistinct} -> ${b.exactDistinct} — " +
+          "every variant carries a fresh digest; the exact leg must NOT collapse them")
+      assert(b.verPairs > a.verPairs,
+        s"${a.lang}: verified pairs ${a.verPairs} -> ${b.verPairs} — " +
+          "variant cliques must pair within their language")
+      assert(b.keep == a.keep,
+        s"${a.lang}: keep ${a.keep} -> ${b.keep} — " +
+          "the near-dup leg must collapse every variant clique to one representative")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("lang-ID rates: weight table bit-invariant, counts exactly linear over a 10x plain clone") {
     import org.apache.spark.sql.functions._
     // the multi-class Rocchio closed form: counts additive, the rate
