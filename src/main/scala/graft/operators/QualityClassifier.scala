@@ -173,6 +173,78 @@ object QualityClassifier {
                  scope: CacheScope = CacheScope.unmanaged): DataFrame =
     weightsFromCounts(rateCounts(labeled, idCol, textCol, labelCol, n, dim), scope)
 
+  /** KEYED (per-partition) rate training — the CCNet/fastText
+    * production shape: quality classifiers train PER LANGUAGE, one per
+    * partition of the corpus (the router's `predicted_lang`). ONE
+    * corpus pass and one keyed aggregate build ALL `L` models
+    * (`(k, b, w)`), on the [[NgramLm.bigramModelBy]] pattern: each
+    * key's slice of the output equals an independent [[trainRates]]
+    * over that slice exactly — the group-by key only subdivides the
+    * count groups, and the rate divisions use each key's OWN class
+    * totals. 100 TB shape: output ≤ `L·(dim+1)` rows; the shuffle key
+    * is `(k, b)`, map-side combined. */
+  def trainRatesBy(labeled: DataFrame, idCol: Column, textCol: Column,
+                   labelCol: Column, keyCol: Column, n: Int, dim: Int,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    weightsFromCountsBy(
+      rateCountsBy(labeled, idCol, textCol, labelCol, keyCol, n, dim), scope)
+
+  /** [[rateCounts]] with the partition key in the group:
+    * `(k, b, n_pos, n_neg)` — additive per key, so keyed incremental
+    * training folds exactly like the single-population state. */
+  def rateCountsBy(labeled: DataFrame, idCol: Column, textCol: Column,
+                   labelCol: Column, keyCol: Column, n: Int, dim: Int): DataFrame = {
+    val labels = labeled.filter(textCol.isNotNull)
+      .select(idCol.as("id"), keyCol.as("k"), labelCol.as("y"))
+    features(labeled, idCol, textCol, n, dim)
+      .join(labels, Seq("id"))
+      .groupBy("k", "b").agg(
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("n_neg"))
+  }
+
+  /** [[weightsFromCounts]] per key: each key's rate divisions use its
+    * own class totals (|keys| rows — broadcast). */
+  def weightsFromCountsBy(counts: DataFrame,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cls = scope.pin(counts)
+    val tot = cls.groupBy("k")
+      .agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"))
+    cls.join(broadcast(tot), Seq("k"))
+      .select(col("k"), col("b"),
+        expr(s"$RateScale * n_pos DIV __pt - $RateScale * n_neg DIV __nt").as("w"))
+  }
+
+  /** Score each document under ITS key's model slice: the [[score]]
+    * arithmetic with the key in the weight join — `(id, k, n_feats,
+    * score, keep)`. Absent `(k, b)` buckets weigh 0, exactly like the
+    * single-population scorer's absent buckets.
+    *
+    * UNCOVERED-KEY CONTRACT (the NgramLm.scoreBy rule, ADVICE r17): a
+    * document whose key has NO slice in the model SURFACES with
+    * `score = NULL, keep = NULL` — an all-zero score would silently
+    * drop the document at the keep gate, and a frozen/deployed model
+    * missing a language must be visible, not a bias. */
+  def scoreBy(docs: DataFrame, idCol: Column, textCol: Column, keyCol: Column,
+              weights: DataFrame, n: Int, dim: Int,
+              scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val w = scope.pin(weights)
+    val keys = docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"), keyCol.as("k"))
+    // |keys| rows — the coverage marker for the null-surface contract
+    val covered = w.select("k").distinct().withColumn("__cov", lit(1))
+    features(docs, idCol, textCol, n, dim)
+      .join(keys, Seq("id"))
+      .join(broadcast(w), Seq("k", "b"), "left")
+      .groupBy("id", "k")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(0L))).as("__s"))
+      .join(broadcast(covered), Seq("k"), "left")
+      .select(col("id"), col("k"), col("n_feats"),
+        when(col("__cov").isNotNull, col("__s")).as("score"),
+        when(col("__cov").isNotNull, (col("__s") > 0).cast("int")).as("keep"))
+  }
+
   /** The rate model's persistable STATE: per-bucket class occurrence
     * counts `(b, n_pos, n_neg)`. ADDITIVE by construction — counts
     * over a corpus equal the bucket-wise sum of counts over any

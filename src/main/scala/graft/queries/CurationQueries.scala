@@ -120,6 +120,32 @@ object CurationQueries extends QueryModule {
       .orderBy("b")
   }
 
+  /** PER-LANGUAGE quality classifier (q_quality_clf_lang — VERDICT r17
+    * item 6, the CCNet/fastText production shape): quality models
+    * train PER LANGUAGE — the router partitions the labeled corpus and
+    * every language gets its own Rocchio rate-difference table, all
+    * `L` models from ONE keyed aggregate
+    * ([[QualityClassifier.trainRatesBy]], the `bigramModelBy`
+    * pattern); each key's slice equals an independent
+    * [[QualityClassifier.trainRates]] over that slice, with the rate
+    * divisions using each language's OWN class totals. Output the full
+    * `(predicted_lang, b, w)` table — ≤ `L·(dim+1)` rows. The oracle
+    * composes the router replay with the keyed count/division replay:
+    * one drifted bucket in any language's model mismatches. Scale
+    * shape: one routing pass + one feature pass + one `(k, b)` keyed
+    * aggregate (map-side combined), totals broadcast per key; the
+    * model is bounded, bit-invariant under uniform corpus growth
+    * (per-key `R·cnt div R·tot = cnt div tot` — ScaleGrowthSpec). */
+  def qualityClfLang(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val labeled = labeledView(spark, sfDir)
+      .join(TextQueries.langRoutes(spark, sfDir), Seq("doc_id"))
+    QualityClassifier.trainRatesBy(labeled, col("doc_id"), col("text"),
+        col("y"), col("predicted_lang"), ClfN, ClfDim)
+      .withColumnRenamed("k", "predicted_lang")
+      .orderBy("predicted_lang", "b")
+  }
+
   /** Every document scored under the deployed model (q_quality_clf):
     * one narrow feature pass + a broadcast join against the 513-row
     * weight table — the map-side shape the learned filter has at
@@ -687,6 +713,7 @@ object CurationQueries extends QueryModule {
     "q_quality_clf_train" -> qualityClfTrain,
     "q_quality_clf_percep" -> qualityClfPercep,
     "q_quality_clf" -> qualityClf,
+    "q_quality_clf_lang" -> ((s, d) => qualityClfLang(s, d)),
     "q_quality_clf_incr" -> ((s, d) => qualityClfIncr(s, d)),
     "q_curriculum_order" -> curriculumOrder,
     "q_curriculum_incr" -> curriculumIncr,
@@ -970,6 +997,34 @@ object CurationQueries extends QueryModule {
       s"""WITH $clfHeadSql,
          |${clfRatesSql()}
          |SELECT b, w FROM w ORDER BY b""".stripMargin,
+    // the router replay composed with the KEYED count/division replay
+    // (CTE names c-prefixed: the router chain owns docs/feat/lab/tot)
+    "q_quality_clf_lang" -> {
+      val fnv = QualityClassifier.fnvBucketSql("t", "i", ClfN, ClfDim)
+      s"""WITH ${TextQueries.langIdPredChainCtes},
+         |cdocs AS (SELECT d.doc_id,
+         |    lower(CASE WHEN d.doc_id % 3 = 0 THEN d.text || '$ClfMarker' ELSE d.text END) AS t,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE -1 END AS y,
+         |    p.predicted_lang AS k
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE d.doc_id % 2 = 0),
+         |cfeat AS (
+         |  SELECT doc_id, $fnv AS b FROM (
+         |    SELECT doc_id, t, unnest(range(1, len(t) - ${ClfN - 2})) AS i FROM cdocs)
+         |  UNION ALL SELECT doc_id, $ClfDim AS b FROM cdocs),
+         |ctf AS (SELECT f.doc_id, d.k, f.b, d.y FROM cfeat f JOIN cdocs d USING (doc_id)),
+         |ccls AS (SELECT k, b,
+         |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM ctf GROUP BY k, b),
+         |ctot AS (SELECT k, CAST(SUM(p) AS BIGINT) AS pt, CAST(SUM(n) AS BIGINT) AS nt
+         |  FROM ccls GROUP BY k)
+         |SELECT ccls.k AS predicted_lang, ccls.b,
+         |  CAST((${QualityClassifier.RateScale} * p) // pt
+         |     - (${QualityClassifier.RateScale} * n) // nt AS BIGINT) AS w
+         |FROM ccls JOIN ctot USING (k)
+         |ORDER BY predicted_lang, b""".stripMargin
+    },
     "q_quality_clf_percep" ->
       s"""WITH $clfHeadSql,
          |$clfPercepSql

@@ -204,7 +204,7 @@ object TextQueries extends QueryModule {
     * consume. Documents the router cannot score (null text) carry no
     * row: a router cannot vouch for what it cannot read (the
     * LangIdRouteStream rejects contract). */
-  private def langRoutes(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def langRoutes(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.LangId.score(langIdView(spark, sfDir), col("doc_id"), col("text"),
         langIdWeightsStore(spark, sfDir), LangIdLangs, LangIdN, LangIdDim)
       .select(col("id").as("doc_id"), col("predicted_lang"))
@@ -960,7 +960,7 @@ object TextQueries extends QueryModule {
     * q_langid_trained, q_tokenizer_eval_lang, and
     * q_multilingual_curation, so the router replay can never
     * desynchronize across its consumers (the cdCcosSql discipline). */
-  private def langIdPredChainCtes: String = {
+  private[queries] def langIdPredChainCtes: String = {
     val fnv = graft.operators.QualityClassifier.fnvBucketSql("t", "i", LangIdN, LangIdDim)
     val markers = LangIdLangs.map(l => s"WHEN '$l' THEN '${langMarker(l)}'").mkString(" ")
     val scoreCols = LangIdLangs.map(l =>

@@ -179,4 +179,64 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 7L)))
     assert(out(1L)._2 == 7L, "only the bias bucket carries weight here")
   }
+
+  // ---- keyed (per-language) members: the CCNet per-partition shape ----
+
+  private val keyedDocs = docs.map { case (id, t, y) => (id, "en", t, y) } ++
+    docs.map { case (id, t, y) => (id + 100L, "fr", t.reverse, y) }
+
+  test("trainRatesBy equals an independent trainRates per key slice") {
+    val df = keyedDocs.toDF("doc_id", "lang", "text", "y")
+    val keyed = QualityClassifier.trainRatesBy(df, col("doc_id"), col("text"),
+        col("y"), col("lang"), N, Dim)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (l <- Seq("en", "fr")) {
+      val solo = QualityClassifier.trainRates(df.filter(col("lang") === l),
+          col("doc_id"), col("text"), col("y"), N, Dim)
+        .collect().map(r => (l, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(keyed.view.filterKeys(_._1 == l).toMap == solo,
+        s"keyed slice $l drifted from the independent model")
+    }
+  }
+
+  test("scoreBy equals an independent score per key slice; keyed model separates per key") {
+    val df = keyedDocs.toDF("doc_id", "lang", "text", "y")
+    val w = QualityClassifier.trainRatesBy(df, col("doc_id"), col("text"),
+      col("y"), col("lang"), N, Dim)
+    val keyed = QualityClassifier.scoreBy(df, col("doc_id"), col("text"),
+        col("lang"), w, N, Dim)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    for (l <- Seq("en", "fr")) {
+      val soloW = QualityClassifier.trainRates(df.filter(col("lang") === l),
+        col("doc_id"), col("text"), col("y"), N, Dim)
+      val solo = QualityClassifier.score(df.filter(col("lang") === l),
+          col("doc_id"), col("text"), soloW, N, Dim)
+        .collect().map(r => (r.getLong(0), l) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(keyed.view.filterKeys(_._2 == l).toMap == solo)
+    }
+    // per-key separation on the planted corpus
+    keyedDocs.foreach { case (id, l, _, y) =>
+      assert((keyed((id, l))._3 == 1) == (y == 1), s"doc $id ($l) misclassified") }
+  }
+
+  test("scoreBy SURFACES uncovered-key documents with null score/keep (ADVICE r17)") {
+    val df = keyedDocs.toDF("doc_id", "lang", "text", "y")
+    // model trained on en only; fr documents must surface, not silently
+    // fail the keep gate with an all-zero score
+    val w = QualityClassifier.trainRatesBy(df.filter(col("lang") === "en"),
+      col("doc_id"), col("text"), col("y"), col("lang"), N, Dim)
+    val rows = QualityClassifier.scoreBy(df, col("doc_id"), col("text"),
+        col("lang"), w, N, Dim)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    assert(rows.keySet.map(_._2) == Set("en", "fr"), "fr docs must surface")
+    rows.foreach { case ((_, l), (s, k)) =>
+      if (l == "en") assert(s.isDefined && k.isDefined)
+      else assert(s.isEmpty && k.isEmpty,
+        "uncovered key: score and keep must be honestly unknown (null)")
+    }
+  }
 }

@@ -383,6 +383,38 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("per-language classifier rates: keyed weight table bit-invariant over a 10x plain clone") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.QualityClassifier
+    // keyed Rocchio: per-key counts additive, per-key totals additive,
+    // both divisions exact integral — every language's slice obeys
+    // R·cnt div R·tot == cnt div tot independently, so the FULL keyed
+    // table is bit-identical however much the corpus uniformly grows.
+    // y and lang are materialized BEFORE cloning (clone ids shift, the
+    // planted labels must not).
+    val labeled1 = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" clfmark clfmark")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, 1).otherwise(-1).as("y"),
+        col("lang")).cache()
+    val labeledN = ScaleGrowth.clonedLabeled(labeled1, Factor).cache()
+    def wmap(df: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.trainRatesBy(df, col("doc_id"), col("text"), col("y"),
+          col("lang"), 3, 256)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = wmap(labeled1)
+    val wN = wmap(labeledN)
+    assert(w1.nonEmpty && w1.keySet.map(_._1).size > 1, s"vacuous trial: ${w1.size} rows")
+    assert(wN == w1,
+      "keyed weights changed under uniform scaling — the per-key exact-division " +
+        "model must be clone-invariant")
+    assert(w1.size <= w1.keySet.map(_._1).size * 257,
+      s"keyed model must stay L*(dim+1)-bounded, got ${w1.size}")
+    labeled1.unpersist(); labeledN.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("lang-ID rates: weight table bit-invariant, counts exactly linear over a 10x plain clone") {
     import org.apache.spark.sql.functions._
     // the multi-class Rocchio closed form: counts additive, the rate
