@@ -876,6 +876,63 @@ object ScaleGrowth {
     } finally scope.close()
   }
 
+  /** mT5 sampled-tokenizer-corpus growth (the q_tokenizer_mix leg):
+    * per-language routed/sampled counts with the analytic admission
+    * expectation, plus the shared-vocab top pairs over the sample. */
+  final case class TokMixGrowth(langs: Seq[(String, Long, Long, Double)],
+      topPairs: Seq[(String, String, Long)])
+
+  /** Measure the α-sampling composition under a FROZEN 1× router over
+    * plain clones: routed counts grow exactly ×R; per-language
+    * ADMISSIONS track the analytic policy `n·thresh/2^32` (the draw is
+    * a fixed per-id fact, so each scale is asserted against its OWN
+    * expectation — the temperatureMix growth-gate discipline); and the
+    * shared-vocab corpus pass's TOP PAIR RANKING over the sample stays
+    * stable (pair-count gaps dwarf admission noise). */
+  def tokenizerMixGrowth(spark: SparkSession, docsRaw: DataFrame,
+                         s: Int): TokMixGrowth = {
+    import graft.operators.{Bpe, CacheScope, LangId, Sample}
+    graft.GraftFunctions.ensure(spark)
+    val scope = new CacheScope
+    try {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val markerCase = langs.foldRight(lit(null: String)) { (l, rest) =>
+        when(col("lang") === l, s" ${l}corpusmark" * 3).otherwise(rest)
+      }
+      def planted(df: DataFrame): DataFrame = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), markerCase).as("text"))
+      val w = scope.pin(LangId.trainRates(
+        planted(docsRaw.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "text")),
+        col("doc_id"), col("text"), col("lang"), 3, 512))
+      w.count()
+      val docsN = clonedLabeled(docsRaw.select("doc_id", "lang", "text"), s)
+      val routedN = scope.pin(docsN.filter(col("text").isNotNull)
+        .select("doc_id", "text")
+        .join(LangId.score(planted(docsN), col("doc_id"), col("text"), w, langs, 3, 512)
+          .select(col("id").as("doc_id"), col("predicted_lang")), Seq("doc_id")))
+      val sampled = scope.pin(
+        Sample.temperatureMix(routedN, col("doc_id"), col("predicted_lang")))
+      val perLang = routedN.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
+        .join(sampled.groupBy("predicted_lang").agg(count(lit(1)).as("n_sampled"),
+            // thresh is constant per domain — min() just projects it
+            min("thresh").as("__th"), min("n_dom").as("__nd")),
+          Seq("predicted_lang"), "left")
+        .orderBy("predicted_lang")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0d
+          else r.getLong(4).toDouble * r.getLong(3) / 4294967296d)).toSeq
+      val pairs = Bpe.pairCounts(Bpe.withSymbols(Bpe.wordFreq(sampled, col("text"))))
+        .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(10)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      TokMixGrowth(perLang, pairs)
+    } finally scope.close()
+  }
+
   /** k-center traversal measurements: the ladder is k sequential
     * rounds, so the DRIVER JOB COUNT must ride k alone — the same k at
     * 1× and R× must submit the SAME number of jobs (each job's inside
@@ -916,8 +973,8 @@ object ScaleGrowth {
     val scales = args.drop(1).headOption.getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val families = args.drop(2).headOption.getOrElse("all")
     require(Set("docs", "spans", "emb", "index", "bpe", "annjoin", "fuzzy", "lm", "clf",
-        "curation", "neardup", "kcenter", "all")(families),
-      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|curation|neardup|kcenter|all, got $families")
+        "curation", "neardup", "tokmix", "kcenter", "all")(families),
+      s"families must be docs|spans|emb|index|bpe|annjoin|fuzzy|lm|clf|curation|neardup|tokmix|kcenter|all, got $families")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -1093,6 +1150,15 @@ object ScaleGrowth {
           f"| multilingual-funnel ${m.lang} (frozen 1x router+LMs) | ${s}x | " +
             f"${m.routed} | — | — | ${m.lmKept} | ${m.dedupKept} | " +
             f"${mlWall / ml.size}%.1f |"))
+      }
+      if (families == "tokmix") {
+        val t0 = System.nanoTime()
+        val g = tokenizerMixGrowth(spark, Tables.documents(spark, sfDir), s)
+        val wall = (System.nanoTime() - t0) / 1e9
+        g.langs.foreach { case (l, r, sm, e) =>
+          neardupRows += (f"| tokmix $l (frozen 1x router, T=1/2) | ${s}x | $r | " +
+            f"sampled $sm (exp $e%.1f) | — | top ${g.topPairs.take(3).map(p => p._1 + "+" + p._2).mkString(" ")} | — | ${wall / g.langs.size}%.1f |")
+        }
       }
       // quadratic-by-design pair graph inside variant cliques: not in
       // "all" (R=100 cliques alone mean ~5k pairs per original) — run

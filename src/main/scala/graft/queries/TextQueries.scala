@@ -377,6 +377,72 @@ object TextQueries extends QueryModule {
       .orderBy("predicted_lang", "id_a", "id_b")
   }
 
+  /** TEMPERATURE-SAMPLED tokenizer-training corpus (q_tokenizer_mix —
+    * VERDICT r17 item 4, the mT5 composition): shared multilingual
+    * vocabularies train on an α-SAMPLED corpus, not the raw one —
+    * [[graft.operators.Sample.temperatureMix]] (T = 1/2) over the
+    * ROUTER's language partitions flattens the head language and keeps
+    * the tail, then the per-language fertility of the sampled corpus
+    * is measured under the SHARED byte-level BPE vocabulary (the
+    * interchange-loaded deployed model — the fertility artifact put to
+    * its intended use: checking which languages pay more tokens per
+    * word under the shared vocab the sample trained). Output one row
+    * per language: routed size, sampled size (the α-law share), and
+    * the sampled corpus's word/token totals with the exact fertility
+    * ratio. The oracle composes the router replay, the q_domain_mix
+    * isqrt/threshold/md5-draw replay KEYED by predicted language, and
+    * the byte-level encode replay — a drift in routing, sampling
+    * policy, or the encoder mismatches. Scale shape: the mixture's
+    * count aggregate collapses map-side to L rows, thresholds
+    * broadcast, admission is a narrow filter, the encode is one
+    * codegen'd scan over the SAMPLE — the corpus is never shuffled. */
+  def tokenizerMix(spark: SparkSession, sfDir: String,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val routed = scope.pin(Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id")))
+    val sampled = Sample.temperatureMix(routed, col("doc_id"), col("predicted_lang"))
+      .select("doc_id", "text", "predicted_lang")
+    val bpeB = Bpe.mergesLit(encBytesRulesLoaded(spark))
+    val lt = lower(col("text"))
+    val st = sampled.groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(size(filter(split(lt, " "), w => w =!= ""))).cast("bigint").as("n_words"),
+        sum(size(call_function("bpe_encode_bytes", lt, bpeB))).cast("bigint").as("n_tokens"))
+    routed.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
+      .join(st, Seq("predicted_lang"), "left")
+      .select(col("predicted_lang"), col("n_routed"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_words") > 0, expr("n_tokens * 1000 DIV n_words"))
+          .as("fertility_pm"))
+      .orderBy("predicted_lang")
+  }
+
+  /** SHARED-VOCAB TRAINING on the sampled corpus
+    * (q_tokenizer_mix_pairs): the [[bpePairs]] corpus-pass — top-50
+    * frequency-weighted adjacent symbol pairs — over the
+    * [[tokenizerMix]] α-sample instead of the raw corpus: the actual
+    * first iteration a shared multilingual BPE training run takes (the
+    * iterative argmax loop stays BpeSpec/ScaleGrowth territory, as for
+    * q_bpe_pairs). The oracle chains router + sampling replays into
+    * the pair-count replay, so a drifted admission anywhere reorders
+    * the counts and mismatches. */
+  def tokenizerMixPairs(spark: SparkSession, sfDir: String,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val routed = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id"))
+    val sampled = Sample.temperatureMix(routed, col("doc_id"), col("predicted_lang"))
+    Bpe.pairCounts(Bpe.withSymbols(Bpe.wordFreq(sampled, col("text"))))
+      .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(50)
+  }
+
   /** Per-language mix weights for [[packByLang]] — upsample the
     * low-resource tail, thin the head (the mT5 stratified-epochs
     * shape); a 2.0, a pure fraction, two mixed fractions, and an exact
@@ -1283,6 +1349,62 @@ object TextQueries extends QueryModule {
        |ORDER BY r.predicted_lang""".stripMargin
   }
 
+  /** Router + KEYED temperature-sampling replay up to
+    * `samp(doc_id, text, predicted_lang)` — the q_domain_mix
+    * isqrt/threshold/md5-draw algebra with the router's predicted
+    * language as the domain. ONE builder feeds q_tokenizer_mix and
+    * q_tokenizer_mix_pairs (the langIdPredChainCtes discipline). */
+  private def tokenizerMixChainCtes: String =
+    s"""$langIdPredChainCtes,
+       |corpus AS (SELECT d.doc_id, d.text, p.predicted_lang
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |mc AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM corpus GROUP BY 1),
+       |mw AS (SELECT predicted_lang, n,
+       |    CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w FROM mc),
+       |mt AS (SELECT predicted_lang, n, w,
+       |    CAST(LEAST(4294967296,
+       |      ((4294967296 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM mw))
+       |      * ((SELECT CAST(SUM(n) AS BIGINT) FROM mw) // 4) // n) AS BIGINT) AS thresh
+       |  FROM mw),
+       |samp AS (SELECT c.doc_id, c.text, c.predicted_lang
+       |  FROM corpus c JOIN mt USING (predicted_lang)
+       |  WHERE CAST('0x' || substr(md5('tmix:' || CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |        < mt.thresh)""".stripMargin
+
+  /** The q_tokenizer_mix replay: sampled per-language word totals and
+    * byte-level encode totals, left-joined to the routed counts. */
+  private def tokenizerMixOracleSql: String =
+    s"""WITH $tokenizerMixChainCtes,
+       |st AS (SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_words,
+       |    CAST(SUM(CASE WHEN e = '' THEN 0 ELSE len(string_split(e, ' ')) END) AS BIGINT) AS n_tokens
+       |  FROM (SELECT predicted_lang, text, ${byteEncSqlExpr("lower(text)")} AS e FROM samp) t
+       |  GROUP BY predicted_lang)
+       |SELECT mc.predicted_lang, mc.n AS n_routed,
+       |  CAST(COALESCE(st.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(st.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN st.n_words > 0 THEN st.n_tokens * 1000 // st.n_words END AS fertility_pm
+       |FROM mc LEFT JOIN st USING (predicted_lang)
+       |ORDER BY predicted_lang""".stripMargin
+
+  /** The q_tokenizer_mix_pairs replay: the q_bpe_pairs corpus-pass
+    * algebra over the sampled corpus. */
+  private def tokenizerMixPairsOracleSql: String =
+    s"""WITH $tokenizerMixChainCtes,
+       |wf AS (SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM samp) t
+       |  WHERE w <> '' GROUP BY w),
+       |pos2 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
+       |p2 AS (SELECT substring(word, i, 1) AS lhs,
+       |    CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+       |         ELSE '</w>' END AS rhs,
+       |    freq
+       |  FROM pos2)
+       |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p2 GROUP BY lhs, rhs
+       |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin
+
   /** The q_multilingual_neardup replay: the shared router chain, then
     * the q_dedup_minhash banded-LSH algebra over the ROUTED corpus
     * with `predicted_lang` in the bucket key — candidates only ever
@@ -1617,6 +1739,8 @@ object TextQueries extends QueryModule {
     "q_tokenizer_eval_lang" -> tokenizerEvalByLang,
     "q_multilingual_curation" -> ((s, d) => multilingualCuration(s, d)),
     "q_multilingual_neardup" -> ((s, d) => multilingualNearDup(s, d)),
+    "q_tokenizer_mix" -> ((s, d) => tokenizerMix(s, d)),
+    "q_tokenizer_mix_pairs" -> ((s, d) => tokenizerMixPairs(s, d)),
     "q_pack_by_lang" -> ((s, d) => packByLang(s, d)),
     "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
     "q_text_redact" -> textRedact,
@@ -2065,6 +2189,11 @@ object TextQueries extends QueryModule {
     // survivor digest dedup — the CCNet composition end to end
     "q_multilingual_curation" -> multilingualOracleSql,
     "q_multilingual_neardup" -> multilingualNearDupOracleSql,
+    // router + keyed α-sampling + byte-encode replays — the mT5
+    // sampled-corpus fertility report
+    "q_tokenizer_mix" -> tokenizerMixOracleSql,
+    // router + keyed α-sampling + the q_bpe_pairs corpus pass
+    "q_tokenizer_mix_pairs" -> tokenizerMixPairsOracleSql,
     // router chain + the mixByWeights gate constants + a per-language
     // window sum — the stratified per-language pack
     "q_pack_by_lang" -> packByLangOracleSql,

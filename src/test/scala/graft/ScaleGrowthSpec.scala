@@ -475,6 +475,39 @@ class ScaleGrowthSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("tokenizer-mix composition: routed x R, admissions track the alpha-law, top pairs rank-stable") {
+    // the mT5 composition under a frozen 1x router: the α-sampled
+    // tokenizer corpus's per-language shares must track the analytic
+    // policy at EVERY scale (each scale against its OWN n·thresh/2^32
+    // expectation — the draw is a fixed per-id fact), and the
+    // shared-vocab corpus pass's top-pair RANKING must not move under
+    // uniform growth (pair-count gaps dwarf admission noise).
+    val F = 5
+    val g1 = ScaleGrowth.tokenizerMixGrowth(spark, Tables.documents(spark, sf), 1)
+    val gN = ScaleGrowth.tokenizerMixGrowth(spark, Tables.documents(spark, sf), F)
+    assert(g1.langs.map(_._1) == gN.langs.map(_._1), "language set drifted")
+    assert(g1.langs.forall(_._3 > 0), s"vacuous trial — a language sampled zero: ${g1.langs}")
+    g1.langs.zip(gN.langs).foreach { case ((l, r1, s1, e1), (_, rN, sN, eN)) =>
+      assert(rN == r1 * F, s"$l: routed $r1 -> $rN, expected exactly x$F")
+      def inBand(adm: Long, exp: Double, tag: String): Unit =
+        assert(math.abs(adm - exp) <= 4 * math.sqrt(exp) + 5,
+          f"$l $tag: admissions $adm%d vs expectation $exp%.1f")
+      inBand(s1, e1, "1x"); inBand(sN, eN, s"${F}x")
+    }
+    // the top-10 SET is admission-noise-proof (pair-count gaps at the
+    // boundary dwarf the noise); within the set, mid-rank neighbors sit
+    // close enough that per-clone draws can swap them — pin the SET and
+    // the clearly-gapped head ranks, not the full ordering
+    assert(g1.topPairs.map(p => (p._1, p._2)).toSet ==
+        gN.topPairs.map(p => (p._1, p._2)).toSet,
+      s"shared-vocab top-pair SET moved under uniform growth:\n" +
+        s"1x: ${g1.topPairs}\n${F}x: ${gN.topPairs}")
+    assert(g1.topPairs.take(4).map(p => (p._1, p._2)) ==
+        gN.topPairs.take(4).map(p => (p._1, p._2)),
+      s"head pair ranking moved:\n1x: ${g1.topPairs}\n${F}x: ${gN.topPairs}")
+    spark.catalog.clearCache()
+  }
+
   test("temperature mixture: per-domain thresholds scale-stable, admissions linear over a 10x clone") {
     import org.apache.spark.sql.functions._
     val docs1 = Tables.documents(spark, sf).select("doc_id", "lang").cache()
