@@ -576,6 +576,30 @@ object Dedup {
       idCol === col("__bad_id"), "left_anti")
   }
 
+  /** [[decontaminate]] PER PARTITION — the multilingual funnel's
+    * screen (VERDICT r17 item 8): eval benchmarks are per-language, so
+    * a corpus document drops iff it shares a fingerprint with an eval
+    * document OF ITS OWN partition (`keyCol`, the router's
+    * `predicted_lang`); a verbatim overlap with ANOTHER language's
+    * eval set is not contamination for this language's benchmark and
+    * must not cost the document (translation-level contamination is
+    * the semantic screen's job — maxCosExpr). `fps` is the corpus
+    * fingerprint store `(id, fp)` (fingerprints are per-document, so
+    * the store needs no key column — the key joins in from `df`);
+    * `evalFps` carries `(k, fp)`. Same scale shape as the unkeyed
+    * screen: the eval side broadcasts, the corpus never shuffles. */
+  def decontaminateBy(df: DataFrame, idCol: Column, keyCol: Column,
+                      fps: DataFrame, evalFps: DataFrame): DataFrame = {
+    val keys = df.select(idCol.as("id"), keyCol.as("k"))
+    val bad = fps
+      .join(keys, Seq("id"))
+      .join(broadcast(evalFps.select(col("k"), col("fp")).distinct()),
+        Seq("k", "fp"), "left_semi")
+      .select(col("id")).distinct()
+    df.join(broadcast(bad.withColumnRenamed("id", "__bad_id")),
+      idCol === col("__bad_id"), "left_anti")
+  }
+
   /** Bloom-gated decontamination — same CONTRACT as [[decontaminate]]
     * (exact output, verified), different scale regime: when the eval
     * fingerprint set is too large to broadcast as a hash relation but

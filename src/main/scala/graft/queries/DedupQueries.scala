@@ -215,7 +215,7 @@ object DedupQueries extends QueryModule {
     * production pipeline keeps on disk next to the corpus. The winnow
     * PASS itself stays live-computed and oracle-gated in
     * q_dedup_winnow. */
-  private def winnowStore(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def winnowStore(spark: SparkSession, sfDir: String): DataFrame =
     FrameFixture(spark, "winnow_fps", sfDir)(
       Dedup.winnowFingerprints(
         Tables.documents(spark, sfDir), col("doc_id"), col("text"), n = 3, w = 4))

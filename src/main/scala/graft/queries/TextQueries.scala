@@ -443,6 +443,40 @@ object TextQueries extends QueryModule {
       .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(50)
   }
 
+  /** PER-LANGUAGE DECONTAMINATION (q_multilingual_decontaminate —
+    * VERDICT r17 item 8, completing the per-language stage set): the
+    * multilingual funnel's eval-overlap screen, keyed the way its
+    * benchmarks are — each language partition is screened against ITS
+    * OWN language's eval fingerprints
+    * ([[graft.operators.Dedup.decontaminateBy]] over the shared
+    * [[DedupQueries.winnowStore]]): a verbatim overlap with another
+    * language's eval set costs nothing here (translation-level
+    * contamination is the semantic screen's job). Eval stand-in:
+    * every 50th routed document, per the q_decontaminate convention.
+    * Output: the surviving `(predicted_lang, doc_id)` corpus. The
+    * oracle composes the router replay with the winnow replay and the
+    * keyed fingerprint screen. Scale shape: fingerprints are the
+    * per-document winnow store (built once, model-next-to-corpus); the
+    * eval side broadcasts; the corpus never shuffles. */
+  def multilingualDecontaminate(spark: SparkSession, sfDir: String,
+                                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    graft.GraftFunctions.ensure(spark)
+    val routed = scope.pin(Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"))
+      .join(langRoutes(spark, sfDir), Seq("doc_id")))
+    val fps = DedupQueries.winnowStore(spark, sfDir)
+    val evalFps = fps.join(
+        routed.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("id"), col("predicted_lang").as("k")),
+        Seq("id"))
+      .select("k", "fp")
+    graft.operators.Dedup.decontaminateBy(routed, col("doc_id"),
+        col("predicted_lang"), fps, evalFps)
+      .select(col("predicted_lang"), col("doc_id"))
+      .orderBy("predicted_lang", "doc_id")
+  }
+
   /** Per-language mix weights for [[packByLang]] — upsample the
     * low-resource tail, thin the head (the mT5 stratified-epochs
     * shape); a 2.0, a pure fraction, two mixed fractions, and an exact
@@ -1405,6 +1439,24 @@ object TextQueries extends QueryModule {
        |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p2 GROUP BY lhs, rhs
        |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin
 
+  /** The q_multilingual_decontaminate replay: the router chain, the
+    * q_dedup_winnow fingerprint chain (per-document, so computing over
+    * all documents and restricting to the routed corpus equals
+    * computing over the routed corpus), and the keyed screen. */
+  private def multilingualDecontaminateOracleSql: String =
+    s"""WITH $langIdPredChainCtes,
+       |corpus AS (SELECT d.doc_id, p.predicted_lang
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |${DedupQueries.winnowChainSql},
+       |kfp AS (SELECT w.id, w.fp, c.predicted_lang
+       |  FROM wfp w JOIN corpus c ON c.doc_id = w.id),
+       |efp AS (SELECT DISTINCT predicted_lang, fp FROM kfp WHERE id % 50 = 0),
+       |bad AS (SELECT DISTINCT kfp.id
+       |  FROM kfp JOIN efp USING (predicted_lang, fp))
+       |SELECT c.predicted_lang, c.doc_id FROM corpus c
+       |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = c.doc_id)
+       |ORDER BY predicted_lang, doc_id""".stripMargin
+
   /** The q_multilingual_neardup replay: the shared router chain, then
     * the q_dedup_minhash banded-LSH algebra over the ROUTED corpus
     * with `predicted_lang` in the bucket key — candidates only ever
@@ -1740,6 +1792,7 @@ object TextQueries extends QueryModule {
     "q_multilingual_curation" -> ((s, d) => multilingualCuration(s, d)),
     "q_multilingual_neardup" -> ((s, d) => multilingualNearDup(s, d)),
     "q_tokenizer_mix" -> ((s, d) => tokenizerMix(s, d)),
+    "q_multilingual_decontaminate" -> ((s, d) => multilingualDecontaminate(s, d)),
     "q_tokenizer_mix_pairs" -> ((s, d) => tokenizerMixPairs(s, d)),
     "q_pack_by_lang" -> ((s, d) => packByLang(s, d)),
     "q_langid_incr" -> ((s, d) => langIdIncr(s, d)),
@@ -2192,6 +2245,9 @@ object TextQueries extends QueryModule {
     // router + keyed α-sampling + byte-encode replays — the mT5
     // sampled-corpus fertility report
     "q_tokenizer_mix" -> tokenizerMixOracleSql,
+    // router + winnow + keyed eval screen — the per-language
+    // decontamination stage
+    "q_multilingual_decontaminate" -> multilingualDecontaminateOracleSql,
     // router + keyed α-sampling + the q_bpe_pairs corpus pass
     "q_tokenizer_mix_pairs" -> tokenizerMixPairsOracleSql,
     // router chain + the mixByWeights gate constants + a per-language

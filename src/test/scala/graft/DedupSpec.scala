@@ -345,4 +345,30 @@ class DedupSpec extends AnyFunSuite {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "scope.close() must release the adaptive signature pin")
   }
+
+  test("decontaminateBy screens within its key only — cross-language overlap costs nothing") {
+    // doc 1 (en) verbatim-overlaps the FR eval doc 10; the keyed
+    // screen must keep it (not en's benchmark), while the unkeyed
+    // screen drops it — the exact difference the per-language stage
+    // exists for. doc 2 (en) overlaps the EN eval doc 20: dropped.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "one two three four five six seven"),
+      (3L, "en", "totally unrelated clean english words here"),
+      (10L, "fr", "alpha beta gamma delta epsilon zeta"),
+      (20L, "en", "one two three four five six seven"))
+      .toDF("doc_id", "lang", "text")
+    val fps = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4)
+    val evalDocs = Seq((10L, "fr"), (20L, "en")).toDF("id", "k")
+    val evalFps = fps.join(evalDocs, Seq("id")).select("k", "fp")
+    val kept = Dedup.decontaminateBy(docs, col("doc_id"), col("lang"), fps, evalFps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"keyed screen: doc 1 survives (fr-only overlap), 2/10/20 drop, got $kept")
+    // the UNKEYED screen would have dropped doc 1 too
+    val keptGlobal = Dedup.decontaminate(docs, col("doc_id"), fps,
+        fps.join(evalDocs, Seq("id")).select("id", "fp"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptGlobal == Set(3L), s"global screen drops the cross-language overlap: $keptGlobal")
+  }
 }
