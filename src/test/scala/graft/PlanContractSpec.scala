@@ -565,6 +565,64 @@ class PlanContractSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_quality_clf_lang: one keyed aggregate, broadcast totals, native feature hash, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(graft.queries.CurationQueries.qualityClfLang(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams"),
+      s"keyed training must use the native one-pass feature hash:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"per-key rates are keyed aggregates, never a window:\n$plan")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, ps)
+    assert(ps.contains("BroadcastHashJoin"),
+      s"the per-key totals frame must ride a broadcast join:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q_tokenizer_mix: the corpus is never shuffled — counts collapse map-side, thresholds broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(graft.queries.TextQueries.tokenizerMix(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams") && ps.contains("bpe_encode_bytes"),
+      s"routing + the shared-vocab encode must both be native expressions:\n$plan")
+    // temperatureMix's only window runs over the ALREADY-AGGREGATED
+    // L-row domain-count frame (the documented shape); assert no
+    // window consumes a corpus-sized input by checking every window's
+    // child is downstream of an aggregate
+    val windows = plan.collect { case w: WindowExec => w }
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isDefined,
+        s"a window without an aggregate below it consumes the corpus:\n$w")
+    }
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, ps)
+    assert(ps.contains("BroadcastHashJoin"),
+      s"admission thresholds must ride a broadcast join:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q_multilingual_decontaminate: eval side broadcasts, corpus never shuffles, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val plan = staticPlan(graft.queries.TextQueries.multilingualDecontaminate(spark, sf))
+    val ps = plan.toString
+    assert(ps.contains("fnv_ngrams"),
+      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, ps)
+    // the screen itself: the bad-id set reaches the corpus as a
+    // broadcast anti-join (left_anti over a broadcast relation)
+    val antiJoins = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty,
+      s"the contamination screen must be a broadcast anti-join:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q_pack_by_lang: one routing/mix pass + L bounded prefix-sum branches, never a corpus window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
