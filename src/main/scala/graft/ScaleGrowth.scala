@@ -995,6 +995,7 @@ object ScaleGrowth {
     val lmRows = scala.collection.mutable.ArrayBuffer[String]()
     val annjoinRows = scala.collection.mutable.ArrayBuffer[String]()
     val neardupRows = scala.collection.mutable.ArrayBuffer[String]()
+    val tokmixRows = scala.collection.mutable.ArrayBuffer[String]()
     scales.foreach { s =>
       // iteration-local pins (the scaled inputs each family re-reads);
       // closed before the end-of-scale session sweep
@@ -1156,8 +1157,8 @@ object ScaleGrowth {
         val g = tokenizerMixGrowth(spark, Tables.documents(spark, sfDir), s)
         val wall = (System.nanoTime() - t0) / 1e9
         g.langs.foreach { case (l, r, sm, e) =>
-          neardupRows += (f"| tokmix $l (frozen 1x router, T=1/2) | ${s}x | $r | " +
-            f"sampled $sm (exp $e%.1f) | — | top ${g.topPairs.take(3).map(p => p._1 + "+" + p._2).mkString(" ")} | — | ${wall / g.langs.size}%.1f |")
+          tokmixRows += (f"| tokmix $l (frozen 1x router, T=1/2) | ${s}x | $r | " +
+            f"$sm | $e%.1f | ${g.topPairs.take(3).map(p => p._1 + "+" + p._2).mkString(" ")} | ${wall / g.langs.size}%.1f |")
         }
       }
       // quadratic-by-design pair graph inside variant cliques: not in
@@ -1245,6 +1246,12 @@ object ScaleGrowth {
       println("| family | scale | routed | exact distinct | cand pairs | verified pairs | keep | wall/lang (s) |")
       println("|---|---|---|---|---|---|---|---|")
       neardupRows.foreach(println)
+    }
+    if (tokmixRows.nonEmpty) {
+      println()
+      println("| family | scale | routed | sampled | analytic exp | top pairs | wall/lang (s) |")
+      println("|---|---|---|---|---|---|---|")
+      tokmixRows.foreach(println)
     }
     if (indexRows.nonEmpty) {
       println()

@@ -198,16 +198,25 @@ object TextQueries extends QueryModule {
   }
 
   /** The router's `(doc_id, predicted_lang)` assignment frame under
-    * the DEPLOYED lang-ID model (one scoring pass over the planted
-    * view against [[langIdWeightsStore]]) — the corpus-partitioning
-    * service output q_tokenizer_eval_lang and q_multilingual_curation
-    * consume. Documents the router cannot score (null text) carry no
-    * row: a router cannot vouch for what it cannot read (the
+    * the DEPLOYED lang-ID model — the corpus-partitioning service
+    * output, PUBLISHED once per (JVM, scale) (the verifiedPairsStore
+    * discipline, round 18): eight queries consume the routing
+    * assignment (eval_lang, curation, pack, neardup, clf_lang, both
+    * tokenizer-mix members, decontaminate), and a production pipeline
+    * routes its corpus snapshot ONCE and keys every per-language stage
+    * off the stored assignment — it does not re-score per stage. The
+    * scoring PASS stays live and oracle-gated in q_langid_trained (the
+    * producer), and every consumer's oracle still replays the full
+    * router chain, so a drifted store breaks their hash gates.
+    * Documents the router cannot score (null text) carry no row: a
+    * router cannot vouch for what it cannot read (the
     * LangIdRouteStream rejects contract). */
   private[queries] def langRoutes(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.LangId.score(langIdView(spark, sfDir), col("doc_id"), col("text"),
-        langIdWeightsStore(spark, sfDir), LangIdLangs, LangIdN, LangIdDim)
-      .select(col("id").as("doc_id"), col("predicted_lang"))
+    FrameFixture(spark, "lang_routes", sfDir) {
+      graft.operators.LangId.score(langIdView(spark, sfDir), col("doc_id"), col("text"),
+          langIdWeightsStore(spark, sfDir), LangIdLangs, LangIdN, LangIdDim)
+        .select(col("id").as("doc_id"), col("predicted_lang"))
+    }
 
   /** PER-LANGUAGE tokenizer-fertility report (q_tokenizer_eval_lang —
     * VERDICT r16 item 4, the tokenizer-PARITY artifact): the
@@ -1815,6 +1824,7 @@ object TextQueries extends QueryModule {
     fullIndexDir(spark, sfDir)
     oldIndexDir(spark, sfDir)
     langIdWeightsStore(spark, sfDir)
+    langRoutes(spark, sfDir)
     ()
   }
 

@@ -27,6 +27,23 @@ class PlanContractSpec extends AnyFunSuite {
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
     p.collect { case s: FileSourceScanExec => s }
 
+  /** Every node of `p` INCLUDING those inside cached (InMemoryRelation)
+    * subtrees — a pinned frame hides its build plan from plain
+    * collect(). */
+  private def allPlans(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case q => q } ++ p.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allPlans(s.relation.cachedPlan)
+    }.flatten
+
+  /** Scans of the published lang_routes fixture (round 18: routing is
+    * a stored assignment — route once, key every stage off it; the
+    * scoring pass stays live-pinned in q_langid_trained's contract).
+    * Looks through cache pins: consumers pin the routed frame. */
+  private def routeStoreScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    allPlans(p).collect { case s: FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("frame_lang_routes")))
+
   private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
     p.collect { case e: ShuffleExchangeExec => e }
 
@@ -495,22 +512,21 @@ class PlanContractSpec extends AnyFunSuite {
   test("q_tokenizer_eval_lang: one encode scan + one routing scan, all five encoders, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val plan = staticPlan(graft.queries.TextQueries.tokenizerEvalByLang(spark, sf))
-    // exactly THREE documents scans: the routing pass reads the marker
-    // view twice (QualityClassifier.features' gram leg UNION ALL bias
-    // leg) and the ENCODE pass stays ONE scan (q_tokenizer_eval's
-    // one-scan contract, joined BY doc_id to the routing frame) — a
+    // exactly ONE documents scan: the ENCODE pass (q_tokenizer_eval's
+    // one-scan contract, joined BY doc_id to the STORED routing
+    // assignment — round 18: routing reads the published lang_routes
+    // fixture; the scoring pass is q_langid_trained's contract) — a
     // per-family encode re-read fails here
     val docScans = scans(plan).filter(_.toString.contains("documents"))
-    assert(docScans.size == 3,
-      s"expected routing (2: gram + bias legs) + encode (1) documents scans, " +
-        s"got ${docScans.size}:\n$plan")
+    assert(docScans.size == 1,
+      s"expected exactly the encode documents scan, got ${docScans.size}:\n$plan")
+    assert(routeStoreScans(plan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$plan")
     val ps = plan.toString
     Seq("bpe_encode", "bpe_encode_bytes", "unigram_encode",
         "unigram_encode_bytes", "wordpiece_encode").foreach { f =>
       assert(ps.contains(s"$f("), s"encoder $f missing from the single pass:\n$plan")
     }
-    assert(ps.contains("fnv_ngrams"),
-      s"routing must use the native one-pass feature hash:\n$plan")
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"the per-language eval is grouped aggregates, never a window:\n$plan")
     spark.catalog.clearCache()
@@ -521,8 +537,8 @@ class PlanContractSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val plan = staticPlan(graft.queries.TextQueries.multilingualCuration(spark, sf))
     val ps = plan.toString
-    assert(ps.contains("fnv_ngrams"),
-      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(routeStoreScans(plan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$plan")
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"per-language thresholds are bounded aggregates, never a window:\n$plan")
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
@@ -536,20 +552,16 @@ class PlanContractSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec, ShuffledHashJoinExec}
     val plan = staticPlan(graft.queries.TextQueries.multilingualNearDup(spark, sf))
     val ps = plan.toString
-    assert(ps.contains("fnv_ngrams"),
-      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(routeStoreScans(plan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$plan")
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
       s"no stage may cross-pair the corpus:\n$plan")
     // the ONLY pairing join is the bucket self-join; its equi-keys must
     // carry predicted_lang alongside the band columns — a rewrite that
     // drops the language from the bucket key would pair across
     // languages and fails here. The candidate frame is pinned, so the
-    // bucket join lives inside an InMemoryRelation — expand those.
-    def allPlans(p: SparkPlan): Seq[SparkPlan] =
-      p.collect { case q => q } ++ p.collect {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          allPlans(s.relation.cachedPlan)
-      }.flatten
+    // bucket join lives inside an InMemoryRelation — allPlans expands
+    // those.
     val equiKeySets = allPlans(plan).collect {
       case j: SortMergeJoinExec => j.leftKeys.map(_.toString)
       case j: ShuffledHashJoinExec => j.leftKeys.map(_.toString)
@@ -585,8 +597,10 @@ class PlanContractSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val plan = staticPlan(graft.queries.TextQueries.tokenizerMix(spark, sf))
     val ps = plan.toString
-    assert(ps.contains("fnv_ngrams") && ps.contains("bpe_encode_bytes"),
-      s"routing + the shared-vocab encode must both be native expressions:\n$plan")
+    assert(ps.contains("bpe_encode_bytes"),
+      s"the shared-vocab encode must be the native expression:\n$plan")
+    assert(routeStoreScans(plan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$plan")
     // temperatureMix's only window runs over the ALREADY-AGGREGATED
     // L-row domain-count frame (the documented shape); assert no
     // window consumes a corpus-sized input by checking every window's
@@ -609,8 +623,8 @@ class PlanContractSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
     val plan = staticPlan(graft.queries.TextQueries.multilingualDecontaminate(spark, sf))
     val ps = plan.toString
-    assert(ps.contains("fnv_ngrams"),
-      s"routing must use the native one-pass feature hash:\n$plan")
+    assert(routeStoreScans(plan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$plan")
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, ps)
     // the screen itself: the bad-id set reaches the corpus as a
     // broadcast anti-join (left_anti over a broadcast relation)
@@ -631,8 +645,8 @@ class PlanContractSpec extends AnyFunSuite {
     // cannot see it): native feature hash, no window, no cartesian.
     val mixPlan = staticPlan(graft.queries.TextQueries.packByLangMixed(spark, sf))
     val mps = mixPlan.toString
-    assert(mps.contains("fnv_ngrams"),
-      s"routing must use the native one-pass feature hash:\n$mixPlan")
+    assert(routeStoreScans(mixPlan).nonEmpty,
+      s"routing must read the published lang_routes store:\n$mixPlan")
     assert(mixPlan.collect { case w: WindowExec => w }.isEmpty,
       s"the mix gate is a per-row md5 threshold, never a window:\n$mixPlan")
     assert(mixPlan.collect { case c: CartesianProductExec => c }.isEmpty, mps)
