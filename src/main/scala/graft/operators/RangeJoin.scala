@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join: match points to the intervals containing them
@@ -50,5 +50,127 @@ object RangeJoin {
     p.join(i, Seq("__b"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__b")
+  }
+
+  /** COUNT/SUM-per-interval range join WITHOUT enumerating the pairs —
+    * the aggregation-shaped member. [[pointInInterval]] followed by a
+    * per-interval aggregate materializes every (point, interval) match:
+    * with n points and m intervals over a fixed time span, density per
+    * bucket grows linearly in the data and the pair count QUADRATICALLY
+    * (measured at sf0.001 → sf0.1: 5.6M pairs from 100k × 20k rows,
+    * bench time 0.33 → 3.39 s — the one super-linear query in the
+    * registry). When the consumer only needs COUNT(*) and SUM(value)
+    * per interval, the pairs never need to exist: running totals over
+    * the time axis turn every interval into a DIFFERENCE of two
+    * boundary lookups — `agg([s, e)) = C(e) − C(s)` where `C(t)` is the
+    * prefix aggregate over points with `ts < t`. Total work is
+    * O((n + m) log) — sort-bounded, never pair-bounded.
+    *
+    * Distributed prefix shape (the [[PrefixSum]] two-phase argument,
+    * spelled with windows): points and the 2m interval BOUNDARIES union
+    * into one stream, bucket by `floor(ts / width)`, and each bucket's
+    * running totals ride a bucket-partitioned window (parallel, skew
+    * bounded by per-bucket density exactly like [[pointInInterval]]'s
+    * equi-join). Cross-bucket offsets come from one window over the
+    * BUCKET AGGREGATES — at most (time span / width) rows by
+    * construction (calendar-bounded; pick `bucketWidthSec` so this
+    * stays ≤ ~10⁷), so the single-task window there is a non-issue and
+    * the heavy per-row work stays parallel.
+    *
+    * Exactness contract (mirrors `groupBy(interval).agg(count(1),
+    * sum(value cast decimal(30,8)))` over the [[pointInInterval]]
+    * pairs, which the q_range_join oracle replays in DuckDB):
+    *  - boundaries sort BEFORE points at equal timestamps, so `C(t)`
+    *    covers `ts < t` strictly — half-open `[start, end)` exactly;
+    *  - the value column is cast to DECIMAL(30,8) per point BEFORE
+    *    accumulation ([[StableAgg]] — decimal addition is exact, so a
+    *    difference of two prefixes equals the direct sum bit-for-bit);
+    *  - `n_points` counts rows; `sum_value` is NULL when the interval
+    *    contains no non-null value (matching SUM over the pair group),
+    *    tracked by a third running counter;
+    *  - intervals with `end <= start`, null boundaries, or zero
+    *    matching points emit NO row (inner-join-then-group semantics).
+    *
+    * `intervals` rows must be pairwise DISTINCT (the reassembly groups
+    * by the interval's columns — duplicate interval rows would merge);
+    * key or dedupe upstream. Output: the interval's columns plus
+    * `n_points` (BIGINT) and `sum_value` (DECIMAL(38,8), castable to
+    * double by the caller). */
+  def intervalCountSum(
+      points: DataFrame, pointTs: String, valueCol: Column,
+      intervals: DataFrame, startTs: String, endTs: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, s"bucketWidthSec must be positive, got $bucketWidthSec")
+    import org.apache.spark.sql.expressions.Window
+    val w = bucketWidthSec * 1000000L // micros
+    val iCols = intervals.columns.toSeq
+    Seq("__t", "__mk", "__sign", "__cnt", "__nv", "__val", "__b", "__rc", "__rn",
+      "__rv", "__basec", "__basen", "__basev", "__C", "__N", "__V", "__nvals",
+      "__sum", "n_points", "sum_value").foreach(r =>
+      require(!iCols.contains(r), s"intervalCountSum: interval column name $r is reserved"))
+
+    val ev = points
+      .select(unix_micros(col(pointTs)).as("__t"),
+        valueCol.cast("decimal(30,8)").as("__val"))
+      .filter(col("__t").isNotNull)
+      .select(col("__t"), lit(0).as("__mk"), lit(0).as("__sign"),
+        lit(1L).as("__cnt"), when(col("__val").isNotNull, 1L).otherwise(0L).as("__nv"),
+        col("__val"))
+      .select((Seq("__t", "__mk", "__sign", "__cnt", "__nv", "__val").map(col) ++
+        iCols.map(c => lit(null).cast(intervals.schema(c).dataType).as(c))): _*)
+
+    // one row per boundary; degenerate / null-boundary intervals emit none
+    val live = intervals
+      .filter(col(endTs).isNotNull && col(startTs).isNotNull && col(endTs) > col(startTs))
+    def boundary(ts: String, sign: Int) = live
+      .select((Seq(unix_micros(col(ts)).as("__t"), lit(1).as("__mk"),
+        lit(sign).as("__sign"), lit(0L).as("__cnt"), lit(0L).as("__nv"),
+        lit(null).cast("decimal(30,8)").as("__val")) ++ iCols.map(col)): _*)
+    val union = ev
+      .unionByName(boundary(startTs, -1))
+      .unionByName(boundary(endTs, 1))
+      .withColumn("__b", floor(col("__t") / w))
+
+    // per-bucket running totals; boundaries (__mk = 1) order before
+    // points at equal __t, so a boundary reads strictly-earlier points
+    val inBucket = Window.partitionBy("__b")
+      .orderBy(col("__t"), col("__mk").desc, col("__sign"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = union
+      .withColumn("__rc", sum(col("__cnt")).over(inBucket))
+      .withColumn("__rn", sum(col("__nv")).over(inBucket))
+      .withColumn("__rv", sum(col("__val")).over(inBucket))
+      .filter(col("__mk") === 1)
+
+    // cross-bucket offsets: bucket-level aggregates, one bounded window
+    val byBucket = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = union.groupBy("__b")
+      .agg(sum("__cnt").as("__bc"), sum("__nv").as("__bn"), sum("__val").as("__bv"))
+      .select(col("__b"),
+        coalesce(sum(col("__bc")).over(byBucket), lit(0L)).as("__basec"),
+        coalesce(sum(col("__bn")).over(byBucket), lit(0L)).as("__basen"),
+        coalesce(sum(col("__bv")).over(byBucket), lit(0).cast("decimal(38,8)")).as("__basev"))
+
+    // C(t) per boundary, then the end − start difference per interval.
+    // The running/base sums come out of Spark as DECIMAL(38,8); adding
+    // two of those would exceed precision 38 and silently round to
+    // scale 7 (allowPrecisionLoss) — cast both back to DECIMAL(30,8)
+    // first (exact: the values are bounded by the corpus total, the
+    // same bound [[StableAgg]]'s per-row cast already assumes), so the
+    // add is DECIMAL(31,8), lossless.
+    val withC = run.join(broadcast(base), Seq("__b"))
+      .select((iCols.map(col) :+ col("__sign") :+
+        (col("__basec") + col("__rc")).as("__C") :+
+        (col("__basen") + col("__rn")).as("__N") :+
+        (col("__basev").cast("decimal(30,8)") +
+          coalesce(col("__rv"), lit(0)).cast("decimal(30,8)")).as("__V")): _*)
+    withC.groupBy(iCols.map(col): _*)
+      .agg(sum(col("__sign") * col("__C")).as("n_points"),
+        sum(col("__sign") * col("__N")).as("__nvals"),
+        sum(when(col("__sign") === 1, col("__V")).otherwise(-col("__V"))).as("__sum"))
+      .filter(col("n_points") > 0)
+      .select((iCols.map(col) :+ col("n_points") :+
+        when(col("__nvals") > 0, col("__sum")).otherwise(lit(null)).as("sum_value")): _*)
   }
 }

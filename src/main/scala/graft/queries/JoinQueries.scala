@@ -44,13 +44,19 @@ object JoinQueries extends QueryModule {
     val windows = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
         (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
-    RangeJoin.pointInInterval(
-      events.select(col("event_id"), col("ts"), col("value")), "ts",
+    // r18 optimization: the aggregation-shaped member — the consumer
+    // only needs COUNT/SUM per window, so the quadratic pair set
+    // ([[RangeJoin.pointInInterval]] + groupBy: 5.6M pairs at sf0.1,
+    // the registry's one super-linear query) never materializes; the
+    // prefix-difference form is O((n+m) log). Result-identical: the
+    // decimal prefix sums reproduce StableAgg.ssum exactly (oracle
+    // unchanged, still the brute-force inequality join in DuckDB).
+    RangeJoin.intervalCountSum(
+      events.select(col("ts"), col("value")), "ts", col("value"),
       windows, "w_start", "w_end",
       bucketWidthSec = 2 * 3600)
-      .groupBy("anchor_id")
-      .agg(count(lit(1)).as("n_events"),
-        Rnd.r(StableAgg.ssum(col("value")), 2).as("total_value"))
+      .select(col("anchor_id"), col("n_points").as("n_events"),
+        Rnd.r(col("sum_value").cast("double"), 2).as("total_value"))
       .orderBy("anchor_id")
   }
 

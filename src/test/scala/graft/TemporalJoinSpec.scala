@@ -127,6 +127,52 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(bucketed == naive)
   }
 
+  test("intervalCountSum: matches pair-join + aggregate on random data (ties, nulls, empties)") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // second-granularity timestamps force plenty of point==boundary ties
+    val points = (1 to 400).map { i =>
+      val v: java.lang.Double = if (i % 17 == 0) null else rnd.nextDouble() * 100
+      (new Timestamp(base + rnd.nextInt(2000) * 1000L), v)
+    }.toDF("pt", "v")
+    val intervals = (1 to 80).map { i =>
+      val s = base + rnd.nextInt(2000) * 1000L
+      // some degenerate (len 0), some tiny (likely empty), some long
+      val len = Seq(0, 1, 30, 600)(rnd.nextInt(4))
+      (i.toLong, new Timestamp(s), new Timestamp(s + len * 1000L))
+    }.toDF("iid", "s", "e")
+    val naive = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 60)
+      .groupBy("iid")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(30,8)")).as("sv"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), Option(r.getAs[java.math.BigDecimal]("sv"))
+        .map(_.doubleValue())))).toMap
+    val fast = RangeJoin.intervalCountSum(points, "pt", col("v"), intervals, "s", "e", 60)
+      .collect()
+      .map(r => (r.getAs[Long]("iid"), (r.getAs[Long]("n_points"),
+        Option(r.getAs[java.math.BigDecimal]("sum_value")).map(_.doubleValue())))).toMap
+    assert(fast == naive)
+  }
+
+  test("intervalCountSum: boundary ties are half-open exact; all-null-value window sums null") {
+    val points = Seq(
+      (ts("2024-01-01 00:00:00"), 1.0: java.lang.Double), // == start of iid 1: in
+      (ts("2024-01-01 02:00:00"), 2.0: java.lang.Double), // == end of iid 1: out
+      (ts("2024-01-01 05:00:00"), null: java.lang.Double) // only row of iid 2: null value
+    ).toDF("pt", "v")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 04:30:00"), ts("2024-01-01 05:30:00")),
+      (3L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00")) // empty: no row
+    ).toDF("iid", "s", "e")
+    val out = RangeJoin.intervalCountSum(points, "pt", col("v"), intervals, "s", "e", 3600)
+      .collect().map(r => (r.getAs[Long]("iid"),
+        (r.getAs[Long]("n_points"), Option(r.getAs[java.math.BigDecimal]("sum_value"))))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 1L && out(1L)._2.map(_.doubleValue()).contains(1.0))
+    assert(out(2L) == (1L, None)) // counted, but no honest sum exists
+  }
+
   test("pointInInterval: degenerate (end <= start) intervals match nothing") {
     val points = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pt")
     val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
