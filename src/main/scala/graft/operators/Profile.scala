@@ -9,15 +9,18 @@ import org.apache.spark.sql.types._
   * column, row/null/distinct counts plus typed min/max, in ONE pass
   * over the data.
   *
-  * Scale design: all statistics for all columns ride a single global
-  * aggregate. The exact-distinct spelling makes Spark plan ONE Expand
-  * (k replicas map-side, one per distinct group), but partial
-  * aggregation collapses each replica to its column's distinct values
-  * before anything shuffles — the exchange carries Σ per-column
-  * distinct cardinalities, not k× the corpus. That is the right trade
-  * for dimension-like columns; for high-cardinality columns (ids, free
+  * Scale design: counts and typed min/max for all columns ride a single
+  * distinct-free global aggregate (a hash fold — string MIN/MAX inside a
+  * GROUPED aggregate would force sort aggregation, and multi-distinct
+  * would plan an Expand replicating every row k+1 times; both measured
+  * and removed in r18). Exact distincts run as one two-level hash
+  * aggregate per column — map-side partial dedup, the exchange carries
+  * each column's distinct values once, and each leg's columnar scan
+  * reads only its own column, so the k single-column passes cost the
+  * same bytes as one k-column pass. That is the right trade for
+  * dimension-like columns; for high-cardinality columns (ids, free
   * text) use [[columnsApprox]], whose HLL sketches keep the shuffle at
-  * KB per column with no Expand at all.
+  * KB per column in ONE aggregate.
   *
   * Output is long format, one row per column:
   * `(column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
@@ -28,9 +31,68 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
-  /** Exact profile of `cols` (default: every column) in one aggregate. */
-  def columns(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
-    profile(df, cols, (_, c) => count_distinct(c))
+  /** Exact profile of `cols` (default: every column).
+    *
+    * r18 optimization (guide §2.3/§2.4): the one-aggregate multi-distinct
+    * spelling planned an Expand (k+1 replicas of every row) and — because
+    * string MIN/MAX have variable-width buffers — SORT aggregates, so the
+    * "single pass" really sorted (k+1)·n wide rows twice (measured 3.5 s
+    * at sf0.1; the repo had already measured the same Expand penalty in
+    * q_approx_distinct_bound: 4.6 s vs 1.3 s for the pre-distinct shape).
+    * Now: ONE distinct-free global aggregate (counts + typed min/max — a
+    * fold, hash-aggregated, no sort) plus ONE two-level hash aggregate
+    * per column for its exact distinct count (map-side partial dedup —
+    * the exchange carries each column's distinct values once, exactly
+    * what the Expand exchange carried, without the k+1-replica scan
+    * above it). Each distinct leg scans only its own column (columnar
+    * scan: the k single-column passes read the same bytes as one
+    * k-column pass), and the k+1 one-row results cross-join back
+    * broadcast. Same output, same engine-portable renderings. */
+  def columns(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val want = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
+    val fields = want.map(n => df.schema(n))
+    fields.foreach(f => require(!f.name.contains("`"),
+      s"Profile: column name with backtick unsupported: ${f.name}"))
+    val base = {
+      val aggs = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"`${f.name}`")
+        val (num, str) = legs(f, c)
+        Seq(
+          count(c).as(s"__nn_$i"),
+          num.map(min).getOrElse(lit(null).cast("double")).as(s"__mn_$i"),
+          num.map(max).getOrElse(lit(null).cast("double")).as(s"__mx_$i"),
+          str.map(min).getOrElse(lit(null).cast("string")).as(s"__sn_$i"),
+          str.map(max).getOrElse(lit(null).cast("string")).as(s"__sx_$i"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val withNd = fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
+      val c = col(s"`${f.name}`")
+      // distinct non-null values of the one column, then count them:
+      // a two-level hash aggregate (strings group fine; only MIN/MAX
+      // string BUFFERS force sort aggregates), partial-deduped map-side
+      acc.crossJoin(broadcast(
+        df.select(c).distinct().agg(count(c).as(s"__nd_$i"))))
+    }
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("column_name"),
+        col(s"__nn_$i").as("nn"), col(s"__nd_$i").as("nd"),
+        col(s"__mn_$i").as("mn"), col(s"__mx_$i").as("mx"),
+        col(s"__sn_$i").as("sn"), col(s"__sx_$i").as("sx"))
+    }
+    withNd
+      .select(col("__n"), explode(array(entries: _*)).as("e"))
+      .select(
+        col("e.column_name").as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col("e.nn")).as("n_nulls"),
+        col("e.nd").as("n_distinct"),
+        col("e.mn").as("min_num"),
+        col("e.mx").as("max_num"),
+        col("e.sn").as("min_str"),
+        col("e.sx").as("max_str"))
+  }
 
   /** Profile with `approx_count_distinct` (HyperLogLog++, default rsd
     * 5%) in place of the exact distinct: a plain single aggregate — no

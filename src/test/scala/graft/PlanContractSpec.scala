@@ -367,14 +367,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} of 5 files — partition pruning lost")
   }
 
-  test("q_profile: ONE scan, ONE Expand, one aggregation tree — a single pass") {
+  test("q_profile: no Expand, no sort aggregation — hash fold + per-column pruned distinct legs") {
     val plan = staticPlan(graft.queries.ProfileQueries.profileOrders(spark, sf))
-    assert(scans(plan).size == 1, s"profile re-scans the table:\n$plan")
+    // r18 shape: the multi-distinct Expand (k+1 replicas of every row,
+    // sort-aggregated because string MIN/MAX buffers are var-width) is
+    // gone — a regression to it re-plans an ExpandExec or SortAggregate
     val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
-    assert(expands.size == 1,
-      s"exact multi-distinct should plan exactly one Expand, got ${expands.size}:\n$plan")
-    // distinct-group exchange + final single-partition agg + output sort
-    assert(shuffles(plan).size <= 3, s"profile grew an exchange:\n$plan")
+    assert(expands.isEmpty, s"exact profile re-grew the multi-distinct Expand:\n$plan")
+    val sortAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.groupingExpressions.nonEmpty => a
+    }
+    assert(sortAggs.isEmpty, s"profile re-grew a grouped sort aggregate:\n$plan")
+    // one base scan + one single-column scan per distinct leg, each
+    // pruned to exactly its own column (columnar: same bytes as one pass)
+    val scanWidths = scans(plan).map(_.schema.fields.length).sorted
+    assert(scanWidths == Seq(1, 1, 1, 1, 1, 1, 6),
+      s"distinct legs lost column pruning: $scanWidths\n$plan")
   }
 
   test("q_snapshot_diff: digests computed below the join — the join carries key+digest only") {
