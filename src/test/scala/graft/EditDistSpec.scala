@@ -66,13 +66,30 @@ class EditDistSpec extends AnyFunSuite {
     assert(pairs(rows, 2) == brute(rows, 2))
   }
 
-  test("the short pool bound fails loudly") {
+  test("the short pool bound fails loudly (maxDist >= 2 general path)") {
     val rows = (1L to 50L).map(i => i -> s"a$i".take(3))
     val ex = intercept[IllegalArgumentException] {
       EditDist.similarPairs(rows.toDF("id", "s"), col("id"), col("s"),
-        maxDist = 1, maxShortPool = 10).collect()
+        maxDist = 2, maxShortPool = 10).collect()
     }
     assert(ex.getMessage.contains("short pool"))
+  }
+
+  test("maxDist = 1 deletion-neighborhood path has no short-pool bound — short strings just pair") {
+    // 50 strings of length <= 3 would trip a maxShortPool = 10 guard on
+    // the banded path; the r18 deletion-neighborhood path needs no
+    // quadratic pool, so the same inputs work and equal brute force
+    val rows = (1L to 50L).map(i => i -> s"a$i".take(3))
+    val df = rows.toDF("id", "s")
+    val out = EditDist.similarPairs(df, col("id"), col("s"),
+        maxDist = 1, maxShortPool = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("d") <= 1)
+      .select(col("a.id"), col("b.id"), col("d").cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == naive && naive.nonEmpty)
   }
 
   test("the blocked prefix plan (tiny blockSize forces hot-gram split) equals brute force") {
