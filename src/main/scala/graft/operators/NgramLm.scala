@@ -266,7 +266,14 @@ object NgramLm {
                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val k = order
     require(k >= 2, s"scoreBackoffN: order must be >= 2, got $k")
-    // the model artifact feeds 2(k-1) marginal consumers — pin it
+    // the model artifact feeds 2(k-1) marginal consumers — pin it.
+    // (r18 measured NEGATIVE result, kept for the record: deriving the
+    // marginals as chains — cnt_d from cnt_{d-1}, ctx_d from cnt_d —
+    // reads fewer total rows but SERIALIZES what are here independent
+    // broadcast-build jobs over the pinned artifact, and the extra
+    // cache materializations lengthen the critical path: q_lm_score5
+    // went 3.15 → 5.5 s at sf0.1. The flat spelling keeps all 2(k-1)
+    // marginal builds running concurrently.)
     val m = scope.pin(model)
     val ws = (1 to k).map(j => s"w$j")
     // cnt_d: count of the (k-d)-gram suffix; ctx_d: its context
@@ -347,27 +354,36 @@ object NgramLm {
                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val k = order
     require(k >= 2, s"scoreBackoffPruned: order must be >= 2, got $k")
-    // one artifact feeds 2(k-1)+2 order-sliced consumers — pin it
+    // the artifact feeds the tier lookups + the unigram total — pin it
     val m = scope.pin(model)
     def gramOf(from: Int, to: Int): Column =
       concat_ws(" ", (from to to).map(i => col(s"w$i")): _*)
+    // r18: ONE lookup relation for every tier. The per-tier spelling
+    // (filter len = j, join on gram) built 2(k-1)+1 DIFFERENT broadcast
+    // relations — nine separate build jobs over the artifact at k = 5.
+    // Keying the WHOLE model by "len gram" (space-safe: len digits
+    // carry no space, gram tokens are single-space-joined) makes every
+    // tier probe the SAME build subtree with `concat(lit("j "), gram)`,
+    // so Spark's ReuseExchange ships ONE broadcast and the 2k-1 lookups
+    // share it. Same lookups row-for-row: (len, gram) is the model key.
+    val mk = m.select(concat(col("len"), lit(" "), col("gram")).as("__lg"),
+      col("n").as("__mn"))
+    def probe(len: Int, gram: Column): Column = concat(lit(s"$len "), gram)
     var joined = ngrams(docTokens(docs, idCol, textCol, nBos = k - 1), k)
     (0 to k - 2).foreach { d =>
-      val cnt = m.filter(col("len") === (k - d))
-        .select(col("gram").as(s"__g$d"), col("n").as(s"__c$d"))
-      joined = joined.join(cnt, gramOf(d + 1, k) === col(s"__g$d"), "left")
+      val cnt = mk.select(col("__lg").as(s"__g$d"), col("__mn").as(s"__c$d"))
+      joined = joined.join(cnt, probe(k - d, gramOf(d + 1, k)) === col(s"__g$d"), "left")
         .drop(s"__g$d")
     }
     (0 to k - 2).foreach { d =>
-      val ctx = m.filter(col("len") === (k - 1 - d))
-        .select(col("gram").as(s"__h$d"), col("n").as(s"__x$d"))
-      joined = joined.join(ctx, gramOf(d + 1, k - 1) === col(s"__h$d"), "left")
+      val ctx = mk.select(col("__lg").as(s"__h$d"), col("__mn").as(s"__x$d"))
+      joined = joined.join(ctx, probe(k - 1 - d, gramOf(d + 1, k - 1)) === col(s"__h$d"), "left")
         .drop(s"__h$d")
     }
-    val uni = m.filter(col("len") === 1)
-    val u = uni.select(col("gram").as("__gu"), col("n").as("__u"))
-    val tot = uni.agg(sum("n").as("__nn"), count(lit(1)).as("__v"))
-    joined = joined.join(u, col(s"w$k") === col("__gu"), "left").drop("__gu")
+    val u = mk.select(col("__lg").as("__gu"), col("__mn").as("__u"))
+    val tot = m.filter(col("len") === 1)
+      .agg(sum("n").as("__nn"), count(lit(1)).as("__v"))
+    joined = joined.join(u, probe(1, col(s"w$k")) === col("__gu"), "left").drop("__gu")
       .crossJoin(broadcast(tot))
     def p5(d: Int): Long = math.pow(5, d).toLong
     def p2(d: Int): Long = math.pow(2, d).toLong
@@ -411,7 +427,9 @@ object NgramLm {
   def scoreBackoff(docs: DataFrame, idCol: Column, textCol: Column,
                    model: DataFrame,
                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // the model artifact feeds five marginal consumers — pin it
+    // the model artifact feeds five marginal consumers — pin it (the
+    // flat spelling is deliberate; see the measured note in
+    // [[scoreBackoffN]] — chained marginals serialize these builds)
     val m = scope.pin(model)
     val ctx2 = m.groupBy("w1", "w2").agg(sum("n").as("__c2"))
     val b2 = m.groupBy("w2", "w3").agg(sum("n").as("__b2"))
