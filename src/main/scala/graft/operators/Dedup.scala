@@ -67,10 +67,26 @@ object Dedup {
 
   /** Distinct shingle SET per id (the frame Jaccard needs). The
     * signature path deliberately does NOT use this: MIN is
-    * duplicate-insensitive, so paying a full-width dedup exchange before
-    * the minhash aggregate would buy nothing. */
-  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    shinglesRaw(df, idCol, textCol, n).distinct()
+    * duplicate-insensitive, so paying per-doc dedup before the minhash
+    * aggregate would buy nothing.
+    *
+    * r18: deduped IN-ROW (`array_distinct` on the per-doc shingle array
+    * before the explode) instead of `.distinct()` on the exploded
+    * stream — identical set per id (rows of different ids can't
+    * collide), and the full-width (id, shingle) dedup EXCHANGE is gone;
+    * at any scale the dedup work rides the same narrow map-side pass
+    * that builds the shingles. */
+  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val toks = split(lower(textCol), " ")
+    df.select(idCol.as("id"), toks.as("toks"))
+      // spread the per-doc explode work first — see [[shinglesRaw]]
+      .repartition(col("id"))
+      .select(col("id"), explode(array_distinct(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+  }
 
   /** k-function MinHash signature per id: column m0..m{k-1}, where
     * m_i = MIN(md5("i:" ++ shingle)) as a hex string. Accepts the RAW
