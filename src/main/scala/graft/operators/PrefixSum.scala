@@ -107,6 +107,64 @@ object PrefixSum {
     spark.createDataFrame(indexed, outSchema)
   }
 
+  /** [[DenseId.withDenseId]] and [[withRunningTotal]] FUSED over one
+    * sorted pass (r18): when a pipeline ranks by some order and then
+    * packs by that very rank (the curation rank/pack tail), the
+    * two-primitive spelling pays the range sort and the two RDD jobs
+    * TWICE — once to assign `pos`, once to accumulate in `pos` order.
+    * The running count IS the dense id, so one pass emits both: per
+    * partition (row count, value subtotal), offsets folded on the
+    * driver, then `idOut` = running row count and `totalOut` = running
+    * value total. Identical output to the composition whenever
+    * `orderCols` (+ tieBreaker) is the same total order. */
+  def withDenseIdAndRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                                 idOut: String, totalOut: String,
+                                 tieBreaker: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("__v"),
+      "withDenseIdAndRunningTotal: column name __v is reserved")
+    val tbs: Seq[Column] = tieBreaker match {
+      case Some(c) => Seq(c)
+      case None =>
+        require(df.columns.length == df.columns.distinct.length,
+          "withDenseIdAndRunningTotal: frame has duplicate column names — pass an explicit tieBreaker")
+        val hashable = df.schema.fields.collect {
+          case f if orderable(f.dataType) => col(s"`${f.name.replace("`", "``")}`")
+        }.toIndexedSeq
+        Seq(xxhash64(lit(0L) +: hashable: _*), xxhash64(lit(1L) +: hashable.reverse: _*))
+    }
+    tbs.indices.foreach(i => require(!df.columns.contains(s"__tb$i"),
+      s"withDenseIdAndRunningTotal: column name __tb$i is reserved"))
+    val prepared = tbs.zipWithIndex
+      .foldLeft(df.withColumn("__v", valueCol.cast("long"))) {
+        case (d, (c, i)) => d.withColumn(s"__tb$i", c)
+      }
+    val appended = 1 + tbs.length
+    val sorted = prepared.orderBy(orderCols ++ tbs.indices.map(i => col(s"__tb$i")): _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; if (!r.isNullAt(vIdx)) s += r.getLong(vIdx) }
+      Iterator(pid -> (n, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val idOffsets = partStats.scanLeft(0L)(_ + _._1)
+    val sumOffsets = partStats.scanLeft(0L)(_ + _._2)
+    val outSchema = StructType(sorted.schema.fields.dropRight(appended) :+
+      StructField(idOut, LongType, nullable = false) :+
+      StructField(totalOut, LongType, nullable = false))
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = idOffsets(pid)
+      var running = sumOffsets(pid)
+      it.map { r =>
+        pos += 1
+        if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.dropRight(appended) :+ pos :+ running)
+      }
+    }
+    spark.createDataFrame(indexed, outSchema)
+  }
+
   /** Sequence packing, offset-based: concatenate rows in `orderCols`
     * order and slice the stream at `budget` boundaries — `bin =
     * floor(start_offset / budget)` where `start_offset = running - v`.

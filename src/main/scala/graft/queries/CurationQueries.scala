@@ -400,11 +400,20 @@ object CurationQueries extends QueryModule {
     * scores, then budget packing — shared by the live flagship and the
     * persisted-store build so both emit byte-identical frames. */
   private def packTail(capped: DataFrame): DataFrame = {
-    val ordered = graft.operators.DenseId.withDenseId(
-      capped, Seq(col("avg_surprisal"), col("doc_id")), "pos")
-    graft.operators.PrefixSum.packByBudget(ordered, Seq(col("pos")),
-        col("n_chars"), SampleQueries.PackBudget, "bin",
-        tieBreaker = Some(col("pos")))
+    // r18: rank + pack FUSED — the position IS the running row count of
+    // the same (avg_surprisal, doc_id) total order the packer consumed,
+    // so one range-sorted pass emits both (was: DenseId's sort +
+    // zipWithIndex, then packByBudget's second sort + subtotal pass
+    // over the pos order — two extra jobs and a full re-sort).
+    // Identical frames: pos = row_number of the same total order,
+    // bin_end = running n_chars in pos order, bin = the same floor.
+    val packed = graft.operators.PrefixSum.withDenseIdAndRunningTotal(
+      capped, Seq(col("avg_surprisal"), col("doc_id")), col("n_chars"),
+      "pos", "bin_end", tieBreaker = Some(col("doc_id")))
+      .withColumn("bin",
+        floor((col("bin_end") - col("n_chars").cast("long")) /
+          SampleQueries.PackBudget).cast("long"))
+    packed
       .select(col("doc_id"), col("source"), col("avg_surprisal"), col("pos"),
         col("n_chars"), col("bin_end").as("offset_end"), col("bin"))
       .orderBy("pos")

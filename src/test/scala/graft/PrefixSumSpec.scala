@@ -23,6 +23,21 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(dist == win)
   }
 
+  test("withDenseIdAndRunningTotal equals DenseId + withRunningTotal composed (r18 fusion)") {
+    val fused = PrefixSum.withDenseIdAndRunningTotal(
+      df.repartition(7), Seq(col("v"), col("id")), col("v"), "pos", "rt",
+      tieBreaker = Some(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val composed = {
+      val ordered = graft.operators.DenseId.withDenseId(
+        df.repartition(3), Seq(col("v"), col("id")), "pos")
+      PrefixSum.withRunningTotal(ordered, Seq(col("pos")), col("v"), "rt",
+        tieBreaker = Some(col("pos")))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(fused == composed)
+  }
+
   test("output is independent of the input's physical partitioning") {
     val a = PrefixSum.withRunningTotal(df.repartition(1), Seq(col("id")), col("v"), "rt")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
