@@ -409,7 +409,13 @@ object EditDist {
     val pool = scope.pin(base.filter(length(col("s")) <= sl + maxDist))
     val statePool = scope.pin(state.filter(length(col("s")) <= sl + maxDist)
       .select(col("id"), col("s")).distinct())
-    val (nPool, nState) = (pool.count(), statePool.count())
+    // one job for both guard counts (r18 — was two sequential count()
+    // actions; the union also materializes both pins in the same job)
+    val guard = pool.select(lit(1).as("__side"))
+      .unionByName(statePool.select(lit(2).as("__side")))
+      .groupBy("__side").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (nPool, nState) = (guard.getOrElse(1, 0L), guard.getOrElse(2, 0L))
     require(nPool <= maxShortPool && nState <= maxShortPool,
       s"incrementalSimilarPairs: short pools of $nPool × $nState strings " +
         s"shorter than ${sl + maxDist + 1} chars pair by length band alone; " +
