@@ -99,6 +99,23 @@ object Dedup {
     shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
   }
 
+  /** [[minhashSignature]]'s minima folded IN-ROW over an already-built
+    * per-document shingle-SET array (r18): `min` over the exploded
+    * stream's md5 STRINGS has a variable-width aggregation buffer, so
+    * Spark plans SortAggregate — a per-partition sort of the whole
+    * shingle stream; `array_min` over the same hashes inside the row is
+    * a narrow map with no aggregate at all. Value-identical (MIN over a
+    * bag of per-shingle hashes is MIN over the array of them — the
+    * [[minhashSignatureArr]] argument); callers hand in the set array
+    * they already hold. Empty arrays yield null minima — filter them
+    * upstream where the stream spelling would have emitted no row. */
+  def minhashSignatureFromSets(df: DataFrame, idCol: Column, setCol: Column, k: Int): DataFrame = {
+    val minima = (0 until k).map(i =>
+      array_min(transform(setCol,
+        s => md5(concat_ws(":", lit(i.toString), s).cast("binary")))).as(s"m$i"))
+    df.select(idCol.as("id") +: minima: _*)
+  }
+
   /** MinHash signatures computed per DOCUMENT as array expressions — no
     * shingle materialization at all: the k minima fold over the in-row
     * shingle array (`transform` + `array_min`), so the signature frame

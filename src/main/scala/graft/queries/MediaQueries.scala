@@ -264,27 +264,49 @@ object MediaQueries extends QueryModule {
     * or locally-edited variant shares most of its frame chunks, so its
     * shingle Jaccard degrades gradually; the oracle replays the
     * banding and verification exactly. */
-  /** Adjacent frame-hash shingles per video — order-sensitive, shared
-    * by the batch and incremental members. */
-  private def videoShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Adjacent frame-hash shingle SETS per video — order-sensitive,
+    * shared by the batch, incremental, and multimodal members.
+    *
+    * r18 shape: ONE hash aggregate collects each video's frames in
+    * frame_idx order (collect_list + sort_array — ObjectHashAggregate,
+    * no sort phase), then adjacent pairing + dedup run IN-ROW
+    * (transform + array_distinct). The previous spelling paid a
+    * per-video WINDOW (lead over a partitioned sort) for the pairing,
+    * a full-width distinct EXCHANGE for the dedup, and — because
+    * min(md5-string) has a var-width buffer — a SortAggregate pass in
+    * every downstream minhash. Same sets per video (sort_array by
+    * frame_idx = the window's order; in-row array_distinct = the
+    * exploded distinct); videos with < 2 frames drop here exactly as
+    * the old `__next IS NOT NULL` filter dropped them. */
+  private def videoShingleSets(spark: SparkSession, sfDir: String): DataFrame =
     frameHashStore(spark, sfDir)
-      .withColumn("__next", lead("fhash", 1).over(
-        Window.partitionBy("media_id").orderBy("frame_idx")))
-      .filter(col("__next").isNotNull)
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fhash")))).as("__fr"))
       .select(col("media_id").as("id"),
-        concat(col("fhash"), lit(" "), col("__next")).as("shingle"))
-      .distinct()
-  }
+        array_distinct(
+          when(size(col("__fr")) >= 2,
+            transform(sequence(lit(1), size(col("__fr")) - 1),
+              i => concat(element_at(col("__fr"), i)("fhash"), lit(" "),
+                element_at(col("__fr"), i + 1)("fhash"))))
+            .otherwise(array().cast("array<string>"))).as("shset"))
+      .filter(size(col("shset")) > 0)
+
+  /** The exploded (id, shingle) rows for set-row consumers
+    * (jaccardVerify, the persisted band store build). */
+  private def videoShingles(spark: SparkSession, sfDir: String): DataFrame =
+    videoShingleSets(spark, sfDir)
+      .select(col("id"), explode(col("shset")).as("shingle"))
 
   def videoDedup(spark: SparkSession, sfDir: String,
                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // feeds the signature AND the Jaccard verification
-    val sh = scope.pin(videoShingles(spark, sfDir))
-    val sig = graft.operators.Dedup.minhashSignature(sh, VidMinhashK)
+    // feeds the in-row signature AND the Jaccard verification
+    val sets = scope.pin(videoShingleSets(spark, sfDir))
+    val sig = graft.operators.Dedup.minhashSignatureFromSets(
+      sets, col("id"), col("shset"), VidMinhashK)
     val cand = graft.operators.Dedup.candidatePairs(
       graft.operators.Dedup.lshBands(sig, VidMinhashK, VidBandWidth))
-    graft.operators.Dedup.jaccardVerify(cand, sh, VidThreshold)
+    graft.operators.Dedup.jaccardVerify(cand,
+        sets.select(col("id"), explode(col("shset")).as("shingle")), VidThreshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -297,9 +319,10 @@ object MediaQueries extends QueryModule {
     * are corpus-independent, so the result equals [[videoDedup]]
     * restricted to batch-touching pairs — which is what the oracle
     * computes. */
-  private def vidBandsOf(s: DataFrame): DataFrame =
+  private def vidBandsOf(sets: DataFrame): DataFrame =
     graft.operators.Dedup.lshBands(
-      graft.operators.Dedup.minhashSignature(s, VidMinhashK), VidMinhashK, VidBandWidth)
+      graft.operators.Dedup.minhashSignatureFromSets(
+        sets, col("id"), col("shset"), VidMinhashK), VidMinhashK, VidBandWidth)
 
   /** The OLD side's band assignments are the pipeline's persisted
     * state — an incremental ingest keeps them on disk between batches
@@ -308,15 +331,16 @@ object MediaQueries extends QueryModule {
     * read thereafter, so the query measures the BATCH leg. */
   private def vidBandsOldStore(spark: SparkSession, sfDir: String): DataFrame =
     FrameFixture(spark, "video_bands_old", sfDir)(
-      vidBandsOf(videoShingles(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8)))
+      vidBandsOf(videoShingleSets(spark, sfDir).filter(pmod(col("id"), lit(10)) < 8)))
 
   def videoDedupIncr(spark: SparkSession, sfDir: String,
                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val sh = scope.pin(videoShingles(spark, sfDir))
+    val sets = scope.pin(videoShingleSets(spark, sfDir))
     val isNew = pmod(col("id"), lit(10)) >= 8
     val cand = graft.operators.Dedup.incrementalCandidates(
-      vidBandsOf(sh.filter(isNew)), vidBandsOldStore(spark, sfDir))
-    graft.operators.Dedup.jaccardVerify(cand, sh, VidThreshold)
+      vidBandsOf(sets.filter(isNew)), vidBandsOldStore(spark, sfDir))
+    graft.operators.Dedup.jaccardVerify(cand,
+        sets.select(col("id"), explode(col("shset")).as("shingle")), VidThreshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -367,7 +391,7 @@ object MediaQueries extends QueryModule {
     val grids = pixGridStore(spark, sfDir)
     val envs = audioEnvStore(spark, sfDir)
     // shingles feed the signature AND the Jaccard verification
-    val sh = scope.pin(videoShingles(spark, sfDir))
+    val sets = scope.pin(videoShingleSets(spark, sfDir))
     val imgPairs = graft.operators.Dedup.simhashPairs(
       grids.select(col("media_id").as("id"),
         Multimodal.dhashBits(col("grid72"), 9, 8).as("simhash")),
@@ -377,11 +401,8 @@ object MediaQueries extends QueryModule {
         Multimodal.phashBits(col("env")).as("simhash")),
       maxDist = HashDist, sigLen = 63, bands = 3)
     val vidPairs = graft.operators.Dedup.jaccardVerify(
-      graft.operators.Dedup.candidatePairs(
-        graft.operators.Dedup.lshBands(
-          graft.operators.Dedup.minhashSignature(sh, VidMinhashK),
-          VidMinhashK, VidBandWidth)),
-      sh, VidThreshold)
+      graft.operators.Dedup.candidatePairs(vidBandsOf(sets)),
+      sets.select(col("id"), explode(col("shset")).as("shingle")), VidThreshold)
     val edges = imgPairs.select("id_a", "id_b")
       .unionByName(audPairs.select("id_a", "id_b"))
       .unionByName(vidPairs.select("id_a", "id_b"))
