@@ -15,6 +15,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r18 (guide §2.2): coalesce post-shuffle partitions by BYTES, not
+      // down to the core count — the default parallelismFirst=true stops
+      // AQE's coalescing at `cpus` partitions, so at bench scale every
+      // shuffle stage runs `cpus` near-empty tasks whose fixed cost
+      // dominates (measured: the 6 shuffle-heaviest queries total
+      // 21.2 s vs 23.5 s over two interleaved A/B rounds). Bytes-based
+      // coalescing is the SCALE-ADAPTIVE setting (Spark's own docs
+      // recommend false): production-sized stages exceed the 64 MB
+      // advisory target and keep their parallelism; tiny stages stop
+      // paying per-task overhead. The driver's low-core scaling run
+      // inherits the same rule, so the comparison stays apples-to-apples.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ... with a PARALLELISM FLOOR scaled to the session's cores:
+      // pure bytes-coalescing collapses small-byte but COMPUTE-DENSE
+      // stages to one task (measured: q_fuzzy_pairs' levenshtein verify
+      // went 3.8 → 11.8 s when its ~1M-pair join coalesced to a single
+      // partition). cpus/4 keeps dense stages parallel while the
+      // near-empty stages still coalesce away; it scales with the
+      // driver's low-core runs and is irrelevant at production sizes
+      // (stages above the 64 MB advisory never hit the floor).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        math.max(2, cpus.toInt / 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
