@@ -43,3 +43,35 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// r19 (VERDICT item 2): the suite took ~13 quiet minutes in ONE forked
+// JVM — long enough that r18's loaded driver window killed the JVM
+// mid-suite (VERIFY_r18 tests_ok: false, shutdown hook during
+// JdbcMergeProps). Run the suites as several forked JVMs CONCURRENTLY:
+// every per-JVM resource is already process-scoped (TestSpark's
+// warehouse dir is a fresh temp dir, query Scratch fixtures are
+// per-PID, Derby DBs are in-memory), and the only PROCESS-SHARED state
+// — the oracle-artifact store's symlink repointing under
+// /tmp/graft_oracle_store — is protected by pinning every suite that
+// touches query-level fixtures into one group. ScaleGrowthSpec (146 s,
+// the longest suite) gets its own JVM; everything else hash-splits.
+val fixtureSuites: Set[String] = Set(
+  "graft.MediaStreamSpec", "graft.MediaSynthSpec", "graft.OracleArtifactSpec",
+  "graft.PlanAuditTableSpec", "graft.PlanContractSpec",
+  "graft.StarJoinSpec", "graft.TextStatsSpec", "graft.VideoStreamSpec")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  def groupOf(n: String): Int =
+    if (fixtureSuites(n)) 0
+    else if (n == "graft.ScaleGrowthSpec") 1
+    else 2 + java.lang.Math.floorMod(n.hashCode, 4)
+  tests.groupBy(t => groupOf(t.name)).toSeq.sortBy(_._1).map { case (i, ts) =>
+    Tests.Group(s"graft-tests-$i", ts, Tests.SubProcess(fo))
+  }
+}
+// sbt's default restrictions cap ForkedTestGroup at 1 — allow the
+// groups to run side by side (6 JVMs × local[4] on a 32-core host).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, 6))

@@ -245,23 +245,24 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    // (id, shingle) sets for candidate docs only; already partitioned by
-    // id upstream, so distinct() adds no exchange. Pinned because the
-    // counts aggregate and both probe sides re-read it.
-    val candShingles = scope.pin(shingles
+    // Per-candidate-doc shingle SET collected IN ROW (r19, the
+    // [[SetSimJoin.verifyPairs]] shape): one aggregate — reusing the
+    // shingle stream's id partitioning, so no exchange — replaces the
+    // (id, shingle) distinct + two shingle-level probe joins (which
+    // materialized one row per SHARED SHINGLE per pair) + the pair-key
+    // count exchange + two count broadcasts. The intersection and both
+    // set sizes are narrow array expressions per verified pair. Pinned:
+    // both probe sides read it.
+    val sets = scope.pin(shingles
       .join(broadcast(candIds), Seq("id"), "left_semi")
-      .distinct())
-    val counts = candShingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(candidates)
-      .join(candShingles.as("sa"), col("id_a") === col("sa.id"))
-      .join(candShingles.as("sb"),
-        col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .groupBy("id").agg(collect_set(col("shingle")).as("__set")))
+    broadcast(candidates)
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("__i", size(array_intersect(col("sa.__set"), col("sb.__set"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("sa.__set")) + size(col("sb.__set")) - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -755,13 +756,30 @@ object Dedup {
       else md5(concat(lit(s"sh$k:"), col("tok")).cast("binary"))
       h.as(s"h$k")
     }
+    // Numeric vote extraction (r19, guide §1.2 step 2 — per-task work):
+    // load each hash's 32 hex nibbles as 32-bit long chunks ONCE per
+    // token, then a bit's vote is shift-and-mask arithmetic. The old
+    // spelling ran a fresh `substring` + 8-way string `isin` per BIT per
+    // token (52 × |tokens| string allocations at the adaptive width) —
+    // measured as the dominant cost of the signature aggregate. Bit
+    // semantics identical: nibble value ≥ 8 ⟺ its top bit is set.
+    val chunksOf = (0 until nBlocks).flatMap { k =>
+      val bitsInBlock = math.min(32, bits - 32 * k)
+      (0 until (bitsInBlock + 7) / 8).map(i =>
+        conv(substring(col(s"h$k"), i * 8 + 1, 8), 16, 10).cast("long").as(s"c${k}_$i"))
+    }
     val toks = df.select(idCol.as("id"), array_distinct(split(lower(textCol), " ")).as("ts"))
       .repartition(col("id")) // parallelize the explode; co-partition the group-by
       .select(col("id"), explode(col("ts")).as("tok"))
       .select(col("id") +: blockHashes: _*)
-    val bitSums = (0 until bits).map(j =>
-      sum(when(substring(col(s"h${j / 32}"), j % 32 + 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$j"))
+      .select(col("id") +: chunksOf: _*)
+    val bitSums = (0 until bits).map { j =>
+      val nib = j % 32 // nibble index inside the block's 32-hex-char hash
+      val c = col(s"c${j / 32}_${nib / 8}")
+      // nibble at hex position p (1-based) sits 4·(8−p) bits up; +3 for
+      // its top bit. Vote = top bit ? +1 : −1 = 2·bit − 1.
+      sum(shiftright(c, 4 * (7 - nib % 8) + 3).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
         concat((0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))

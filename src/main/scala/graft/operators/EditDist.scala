@@ -115,12 +115,44 @@ object EditDist {
   private def delRows(base: DataFrame): DataFrame =
     base.select(col("id"), col("s"), explode(delNeighborhood(col("s"))).as("v"))
 
+  /** Lay a candidate-side frame out as `defaultParallelism` hash
+    * partitions ON ITS JOIN KEY before the caller pins it. Two effects,
+    * both aimed at the candidate join that follows (the stage that
+    * carries the pushed-down `levenshtein` residual — the single
+    * compute-dense stage of every member):
+    *
+    *  - the join's ClusteredDistribution requirement is satisfied by
+    *    the cached layout, so the join runs with NO runtime exchange on
+    *    this side (one repartition shuffle replaces the per-consumer
+    *    ENSURE_REQUIREMENTS exchanges);
+    *  - the partition count is EXPLICIT (REPARTITION_BY_NUM), which
+    *    AQE's bytes-based coalescing honors as fixed — candidate rows
+    *    are tiny in bytes but levenshtein-dense, and r18's graded run
+    *    measured the verify stage collapsing to the byte-derived floor
+    *    (q_fuzzy_pairs 3.8 → 11.8 s at 1 partition, 14.1 s at the
+    *    cpus/4 floor under load). Parallelism-for-compute must come
+    *    from the operator, not a session-wide floor.
+    *
+    * `defaultParallelism` is the session's total core count — the right
+    * size for a compute-bound stage at any scale (it grows with the
+    * cluster, never with a local tuning constant). */
+  private def keyLayout(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Distinct q-grams of the long strings: `(id, s, g)`. */
   private[graft] def gramRows(longs: DataFrame, q: Int): DataFrame =
     longs.select(col("id"), col("s"),
       explode(array_distinct(transform(
         sequence(lit(1), length(col("s")) - q + 1),
         i => col("s").substr(i, lit(q))))).as("g"))
+
+  // r19 MEASURED NEGATIVE, kept for the record: routing the gram
+  // frequencies through a SetSimJoin-style measured broadcast gate
+  // (count the vocabulary, broadcast under 4M) made q_fuzzy_incr
+  // SLOWER (4.26 → 5.24 s) — the gram streams here are name-sized, the
+  // frequency joins were already cheap/AQE-broadcast, and the gate's
+  // count job plus pin materialization only added critical-path jobs.
+  // The gate stays where the stream is corpus-sized (SetSimJoin).
 
   /** Keep each string's `prefixLen` rarest grams under the shared
     * total order (`__f` ascending, gram text as the tie-break). */
@@ -146,11 +178,16 @@ object EditDist {
       Seq("__lb"), payloadCols = Seq("s"))
 
   /** Candidates → verified `(id_a, id_b, dist)`: dedupe multi-bucket /
-    * multi-gram meets, one codegen'd levenshtein per surviving pair. */
+    * multi-gram meets, one codegen'd levenshtein per surviving pair.
+    * The THRESHOLDED form (Spark 3.5+) runs the banded DP — O(maxDist·n)
+    * cells instead of O(n²), exact for any distance ≤ maxDist and −1
+    * beyond it, so `dist ≥ 0` is precisely the old `dist ≤ maxDist`
+    * (measured: the candidate join's pushed-down verify residual is the
+    * single compute-dense stage of every member). */
   private def verify(cands: DataFrame, maxDist: Int): DataFrame =
     cands.distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
 
   def similarPairs(df: DataFrame, idCol: Column, strCol: Column, maxDist: Int,
@@ -167,8 +204,8 @@ object EditDist {
     // path below is unchanged for maxDist ≥ 2 (neighborhoods grow
     // O(len^k) there — the q-gram prefix filter stays the right shape).
     if (maxDist == 1) {
-      val rows = scope.pin(delRows(
-        df.select(idCol.as("id"), strCol.as("s")).filter(col("s").isNotNull)))
+      val rows = scope.pin(keyLayout(delRows(
+        df.select(idCol.as("id"), strCol.as("s")).filter(col("s").isNotNull)), "v"))
       return verify(
         PairEnum.bucketPairs(rows, Seq("v"), payloadCols = Seq("s"),
             blockSize = blockSize)
@@ -198,7 +235,7 @@ object EditDist {
     val longs = base.filter(length(col("s")) > sl)
     val grams = gramRows(longs, q)
     val freq = grams.groupBy("g").agg(count(lit(1)).as("__f"))
-    val prefix = scope.pin(prefixRows(grams, freq, prefixLen))
+    val prefix = scope.pin(keyLayout(prefixRows(grams, freq, prefixLen), "g"))
     val longCands = PairEnum.bucketPairs(prefix, Seq("g"),
         payloadCols = Seq("s"), blockSize = blockSize)
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
@@ -259,8 +296,8 @@ object EditDist {
     // pairing (ADVICE r11) — PairEnum.bucketJoin bounds any task at
     // ~blockSize² pairs, with the naive plan unchanged when no bucket's
     // cross product is oversized (the measured-gate fast path)
-    val prefA = scope.pin(prefixRows(gramsA, freq, prefixLen))
-    val prefB = scope.pin(prefixRows(gramsB, freq, prefixLen))
+    val prefA = scope.pin(keyLayout(prefixRows(gramsA, freq, prefixLen), "g"))
+    val prefB = scope.pin(keyLayout(prefixRows(gramsB, freq, prefixLen), "g"))
     val longCands = PairEnum.bucketJoin(prefA, prefB, Seq("g"), payloadCols = Seq("s"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("s_a"), col("id_b"), col("s_b"))

@@ -43,6 +43,22 @@ object SetSimJoin {
       require(!tokens.columns.contains(c), s"SetSimJoin: column name $c is reserved"))
   }
 
+  /** A frequency relation is VOCABULARY-sized — broadcast it when the
+    * measured vocabulary fits (one bounded count over the pinned
+    * aggregate, the [[PairEnum]] measured-gate discipline). With the
+    * broadcast, the corpus token stream keeps its upstream id
+    * partitioning through the frequency attach AND the per-doc collect:
+    * the token-key shuffle of the WHOLE stream plus the id re-shuffle
+    * behind it both disappear (guide §2.3 — ship the vocabulary-sized
+    * metadata, not the corpus). Beyond the gate (web-scale vocabularies)
+    * the plain shuffle join is the only correct shape and stays. */
+  private val BroadcastVocabMax = 4000000L
+
+  private def freqSide(freq: DataFrame, scope: CacheScope): DataFrame = {
+    val f = scope.pin(freq)
+    if (f.count() <= BroadcastVocabMax) broadcast(f) else f
+  }
+
   /** Per-doc rarest-first sorted token array + set size under the
     * given global frequency order. */
   private[graft] def orderedDocs(tokens: DataFrame, freq: DataFrame): DataFrame =
@@ -125,7 +141,8 @@ object SetSimJoin {
     // frequency is broken by the token text so the order is total and
     // deterministic. Vocabulary-sized aggregate, token-partitioned join
     // back onto the stream (both sides already hash on token).
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("__freq"))
+    val freq = freqSide(
+      toks.groupBy("token").agg(count(lit(1)).as("__freq")), scope)
     // per-doc: in-row rarest-first sort + set size; |docs| rows out.
     // Pinned: feeds the prefix explode AND the verification arrays.
     val docs = scope.pin(orderedDocs(toks, freq))
@@ -161,8 +178,8 @@ object SetSimJoin {
     checkInput(rightTokens, threshold)
     val lt = scope.pin(leftTokens)
     val rt = scope.pin(rightTokens)
-    val freq = lt.unionByName(rt)
-      .groupBy("token").agg(count(lit(1)).as("__freq"))
+    val freq = freqSide(lt.unionByName(rt)
+      .groupBy("token").agg(count(lit(1)).as("__freq")), scope)
     val ldocs = scope.pin(orderedDocs(lt, freq))
     val rdocs = scope.pin(orderedDocs(rt, freq))
     def side(docs: DataFrame, s: String) =

@@ -310,25 +310,37 @@ object TextQueries extends QueryModule {
       .withColumnRenamed("id", "doc_id"))
     val thr = scored.groupBy("predicted_lang")
       .agg(expr("sum(avg_surprisal) DIV count(1)").as("__thr"))
-    val kept = scope.pin(scored.join(broadcast(thr), Seq("predicted_lang"))
-      .filter(col("avg_surprisal") <= col("__thr"))
-      .select("predicted_lang", "doc_id"))
-    // 3. exact dedup among survivors, within each language partition
-    val deduped = routed.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("predicted_lang"), md5(col("text").cast("binary")).as("__dg"))
-      .distinct()
-    routed.groupBy("predicted_lang").agg(count(lit(1)).as("n_routed"))
-      .join(scored.groupBy("predicted_lang").agg(count(lit(1)).as("n_scored")),
-        Seq("predicted_lang"), "left")
-      .join(kept.groupBy("predicted_lang").agg(count(lit(1)).as("n_lm_kept")),
-        Seq("predicted_lang"), "left")
-      .join(deduped.groupBy("predicted_lang").agg(count(lit(1)).as("n_dedup_kept")),
-        Seq("predicted_lang"), "left")
+    // 3. exact dedup among survivors + the whole funnel in ONE
+    // annotated corpus pass (r19 — was: four per-stage aggregates,
+    // three funnel joins, a keyed-cut pin and a dedup semi-join, each
+    // its own AQE stage chain over the same routed rows). Every routed
+    // document carries its scored/kept flags and — when kept — its
+    // content digest; the funnel is then a two-level aggregate:
+    // (lang, digest) groups first (non-kept rows share the null-digest
+    // group, counts stay additive), then per-language totals with the
+    // distinct-digest count as a plain count over the first level — no
+    // countDistinct Expand (the q_profile lesson), no joins. Row-for-row
+    // the same funnel: n_scored counts scoreBy rows, n_lm_kept the
+    // ≤-language-mean subset, n_dedup_kept its distinct digests.
+    val ann = routed
+      .join(scored.select("doc_id", "avg_surprisal"), Seq("doc_id"), "left")
+      .join(broadcast(thr), Seq("predicted_lang"), "left")
       .select(col("predicted_lang"),
-        col("n_routed"),
-        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
-        coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept"),
-        coalesce(col("n_dedup_kept"), lit(0L)).as("n_dedup_kept"))
+        col("avg_surprisal").isNotNull.as("__scored"),
+        (col("avg_surprisal") <= col("__thr")).as("__kept"),
+        when(col("avg_surprisal") <= col("__thr"),
+          md5(col("text").cast("binary"))).as("__dg"))
+    ann.groupBy("predicted_lang", "__dg")
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__scored"), 1)).as("__ns"),
+        count(when(col("__kept"), 1)).as("__nk"))
+      .groupBy("predicted_lang")
+      .agg(sum(col("__n")).as("n_routed"),
+        sum(col("__ns")).as("n_scored"),
+        sum(col("__nk")).as("n_lm_kept"),
+        count(when(col("__dg").isNotNull, 1)).as("n_dedup_kept"))
+      .select(col("predicted_lang"), col("n_routed"), col("n_scored"),
+        col("n_lm_kept"), col("n_dedup_kept"))
       .orderBy("predicted_lang")
   }
 

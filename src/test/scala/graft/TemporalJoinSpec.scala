@@ -173,6 +173,25 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(2L) == (1L, None)) // counted, but no honest sum exists
   }
 
+  test("intervalCountSum: the serial cross-bucket window's bucket bound fails loudly") {
+    // 5 points an hour apart at width 60 s touch 5 distinct buckets;
+    // a maxBuckets of 4 must refuse to run the single-task offsets
+    // window rather than silently serialize an unbounded span
+    val points = (0 until 5)
+      .map(h => (ts(f"2024-01-01 0$h:00:00"), 1.0: java.lang.Double)).toDF("pt", "v")
+    val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00")))
+      .toDF("iid", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalCountSum(points, "pt", col("v"), intervals, "s", "e",
+        bucketWidthSec = 60, maxBuckets = 4)
+    }
+    assert(e.getMessage.contains("maxBuckets"))
+    // the same span under the default bound still computes
+    val ok = RangeJoin.intervalCountSum(points, "pt", col("v"), intervals, "s", "e", 60)
+      .collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("n_points") == 5L)
+  }
+
   test("pointInInterval: degenerate (end <= start) intervals match nothing") {
     val points = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pt")
     val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
