@@ -29,12 +29,17 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // ... with a PARALLELISM FLOOR scaled to the session's cores:
       // pure bytes-coalescing collapses small-byte but COMPUTE-DENSE
-      // stages to one task (measured: q_fuzzy_pairs' levenshtein verify
-      // went 3.8 → 11.8 s when its ~1M-pair join coalesced to a single
-      // partition). cpus/4 keeps dense stages parallel while the
-      // near-empty stages still coalesce away; it scales with the
-      // driver's low-core runs and is irrelevant at production sizes
-      // (stages above the 64 MB advisory never hit the floor).
+      // stages to one task (measured r18: q_fuzzy_pairs' levenshtein
+      // verify went 3.8 → 11.8 s at 1 partition). r19 RE-MEASURED the
+      // floor after the hottest stage learned to protect itself
+      // (EditDist.keyLayout): removing it cost 158.5 → 187.9 s on the
+      // full suite — the damage concentrated in ~20 medium queries
+      // (q_curation_pipeline 4.8→8.1, q_dedup_* +60-100%) while the
+      // ~150-query tail moved by a +0.03 s median, i.e. the floor's
+      // extra tiny tasks cost nothing measurable. cpus/4 stays: it
+      // scales with the driver's low-core runs and is irrelevant at
+      // production sizes (stages above the 64 MB advisory never hit
+      // the floor).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         math.max(2, cpus.toInt / 4).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -58,6 +58,15 @@ object NgramLm {
     * aggregate. */
   val Scale = 1000000L
 
+  // r19 MEASURED NEGATIVE, kept for the record: repartitioning the
+  // pinned model artifact to defaultParallelism before caching (so the
+  // marginal/lookup builds read it in parallel rather than as the one
+  // serial task JobProfile showed) made every consumer SLOWER —
+  // q_lm_score5 3.0 -> 5.3 s, q_lm_score3 1.4 -> 2.8 s,
+  // q_curation_pipeline 4.1 -> 5.5 s at sf0.1: the models are small
+  // enough that the repartition's extra shuffle + 32-task stage
+  // latencies cost more than the serial scans they replaced.
+
   /** BOS-prefixed token arrays: `(id, t)` with `t = [<s>…, tok, ...]`
     * (`nBos` markers); documents with no tokens (empty/whitespace text)
     * carry no transitions and are dropped HERE, symmetrically with the

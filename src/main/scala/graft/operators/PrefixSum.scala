@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlInternal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions.{col, lit, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StructField, StructType}
 
@@ -85,7 +87,12 @@ object PrefixSum {
     val appended = 1 + tbs.length // __v + tiebreaker column(s)
     val sorted = prepared.orderBy(orderCols ++ tbs.indices.map(i => col(s"__tb$i")): _*)
     val vIdx = sorted.schema.fieldIndex("__v") // appended before the tiebreakers
-    val rdd = sorted.rdd
+    // r19: the hop rides InternalRow (GraftSqlInternal) — Dataset.rdd
+    // decoded every row to external objects and createDataFrame paid
+    // the encoder back; now each emitted row is one buffer copy plus
+    // the appended long, and the working columns drop via a codegen'd
+    // projection instead of per-row Seq surgery.
+    val rdd = GraftSqlInternal.toInternalRdd(sorted)
     // one pass for per-partition subtotals (runs the sort; the second
     // pass below reuses its shuffle files — see DenseId's note on the
     // same tradeoff)
@@ -95,16 +102,17 @@ object PrefixSum {
       Iterator(pid -> s)
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions
-    val outSchema = StructType(
-      sorted.schema.fields.dropRight(appended) :+ StructField(outCol, LongType, nullable = false))
+    val withSchema = StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
     val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = offsets(pid)
       it.map { r =>
         if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.dropRight(appended) :+ running)
+        new JoinedRow(r.copy(), new GenericInternalRow(Array[Any](running))): InternalRow
       }
     }
-    spark.createDataFrame(indexed, outSchema)
+    GraftSqlInternal.fromInternalRdd(spark, indexed, withSchema)
+      .drop("__v" +: tbs.indices.map(i => s"__tb$i"): _*)
   }
 
   /** [[DenseId.withDenseId]] and [[withRunningTotal]] FUSED over one
@@ -139,10 +147,10 @@ object PrefixSum {
       .foldLeft(df.withColumn("__v", valueCol.cast("long"))) {
         case (d, (c, i)) => d.withColumn(s"__tb$i", c)
       }
-    val appended = 1 + tbs.length
     val sorted = prepared.orderBy(orderCols ++ tbs.indices.map(i => col(s"__tb$i")): _*)
     val vIdx = sorted.schema.fieldIndex("__v")
-    val rdd = sorted.rdd
+    // InternalRow hop — see [[withRunningTotal]]'s note (r19)
+    val rdd = GraftSqlInternal.toInternalRdd(sorted)
     val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; var s = 0L
       it.foreach { r => n += 1; if (!r.isNullAt(vIdx)) s += r.getLong(vIdx) }
@@ -150,7 +158,7 @@ object PrefixSum {
     }.collect().sortBy(_._1).map(_._2)
     val idOffsets = partStats.scanLeft(0L)(_ + _._1)
     val sumOffsets = partStats.scanLeft(0L)(_ + _._2)
-    val outSchema = StructType(sorted.schema.fields.dropRight(appended) :+
+    val withSchema = StructType(sorted.schema.fields :+
       StructField(idOut, LongType, nullable = false) :+
       StructField(totalOut, LongType, nullable = false))
     val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -159,10 +167,12 @@ object PrefixSum {
       it.map { r =>
         pos += 1
         if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.dropRight(appended) :+ pos :+ running)
+        new JoinedRow(r.copy(),
+          new GenericInternalRow(Array[Any](pos, running))): InternalRow
       }
     }
-    spark.createDataFrame(indexed, outSchema)
+    GraftSqlInternal.fromInternalRdd(spark, indexed, withSchema)
+      .drop("__v" +: tbs.indices.map(i => s"__tb$i"): _*)
   }
 
   /** Sequence packing, offset-based: concatenate rows in `orderCols`

@@ -60,19 +60,24 @@ object SetSimJoin {
   }
 
   /** Per-doc rarest-first sorted token array + set size under the
-    * given global frequency order. */
+    * given global frequency order. The array holds BARE tokens (r19):
+    * rank is the array position, so the struct(freq, token) wrapper —
+    * which every downstream consumer (prefix explode, both verify
+    * sides) paid to strip per row — drops right after the sort. */
   private[graft] def orderedDocs(tokens: DataFrame, freq: DataFrame): DataFrame =
     tokens.join(freq, "token")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("__freq"), col("token")))).as("__toks"),
+      .agg(sort_array(collect_list(struct(col("__freq"), col("token")))).as("__ft"),
         count(lit(1)).as("__s"))
+      .select(col("id"), transform(col("__ft"), x => x("token")).as("__toks"),
+        col("__s"))
 
   /** Prefix rows `(token, id, __rk, __s)` — see the class doc for the
     * epsilon discipline. */
   private[graft] def prefixRows(docs: DataFrame, threshold: Double): DataFrame = {
     val p = (col("__s") - ceil(col("__s") * lit(threshold) - lit(1e-9)) + 1).cast("int")
     docs.select(col("id"), col("__s"), posexplode(slice(col("__toks"), lit(1), p)))
-      .select(col("col.token").as("token"), col("id"),
+      .select(col("col").as("token"), col("id"),
         (col("pos") + 1).as("__rk"), col("__s"))
   }
 
@@ -105,16 +110,14 @@ object SetSimJoin {
       val ids = cand.select(col("id_a").as("id"))
         .union(cand.select(col("id_b").as("id"))).distinct()
       docsA.join(broadcast(ids), Seq("id"), "left_semi")
-        .select(col("id"),
-          transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
+        .select(col("id"), col("__toks").as("__set"), col("__s"))
     }
     def confined(docs: DataFrame, side: String) =
       if (selfJoin) sharedConfined
       else {
         val ids = cand.select(col(side).as("id")).distinct()
         docs.join(broadcast(ids), Seq("id"), "left_semi")
-          .select(col("id"),
-            transform(col("__toks"), x => x("token")).as("__set"), col("__s"))
+          .select(col("id"), col("__toks").as("__set"), col("__s"))
       }
     cand
       .join(confined(docsA, "id_a").as("da"), col("id_a") === col("da.id"))
